@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Execution uses the noop sink so results are fully materialized without
+driver-collect overhead — the measured time is scan + shuffle + agg,
+i.e. what a cluster would do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from mwa_uvdata_pipeline_spark.plans import load_all
+    from mwa_uvdata_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    plans = load_all()
+    bench_plans = {n: p for n, p in plans.items() if p.bench}
+
+    # JVM/codegen warmup on the smallest SF (not timed)
+    for p in bench_plans.values():
+        p.spark(spark, "/root/testdata/sf0.001").write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, p in bench_plans.items():
+        t0 = time.perf_counter()
+        p.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

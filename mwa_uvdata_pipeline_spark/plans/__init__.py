@@ -1,0 +1,66 @@
+"""Query-plan registry: every entry is one operator family from
+SURVEY.md §2 expressed over the driver test tables, with a DuckDB
+oracle twin where SQL-expressible.
+
+``PLANS`` maps name → Plan(spark_fn, oracle_sql, bench flag).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Plan:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None = None
+    bench: bool = False
+    doc: str = ""
+
+
+PLANS: dict[str, Plan] = {}
+
+
+def register(name: str, sql: str | None = None, bench: bool = False, doc: str = ""):
+    """Decorator registering a (spark_fn, oracle_sql) pair."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        PLANS[name] = Plan(name=name, spark=fn, sql=sql, bench=bench, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects by default; read nanos as long and truncate to
+    microseconds (exactly what DuckDB's nanos→micros cast does)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all() -> dict[str, Plan]:
+    """Import every plan module (side effect: registry population)."""
+    from mwa_uvdata_pipeline_spark.plans import (  # noqa: F401
+        domain,
+        events,
+        relational,
+        text,
+    )
+
+    return PLANS

@@ -1,0 +1,200 @@
+"""Event-table plans: JSON scalars, time representations, and the
+batch twins of the streaming windows (SURVEY.md §2.12 — tumbling /
+sliding / session windows, stateful dedup).
+
+The streaming module (``mwa_uvdata_pipeline_spark.streaming``) runs the
+same logical aggregations with readStream + watermark; these batch
+versions give the driver an exact DuckDB oracle for the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mwa_uvdata_pipeline_spark.functions.times import _GPS_EPOCH_UNIX, _LEAP_SECONDS
+from mwa_uvdata_pipeline_spark.plans import register, table
+
+
+def _gps_case_sql(unix_expr: str) -> str:
+    """The same leap-second CASE chain :func:`gps_from_unix` compiles to,
+    rendered as ANSI SQL for the DuckDB oracle."""
+    clauses = "\n".join(
+        f"WHEN {unix_expr} >= {b} THEN {t - 19}"
+        for b, t in reversed(_LEAP_SECONDS)
+    )
+    return f"(CASE {clauses} ELSE 0 END)"
+
+
+@register(
+    "x_json_extract",
+    sql="""
+    SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="JSON property extraction from events.props (SURVEY §2.7 JSON note); "
+        "regex-based so Spark and DuckDB agree without the JSON extension.",
+)
+def x_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "x6_time_representations",
+    sql=f"""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS isot,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS unix_sec,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400.0 + 2440587.5 AS jd,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) - {_GPS_EPOCH_UNIX}
+             + {_gps_case_sql("CAST(FLOOR(epoch(ts)) AS BIGINT)")} AS gps
+    FROM events
+    """,
+    doc="X6 display_time: ISO-T / unix / JD / GPS representations "
+        "(reference utils.py:191-193); GPS via the static leap-second "
+        "table — identical CASE chain in both engines.",
+)
+def x6_time_representations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    unix = F.floor(F.col("ts").cast("double")).cast("long")
+    from mwa_uvdata_pipeline_spark.functions.times import _gps_offset_expr
+
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("isot"),
+        unix.alias("unix_sec"),
+        (unix / F.lit(86400.0) + F.lit(2440587.5)).alias("jd"),
+        (unix - F.lit(_GPS_EPOCH_UNIX) + _gps_offset_expr(unix).cast("long")).alias("gps"),
+    )
+
+
+@register(
+    "ev_tumbling_window",
+    sql="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    bench=True,
+    doc="Tumbling 1h window aggregate — batch twin of the streaming "
+        "groupBy(window(ts, '1 hour')) (SURVEY §2.12).",
+)
+def ev_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "ev_sliding_window",
+    sql="""
+    WITH slid AS (
+        SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)
+                    AS TIMESTAMP) AS win_start, value FROM events
+        UNION ALL
+        SELECT CAST(to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - 1) * 1800)
+                    AS TIMESTAMP), value FROM events
+    )
+    SELECT win_start, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
+    FROM slid GROUP BY win_start
+    """,
+    doc="Sliding 1h/30m window — each event lands in two windows; batch "
+        "twin of window(ts, '1 hour', '30 minutes') (SURVEY §2.12).",
+)
+def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "ev_sessionize",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS is_new,
+               event_id
+        FROM events),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM marked)
+    SELECT user_id, session_id, MIN(ts) AS session_start,
+           MAX(ts) AS session_end, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Session windows (30 min gap) via gaps-and-islands — batch twin of "
+        "session_window(ts, '30 minutes') (SURVEY §2.12).",
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("ts").cast("double") - prev.cast("double")) > 1800),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "ev_dedup_keep_first",
+    sql="""
+    SELECT user_id, event_type, event_id, ts FROM (
+        SELECT user_id, event_type, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) WHERE rn = 1
+    """,
+    doc="Stateful-dedup batch twin: keep earliest event per "
+        "(user_id, event_type) — dropDuplicates semantics (SURVEY §2.12).",
+)
+def ev_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )

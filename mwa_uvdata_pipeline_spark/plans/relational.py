@@ -1,0 +1,731 @@
+"""Relational parity surface (SURVEY.md §2 → §7 Phase 2) over the
+TPC-H-ish driver tables.
+
+Float determinism: the driver hash-compares Spark vs DuckDB values
+exactly, and double SUMs are order-dependent. Every money aggregate is
+therefore computed over integer cents (``ROUND(x*100)::BIGINT``) —
+exact, associative, order-independent — and converted to double only at
+the end with an identical division in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mwa_uvdata_pipeline_spark.plans import register, table
+
+
+def cents(col: str | Column) -> Column:
+    """Exact integer cents from a 2-decimal double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def SQL_CENTS(expr: str) -> str:
+    return f"CAST(ROUND(({expr}) * 100) AS BIGINT)"
+
+
+# ---------------------------------------------------------------- scans
+
+@register(
+    "s4_predicate_scan",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1998-01-01' AND TIMESTAMP '1998-12-31'
+      AND l_quantity < 10
+    """,
+    doc="S4 selective read: range + scalar predicates pushed to the parquet scan "
+        "(reference processors.py:170-172,192-195 re-read-with-times).",
+)
+def s4_predicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate").between("1998-01-01", "1998-12-31"))
+        .where(F.col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "a4_distinct_time_grid",
+    sql="SELECT DISTINCT o_orderdate AS order_date FROM orders",
+    doc="S3/A4 metadata-style scan: distinct sorted time grid "
+        "(reference processors.py:165 np.unique(time_array)).",
+)
+def a4_distinct_time_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").alias("order_date"))
+        .distinct()
+    )
+
+
+# -------------------------------------------------------------- filters
+
+@register(
+    "f1_sel_members",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey FROM lineitem
+    WHERE l_suppkey IN (1, 2, 3) AND l_partkey IN (10, 20, 30, 40, 50)
+    """,
+    doc="F1 sel_ants analog: both keys must be in the allow-list "
+        "(reference configurators.py:74).",
+)
+def f1_sel_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_suppkey").isin(1, 2, 3) & F.col("l_partkey").isin(10, 20, 30, 40, 50))
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
+    )
+
+
+@register(
+    "f2_skip_members",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey FROM lineitem
+    WHERE l_suppkey NOT IN (1, 2, 3, 4, 5, 6) AND l_partkey NOT IN (10, 20, 30)
+    """,
+    doc="F2 skip_ants analog: drop rows touching the deny-list "
+        "(reference configurators.py:75).",
+)
+def f2_skip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where(~F.col("l_suppkey").isin(1, 2, 3, 4, 5, 6) & ~F.col("l_partkey").isin(10, 20, 30))
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
+    )
+
+
+@register(
+    "f3_sel_categories",
+    sql="""
+    SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+    WHERE l_returnflag IN ('A', 'R') GROUP BY l_returnflag
+    """,
+    doc="F3 sel_pols analog (reference configurators.py:76).",
+)
+def f3_sel_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "f4_range_band",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+    """,
+    doc="F4 freq_range analog: pushdown-eligible band predicate "
+        "(reference configurators.py:77).",
+)
+def f4_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity").between(10, 20))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "f5_time_limit",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+    WHERE l_shipdate IN (
+        SELECT DISTINCT l_shipdate FROM lineitem ORDER BY l_shipdate LIMIT 5)
+    """,
+    doc="F5 time_limit: first N distinct times then semi-join "
+        "(reference configurators.py:78).",
+)
+def f5_time_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    first5 = li.select("l_shipdate").distinct().orderBy("l_shipdate").limit(5)
+    return li.join(F.broadcast(first5), "l_shipdate", "left_semi").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+
+
+@register(
+    "f6_remove_flagged",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+    WHERE NOT EXISTS (
+        SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey AND s_acctbal < 1000.0)
+    """,
+    doc="F6 remove_flagged_ants analog: broadcast anti-join against the "
+        "flagged slice of a dimension (reference configurators.py:70, utils.py:160).",
+)
+def f6_remove_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    flagged = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 1000.0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return li.join(F.broadcast(flagged), "l_suppkey", "left_anti").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+
+
+@register(
+    "f7_theta_self",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+    WHERE (l_partkey % 10) = (l_suppkey % 10)
+    """,
+    doc="F7 auto/cross spectrum analog: theta self-predicate "
+        "(reference configurators.py:86-87).",
+)
+def f7_theta_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where((F.col("l_partkey") % 10) == (F.col("l_suppkey") % 10))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+@register(
+    "j1_broadcast_lookup",
+    sql="""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    bench=True,
+    doc="J1 gpubox→channel lookup analog: broadcast equi-join fact→dim "
+        "(reference utils.py:49-59).",
+)
+def j1_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")).cast("double") / 100.0).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "j2_multiway_join",
+    sql="""
+    SELECT r_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    bench=True,
+    doc="J2 file↔metafits association generalized: 5-way star join, dims "
+        "broadcast (reference utils.py:100-107).",
+)
+def j2_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .join(F.broadcast(region), F.col("n_regionkey") == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            (F.sum(rev_cents).cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "j3_anti_completeness",
+    sql="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="J3/V3 obsid↔metafits completeness analog: left-anti emptiness "
+        "check (reference configurators.py:157-162,250-256).",
+)
+def j3_anti_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey")
+
+
+@register(
+    "j4_semi_join",
+    sql="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+    """,
+    doc="J4 semi-join: customers with at least one large order "
+        "(visibility⋈antenna-dim shape, reference configurators.py:70,74-75).",
+)
+def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000.0)
+    return cust.join(
+        big, cust["c_custkey"] == big["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j5_symmetric_difference",
+    sql="""
+    SELECT COUNT(*) AS diff_count FROM (
+        (SELECT DISTINCT l_suppkey AS k FROM lineitem
+         EXCEPT ALL SELECT s_suppkey AS k FROM supplier)
+        UNION ALL
+        (SELECT s_suppkey AS k FROM supplier
+         EXCEPT ALL SELECT DISTINCT l_suppkey AS k FROM lineitem)
+    )
+    """,
+    doc="J5/O5/V7 set-equality via symmetric exceptAll "
+        "(reference processors.py:98-103 pairwise df.equals).",
+)
+def j5_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = table(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k")).distinct()
+    b = table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    return (
+        a.exceptAll(b).unionAll(b.exceptAll(a)).agg(F.count(F.lit(1)).alias("diff_count"))
+    )
+
+
+@register(
+    "j6_cross_join",
+    sql="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    doc="Cross join (driver parity; no analog needed in the reference).",
+)
+def j6_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "region").crossJoin(
+        table(spark, sf_dir, "nation").select("n_name")
+    ).select("r_name", "n_name")
+
+
+# ----------------------------------------------------------- aggregates
+
+@register(
+    "q1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+               / 10000.0 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS DOUBLE)
+               / 1000000.0 AS sum_charge,
+           SUM(l_quantity) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_price,
+           CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    doc="Flagship relational aggregate (TPC-H Q1 shape): A5-style hash "
+        "aggregation with map-side partials; exercises the INS shape on "
+        "relational data (SURVEY §2.4 A5).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "2000-09-02")
+    price_c = cents("l_extendedprice")
+    disc_pct = cents("l_discount")  # discount in percent points (0-100)
+    tax_pct = cents("l_tax")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        (F.sum(price_c).cast("double") / 100.0).alias("sum_base_price"),
+        (F.sum(price_c * (100 - disc_pct)).cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.sum(price_c * (100 - disc_pct) * (100 + tax_pct)).cast("double") / 1000000.0).alias("sum_charge"),
+        (F.sum("l_quantity") / n.cast("double")).alias("avg_qty"),
+        (F.sum(price_c).cast("double") / n.cast("double") / 100.0).alias("avg_price"),
+        (F.sum(disc_pct).cast("double") / n.cast("double") / 100.0).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "a1_group_collect",
+    sql="""
+    SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS names,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="A1 group-by-extension analog: sorted collect_list per group "
+        "(reference configurators.py:227-235).",
+)
+def a1_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("names"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "a2_rollup",
+    sql="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+    FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+    doc="A2 two-level grouping generalized to rollup "
+        "(reference configurators.py:237-248).",
+)
+def a2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "a3_total_size",
+    sql="""
+    SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    """,
+    doc="A3 total input size analog: global sum (reference configurators.py:263-265).",
+)
+def a3_total_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").agg(
+        (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact distinct aggregation (driver parity; SURVEY §2.4 note).",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct(F.col("l_partkey")).alias("distinct_parts"),
+            F.count_distinct(F.col("l_suppkey")).alias("distinct_supps"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "a8_occupancy_fraction",
+    sql="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS big_fraction,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="A8 flag-occupancy fraction shape: avg of a boolean per group "
+        "(reference configurators.py:92 tb_aggro).",
+)
+def a8_occupancy_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (F.col("o_totalprice") > 200000.0).cast("int")
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            (F.sum(big).cast("double") / F.count(F.lit(1)).cast("double")).alias("big_fraction"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# -------------------------------------------------------------- windows
+
+@register(
+    "w1_lag_diff",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT)
+             - LAG(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS diff_cents
+    FROM orders
+    """,
+    doc="W1 time differencing shape on relational data: lag per key, "
+        "ordered by time with a deterministic tiebreak "
+        "(reference configurators.py:66 diff=True).",
+)
+def w1_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    c = cents("o_totalprice")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (c - F.lag(c).over(w)).alias("diff_cents"),
+    )
+
+
+@register(
+    "w2_row_number",
+    sql="""
+    SELECT * FROM (
+        SELECT o_orderkey, o_custkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="W2 ranking: first N events per key (reference processors.py:165-172 "
+        "time-slice enumeration shape).",
+)
+def w2_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "w2_ntile_chunks",
+    sql="""
+    SELECT d AS order_date, NTILE(8) OVER (ORDER BY d) AS chunk
+    FROM (SELECT DISTINCT o_orderdate AS d FROM orders)
+    """,
+    doc="W2 time-slice chunking: ntile over the distinct time grid "
+        "(reference processors.py:165-172 step_size batching).",
+)
+def w2_ntile_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("order_date")
+    return (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").alias("order_date"))
+        .distinct()
+        .select("order_date", F.ntile(8).over(w).alias("chunk"))
+    )
+
+
+@register(
+    "w3_moving_frame",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                                 RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS moving_qty
+    FROM lineitem
+    """,
+    doc="Frame-spec window: moving sum over a RANGE frame — value-based, "
+        "so duplicate order keys cannot make the frame ambiguous "
+        "(driver parity, SURVEY §2.5 note).",
+)
+def w3_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rangeBetween(-2, Window.currentRow)
+    )
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.sum("l_quantity").over(w).alias("moving_qty")
+    )
+
+
+@register(
+    "w4_agg_rejoin",
+    sql="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) * cnt > sum_cents AS above_avg
+    FROM orders JOIN (
+        SELECT o_custkey AS k,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY o_custkey
+    ) ON o_custkey = k
+    """,
+    doc="W4 time-broadcast shape: group aggregate joined back to flag rows "
+        "above their group mean — all-integer compare, no float division "
+        "(reference configurators.py:92).",
+)
+def w4_agg_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    stats = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(cents("o_totalprice")).alias("sum_cents"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        orders.join(F.broadcast(stats), orders["o_custkey"] == stats["k"])
+        .select(
+            "o_orderkey",
+            ((cents("o_totalprice") * F.col("cnt")) > F.col("sum_cents")).alias("above_avg"),
+        )
+    )
+
+
+# ------------------------------------------------------ sort/limit/set
+
+@register(
+    "o3_topk",
+    sql="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="O3 top-k with deterministic tiebreak (reference configurators.py:78 "
+        "time_limit shape). TakeOrderedAndProject — no global sort.",
+)
+def o3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "o4_union_slices",
+    sql="""
+    SELECT o_orderstatus, COUNT(*) AS n FROM (
+        SELECT o_orderstatus FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        UNION ALL
+        SELECT o_orderstatus FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ) GROUP BY o_orderstatus
+    """,
+    doc="O4/S5 union-of-slices ≡ whole read (reference processors.py:171-173 "
+        "uvd += accumulate).",
+)
+def o4_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    lo = orders.where(F.col("o_orderdate") < "1998-01-01").select("o_orderstatus")
+    hi = orders.where(F.col("o_orderdate") >= "1998-01-01").select("o_orderstatus")
+    return lo.unionByName(hi).groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "o6_except_types",
+    sql="""
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey AS k FROM orders
+    """,
+    doc="O6 set-difference (reference configurators.py:164-166 type-set math).",
+)
+def o6_except_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ords = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return cust.exceptAll(ords.distinct()).distinct()
+
+
+# ------------------------------------------------------------- scalars
+
+@register(
+    "x1_regexp_extract",
+    sql="""
+    SELECT CAST(regexp_extract(o_orderpriority, '(\\d+)-', 1) AS INTEGER)
+               AS priority_num,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+    doc="X1 channel_from_filename analog: regex capture → int "
+        "(reference utils.py:61-78).",
+)
+def x1_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.regexp_extract("o_orderpriority", r"(\d+)-", 1)
+            .cast("int")
+            .alias("priority_num")
+        )
+        .groupBy("priority_num")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "x10_size_blocks",
+    sql="""
+    SELECT doc_id, CAST(FLOOR(n_chars / 100) AS BIGINT) AS blocks
+    FROM documents
+    """,
+    doc="X10 MiB-block arithmetic analog (reference utils.py:173-188).",
+)
+def x10_size_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", F.floor(F.col("n_chars") / 100).cast("long").alias("blocks")
+    )
+
+
+# ------------------------------------------------------------ validation
+
+@register(
+    "v_report",
+    sql="""
+    SELECT 'V_orphan_lineitem_part' AS rule, COUNT(*) AS violations
+    FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+    UNION ALL
+    SELECT 'V_orphan_order_customer', COUNT(*)
+    FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    UNION ALL
+    SELECT 'V_nonpositive_quantity', COUNT(*) FROM lineitem WHERE l_quantity <= 0
+    UNION ALL
+    SELECT 'V_negative_price', COUNT(*) FROM lineitem WHERE l_extendedprice < 0
+    """,
+    doc="V1-V8 style validation report: each rule one row of "
+        "(rule, violations) — multi-error accumulation "
+        "(reference configurators.py:136-185).",
+)
+def v_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part").select(F.col("p_partkey").alias("l_partkey"))
+    cust = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"))
+
+    def one(rule: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("violations")).select(
+            F.lit(rule).alias("rule"), "violations"
+        )
+
+    return (
+        one("V_orphan_lineitem_part", li.join(F.broadcast(part), "l_partkey", "left_anti"))
+        .unionByName(one("V_orphan_order_customer", orders.join(F.broadcast(cust), "o_custkey", "left_anti")))
+        .unionByName(one("V_nonpositive_quantity", li.where(F.col("l_quantity") <= 0)))
+        .unionByName(one("V_negative_price", li.where(F.col("l_extendedprice") < 0)))
+    )
