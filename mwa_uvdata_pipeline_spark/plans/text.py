@@ -24,7 +24,9 @@ def _tokens(col: str = "text") -> Column:
 
 
 def _shingles(col: str = "text", k: int = 3) -> Column:
-    """Distinct word k-gram shingles as strings (empty when < k tokens)."""
+    """Distinct word k-gram shingles as an array column (empty when < k
+    tokens). Fine for per-row use; for corpus-wide shingling prefer
+    :func:`shingle_rows` (cheaper expressions, parallelizes via shuffle)."""
     toks = _tokens(col)
     n = F.size(toks)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
@@ -32,6 +34,32 @@ def _shingles(col: str = "text", k: int = 3) -> Column:
     )
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) rows via posexplode + window lead.
+
+    Two scale properties the array-expression variant lacks: the window
+    shuffle redistributes the CPU-heavy work across every core even
+    when the input parquet is a single small split (Spark assigns
+    tasks by bytes, not compute), and token rows stream through
+    codegen instead of materializing per-doc arrays repeatedly.
+    """
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, k)]
+    return (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
+            leads[-1].isNotNull().alias("_full"),
+        )
+        .where(F.col("_full"))
+        .select("doc_id", "s")
+        .distinct()
     )
 
 
@@ -139,23 +167,37 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sizes, the classic candidate-pair generation.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact result via the shingle posting join with a size filter
+    pushed INTO the join: J(A,B) >= t requires t*|A| <= |B| <= |A|/t,
+    so pairs of incompatible sizes never reach the aggregation. The
+    count the filter saves is proportional to size skew; the residual
+    cost is the inherent sum-of-squared-posting-lengths of exact
+    Jaccard — the 100 TB path for near-dup is dedup_minhash_buckets
+    (LSH candidates, no pairwise join), with this operator as the
+    exact verifier on candidates.
+    """
+    t = 0.6
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(_shingles()).alias("s"))
+    sh = shingle_rows(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    shn = sh.join(F.broadcast(sizes), "doc_id")  # dim: one row per doc
+
+    a = shn.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s"), F.col("n").alias("na"))
+    b = shn.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), F.col("n").alias("nb"))
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(
+            b,
+            (F.col("s") == F.col("sb"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("nb") * t <= F.col("na"))
+            & (F.col("na") * t <= F.col("nb")),
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= 0.6)
+    return inter.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= t
     )
 
 
@@ -184,7 +226,7 @@ def _sql_minhash_sig() -> str:
 )
 def dedup_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(_shingles()).alias("s"))
+    sh = shingle_rows(docs)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("s")))).alias(f"h{i}")
         for i in range(_N_MINHASH)

@@ -1,0 +1,122 @@
+"""Streaming event pipelines (SURVEY.md §2.12; FIXTURES.md §B5).
+
+File-source replay: the batch events table split into N sequential
+files fed through ``readStream`` with ``maxFilesPerTrigger=1`` +
+``Trigger.AvailableNow`` so the watermark advances between
+micro-batches exactly as it would against a live source.
+
+Scale posture: streaming state (window aggs, dedup keys) is bounded by
+the watermark horizon; keys partition the state store, so a 1000-node
+cluster shards state by groupBy key with no driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def replay_events(events: DataFrame, out_dir: str, n_files: int = 10) -> list[str]:
+    """Split a batch events frame into ``n_files`` sequential parquet
+    files by time order (FIXTURES.md §B5 replay layout). Driver-side
+    loop over file boundaries only — each slice is written by executors.
+    """
+    bounds = events.selectExpr(
+        f"percentile_approx(ts, array({','.join(str((i + 1) / n_files) for i in range(n_files - 1))}), 10000) AS b"
+    ).first()["b"]
+    lo = None
+    paths = []
+    for i in range(n_files):
+        hi = bounds[i] if i < n_files - 1 else None
+        sl = events
+        if lo is not None:
+            sl = sl.where(F.col("ts") > F.lit(lo))
+        if hi is not None:
+            sl = sl.where(F.col("ts") <= F.lit(hi))
+        path = f"{out_dir}/part{i:03d}"
+        sl.coalesce(1).write.mode("overwrite").parquet(path)
+        paths.append(path)
+        lo = hi
+    return paths
+
+
+def _read_stream(spark: SparkSession, src_glob: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_glob)
+    )
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    src_glob: str,
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window counts with late-data drop beyond the watermark."""
+    return (
+        _read_stream(spark, src_glob)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def stream_dedup(
+    spark: SparkSession, src_glob: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stateful exactly-once dedup on event_id within the watermark
+    horizon (dropDuplicates state bounded by watermark)."""
+    return (
+        _read_stream(spark, src_glob)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+def stream_session_windows(
+    spark: SparkSession,
+    src_glob: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows per user with a gap timeout — the native
+    session_window operator (batch twin: plans.events.ev_sessionize)."""
+    return (
+        _read_stream(spark, src_glob)
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "update", timeout: int = 120
+):
+    """Execute a streaming frame with AvailableNow into a memory sink;
+    returns after the stream drains."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q

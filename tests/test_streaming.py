@@ -1,0 +1,120 @@
+"""Structured Streaming semantics (SURVEY.md §2.12, FIXTURES.md §B5):
+replayed file stream, watermark late-data drop, stateful dedup,
+streaming-equals-batch for finalized windows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwa_uvdata_pipeline_spark.plans import load_events
+from mwa_uvdata_pipeline_spark.streaming.events import (
+    replay_events,
+    run_to_memory,
+    stream_dedup,
+    stream_session_windows,
+    stream_tumbling_counts,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("events_replay")
+    events = load_events(spark, SF_SMALL)
+    replay_events(events, str(out), n_files=6)
+    return str(out)
+
+
+def test_replay_covers_all_events(spark, replay_dir):
+    n_src = load_events(spark, SF_SMALL).count()
+    n_replay = spark.read.parquet(f"{replay_dir}/part*").count()
+    assert n_replay == n_src
+
+
+def test_stream_tumbling_matches_batch(spark, replay_dir):
+    run_to_memory(
+        stream_tumbling_counts(spark, f"{replay_dir}/part*", watermark="10 minutes"),
+        "tumbling_sink",
+        output_mode="complete",
+    )
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumbling_sink").collect()
+    }
+    want = {
+        (r["win_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in (
+            load_events(spark, SF_SMALL)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias("sum_value"),
+            )
+            .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def _ts(s: str):
+    from datetime import datetime
+
+    return datetime.fromisoformat(s)
+
+
+def test_stream_dedup_drops_duplicates(spark, tmp_path):
+    # two files; the second replays an event_id from the first
+    rows1 = [(1, _ts("2024-01-01 10:00:00"), 7, "click", 1.0, "{}"),
+             (2, _ts("2024-01-01 10:01:00"), 7, "click", 1.0, "{}")]
+    rows2 = [(2, _ts("2024-01-01 10:02:00"), 7, "click", 1.0, "{}"),  # dup id
+             (3, _ts("2024-01-01 10:03:00"), 7, "click", 1.0, "{}")]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{tmp_path}/f0")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(f"{tmp_path}/f1")
+    run_to_memory(
+        stream_dedup(spark, f"{tmp_path}/f*"), "dedup_sink", output_mode="append"
+    )
+    ids = sorted(r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_sink").collect())
+    assert ids == [1, 2, 3]
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # Spark's late-row filter uses the PREVIOUS batch's watermark, so the
+    # 10:00 window must be evicted a full batch before the late row lands:
+    # f0 opens window 10:00; f1 pushes max event time to 11:30 (next-batch
+    # wm 11:20); f2's batch runs with wm 11:20 → evicts/emits window 10:00
+    # (n=1); f3's late 10:06 event then hits the filter (wm 11:20) → dropped.
+    arrivals = [
+        (1, "2024-01-01 10:05:00"),
+        (2, "2024-01-01 11:30:00"),
+        (4, "2024-01-01 11:31:00"),
+        (3, "2024-01-01 10:06:00"),  # late: below watermark, window evicted
+    ]
+    for i, (eid, t) in enumerate(arrivals):
+        spark.createDataFrame(
+            [(eid, _ts(t), 1, "click", 1.0, "{}")], schema
+        ).coalesce(1).write.parquet(f"{tmp_path}/f{i}")
+    run_to_memory(
+        stream_tumbling_counts(spark, f"{tmp_path}/f*", watermark="10 minutes"),
+        "late_sink",
+        output_mode="append",
+    )
+    rows = {
+        r["win_start"].isoformat(): r["n"]
+        for r in spark.sql("SELECT * FROM late_sink").collect()
+    }
+    # the 10:00 window emitted with n=1 — the late event never counted
+    assert rows.get("2024-01-01T10:00:00") == 1
+
+
+def test_stream_sessionize_runs(spark, replay_dir):
+    run_to_memory(
+        stream_session_windows(spark, f"{replay_dir}/part*"),
+        "session_sink",
+        output_mode="complete",
+    )
+    n = spark.sql("SELECT COUNT(*) AS n FROM session_sink").first()["n"]
+    assert n > 0
