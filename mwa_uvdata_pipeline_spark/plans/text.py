@@ -257,6 +257,171 @@ def m_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_SIMHASH_BITS = 32
+
+
+def _sql_simhash() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(_N_SIMHASH_BITS)
+    )
+    recomb = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_N_SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+          FROM tok),
+    bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({recomb} AS BIGINT) AS simhash,
+           CAST(({recomb}) // 65536 AS BIGINT) AS band_hi
+    FROM bits
+    """
+
+
+@register(
+    "dedup_simhash",
+    sql=_sql_simhash(),
+    doc="SimHash document signatures (north-star near-dup): per-token "
+        "32-bit hash (md5 prefix), frequency-weighted ±1 vote per bit, "
+        "sign → signature bit. One explode + one hash-agg per doc — no "
+        "pairwise join; near-dup candidates are docs sharing band_hi "
+        "(Hamming-distance banding), integer-exact cross-engine.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(_N_SIMHASH_BITS)
+    ]
+    sig = tok.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for i in range(_N_SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return sig.select(
+        "doc_id",
+        simhash.cast("long").alias("simhash"),
+        F.floor(simhash / F.lit(65536)).cast("long").alias("band_hi"),
+    )
+
+
+@register(
+    "t_quality_score",
+    sql="""
+    WITH m AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                    AS DOUBLE) / n_chars AS punct_ratio,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x IN ('the', 'a'))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stopword_ratio,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_tok_len
+        FROM documents)
+    SELECT *, (n_tokens >= 5 AND punct_ratio <= 0.2 AND stopword_ratio >= 0.01)
+               AS passes
+    FROM m
+    """,
+    doc="Text quality scoring (north-star text ops): punctuation ratio, "
+        "stopword ratio, mean token length, and a pass/fail gate — the "
+        "standard pre-training corpus filters, all JVM-side expressions.",
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    punct = (
+        (F.col("n_chars") - F.length(F.regexp_replace("text", r"[.,!?;:]", "")))
+        .cast("double") / F.col("n_chars")
+    )
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n_tokens
+    mean_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_tokens
+    df = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        punct.alias("punct_ratio"),
+        stop.alias("stopword_ratio"),
+        mean_len.alias("mean_tok_len"),
+    )
+    passes = (
+        (F.col("n_tokens") >= 5)
+        & (F.col("punct_ratio") <= 0.2)
+        & (F.col("stopword_ratio") >= 0.01)
+    )
+    return df.withColumn("passes", passes)
+
+
+@register(
+    "m_decode_frames",
+    sql="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+               CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS INT) % 1024
+                    AS INT) AS width,
+               CAST(64 + CAST('0x' || substr(md5(text), 5, 4) AS INT) % 1024
+                    AS INT) AS height,
+               CAST(1 + CAST('0x' || substr(md5(text), 9, 4) AS INT) % 16
+                    AS INT) AS n_frames
+        FROM documents)
+    SELECT doc_id, n_bytes, width, height, n_frames, CAST(u.fi AS INT) AS frame_idx
+    FROM m, UNNEST(range(0, n_frames, 2)) AS u(fi)
+    """,
+    doc="Multimodal decode + frame sampling through Arrow-batched "
+        "mapInPandas (operators.multimodal): binary payload → typed "
+        "metadata → one row per sampled frame, fan-out inside the "
+        "executor generator. Decode itself is a deterministic md5 stub "
+        "(no media libs in this container); the Spark plumbing — binary "
+        "column, batch iterator, output schema — is the real scale path.",
+)
+def m_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        binary_payload,
+        sample_frames,
+    )
+
+    docs = binary_payload(table(spark, sf_dir, "documents"))
+    return sample_frames(docs, every=2)
+
+
+@register(
+    "m_features",
+    sql="""
+    WITH b AS (SELECT doc_id, md5(text) AS hx FROM documents)
+    SELECT doc_id, CAST(i - 1 AS INT) AS dim,
+           CAST(CAST(CAST('0x' || substr(hx, 2*i - 1, 2) AS INT) / 255.0
+                     AS REAL) AS DOUBLE) AS value
+    FROM b, UNNEST(range(1, 9)) AS u(i)
+    """,
+    doc="Multimodal feature extraction (operators.multimodal."
+        "extract_features): payload → fixed-dim float vector via "
+        "mapInPandas (deterministic md5 stub standing in for a vision/"
+        "audio encoder), exploded to (doc_id, dim, value) rows for the "
+        "oracle. The array<float> form feeds sim_cosine_topk/sim_ivf_topk.",
+)
+def m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        binary_payload,
+        extract_features,
+    )
+
+    docs = binary_payload(table(spark, sf_dir, "documents"))
+    feats = extract_features(docs)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim", "value")
+    ).select("doc_id", "dim", F.col("value").cast("double").alias("value"))
+
+
 # ------------------------------------------------------------ similarity
 
 def _dot(a: Column, b: Column) -> Column:
@@ -356,4 +521,148 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings")
         .groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+_SQL_NORMS = f"""
+    SELECT vec_id, embedding,
+           sqrt({_SQL_DOT.format(a="embedding", b="embedding")}) AS nrm
+    FROM embeddings
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    sql=f"""
+    WITH n AS ({_SQL_NORMS})
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+                 / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+                / (a.nrm * b.nrm), 6) >= 0.35
+    """,
+    doc="Embedding-cosine near-dup (north-star dedup): exact pairwise "
+        "cosine over the corpus, keep pairs above threshold. This is the "
+        "exact verifier; at 100 TB the candidate set comes from "
+        "sim_lsh_buckets / sim_ivf_topk cluster assignment so the "
+        "pairwise join runs per-bucket, not corpus-wide.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.35)
+    )
+
+
+_IVF_EVERY = 50   # centroid seeds: vec_id % 50 == 0 → 10 clusters at sf0.01
+_IVF_NPROBE = 2
+_IVF_K = 5
+
+
+@register(
+    "sim_ivf_topk",
+    sql=f"""
+    WITH n AS ({_SQL_NORMS}),
+    cent AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cn
+             FROM n WHERE vec_id % {_IVF_EVERY} = 0),
+    ascore AS (
+        SELECT n.vec_id, cent.c_id, n.embedding, n.nrm,
+               ROUND({_SQL_DOT.format(a="n.embedding", b="cent.ce")}
+                     / (n.nrm * cent.cn), 6) AS cs
+        FROM n CROSS JOIN cent),
+    assign AS (SELECT vec_id, c_id, embedding, nrm FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, c_id) AS rn
+        FROM ascore) WHERE rn = 1),
+    probe AS (SELECT vec_id AS q_id, c_id, embedding AS qe, nrm AS qn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, c_id) AS rn
+        FROM ascore WHERE vec_id < 5) WHERE rn <= {_IVF_NPROBE}),
+    scored AS (
+        SELECT p.q_id, a.vec_id,
+               ROUND({_SQL_DOT.format(a="a.embedding", b="p.qe")}
+                     / (a.nrm * p.qn), 6) AS cos_sim
+        FROM probe p JOIN assign a ON p.c_id = a.c_id
+        WHERE a.vec_id != p.q_id)
+    SELECT q_id, vec_id, cos_sim FROM (
+        SELECT q_id, vec_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= {_IVF_K}
+    """,
+    doc="IVF approximate nearest neighbor (north-star similarity scale "
+        "path): deterministic centroid seeds, map-side cluster assignment "
+        "against broadcast centroids, queries probe nprobe clusters and "
+        "score only those members — the pairwise work drops to "
+        "~nprobe/n_clusters of brute force; cluster id doubles as the "
+        "shuffle/partition key at scale.",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    cent = n.where(F.col("vec_id") % _IVF_EVERY == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cs = F.round(_dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn")), 6)
+    ascore = n.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "c_id", "embedding", "nrm", cs.alias("cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("c_id"))
+    assign = (
+        ascore.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "c_id", "embedding", "nrm")
+    )
+    probe = (
+        ascore.where(F.col("vec_id") < 5)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "c_id",
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    scored = (
+        F.broadcast(probe)
+        .join(assign, "c_id")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(_dot(F.col("embedding"), F.col("qe")) / (F.col("nrm") * F.col("qn")), 6).alias("cos_sim"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _IVF_K)
+        .select("q_id", "vec_id", "cos_sim")
     )

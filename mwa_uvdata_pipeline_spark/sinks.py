@@ -1,0 +1,41 @@
+"""Sinks (SURVEY.md §2.1 S7/S8 + the scale-out parquet layout).
+
+S7: the reference exposes ``export_tsv`` for INS output
+(reference configurators.py:97) — here a header'd tab-separated
+writer. S8's three plot types are served as queryable result tables
+(plans.domain), not rendered images.
+
+Scale posture: both writers are executor-parallel (one file per
+partition); ``write_hypercube`` lays visibility data out partitioned by
+the keys every downstream operator groups on, so scans prune partitions
+and the diff/INS shuffles start co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_tsv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S7 TSV sink: tab-separated with header. ``single_file`` coalesces
+    to one part for small result tables (INS spectra) — never use it on
+    payload-sized frames."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("sep", "\t").option("header", True).csv(path)
+
+
+def read_tsv(spark, path: str, schema: str | None = None) -> DataFrame:
+    """Inverse of :func:`write_tsv` (schema string recommended — header
+    inference costs an extra scan)."""
+    r = spark.read.option("sep", "\t").option("header", True)
+    return (r.schema(schema) if schema else r.option("inferSchema", True)).csv(path)
+
+
+def write_hypercube(
+    vis: DataFrame, path: str, partition_by: tuple[str, ...] = ("chan",)
+) -> None:
+    """Visibility hypercube parquet layout, partitioned by coarse
+    grouping keys (SURVEY.md §1.4: obsid/coarse_chan mirrors the
+    per-gpubox file split). Partition values must be low-cardinality —
+    obsid and coarse channel, never time or baseline."""
+    vis.write.mode("overwrite").partitionBy(*partition_by).parquet(path)

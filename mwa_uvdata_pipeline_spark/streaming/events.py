@@ -106,6 +106,39 @@ def stream_session_windows(
     )
 
 
+def stream_user_running_totals(
+    spark: SparkSession, src_glob: str
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event count + value sum across micro-batches. State is one
+    small tuple per user, sharded by the groupBy key across the cluster;
+    emits the updated total each batch (update mode)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, sv = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            sv += float(pdf["value"].sum())
+        state.update((n, sv))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [sv]}
+        )
+
+    return (
+        _read_stream(spark, src_glob)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, sv double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "update", timeout: int = 120
 ):

@@ -110,6 +110,31 @@ def test_watermark_drops_late_event(spark, tmp_path):
     assert rows.get("2024-01-01T10:00:00") == 1
 
 
+def test_stream_stateful_running_totals(spark, replay_dir):
+    from mwa_uvdata_pipeline_spark.streaming.events import stream_user_running_totals
+
+    run_to_memory(
+        stream_user_running_totals(spark, f"{replay_dir}/part*"),
+        "totals_sink",
+        output_mode="update",
+    )
+    # update mode emits one row per (user, batch); the final state is the max
+    got = {
+        r["user_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT user_id, MAX(n_events) AS n FROM totals_sink GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in load_events(spark, SF_SMALL)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_sessionize_runs(spark, replay_dir):
     run_to_memory(
         stream_session_windows(spark, f"{replay_dir}/part*"),
