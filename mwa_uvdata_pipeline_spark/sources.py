@@ -1,0 +1,143 @@
+"""Source dispatch and reader registry (SURVEY.md §2.1 S1/S2, §2.11).
+
+The reference models inputs as a typed file set with per-format
+processors: ``supported_types`` {fits, metafits, ms, uvfits, uvf, uvh5}
+(reference configurators.py:43-48, ``uvf`` aliasing uvfits at :47), a
+``UVDataFileProcessor`` protocol with ``can_handle``/``validate``/
+``read`` (reference processors.py:42-63), and a ``DEFAULT_READERS``
+registry filled by a decorator (reference processors.py:23-38).
+
+Here the registry maps format → reader callable returning the
+long-format visibility DataFrame (SURVEY.md §1.4). Parquet is the real
+implementation (driver fixtures are parquet); the astronomy container
+formats are registered stubs that raise ``NotImplementedError`` unless
+their parser libraries (astropy / h5py / casacore) are importable —
+the idiomatic Spark ingest for them is ``binaryFile`` scan + Arrow-
+batched converter per file (SURVEY.md §4), not a driver-side loop.
+
+X8 batch arithmetic (reference utils.py:20-47) is kept as advisory
+planning math — Spark's executor memory model (partitioning + spill +
+AQE) replaces it, so its only use is suggesting a repartition width.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pathlib import PurePosixPath
+
+from pyspark.sql import DataFrame, SparkSession
+
+SUPPORTED_TYPES = frozenset(
+    {"fits", "metafits", "ms", "uvfits", "uvf", "uvh5", "parquet"}
+)
+
+# uvf is an alias of uvfits (reference configurators.py:47; the
+# reference's alias TODO — SURVEY.md §8.6 — is resolved here so alias
+# files hit the same reader and the same exclusivity rules).
+ALIASES = {"uvf": "uvfits"}
+
+Reader = Callable[[SparkSession, list[str]], DataFrame]
+
+READERS: dict[str, Reader] = {}
+
+
+def register_reader(fmt: str):
+    """Decorator filling the format registry (the Spark analog of the
+    reference's ``@default_reader``, processors.py:23-38)."""
+
+    def wrap(fn: Reader) -> Reader:
+        READERS[ALIASES.get(fmt, fmt)] = fn
+        return fn
+
+    return wrap
+
+
+def format_of(path: str) -> str:
+    """Extension → canonical format (X3 extraction + alias resolution;
+    reference configurators.py:232)."""
+    ext = PurePosixPath(path).suffix.lstrip(".").lower()
+    return ALIASES.get(ext, ext)
+
+
+def can_handle(fmt: str) -> bool:
+    return ALIASES.get(fmt, fmt) in READERS
+
+
+def read_visibilities(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """S2 multi-format dispatch: group paths by canonical format, read
+    each group with its registered reader, union. Unsupported formats
+    raise up front (V4, reference configurators.py:164-168)."""
+    by_fmt: dict[str, list[str]] = {}
+    for p in paths:
+        by_fmt.setdefault(format_of(p), []).append(p)
+    unknown = sorted(set(by_fmt) - set(READERS))
+    if unknown:
+        raise ValueError(f"unsupported file types: {unknown}")
+    out: DataFrame | None = None
+    for fmt, group in sorted(by_fmt.items()):
+        df = READERS[fmt](spark, sorted(group))
+        out = df if out is None else out.unionByName(df)
+    assert out is not None, "no input paths"
+    return out
+
+
+@register_reader("parquet")
+def read_parquet_vis(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Long-format hypercube from parquet — the production path. Spark
+    lists/splits files on executors; predicate pushdown and partition
+    pruning come from the scan itself."""
+    return spark.read.parquet(*paths)
+
+
+def _stub_reader(fmt: str, libs: tuple[str, ...]) -> Reader:
+    def read_stub(spark: SparkSession, paths: list[str]) -> DataFrame:
+        missing = []
+        for lib in libs:
+            try:
+                __import__(lib)
+            except ImportError:
+                missing.append(lib)
+        if missing:
+            raise NotImplementedError(
+                f"{fmt} ingest needs {missing}; the scale design is a "
+                "binaryFile scan + mapInPandas per-file converter to the "
+                "long-format schema (SURVEY.md §4)"
+            )
+        raise NotImplementedError(f"wire the {fmt} converter here")
+
+    return read_stub
+
+
+for _fmt, _libs in {
+    "fits": ("astropy",),
+    "metafits": ("astropy",),
+    "uvfits": ("astropy",),
+    "uvh5": ("h5py",),
+    "ms": ("casacore",),
+}.items():
+    register_reader(_fmt)(_stub_reader(_fmt, _libs))
+
+
+def compute_optimal_batches(
+    size_gb: float, avail_mem_gb: float, leakage_factor: int = 7
+) -> int:
+    """X8 memory/batch arithmetic (reference utils.py:20-47 intent —
+    the NameError at utils.py:40, SURVEY.md §8.1, is fixed): predicted
+    peak = leakage_factor x input; one batch if it fits, else
+    ``(predicted // avail) * 2`` (doubling compensates the non-linear
+    growth the reference observed, utils.py:46)."""
+    if size_gb <= 0:
+        raise ValueError("size_gb must be positive")
+    predicted = size_gb * leakage_factor
+    if predicted < avail_mem_gb:
+        return 1
+    return int(predicted // avail_mem_gb) * 2
+
+
+def suggest_partitions(
+    total_bytes: int, target_partition_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """The Spark-native replacement for X8: partition count from data
+    size at the standard 128 MiB split target — feeds ``repartition``
+    when writing, never a read-side batching loop."""
+    return max(1, -(-total_bytes // target_partition_bytes))
