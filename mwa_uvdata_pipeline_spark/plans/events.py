@@ -198,3 +198,48 @@ def ev_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts")
     )
+
+
+@register(
+    "stream_tumbling_exec",
+    sql="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Structured Streaming EXECUTED as a query: the events table is "
+        "replayed as a file stream (maxFilesPerTrigger=1, AvailableNow), "
+        "aggregated with the streaming tumbling-window operator in "
+        "complete mode, and the drained memory sink must hash-match the "
+        "BATCH DuckDB oracle — streaming-equals-batch as a correctness "
+        "gate, not just a unit test (SURVEY §2.12).",
+)
+def stream_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        replay_events,
+        run_to_memory,
+        stream_tumbling_counts,
+    )
+
+    out = tempfile.mkdtemp(prefix="ev_replay_")
+    replay_events(table(spark, sf_dir, "events"), out, n_files=4)
+    sink = f"st_sink_{uuid.uuid4().hex[:8]}"
+    # state-store width = shuffle partitions at query start; keep it
+    # narrow for the replay (restored after the stream drains)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            stream_tumbling_counts(spark, f"{out}/part*"),
+            sink,
+            output_mode="complete",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT win_start, event_type, n, sum_value FROM {sink}")

@@ -729,3 +729,46 @@ def v_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("V_nonpositive_quantity", li.where(F.col("l_quantity") <= 0)))
         .unionByName(one("V_negative_price", li.where(F.col("l_extendedprice") < 0)))
     )
+
+
+@register(
+    "agg_cube",
+    sql="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+    FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+    doc="CUBE grouping sets — the full lattice over A2's two-level "
+        "grouping (rollup's sibling; free Catalyst built-in, "
+        "SURVEY §2.4 note).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "w5_rank_lead",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS rk,
+           DENSE_RANK() OVER w AS drk,
+           LEAD(o_orderkey) OVER w AS next_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="rank / dense_rank / lead in one per-customer window frame "
+        "(SURVEY §2.5 driver-suite built-ins; complements w1 lag and "
+        "w2 row_number/ntile).",
+)
+def w5_rank_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )

@@ -178,7 +178,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = 0.6
     docs = table(spark, sf_dir, "documents")
-    sh = shingle_rows(docs)
+    # join key = xxhash64(shingle): the posting join and its aggregation
+    # shuffle 8-byte longs instead of ~25-byte strings (counts are
+    # collision-exact for any realistic corpus; 2^-64 per pair)
+    sh = shingle_rows(docs).select("doc_id", F.xxhash64("s").alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     shn = sh.join(F.broadcast(sizes), "doc_id")  # dim: one row per doc
 
