@@ -38,7 +38,29 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Zip this package and addPyFile it so python workers can import
+    it regardless of the driver's working directory — the local-mode
+    equivalent of ``spark-submit --py-files``. Needed by code that
+    pickles classes by reference (the mwa_vis DataSource); idempotent.
+    """
+    import pathlib
+    import zipfile
+
+    pkg = pathlib.Path(__file__).resolve().parent
+    zpath = f"/tmp/{pkg.name}_pyfiles.zip"
+    marker = f"_shipped_{pkg.name}"
+    if getattr(spark, marker, False):
+        return
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(pkg.rglob("*.py")):
+            z.write(p, f"{pkg.name}/{p.relative_to(pkg)}")
+    spark.sparkContext.addPyFile(zpath)
+    setattr(spark, marker, True)

@@ -1,0 +1,78 @@
+"""MWAB container + mwa_vis Python DataSource: roundtrip equality with
+the parquet fixture, partition planning, and scan-level pushdown."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+from mwa_uvdata_pipeline_spark.mwab import (
+    MWABReader,
+    long_to_mwab,
+    read_header,
+    register_mwa_source,
+)
+
+
+@pytest.fixture(scope="module")
+def mwab_path(spark, vis, tmp_path_factory):
+    out = tmp_path_factory.mktemp("mwab") / "obs.mwab"
+    long_to_mwab(vis.toPandas(), str(out))
+    return str(out)
+
+
+def test_header_roundtrip(mwab_path):
+    header, off = read_header(mwab_path)
+    assert header["n_times"] == 10 and header["n_chans"] == 16
+    assert len(header["pols"]) == 2 and off > len(b"MWAB1\n") + 8
+
+
+def test_datasource_equals_fixture(spark, vis, mwab_path):
+    register_mwa_source(spark)
+    got = spark.read.format("mwa_vis").option("path", mwab_path).load()
+    assert got.schema == vis.schema
+    assert got.count() == vis.count()
+    # exact content equality, both directions
+    assert got.exceptAll(vis).isEmpty() and vis.exceptAll(got).isEmpty()
+
+
+def test_partition_planning_blocks(mwab_path):
+    r = MWABReader({"path": mwab_path, "time_block": 4})
+    assert len(r.partitions()) == 3  # 10 times / block 4 → 4+4+2
+
+
+def test_pushdown_prunes_partitions(mwab_path):
+    r = MWABReader({"path": mwab_path, "time_block": 4})
+    rest = r.pushFilters(
+        [GreaterThanOrEqual(("time_idx",), 8), EqualTo(("pol",), "XX")]
+    )
+    assert [type(f) for f in rest] == [EqualTo]  # pol filter not handled
+    assert len(r.partitions()) == 1  # times 8-9 only
+
+
+def test_pushdown_filtered_read_is_correct(spark, vis, mwab_path):
+    register_mwa_source(spark)
+    got = (
+        spark.read.format("mwa_vis").option("path", mwab_path).load()
+        .where((F.col("time_idx") >= 3) & (F.col("time_idx") < 7))
+        .where(F.col("chan") == 5)
+    )
+    want = vis.where((F.col("time_idx") >= 3) & (F.col("time_idx") < 7)).where(
+        F.col("chan") == 5
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).isEmpty()
+
+
+def test_chan_bounds_reader_level(mwab_path):
+    r = MWABReader({"path": mwab_path})
+    r.pushFilters([EqualTo(("chan",), 5), LessThan(("time_idx",), 1)])
+    rows = 0
+    for part in r.partitions():
+        for batch in r.read(part) or []:
+            pdf = batch.to_pandas()
+            assert set(pdf["chan"]) == {5}
+            assert set(pdf["time_idx"]) == {0}
+            rows += len(pdf)
+    assert rows == 36 * 2  # 36 baselines x 2 pols
