@@ -772,3 +772,24 @@ def w5_rank_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drk"),
         F.lead("o_orderkey").over(w).alias("next_order"),
     )
+
+
+@register(
+    "agg_percentile",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 9) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 9) AS p90_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (A-family extension; "
+        "Spark percentile == DuckDB quantile_cont linear interpolation).",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 9).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 9).alias("p90_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -669,3 +669,50 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _IVF_K)
         .select("q_id", "vec_id", "cos_sim")
     )
+
+
+@register(
+    "t_tfidf_top3",
+    sql="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 9) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, tfidf FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rn
+        FROM scored) WHERE rn <= 3
+    """,
+    doc="TF-IDF with per-doc top-3 terms (north-star text analysis): "
+        "term frequency agg, document frequency agg broadcast back, "
+        "ln(N/df) weighting, ranking window. The df table is "
+        "vocabulary-sized (broadcastable); the tf table shuffles on "
+        "(doc, term) — both keys uniform.",
+)
+def t_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 9
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+    )

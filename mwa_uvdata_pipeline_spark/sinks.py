@@ -31,6 +31,27 @@ def read_tsv(spark, path: str, schema: str | None = None) -> DataFrame:
     return (r.schema(schema) if schema else r.option("inferSchema", True)).csv(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed table: joins/aggs on ``bucket_col`` between co-bucketed
+    tables run with NO shuffle exchange on either side (the
+    pre-partitioning strategy for repeated big-big joins at 100 TB —
+    pay the shuffle once at write, never at read). ``path`` makes it an
+    external table (the warehouse dir is a static conf)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
 def write_hypercube(
     vis: DataFrame, path: str, partition_by: tuple[str, ...] = ("chan",)
 ) -> None:
