@@ -1,0 +1,59 @@
+"""Golden tests for functions.text on real multilingual snippets (the
+synthetic fixture has no language signal by construction)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwa_uvdata_pipeline_spark.functions.text import (
+    lang_id,
+    rolling_fingerprint,
+    subword_count,
+    token_count,
+)
+
+SNIPPETS = [
+    ("en", "The quick brown fox jumps over the lazy dog and that is fine"),
+    ("es", "El perro y el gato son los animales que viven en la casa"),
+    ("de", "Der Hund und die Katze sind nicht mit dem Kind in der Schule"),
+    ("fr", "Le chien et le chat sont dans la maison avec les enfants"),
+    ("zh", "这是一个中文句子用于测试语言识别功能的正确性"),
+    ("und", "xqz 123 987"),
+]
+
+
+@pytest.fixture(scope="module")
+def snippets(spark):
+    return spark.createDataFrame(SNIPPETS, "want string, text string")
+
+
+def test_lang_id_goldens(snippets):
+    rows = snippets.select("want", lang_id().alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["want"], r
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("one two three",)], "text string")
+    r = df.select(
+        token_count().alias("t"),
+        subword_count("text").alias("s"),
+    ).first()
+    assert r["t"] == 3 and r["s"] == 3
+
+
+def test_subword_count_splits_boundaries(spark):
+    df = spark.createDataFrame([("spark3 rocks, really!",)], "text string")
+    # spark|3 rocks|, really|! → 6 pieces
+    assert df.select(subword_count().alias("s")).first()["s"] == 6
+
+
+def test_rolling_fingerprint_local_edit_robust(spark):
+    base = "w%d " * 40 % tuple(range(40))
+    edited = base.replace("w39", "CHANGED")  # edit near the end
+    df = spark.createDataFrame([(base.strip(),), (edited.strip(),)], "text string")
+    fps = [r[0] for r in df.select(rolling_fingerprint()).collect()]
+    assert fps[0] == fps[1]  # min-gram fingerprint survives a local edit
+    whole = [r[0] for r in df.select(F.md5("text")).collect()]
+    assert whole[0] != whole[1]  # unlike whole-document hashing
