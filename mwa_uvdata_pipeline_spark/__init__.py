@@ -17,9 +17,13 @@ Layout
                   (reference: configurators.py:136-185, processors.py:131-148)
 - ``functions``   scalar function library: complex math, time reprs, text
 - ``operators``   select surface, time differencing, INS, match filter,
-                  dedup, similarity, multimodal plumbing
-- ``sources``     format dispatch registry + sinks (TSV)
-- ``plans``       relational parity query library (driver oracle surface)
+                  multimodal plumbing, skew tooling
+- ``sources``     format dispatch + reader registry (S2, §2.11)
+- ``mwab``        binary visibility container + mwa_vis Python DataSource
+- ``pipeline``    ReadOptions/PipelineConfig facade (SS.read → SSINS)
+- ``sinks``       TSV sink, partitioned hypercube + bucketed writers
+- ``plans``       query library (driver oracle surface, incl. dedup /
+                  similarity / text / multimodal north-star entries)
 - ``streaming``   Structured Streaming over the events table
 """
 

@@ -148,3 +148,62 @@ def observations(catalog: DataFrame) -> DataFrame:
             F.collect_list(F.when(F.col("file_type") == "fits", F.col("file_path")))
         ).alias("fits"),
     )
+
+
+class FileSet:
+    """User-facing mirror of the reference's ``UVDataFileSet``
+    (configurators.py:39-276): construct from paths, validate eagerly
+    with every violation aggregated into one error, expose the dynamic
+    ``has_<type>`` / ``<type>`` accessor surface the reference builds
+    with a metaclass (configurators.py:11-37,188-201) — here a plain
+    ``__getattr__`` over the catalog DataFrame.
+
+    The DataFrame itself (``.catalog``) is the scale path; this class
+    is the convenience wrapper for reference users switching over.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        files: Iterable[str],
+        validate: bool = True,
+        on_error: str = "raise",
+    ) -> None:
+        from mwa_uvdata_pipeline_spark.validation import (
+            assert_valid,
+            validation_report,
+        )
+
+        self.spark = spark
+        self.catalog = catalog_from_paths(spark, files).cache()
+        if validate:
+            assert_valid(validation_report(spark, self.catalog), on_error)  # type: ignore[arg-type]
+
+    def __getattr__(self, name: str):
+        if name.startswith("has_") and name[4:] in SUPPORTED_TYPES:
+            t = name[4:]
+            return (
+                self.catalog.where(F.col("file_type") == t).limit(1).count() > 0
+            )
+        if name in SUPPORTED_TYPES:
+            return [
+                r["file_path"]
+                for r in self.catalog.where(F.col("file_type") == name)
+                .orderBy("file_path")
+                .collect()
+            ]
+        raise AttributeError(name)
+
+    @property
+    def file_groups(self) -> DataFrame:
+        return group_by_extension(self.catalog)
+
+    @property
+    def obsid_groups(self) -> DataFrame:
+        return group_by_obsid_and_extension(self.catalog)
+
+    def observations(self) -> DataFrame:
+        return observations(self.catalog)
+
+    def total_size(self) -> int:
+        return total_input_size(self.catalog).first()["total_bytes"]

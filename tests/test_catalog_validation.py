@@ -87,3 +87,31 @@ def test_suffix_rule():
     # X9 (reference configurators.py:125-134)
     assert SelectOptions(spectrum_type="cross", sel_pols=["XX", "YY"]).suffix() == ".cross.XXYY"
     assert SelectOptions().suffix() == ""
+
+
+def test_fileset_accessors_and_validation(spark, tmp_path):
+    from mwa_uvdata_pipeline_spark.catalog import FileSet
+
+    for name in ("1094480888_gpubox01_00.fits", "1094480888.metafits",
+                 "1094480888_gpubox02_00.fits"):
+        (tmp_path / name).write_bytes(b"x" * 100)
+    fs = FileSet(spark, [str(tmp_path / n) for n in (
+        "1094480888_gpubox01_00.fits", "1094480888.metafits",
+        "1094480888_gpubox02_00.fits")])
+    assert fs.has_fits and fs.has_metafits and not fs.has_uvh5
+    assert len(fs.fits) == 2 and fs.fits == sorted(fs.fits)
+    assert fs.total_size() == 300
+    obs = fs.observations().collect()
+    assert len(obs) == 1 and obs[0]["obsid"] == "1094480888"
+
+
+def test_fileset_raises_aggregated_errors(spark, tmp_path):
+    import pytest as _pytest
+
+    from mwa_uvdata_pipeline_spark.catalog import FileSet
+
+    # fits without any metafits → V2 and V3 both fire in ONE error
+    (tmp_path / "123_gpubox01_00.fits").write_bytes(b"x")
+    with _pytest.raises(ValueError, match="V2") as ei:
+        FileSet(spark, [str(tmp_path / "123_gpubox01_00.fits")])
+    assert "V3" in str(ei.value)
