@@ -61,6 +61,7 @@ def load_all() -> dict[str, Plan]:
         events,
         relational,
         text,
+        tpch,
     )
 
     return PLANS

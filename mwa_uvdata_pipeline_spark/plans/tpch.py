@@ -1,0 +1,289 @@
+"""Multi-join headline queries and temporal join operators.
+
+The reference exercises only broadcast-equi / anti join shapes
+(SURVEY.md §2.3, ``utils.py:49-59``, ``configurators.py:157-162``); the
+driver suite additionally grades the standard relational join family at
+scale. These plans add the classic TPC-H-shaped multi-join aggregates
+(pricing/priority/volume/forecast) as bench headliners, plus the two
+temporal join operators a training-data pipeline needs that Spark lacks
+as built-ins — as-of join and bounded range join — each expressed as a
+scale-safe composition (single shuffle / bucketed equi-join, never an
+O(n²) theta join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mwa_uvdata_pipeline_spark.plans import register, table
+from mwa_uvdata_pipeline_spark.plans.relational import SQL_CENTS, cents
+
+
+_REV = (
+    f"CAST(SUM({SQL_CENTS('l_extendedprice')} "
+    f"* (100 - {SQL_CENTS('l_discount')})) AS DOUBLE) / 10000.0"
+)
+
+
+@register(
+    "q3_shipping_priority",
+    sql=f"""
+    SELECT l_orderkey,
+           {_REV} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    bench=True,
+    doc="TPC-H Q3 shape: customer⋈orders⋈lineitem with selective dim "
+        "filters, hash agg, deterministic top-k (ties broken on the "
+        "unique orderkey). customer is broadcast; orders⋈lineitem "
+        "shuffles on the shared orderkey only.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1998-03-15"
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_rev_agg())
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def _rev_agg():
+    """Exact fixed-point revenue: SUM(price_cents * (100 - disc_pct)) is an
+    integer sum, order-independent across engines; divide once at the end."""
+    return (
+        F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).cast(
+            "double"
+        )
+        / 10000.0
+    ).alias("revenue")
+
+
+@register(
+    "q5_local_volume",
+    sql=f"""
+    SELECT n_name,
+           {_REV} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    bench=True,
+    doc="TPC-H Q5 shape: six-table join with every dimension "
+        "(supplier/nation/region/customer) broadcast; only the "
+        "orders⋈lineitem fact-fact join shuffles.",
+)
+def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supplier = table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (cust.c_nationkey == supplier.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(_rev_agg())
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    sql=f"""
+    SELECT CAST(SUM({SQL_CENTS('l_extendedprice')}
+                    * {SQL_CENTS('l_discount')}) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    bench=True,
+    doc="TPC-H Q6 shape: pure scan-filter-aggregate — every predicate "
+        "pushes to the parquet row-group statistics; no shuffle beyond "
+        "the single-row final agg.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(cents("l_extendedprice") * cents("l_discount")).cast("double")
+                / 10000.0
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "j7_asof_join",
+    sql="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id,
+               event_type = 'purchase' AS is_purchase,
+               CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_us
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+    ), filled AS (
+        SELECT user_id, ts, event_id, is_purchase,
+               MAX(view_us) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_view_us
+        FROM tagged
+    )
+    SELECT event_id, user_id, epoch_us(ts) AS purchase_us, last_view_us
+    FROM filled WHERE is_purchase
+    """,
+    doc="As-of join (nearest prior match): for each purchase event, the "
+        "most recent preceding view by the same user. Implemented as the "
+        "scale-safe union-and-window pattern — one shuffle on user_id, "
+        "no range-condition join, no row explosion; the per-user running "
+        "MAX carries the right side forward. At 100 TB this is a single "
+        "repartition by key + sorted window, never an O(n_l x n_r) pair "
+        "enumeration.",
+)
+def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+            F.when(
+                F.col("event_type") == "view", F.unix_micros("ts")
+            ).alias("view_us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("last_view_us", F.max("view_us").over(w))
+        .where("is_purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("purchase_us"),
+            "last_view_us",
+        )
+    )
+
+
+@register(
+    "j8_range_join",
+    sql="""
+    SELECT p.event_id, COUNT(c.event_id) AS n_clicks_10m
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts < p.ts
+    GROUP BY p.event_id
+    """,
+    doc="Bounded range join: clicks in the 10 minutes before each "
+        "purchase, same user. The oracle states it as an inequality "
+        "join; the Spark plan banded-buckets time (bucket = 600 s) so it "
+        "runs as an equi-join on (user_id, bucket) — each purchase "
+        "probes exactly two buckets, the exact range predicate refines "
+        "after the match. Shuffle volume is O(rows), independent of the "
+        "time-range width relative to data span, so the plan survives a "
+        "100x scale-up where a theta join would cross-product each "
+        "user's history.",
+)
+def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    window_s = 600
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.unix_micros("ts").alias("c_us"),
+        (F.unix_micros("ts") / F.lit(window_s * 1_000_000)).cast("long").alias(
+            "bucket"
+        ),
+    )
+    # each purchase probes its own bucket and the one before it
+    probes = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                (F.col("p_us") / F.lit(window_s * 1_000_000)).cast("long"),
+                (F.col("p_us") / F.lit(window_s * 1_000_000)).cast("long") - 1,
+            )
+        ),
+    )
+    matched = probes.join(
+        clicks,
+        (probes.user_id == clicks.c_user_id) & (probes.bucket == clicks.bucket),
+        "left",
+    ).where(
+        F.col("c_us").isNull()
+        | (
+            (F.col("c_us") >= F.col("p_us") - window_s * 1_000_000)
+            & (F.col("c_us") < F.col("p_us"))
+        )
+    )
+    return (
+        matched.groupBy("event_id")
+        .agg(F.count("c_us").alias("n_clicks_10m"))
+        .join(purchases.select("event_id"), "event_id", "right")
+        .na.fill({"n_clicks_10m": 0})
+        .select("event_id", "n_clicks_10m")
+    )
