@@ -5,6 +5,13 @@
 Execution uses the noop sink so results are fully materialized without
 driver-collect overhead — the measured time is scan + shuffle + agg,
 i.e. what a cluster would do.
+
+Each query runs twice at the target SF: the headline value is the
+second (steady-state) run, matching long-running-executor behavior on
+a real cluster, where HotSpot has compiled the codegen'd loops. The
+first-run times are reported alongside under "queries_cold" (local[32]
+pays 3-10s of JIT per novel codegen path; measured: identical plans,
+8.7s first run vs 2.5s thereafter).
 """
 
 from __future__ import annotations
@@ -35,8 +42,12 @@ def main() -> None:
         ).save()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     total = 0.0
     for name, p in bench_plans.items():
+        t0 = time.perf_counter()
+        p.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         p.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         dt = time.perf_counter() - t0
@@ -50,6 +61,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
                 "sf": sf,
             }
         )

@@ -165,8 +165,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact result via the shingle posting join with a size filter
     pushed INTO the join: J(A,B) >= t requires t*|A| <= |B| <= |A|/t,
-    so pairs of incompatible sizes never reach the aggregation. The
-    count the filter saves is proportional to size skew; the residual
+    so pairs of incompatible sizes never reach the aggregation.
+
+    Shape matters more than the join here: the per-doc shingle-hash
+    array (with its size — no separate sizes branch) is computed ONCE
+    and persisted before the self-join. Without that, every branch of
+    the self-join re-runs the CPU-heavy shingling lineage — measured
+    3x recompute = 11.8s vs ~3.5s at sf0.1. The persisted table is one
+    row per doc (corpus-linear; MEMORY_AND_DISK spills at 100 TB), the
+    standard prepare step of a set-similarity self-join. The residual
     cost is the inherent sum-of-squared-posting-lengths of exact
     Jaccard — the 100 TB path for near-dup is dedup_minhash_buckets
     (LSH candidates, no pairwise join), with this operator as the
@@ -177,12 +184,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join key = xxhash64(shingle): the posting join and its aggregation
     # shuffle 8-byte longs instead of ~25-byte strings (counts are
     # collision-exact for any realistic corpus; 2^-64 per pair)
-    sh = shingle_rows(docs).select("doc_id", F.xxhash64("s").alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    shn = sh.join(F.broadcast(sizes), "doc_id")  # dim: one row per doc
+    arr = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.transform(_shingles(), lambda s: F.xxhash64(s)).alias("ss"),
+        )
+        .select("doc_id", "ss", F.size("ss").alias("n"))
+        .persist()
+    )
+    arr.count()  # materialize so both join sides read the cache
+    sh = arr.select("doc_id", "n", F.explode("ss").alias("s"))
 
-    a = shn.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s"), F.col("n").alias("na"))
-    b = shn.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), F.col("n").alias("nb"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s"), F.col("n").alias("na"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), F.col("n").alias("nb"))
     inter = (
         a.join(
             b,
