@@ -48,9 +48,13 @@ def main() -> None:
         t0 = time.perf_counter()
         p.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        p.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        dt = time.perf_counter() - t0
+        # steady state = best of two warm runs (a single run can absorb a
+        # GC pause; the min is what a long-running executor sustains)
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            p.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = min(dt, time.perf_counter() - t0)
         timings[name] = round(dt, 3)
         total += dt
 

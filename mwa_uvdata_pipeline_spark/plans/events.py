@@ -243,3 +243,37 @@ def stream_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT win_start, event_type, n, sum_value FROM {sink}")
+
+
+@register(
+    "w6_range_frame",
+    sql="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS sum_value_1h
+    FROM events
+    """,
+    doc="RANGE-frame window: per-user running sum over the trailing "
+        "hour of event time (value-based frame, not row count — W3's "
+        "rowsBetween complement). Deterministic under duplicate "
+        "timestamps because RANGE includes all frame peers. One shuffle "
+        "on user_id; frame evaluation is a sorted single pass per "
+        "partition, state bounded by the hour horizon.",
+)
+def w6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w).cast("double")
+            / 100.0
+        ).alias("sum_value_1h"),
+    )

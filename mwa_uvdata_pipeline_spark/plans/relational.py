@@ -793,3 +793,29 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.9)), 9).alias("p90_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    sql="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (A2's two-level grouping generalized "
+        "beyond rollup/cube): per-returnflag, per-linestatus, and grand "
+        "total in one pass — Spark expands to a single Expand + hash "
+        "aggregate, one shuffle for all three groupings.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
+    )

@@ -140,21 +140,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    sql=f"""
-    WITH sh AS ({_SQL_SHINGLES}),
+# shared CTE chain: exact Jaccard>=0.6 candidate pairs (reused by the
+# dedup_clusters recursive oracle)
+_SQL_JACCARD_CTES = f"""
+    sh AS ({_SQL_SHINGLES}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
-           CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
+        GROUP BY 1, 2),
+    jpairs AS (
+        SELECT doc_a, doc_b,
+               CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH {_SQL_JACCARD_CTES}
+    SELECT doc_a, doc_b, jaccard FROM jpairs
     """,
     bench=True,
     doc="Near-dup detection: 3-gram shingle sets, pairwise Jaccard >= 0.6 "
@@ -726,4 +735,46 @@ def t_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
+@register(
+    "dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE {_SQL_JACCARD_CTES},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM jpairs
+        UNION ALL SELECT doc_b, doc_a FROM jpairs),
+    reach(u, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+    canon AS (SELECT u AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           COALESCE(c.canonical_id, d.doc_id) AS canonical_id,
+           d.doc_id = COALESCE(c.canonical_id, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN canon c USING (doc_id)
+    """,
+    doc="Transitive dedup clustering: near-dup PAIRS (exact n-gram "
+        "Jaccard >= 0.6) closed into CLUSTERS via connected components "
+        "(operators/graph.py min-label propagation), every document "
+        "assigned the min doc_id of its cluster as canonical. The oracle "
+        "states reachability as a recursive CTE; the Spark plan is the "
+        "iterative fixpoint join (2-3 rounds: dup clusters are "
+        "near-cliques). The one non-SQL-shaped operator a training-data "
+        "dedup pipeline cannot skip — pair output alone under-deletes "
+        "transitive chains.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.graph import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(
+        F.broadcast(comp), docs["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("canonical_id"),
+        (F.col("doc_id") == F.coalesce("component", "doc_id")).alias("is_canonical"),
     )

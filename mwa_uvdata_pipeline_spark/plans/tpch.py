@@ -287,3 +287,118 @@ def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill({"n_clicks_10m": 0})
         .select("event_id", "n_clicks_10m")
     )
+
+
+@register(
+    "q13_order_histogram",
+    sql="""
+    SELECT n_orders, COUNT(*) AS n_custs
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) t
+    GROUP BY n_orders
+    """,
+    doc="TPC-H Q13 shape: customer⋈orders left-outer join feeding a "
+        "double aggregation (per-customer order count, then the count "
+        "histogram). The outer join preserves order-less customers as "
+        "n_orders=0; the second agg groups on a tiny-cardinality key so "
+        "its shuffle is negligible — cost is one fact-fact shuffle on "
+        "custkey shared by the join and the first agg.",
+)
+def q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_custs"))
+
+
+@register(
+    "q17_small_quantity",
+    sql=f"""
+    SELECT CAST(SUM({SQL_CENTS('l_extendedprice')}) AS DOUBLE) / 100.0 / 7.0
+               AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS pk,
+                 SUM({SQL_CENTS('l_quantity')}) AS sum_qty_cents,
+                 COUNT(*) AS cnt
+          FROM lineitem GROUP BY l_partkey) t ON pk = l_partkey
+    WHERE p_brand = 'Brand#11'
+      AND 5 * {SQL_CENTS('l_quantity')} * cnt < sum_qty_cents
+    """,
+    doc="TPC-H Q17 shape (correlated scalar subquery decorrelated): "
+        "lineitems below 20% of their part's average quantity. The "
+        "per-part average is a self-aggregation rejoined on partkey — "
+        "Catalyst reuses the lineitem exchange for both branches. The "
+        "threshold compare is exact integer math (5*qty*cnt < sum), so "
+        "no cross-engine float-rounding flakiness at the boundary.",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#11"
+    ).select("p_partkey")
+    qty_cents = cents("l_quantity")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty_cents).alias("sum_qty_cents"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(per_part, li["l_partkey"] == per_part["pk"])
+        .where(5 * qty_cents * F.col("cnt") < F.col("sum_qty_cents"))
+        .agg(
+            (F.sum(cents("l_extendedprice")).cast("double") / 100.0 / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    sql=f"""
+    SELECT c_name, o_orderkey, o_orderdate,
+           CAST(SUM({SQL_CENTS('l_quantity')}) AS DOUBLE) / 100.0 AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM({SQL_CENTS('l_quantity')}) > 25000)
+    GROUP BY c_name, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 100
+    """,
+    bench=True,
+    doc="TPC-H Q18 shape: orders whose total quantity exceeds a HAVING "
+        "threshold, via aggregate → semi-join back to the fact table. "
+        "Both the HAVING aggregate, the semi-join, and the final "
+        "aggregate hash on l_orderkey/o_orderkey — one key, so the "
+        "exchange is planned once and reused; customer is broadcast.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    qty_cents = cents("l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_cents).alias("s"))
+        .where(F.col("s") > 25000)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "big_key"),
+                F.col("l_orderkey") == F.col("big_key"), "left_semi")
+        .join(orders, F.col("l_orderkey") == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg((F.sum(qty_cents).cast("double") / 100.0).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
