@@ -332,10 +332,15 @@ def q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q17 shape (correlated scalar subquery decorrelated): "
         "lineitems below 20% of their part's average quantity. The "
-        "per-part average is a self-aggregation rejoined on partkey — "
-        "Catalyst reuses the lineitem exchange for both branches. The "
-        "threshold compare is exact integer math (5*qty*cnt < sum), so "
-        "no cross-engine float-rounding flakiness at the boundary.",
+        "naive agg-then-rejoin shuffles lineitem twice (the probe "
+        "branch carries the broadcast part filter below its exchange, "
+        "so the two exchanges differ and Catalyst cannot reuse them — "
+        "verified in the executed plan); instead the brand filter "
+        "applies first (broadcast semi-join), then ONE shuffle on "
+        "partkey feeds an unbounded window that computes the per-part "
+        "sum/count in place. The threshold compare is exact integer "
+        "math (5*qty*cnt < sum), so no cross-engine float-rounding "
+        "flakiness at the boundary.",
 )
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -343,16 +348,15 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand") == "Brand#11"
     ).select("p_partkey")
     qty_cents = cents("l_quantity")
-    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(qty_cents).alias("sum_qty_cents"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(per_part, li["l_partkey"] == per_part["pk"])
-        .where(5 * qty_cents * F.col("cnt") < F.col("sum_qty_cents"))
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left_semi")
+        .select("l_partkey", qty_cents.alias("qty_cents"), cents("l_extendedprice").alias("price_cents"))
+        .withColumn("sum_qty_cents", F.sum("qty_cents").over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .where(5 * F.col("qty_cents") * F.col("cnt") < F.col("sum_qty_cents"))
         .agg(
-            (F.sum(cents("l_extendedprice")).cast("double") / 100.0 / 7.0).alias(
+            (F.sum("price_cents").cast("double") / 100.0 / 7.0).alias(
                 "avg_yearly"
             )
         )
@@ -376,29 +380,31 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     bench=True,
     doc="TPC-H Q18 shape: orders whose total quantity exceeds a HAVING "
-        "threshold, via aggregate → semi-join back to the fact table. "
-        "Both the HAVING aggregate, the semi-join, and the final "
-        "aggregate hash on l_orderkey/o_orderkey — one key, so the "
-        "exchange is planned once and reused; customer is broadcast.",
+        "threshold. The HAVING is an unbounded window sum over ONE "
+        "lineitem shuffle on l_orderkey (not aggregate → semi-join, "
+        "which would shuffle lineitem twice); the surviving rows stay "
+        "hash-partitioned by orderkey, so the orders join and the final "
+        "per-order aggregate add no lineitem re-shuffle — orderkey "
+        "functionally determines the other group keys, so "
+        "hash(orderkey) satisfies the grouping distribution. customer "
+        "is broadcast.",
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     qty_cents = cents("l_quantity")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(qty_cents).alias("s"))
+    w = Window.partitionBy("l_orderkey")
+    big_items = (
+        li.select("l_orderkey", qty_cents.alias("qty_cents"))
+        .withColumn("s", F.sum("qty_cents").over(w))
         .where(F.col("s") > 25000)
-        .select("l_orderkey")
     )
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "big_key"),
-                F.col("l_orderkey") == F.col("big_key"), "left_semi")
-        .join(orders, F.col("l_orderkey") == orders["o_orderkey"])
+        big_items.join(orders, F.col("l_orderkey") == orders["o_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .groupBy("c_name", "o_orderkey", "o_orderdate")
-        .agg((F.sum(qty_cents).cast("double") / 100.0).alias("total_qty"))
+        .agg((F.sum("qty_cents").cast("double") / 100.0).alias("total_qty"))
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(100)
     )
