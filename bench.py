@@ -40,11 +40,17 @@ def main() -> None:
         p.spark(spark, "/root/testdata/sf0.001").write.mode("overwrite").format(
             "noop"
         ).save()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     total = 0.0
     for name, p in bench_plans.items():
+        # drop blocks persisted by earlier runs of this or other plans:
+        # re-persisting an identical lineage warns ("already cached") and
+        # leftover blocks distort later queries' memory/GC (BENCH_r01's
+        # j1 warm>cold anomaly)
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         p.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         cold[name] = round(time.perf_counter() - t0, 3)

@@ -75,5 +75,14 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    else:
+        # silently returning a non-fixpoint would mis-assign components
+        # (diameter > max_rounds, e.g. a long chain of pairwise dups);
+        # the large-star/small-star variant cited above is the remedy
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds "
+            "(graph diameter exceeds max_rounds); raise max_rounds or "
+            "switch to the O(log n)-round large-star/small-star algorithm"
+        )
 
     return labels.select("node", F.col("label").alias("component"))

@@ -554,24 +554,123 @@ _SQL_NORMS = f"""
 """
 
 
+# sign-LSH for embedding dedup: _EMB_LSH_TABLES hash tables, each keyed
+# by _EMB_LSH_BITS sign bits of consecutive dims. Candidate pairs share a
+# bucket in >= 1 table (classic OR-construction); exact cosine verifies.
+_EMB_LSH_TABLES = 4
+_EMB_LSH_BITS = 4
+_EMB_COS_T = 0.35
+
+
+def _emb_lsh_key(e: Column, t: int) -> Column:
+    key = F.lit(0)
+    for j in range(_EMB_LSH_BITS):
+        key = key + (e.getItem(t * _EMB_LSH_BITS + j) > 0).cast("int") * (1 << j)
+    return key
+
+
+def _sql_emb_lsh_keyed() -> str:
+    """UNION ALL of one keyed projection per hash table (DuckDB arrays
+    are 1-indexed)."""
+    selects = []
+    for t in range(_EMB_LSH_TABLES):
+        bits = " + ".join(
+            f"CAST(embedding[{t * _EMB_LSH_BITS + j + 1}] > 0 AS INT) * {1 << j}"
+            for j in range(_EMB_LSH_BITS)
+        )
+        selects.append(
+            f"SELECT vec_id, embedding, nrm, {t} AS t, {bits} AS k FROM n"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
 @register(
     "dedup_embedding_cosine",
     sql=f"""
-    WITH n AS ({_SQL_NORMS})
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    WITH n AS ({_SQL_NORMS}),
+    keyed AS ({_sql_emb_lsh_keyed()})
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
                  / (a.nrm * b.nrm), 6) AS cos_sim
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    FROM keyed a JOIN keyed b
+      ON a.t = b.t AND a.k = b.k AND a.vec_id < b.vec_id
     WHERE ROUND({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
-                / (a.nrm * b.nrm), 6) >= 0.35
+                / (a.nrm * b.nrm), 6) >= {_EMB_COS_T}
     """,
-    doc="Embedding-cosine near-dup (north-star dedup): exact pairwise "
-        "cosine over the corpus, keep pairs above threshold. This is the "
-        "exact verifier; at 100 TB the candidate set comes from "
-        "sim_lsh_buckets / sim_ivf_topk cluster assignment so the "
-        "pairwise join runs per-bucket, not corpus-wide.",
+    doc="Embedding-cosine near-dup (north-star dedup): candidate pairs "
+        "from multi-table sign-LSH (4 tables x 4 sign bits, the "
+        "OR-construction boosting recall), exact cosine >= threshold as "
+        "the per-bucket equi-join verify. No corpus-wide pairwise join: "
+        "shuffle is keyed on (table, bucket), pair work is "
+        "sum-of-squared-bucket-sizes ~ T*N^2/2^bits — raise bits with "
+        "corpus size to hold bucket width constant. Recall is the "
+        "standard LSH tradeoff (sign agreement ~ 1 - theta/pi per bit): "
+        "near-total at real near-dup thresholds (cos >= 0.9), partial at "
+        "this deliberately weak 0.35 gate. The exact all-pairs verifier "
+        "remains available as exact_pairwise_cosine() for tiny-N audits.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    keyed = n.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _emb_lsh_key(F.col("embedding"), t).alias("k"),
+                    )
+                    for t in range(_EMB_LSH_TABLES)
+                ]
+            )
+        ).alias("tk"),
+    ).select(
+        "vec_id", "embedding", "nrm",
+        F.col("tk.t").alias("t"), F.col("tk.k").alias("k"),
+    )
+    a = keyed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "t",
+        "k",
+    )
+    b = keyed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("t").alias("tb"),
+        F.col("k").alias("kb"),
+    )
+    cos = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    # cosine + threshold run per bucket occurrence; distinct collapses
+    # pairs caught by several tables AFTER the filter, so the dedup
+    # shuffle carries only surviving (id, id, cos) triples
+    return (
+        a.join(
+            b,
+            (F.col("t") == F.col("tb"))
+            & (F.col("k") == F.col("kb"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= _EMB_COS_T)
+        .distinct()
+    )
+
+
+def exact_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiny-N audit fallback: the exact all-pairs cosine join the LSH
+    plan approximates. Deliberately NOT registered — the cartesian
+    product is the 100-TB anti-pattern the registered plan exists to
+    avoid; tests use it to measure LSH recall."""
     emb = table(spark, sf_dir, "embeddings")
     n = emb.select(
         "vec_id",
@@ -593,7 +692,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.35)
+        .where(F.col("cos_sim") >= _EMB_COS_T)
     )
 
 
@@ -771,8 +870,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     comp = connected_components(pairs)
     docs = table(spark, sf_dir, "documents").select("doc_id")
+    # no broadcast hint: the (node, component) map is corpus-linear in
+    # the worst case (every doc in some near-dup pair); this is a plain
+    # equi-join on doc_id, and AQE demotes it to broadcast on its own
+    # whenever the map is actually small
     return docs.join(
-        F.broadcast(comp), docs["doc_id"] == comp["node"], "left"
+        comp, docs["doc_id"] == comp["node"], "left"
     ).select(
         "doc_id",
         F.coalesce("component", "doc_id").alias("canonical_id"),

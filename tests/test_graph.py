@@ -4,6 +4,8 @@ fixpoint must be the component-min id."""
 
 from __future__ import annotations
 
+import pytest
+
 from mwa_uvdata_pipeline_spark.operators.graph import connected_components
 
 
@@ -37,3 +39,13 @@ def test_long_path_converges(spark):
 def test_nodes_outside_pairs_absent(spark):
     got = _components(spark, [(5, 7)])
     assert got == {(5, 5), (7, 5)}
+
+
+def test_raises_when_rounds_exhausted(spark):
+    # diameter > max_rounds must raise, never silently return a
+    # non-fixpoint labeling
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_rounds=1)
