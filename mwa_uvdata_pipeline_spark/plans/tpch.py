@@ -408,3 +408,162 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    sql=f"""
+    WITH pf AS (SELECT p_partkey FROM part WHERE p_size = 15),
+    j AS (SELECT l_partkey, l_suppkey,
+                 {SQL_CENTS('l_extendedprice')} AS price_cents
+          FROM lineitem JOIN pf ON l_partkey = p_partkey),
+    m AS (SELECT *, MIN(price_cents) OVER (PARTITION BY l_partkey)
+                        AS min_cents
+          FROM j)
+    SELECT DISTINCT m.l_partkey AS p_partkey, s_name, n_name,
+           CAST(min_cents AS DOUBLE) / 100.0 AS min_price
+    FROM m
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE price_cents = min_cents
+    """,
+    doc="TPC-H Q2 shape (min-scalar-subquery join, lineitem standing in "
+        "for partsupp): for each size-15 part, the supplier(s) offering "
+        "its minimum price, with nation name. The correlated MIN "
+        "decorrelates into an unbounded window over ONE lineitem shuffle "
+        "on partkey (not agg-then-rejoin, which would shuffle the probe "
+        "branch again); the part filter applies first as a broadcast "
+        "semi-join, supplier and nation broadcast as dims. Price compare "
+        "is exact integer cents, so min-equality never float-flakes; "
+        "ties keep every minimal supplier, as Q2's ORDER/LIMIT would.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pf = table(spark, sf_dir, "part").where(F.col("p_size") == 15).select("p_partkey")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    sdim = sup.join(
+        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey", "s_name", "n_name")
+    w = Window.partitionBy("l_partkey")
+    m = (
+        li.join(F.broadcast(pf), li["l_partkey"] == pf["p_partkey"], "left_semi")
+        .select("l_partkey", "l_suppkey", cents("l_extendedprice").alias("price_cents"))
+        .withColumn("min_cents", F.min("price_cents").over(w))
+        .where(F.col("price_cents") == F.col("min_cents"))
+    )
+    return (
+        m.join(F.broadcast(sdim), m["l_suppkey"] == sdim["s_suppkey"])
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            (F.col("min_cents").cast("double") / 100.0).alias("min_price"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q4_order_priority",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (EXISTS with a date band, late-shipment "
+        "predicate standing in for commit<receipt): orders in one "
+        "quarter having at least one lineitem shipped more than 60 days "
+        "after the order date, counted per priority. The EXISTS "
+        "decorrelates to a LEFT SEMI join on the orderkey equi-key with "
+        "the inequality as a residual join condition — shuffled hash "
+        "semi-join keyed on orderkey, never a per-order probe loop; the "
+        "selective quarter filter prunes the orders scan first.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-04-01")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sel = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "q20_heavy_suppliers",
+    sql=f"""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey, {SQL_CENTS('l_quantity')} AS qty_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'),
+    tot AS (SELECT *, SUM(qty_cents) OVER (PARTITION BY l_partkey)
+                          AS part_cents
+            FROM shipped),
+    sp AS (SELECT l_partkey, l_suppkey, CAST(SUM(qty_cents) AS BIGINT)
+                      AS sp_cents,
+                  CAST(MAX(part_cents) AS BIGINT) AS part_cents
+           FROM tot GROUP BY l_partkey, l_suppkey),
+    heavy AS (SELECT DISTINCT l_suppkey FROM sp
+              WHERE 10 * sp_cents > 3 * part_cents)
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+      AND s_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_name IN ('NATION_3', 'NATION_7'))
+    """,
+    doc="TPC-H Q20 shape (nested semi-joins, lineitem standing in for "
+        "partsupp availability): suppliers in two nations who shipped "
+        "more than 30%% of some part's 1997 volume. Inner block: the "
+        "per-part total is an unbounded window over ONE lineitem shuffle "
+        "on partkey, and the (part, supplier) rollup reuses that "
+        "partitioning (hash(partkey) satisfies the (part, supp) "
+        "clustering) — no second lineitem exchange, verified in the "
+        "plan. Outer block: two LEFT SEMI joins against the tiny heavy "
+        "set and the broadcast nation filter. Threshold compare is "
+        "integer math (10*sp > 3*total).",
+)
+def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = (
+        table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("n_nationkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    shipped = li.where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_partkey", "l_suppkey", cents("l_quantity").alias("qty_cents"))
+    sp = (
+        shipped.withColumn("part_cents", F.sum("qty_cents").over(w))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("qty_cents").alias("sp_cents"),
+            F.max("part_cents").alias("part_cents"),
+        )
+    )
+    heavy = (
+        sp.where(10 * F.col("sp_cents") > 3 * F.col("part_cents"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"], "left_semi")
+        .join(heavy, sup["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
