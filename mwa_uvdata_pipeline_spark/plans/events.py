@@ -246,6 +246,152 @@ def stream_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_exec",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS is_new,
+               event_id
+        FROM events),
+    sessions AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM marked)
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Structured Streaming session windows EXECUTED as a query: the "
+        "events table is replayed as a file stream, aggregated with the "
+        "native session_window operator (30 min gap) in complete mode, "
+        "and the drained memory sink must hash-match the batch "
+        "gaps-and-islands oracle. Boundary semantics verified "
+        "empirically: session_window merges events exactly gap apart "
+        "(new session only when diff > gap), matching the oracle's "
+        "strict `> 1800`; session_end = last ts + gap (SURVEY §2.12).",
+)
+def stream_session_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        replay_events,
+        run_to_memory,
+        stream_session_windows,
+    )
+
+    out = tempfile.mkdtemp(prefix="ev_replay_")
+    replay_events(table(spark, sf_dir, "events"), out, n_files=4)
+    sink = f"ss_sink_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            stream_session_windows(spark, f"{out}/part*"),
+            sink,
+            output_mode="complete",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(
+        f"SELECT session_start, session_end, user_id, n_events FROM {sink}"
+    )
+
+
+@register(
+    "stream_dedup_exec",
+    sql="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+    doc="Stateful streaming dedup EXECUTED as a query: the events table "
+        "is unioned with an exact copy of every 7th event (same ts, so "
+        "whichever copy wins, the row values are identical and the "
+        "result is deterministic), replayed as a file stream, and "
+        "deduplicated with dropDuplicatesWithinWatermark on event_id. "
+        "The appended memory sink must hash-match the original table — "
+        "the injected duplicates all land within the 10-minute "
+        "watermark horizon, so streaming state provably removes them. "
+        "State is sharded by event_id and bounded by the watermark "
+        "(SURVEY §2.12).",
+)
+def stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        replay_events,
+        run_to_memory,
+        stream_dedup,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    dups = ev.where(F.col("event_id") % 7 == 0)
+    out = tempfile.mkdtemp(prefix="ev_replay_")
+    replay_events(ev.unionByName(dups), out, n_files=4)
+    sink = f"sd_sink_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            stream_dedup(spark, f"{out}/part*").select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            ),
+            sink,
+            output_mode="append",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(
+        f"SELECT event_id, ts, user_id, event_type, value FROM {sink}"
+    )
+
+
+@register(
+    "agg_salted",
+    sql="""
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+    doc="Two-stage salted aggregation (operators/skew.py) oracle-gated "
+        "against the plain GROUP BY: rows are sharded over (user_id, "
+        "salt) for the partial pass, then the <= n_salt partials per "
+        "key merge in a negligible second shuffle. Proves partial+merge "
+        "equivalence end-to-end for the algebraic aggregate family "
+        "(count/sum/min/max) — the documented fix for hot-key "
+        "aggregation skew where AQE's skew-join split does not apply "
+        "(SCALE.md: skewed keys -> salting).",
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.skew import salted_agg
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return salted_agg(
+        ev,
+        keys=["user_id"],
+        aggs={
+            "n": ("count", None),
+            "sum_cents": ("sum", "value_cents"),
+            "first_ts": ("min", "ts"),
+            "last_ts": ("max", "ts"),
+        },
+        n_salt=16,
+    )
+
+
+@register(
     "w6_range_frame",
     sql="""
     SELECT event_id, user_id,
