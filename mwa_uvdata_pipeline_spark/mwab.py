@@ -160,8 +160,12 @@ class MWABReader(DataSourceReader):
         for path in self.paths:
             header, _ = read_header(path)
             n_times = header["n_times"]
-            lo = 0 if self.t_lo is None else max(0, self.t_lo)
-            hi = n_times - 1 if self.t_hi is None else min(n_times - 1, self.t_hi)
+            # a multi-file set stores each block's global offset in
+            # time0; pushed time_idx bounds are global, so shift them
+            # into file-local coordinates before planning byte ranges
+            time0 = header.get("time0", 0)
+            lo = 0 if self.t_lo is None else max(0, self.t_lo - time0)
+            hi = n_times - 1 if self.t_hi is None else min(n_times - 1, self.t_hi - time0)
             t = lo
             while t <= hi:
                 t1 = min(t + self.time_block, hi + 1)
@@ -205,6 +209,7 @@ class MWABReader(DataSourceReader):
         csel = c1 - c0 + 1
         n = nsel * BL * csel * P
 
+        time0 = header.get("time0", 0)
         time_idx = np.repeat(
             np.arange(part.t0, part.t1, dtype=np.int32), BL * csel * P
         )
@@ -220,7 +225,7 @@ class MWABReader(DataSourceReader):
         batch = pa.RecordBatch.from_arrays(
             [
                 pa.array(np.full(n, header["obsid"], dtype=np.int64)),
-                pa.array(time_idx),
+                pa.array(time_idx + np.int32(time0)),
                 pa.array(
                     np.asarray(header["times_jd"], dtype=np.float64)[time_idx],
                     type=pa.float64(),
@@ -273,38 +278,128 @@ def register_mwa_source(spark) -> None:
     spark.dataSource.register(MWAVisDataSource)
 
 
+def _pack_dense(
+    pdf,
+    ants: list[int],
+    pols: list[str],
+    n_chans: int,
+    times_jd: list[float],
+    time0: int,
+    obsid: int,
+    freq0_hz: float,
+    chan_width_hz: float,
+    path: str,
+) -> None:
+    """Pack long-format pandas rows whose time_idx lies in
+    [time0, time0 + len(times_jd)) into one dense (T, BL, C, P) MWAB
+    file. Shared by the driver-side fixture helper and the
+    executor-side distributed packer."""
+    bls = baselines_of(ants)
+    bl_index = {b: i for i, b in enumerate(bls)}
+    pol_index = {p: i for i, p in enumerate(pols)}
+    T, BL, C, P = len(times_jd), len(bls), n_chans, len(pols)
+    re = np.zeros((T, BL, C, P))
+    im = np.zeros((T, BL, C, P))
+    fl = np.zeros((T, BL, C, P), dtype="u1")
+    b_idx = np.fromiter(
+        (bl_index[(a1, a2)] for a1, a2 in zip(pdf["ant1"], pdf["ant2"])),
+        dtype=np.int64,
+        count=len(pdf),
+    )
+    p_idx = pdf["pol"].map(pol_index).to_numpy()
+    t_idx = pdf["time_idx"].to_numpy() - time0
+    c_idx = pdf["chan"].to_numpy()
+    re[t_idx, b_idx, c_idx, p_idx] = [v["re"] for v in pdf["vis"]]
+    im[t_idx, b_idx, c_idx, p_idx] = [v["im"] for v in pdf["vis"]]
+    fl[t_idx, b_idx, c_idx, p_idx] = pdf["flag"].to_numpy().astype("u1")
+    header = {
+        "obsid": int(obsid),
+        "ants": [int(a) for a in ants],
+        "pols": [str(p) for p in pols],
+        "n_times": int(T),
+        "n_chans": int(C),
+        "freq0_hz": float(freq0_hz),
+        "chan_width_hz": float(chan_width_hz),
+        "times_jd": [float(j) for j in times_jd],
+    }
+    if time0:
+        header["time0"] = int(time0)
+    write_mwab(path, header, re, im, fl)
+
+
 def long_to_mwab(pdf, path: str) -> None:
     """Pack a long-format pandas hypercube (fixture-shaped, dense grid)
     into one MWAB file — test/fixture helper, driver-side by design."""
     ants = sorted(set(pdf["ant1"]) | set(pdf["ant2"]))
     pols = sorted(pdf["pol"].unique())
-    times = np.sort(pdf["time_idx"].unique())
     chans = np.sort(pdf["chan"].unique())
     assert (chans == np.arange(len(chans))).all(), "chan grid must be 0..C-1"
-    bls = baselines_of(ants)
-    bl_index = {b: i for i, b in enumerate(bls)}
-    T, BL, C, P = len(times), len(bls), len(chans), len(pols)
-    re = np.zeros((T, BL, C, P))
-    im = np.zeros((T, BL, C, P))
-    fl = np.zeros((T, BL, C, P), dtype="u1")
-    pol_index = {p: i for i, p in enumerate(pols)}
-    b_idx = pdf.apply(lambda r: bl_index[(r["ant1"], r["ant2"])], axis=1).to_numpy()
-    p_idx = pdf["pol"].map(pol_index).to_numpy()
-    t_idx = pdf["time_idx"].to_numpy()
-    c_idx = pdf["chan"].to_numpy()
-    re[t_idx, b_idx, c_idx, p_idx] = [v["re"] for v in pdf["vis"]]
-    im[t_idx, b_idx, c_idx, p_idx] = [v["im"] for v in pdf["vis"]]
-    fl[t_idx, b_idx, c_idx, p_idx] = pdf["flag"].to_numpy().astype("u1")
     freqs = np.sort(pdf["freq_hz"].unique())
     jds = np.sort(pdf["time_jd"].unique())
-    header = {
-        "obsid": int(pdf["obsid"].iloc[0]),
-        "ants": [int(a) for a in ants],
-        "pols": [str(p) for p in pols],
-        "n_times": int(T),
-        "n_chans": int(C),
-        "freq0_hz": float(freqs[0]),
-        "chan_width_hz": float(freqs[1] - freqs[0]) if C > 1 else 0.0,
-        "times_jd": [float(j) for j in jds],
-    }
-    write_mwab(path, header, re, im, fl)
+    _pack_dense(
+        pdf,
+        ants,
+        pols,
+        n_chans=len(chans),
+        times_jd=[float(j) for j in jds],
+        time0=0,
+        obsid=int(pdf["obsid"].iloc[0]),
+        freq0_hz=float(freqs[0]),
+        chan_width_hz=float(freqs[1] - freqs[0]) if len(chans) > 1 else 0.0,
+        path=path,
+    )
+
+
+def long_to_mwab_distributed(df, out_dir: str, time_block: int = DEFAULT_TIME_BLOCK):
+    """Executor-side MWAB packing: the long frame is grouped into time
+    blocks and each block's (T_blk, BL, C, P) slab is packed and written
+    BY THE EXECUTOR that holds it (``applyInPandas``, one file per
+    block; ``out_dir`` must be shared storage on a real cluster). The
+    driver touches only grid metadata — the antenna/pol/channel axes and
+    the JD time grid, O(T + C + n_ants) rows — never the visibility
+    payload, unlike the driver-side ``long_to_mwab`` fixture helper.
+
+    Returns the lazy manifest frame (blk, path, n_rows); collecting it
+    triggers the write.
+    """
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    ants = sorted(
+        r[0]
+        for r in df.select(F.col("ant1").alias("a"))
+        .union(df.select("ant2"))
+        .distinct()
+        .collect()
+    )
+    pols = sorted(r[0] for r in df.select("pol").distinct().collect())
+    times = df.select("time_idx", "time_jd").distinct().orderBy("time_idx").collect()
+    if [r["time_idx"] for r in times] != list(range(len(times))):
+        raise ValueError("time grid must be dense 0..T-1")
+    times_jd_all = [float(r["time_jd"]) for r in times]
+    chans = df.select("chan", "freq_hz").distinct().orderBy("chan").collect()
+    if [r["chan"] for r in chans] != list(range(len(chans))):
+        raise ValueError("chan grid must be dense 0..C-1")
+    n_chans = len(chans)
+    freq0 = float(chans[0]["freq_hz"])
+    chan_width = float(chans[1]["freq_hz"]) - freq0 if n_chans > 1 else 0.0
+    obsid = df.select("obsid").first()["obsid"]
+
+    def pack(key, pdf):
+        blk = int(key[0])
+        t0 = blk * time_block
+        jd = times_jd_all[t0 : t0 + time_block]
+        path = os.path.join(out_dir, f"part-{blk:05d}.mwab")
+        _pack_dense(
+            pdf, ants, pols, n_chans, jd, t0, obsid, freq0, chan_width, path
+        )
+        return pd.DataFrame({"blk": [blk], "path": [path], "n_rows": [len(pdf)]})
+
+    return (
+        df.withColumn("_blk", (F.col("time_idx") / time_block).cast("int"))
+        .groupBy("_blk")
+        .applyInPandas(pack, "blk int, path string, n_rows long")
+    )

@@ -76,3 +76,49 @@ def test_chan_bounds_reader_level(mwab_path):
             assert set(pdf["time_idx"]) == {0}
             rows += len(pdf)
     assert rows == 36 * 2  # 36 baselines x 2 pols
+
+
+@pytest.fixture(scope="module")
+def mwab_dist_dir(spark, vis, tmp_path_factory):
+    from mwa_uvdata_pipeline_spark.mwab import long_to_mwab_distributed
+
+    out = tmp_path_factory.mktemp("mwab_dist")
+    manifest = long_to_mwab_distributed(vis, str(out), time_block=4).collect()
+    assert sorted(r["blk"] for r in manifest) == [0, 1, 2]  # 10 times / 4
+    return str(out)
+
+
+def test_distributed_pack_equals_fixture(spark, vis, mwab_dist_dir):
+    register_mwa_source(spark)
+    got = (
+        spark.read.format("mwa_vis")
+        .option("path", f"{mwab_dist_dir}/*.mwab")
+        .load()
+    )
+    assert got.schema == vis.schema
+    assert got.count() == vis.count()
+    assert got.exceptAll(vis).isEmpty() and vis.exceptAll(got).isEmpty()
+
+
+def test_distributed_pack_headers_carry_time0(mwab_dist_dir):
+    import glob
+
+    paths = sorted(glob.glob(f"{mwab_dist_dir}/*.mwab"))
+    offs = [read_header(p)[0].get("time0", 0) for p in paths]
+    assert offs == [0, 4, 8]
+    assert [read_header(p)[0]["n_times"] for p in paths] == [4, 4, 2]
+
+
+def test_distributed_pushdown_prunes_across_files(mwab_dist_dir):
+    # global time bound 8.. lands entirely in the third file's 2 steps
+    r = MWABReader({"path": f"{mwab_dist_dir}/*.mwab", "time_block": 4})
+    r.pushFilters([GreaterThanOrEqual(("time_idx",), 8)])
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].path.endswith("part-00002.mwab")
+    got = {
+        int(t)
+        for part in parts
+        for batch in r.read(part) or []
+        for t in batch.to_pandas()["time_idx"].unique()
+    }
+    assert got == {8, 9}  # global indices survive the time0 shift
