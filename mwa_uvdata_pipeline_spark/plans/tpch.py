@@ -412,6 +412,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q2_min_cost_supplier",
+    bench=True,
     sql=f"""
     WITH pf AS (SELECT p_partkey FROM part WHERE p_size = 15),
     j AS (SELECT l_partkey, l_suppkey,
@@ -466,6 +467,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q4_order_priority",
+    bench=True,
     sql="""
     SELECT o_orderpriority, COUNT(*) AS n_orders
     FROM orders
@@ -506,6 +508,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q20_heavy_suppliers",
+    bench=True,
     sql=f"""
     WITH shipped AS (
         SELECT l_partkey, l_suppkey, {SQL_CENTS('l_quantity')} AS qty_cents
@@ -566,4 +569,326 @@ def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"], "left_semi")
         .join(heavy, sup["s_suppkey"] == heavy["l_suppkey"], "left_semi")
         .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    sql=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+           {_REV} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape (volume shipping between two nations): revenue "
+        "by (supplier nation, customer nation, year) for the ordered "
+        "nation pair in either direction. supplier⋈nation and "
+        "customer⋈nation collapse to two broadcast dims pre-filtered to "
+        "the two nations, so the inner joins prune both fact sides "
+        "before the single orders⋈lineitem shuffle on orderkey; the "
+        "disjunctive pair predicate is a residual on the pruned rows. "
+        "Revenue is fixed-point cents.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    nat = table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    rev_cents = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg((F.sum(rev_cents).cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+@register(
+    "q14_promo_effect",
+    sql=f"""
+    SELECT CAST(100 * SUM(CASE WHEN p_type = 'PROMO'
+                  THEN {SQL_CENTS('l_extendedprice')}
+                       * (100 - {SQL_CENTS('l_discount')}) ELSE 0 END)
+                AS DOUBLE)
+           / SUM({SQL_CENTS('l_extendedprice')}
+                 * (100 - {SQL_CENTS('l_discount')})) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    doc="TPC-H Q14 shape (promotion effect): percent of one month's "
+        "revenue from PROMO-type parts. part is a broadcast dim onto "
+        "the date-pruned lineitem scan, conditional aggregation in one "
+        "pass, no shuffle beyond the final single-row reduce. Both "
+        "engines divide the same exact integers, so the double "
+        "quotient is bit-identical.",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            ((100 * F.sum(promo)).cast("double") / F.sum(rev)).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    sql="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 shape (supplier variety per part class, lineitem "
+        "standing in for partsupp): distinct suppliers per (brand, "
+        "type, size) over selected sizes, excluding negative-balance "
+        "suppliers. The NOT IN decorrelates to a broadcast LEFT ANTI "
+        "join (s_suppkey is non-null so NOT IN ≡ anti-join); part "
+        "filters broadcast-prune the scan; COUNT DISTINCT is a "
+        "two-level hash agg on (group keys, suppkey) — no joins after "
+        "the prune, one shuffle keyed by the group columns.",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_sup = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    sql=f"""
+    SELECT {_REV} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    doc="TPC-H Q19 shape (disjunctive predicate revenue): an OR of "
+        "three (brand, size, quantity-band) conjunctions straddling "
+        "the join. Catalyst splits the disjunction: the part-only "
+        "disjuncts (brand OR brand OR brand, size <= 15) push below "
+        "the broadcast to prune the dim, the lineitem-only bound "
+        "(quantity <= 30) pushes into the fact scan, and the full OR "
+        "evaluates as the join residual — the plan a hand-written "
+        "union-of-three-joins would only match with three scans.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & (q >= 1) & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & (q >= 10) & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & (q >= 20) & (q <= 30)
+        )
+    )
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return j.where(cond).agg(
+        (F.sum(rev).cast("double") / 10000.0).alias("revenue")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    bench=True,
+    sql="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (waiting suppliers; shipdate > orderdate+30 "
+        "standing in for receipt > commit): suppliers who, in a "
+        "finished multi-supplier order, shipped late and LAST. The "
+        "correlated EXISTS + NOT EXISTS pair decorrelates to "
+        "per-order window math instead of two lineitem self-joins: "
+        "after the single orders⋈lineitem shuffle on orderkey, a "
+        "window over the same partitioning collects the order's "
+        "(shipdate, suppkey) rows — order groups are tiny and bounded "
+        "— and per row, EXISTS ≡ another supplier present, NOT EXISTS "
+        "≡ max shipdate among OTHER suppliers <= own. One fact "
+        "shuffle, zero self-joins, supplier dim broadcast at the end.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.partitionBy("l_orderkey")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    enriched = (
+        j.withColumn(
+            "order_rows",
+            F.collect_list(F.struct("l_shipdate", "l_suppkey")).over(w),
+        )
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "others_max",
+            F.array_max(
+                F.expr(
+                    "transform(filter(order_rows,"
+                    " x -> x.l_suppkey != l_suppkey), x -> x.l_shipdate)"
+                )
+            ),
+        )
+    )
+    qualified = enriched.where(
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        & (F.col("n_supp") >= 2)
+        & (F.col("others_max") <= F.col("l_shipdate"))
+    )
+    return (
+        qualified.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    sql="""
+    WITH cust AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+        WHERE c_nationkey IN (3, 7, 11, 14, 17, 20, 23)),
+    s AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS tot,
+                 COUNT(*) AS npos
+          FROM cust WHERE bal_cents > 0)
+    SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(bal_cents) AS DOUBLE) / 100.0 AS totacctbal
+    FROM cust, s
+    WHERE bal_cents * npos > tot
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    """,
+    doc="TPC-H Q22 shape (dormant high-balance customers; nationkey "
+        "standing in for the phone country code): customers from "
+        "listed nations with above-average positive balance and no "
+        "order since 2000 (every synthetic customer has SOME "
+        "order, so recency keeps the gate non-vacuous). The scalar "
+        "AVG subquery becomes a broadcast 1-row "
+        "(sum, count) aggregate and the comparison cross-multiplies "
+        "in exact integer cents (bal * n > total ≡ bal > avg) — no "
+        "float average to ulp-flip row membership across engines. The "
+        "NOT EXISTS is a LEFT ANTI join shuffled on custkey.",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey").isin(3, 7, 11, 14, 17, 20, 23))
+        .select(
+            "c_custkey", "c_nationkey", cents("c_acctbal").alias("bal_cents")
+        )
+    )
+    stats = cust.where(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("tot"), F.count(F.lit(1)).alias("npos")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(stats))
+        .where(F.col("bal_cents") * F.col("npos") > F.col("tot"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_cents").cast("double") / 100.0).alias("totacctbal"),
+        )
     )
