@@ -881,3 +881,191 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("component", "doc_id").alias("canonical_id"),
         (F.col("doc_id") == F.coalesce("component", "doc_id")).alias("is_canonical"),
     )
+
+
+_CHUNK_LEN = 120
+_CHUNK_STRIDE = 90
+
+
+@register(
+    "t_chunk_docs",
+    sql=f"""
+    SELECT doc_id,
+           CAST((i - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           substr(text, i, {_CHUNK_LEN}) AS chunk,
+           CAST(length(substr(text, i, {_CHUNK_LEN})) AS BIGINT)
+               AS chunk_len
+    FROM (SELECT doc_id, text, length(text) AS n FROM documents),
+         UNNEST(range(1, n + 1, {_CHUNK_STRIDE})) AS u(i)
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="Training-data chunking: split each document into "
+        f"{_CHUNK_LEN}-char windows with stride {_CHUNK_STRIDE} "
+        "(30-char overlap so no span is lost at a boundary). The "
+        "start-offset array is generated per row "
+        "(sequence/range) and exploded — pure JVM codegen, no UDF, no "
+        "shuffle beyond the output sort; at 100 TB this is an "
+        "embarrassingly parallel map whose output is ~1.3x input "
+        "bytes, so the operator streams scan→explode→sink without "
+        "materializing the corpus.",
+)
+def t_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.length("text"), F.lit(_CHUNK_STRIDE)
+    )
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            ((F.col("i") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.substring(F.col("text"), F.col("i"), F.lit(_CHUNK_LEN)).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("long"))
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "t_common_ngrams",
+    sql="""
+    WITH bg AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2)
+    SELECT s AS bigram,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM bg
+    GROUP BY s
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    doc="Corpus boilerplate analysis: the 20 most frequent word "
+        "bigrams with occurrence count and document frequency. The "
+        "per-doc bigram array is built with one split + slice/concat "
+        "transform (same codegen-friendly shape as shingle_rows, "
+        "SURVEY-cited there), exploded, then hash-aggregated — "
+        "partial map-side combine collapses the heavy hitters before "
+        "the single shuffle, which is exactly what makes frequency "
+        "mining of boilerplate viable at corpus scale; top-k is "
+        "TakeOrdered with a lexical tiebreak, never a full sort.",
+)
+def t_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    return (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+_VOCAB_SIZE = 30
+
+
+@register(
+    "t_vocab_coverage",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    vocab AS (
+        SELECT tok FROM toks GROUP BY tok
+        ORDER BY COUNT(*) DESC, tok LIMIT {_VOCAB_SIZE}),
+    oov AS (
+        SELECT doc_id, COUNT(*) AS c FROM toks
+        WHERE tok NOT IN (SELECT tok FROM vocab)
+        GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c, 0) AS BIGINT) AS n_oov,
+           CAST(COALESCE(c, 0) AS DOUBLE)
+               / len(string_split(text, ' ')) AS oov_rate
+    FROM documents d LEFT JOIN oov USING (doc_id)
+    """,
+    doc="Vocabulary coverage / OOV-rate scoring: build the corpus "
+        f"top-{_VOCAB_SIZE} token vocabulary (count-desc, lexical "
+        "tiebreak), then score every document by the fraction of its "
+        "tokens outside that vocabulary. Two-phase plan: the vocab is "
+        "a hash-agg + TakeOrdered whose tiny result BROADCASTS back "
+        "as an anti-join over the exploded tokens, so the corpus is "
+        "scanned twice but shuffled only for per-doc OOV counts "
+        "(keyed on doc_id); the rate divides two exact integers as "
+        "double, bit-identical across engines.",
+)
+def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(_VOCAB_SIZE)
+        .select("tok")
+    )
+    oov = (
+        toks.join(F.broadcast(vocab), "tok", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        docs.select("doc_id", F.size(_tokens()).cast("long").alias("n_tokens"))
+        .join(oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_oov"),
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("oov_rate"),
+        )
+    )
+
+
+_PROBE_PHRASES = (
+    "table window table",
+    "fast merge batch",
+    "key agg row",
+    "data query small",
+    "spark data vector",
+)
+
+
+@register(
+    "t_decontaminate",
+    sql=f"""
+    SELECT DISTINCT doc_id FROM ({_SQL_SHINGLES})
+    WHERE s IN {_PROBE_PHRASES!r}
+    ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination: find documents sharing a word "
+        "3-gram with a probe set (held-out eval phrases). The corpus "
+        "side reuses shingle_rows (distinct per-doc 3-grams, "
+        "redistribute-exploded); the probe set is a literal broadcast "
+        "IN-filter pushed to the map side — no shuffle at all for the "
+        "membership test, one exchange for the final distinct. At "
+        "real scale the probe set is a table: swap the IN for a "
+        "broadcast LEFT SEMI join on the shingle hash and the plan "
+        "shape is unchanged.",
+)
+def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        shingle_rows(docs, k=3)
+        .where(F.col("s").isin(*_PROBE_PHRASES))
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )

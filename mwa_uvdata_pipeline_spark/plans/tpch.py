@@ -892,3 +892,380 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("bal_cents").cast("double") / 100.0).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q8_market_share",
+    bench=True,
+    sql=f"""
+    WITH vol AS (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               {SQL_CENTS('l_extendedprice')}
+                   * (100 - {SQL_CENTS('l_discount')}) AS vol4,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_7'
+                              THEN vol4 ELSE 0 END) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(SUM(vol4) AS BIGINT) AS DOUBLE) AS mkt_share
+    FROM vol
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): NATION_7's share of "
+        "PROMO-part revenue sold into ASIA per order-year. Eight-table "
+        "join where every dimension chain (part filter, "
+        "customer→nation→region, supplier→nation) broadcasts; the only "
+        "shuffle is the orders⋈lineitem fact-fact join on orderkey. "
+        "Share = ratio of two exact integer sums (conditional "
+        "numerator via CASE), divided once as double — identical IEEE "
+        "result in both engines, no per-row float accumulation.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = table(spark, sf_dir, "nation")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n1.join(
+                    F.broadcast(region),
+                    n1["n_regionkey"] == region["r_regionkey"],
+                    "left_semi",
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    sup = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key")
+    ).select("s_suppkey", "supp_nation")
+    vol4 = (cents("l_extendedprice") * (100 - cents("l_discount"))).alias("vol4")
+    rows = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left_semi")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left_semi")
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol4,
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("vol4")).otherwise(F.lit(0))
+    ).cast("long")
+    den = F.sum("vol4").cast("long")
+    return (
+        rows.groupBy("o_year")
+        .agg((num.cast("double") / den.cast("double")).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    bench=True,
+    sql=f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(SUM({SQL_CENTS('l_extendedprice')}
+                         * (100 - {SQL_CENTS('l_discount')})
+                         - {SQL_CENTS('p_retailprice')}
+                           * {SQL_CENTS('l_quantity')}) AS BIGINT)
+                AS DOUBLE) / 10000.0 AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (product-type profit; p_retailprice*quantity "
+        "standing in for ps_supplycost*quantity since the trimmed "
+        "schema has no partsupp): per supplier-nation per order-year, "
+        "sum of discounted revenue minus retail cost over parts whose "
+        "name contains 'bolt'. part (name-filtered) and "
+        "supplier⋈nation broadcast; orders⋈lineitem is the single "
+        "fact-fact shuffle on orderkey. Profit accumulates in exact "
+        "integer 10^-4-dollar units (cents×pct and cents×cents are "
+        "both 10^-4 scale), one divide at the end.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    nat = table(spark, sf_dir, "nation")
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit4 = cents("l_extendedprice") * (100 - cents("l_discount")) - cents(
+        "p_retailprice"
+    ) * cents("l_quantity")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit4.alias("profit4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("profit4").cast("double") / 10000.0).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    bench=True,
+    sql=f"""
+    SELECT c_custkey, c_name,
+           {_REV} AS revenue,
+           c_acctbal, n_name, c_mktsegment
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate < TIMESTAMP '1997-10-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): top-20 customers "
+        "by revenue lost to returns in one quarter. The quarter filter "
+        "prunes orders before the fact-fact shuffle on orderkey; the "
+        "returnflag filter prunes lineitem at the scan "
+        "(PushedFilters); customer and nation broadcast onto the "
+        "aggregated custkey rollup. Deterministic top-k: ties broken "
+        "on the unique custkey. Revenue is the exact fixed-point sum.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+    )
+    nat = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer").join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    per_cust = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(_rev_agg())
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment"
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q11_important_parts",
+    sql=f"""
+    WITH nat_li AS (
+        SELECT l_partkey, {SQL_CENTS('l_extendedprice')} AS price_cents
+        FROM lineitem
+        WHERE l_suppkey IN (
+            SELECT s_suppkey FROM supplier
+            WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                                  WHERE n_name = 'NATION_7'))),
+    tot AS (SELECT CAST(SUM(price_cents) AS BIGINT) AS tot_cents FROM nat_li)
+    SELECT l_partkey AS p_partkey,
+           CAST(CAST(SUM(price_cents) AS BIGINT) AS DOUBLE) / 100.0 AS value
+    FROM nat_li, tot
+    GROUP BY l_partkey, tot_cents
+    HAVING CAST(SUM(price_cents) AS BIGINT) * 500 > tot_cents
+    ORDER BY value DESC, p_partkey
+    """,
+    doc="TPC-H Q11 shape (important stock; lineitem value standing in "
+        "for partsupp supplycost*availqty): parts whose NATION_7 "
+        "shipped value exceeds 0.2%% of that nation's total. The "
+        "scalar global-sum subquery becomes a broadcast 1-row "
+        "aggregate cross-joined onto the per-part rollup — one "
+        "lineitem shuffle on partkey for the rollup, one partial-agg "
+        "reduction for the total, no recompute of the filtered scan "
+        "thanks to semi-join pushdown on the broadcast supplier set. "
+        "The HAVING compares exact integers cross-multiplied "
+        "(sum*500 > total ≡ sum > 0.2%% of total).",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = (
+        table(spark, sf_dir, "nation")
+        .where(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey")
+    )
+    nat_li = (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("l_partkey", cents("l_extendedprice").alias("price_cents"))
+    )
+    tot = nat_li.agg(F.sum("price_cents").alias("tot_cents"))
+    return (
+        nat_li.groupBy("l_partkey")
+        .agg(F.sum("price_cents").alias("part_cents"))
+        .join(F.broadcast(tot))
+        .where(F.col("part_cents") * 500 > F.col("tot_cents"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("part_cents").cast("double") / 100.0).alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+@register(
+    "q12_ship_delay",
+    sql="""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= 60
+                THEN '60+' ELSE '30-59' END AS delay_band,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND date_diff('day', o_orderdate, l_shipdate) >= 30
+    GROUP BY delay_band
+    ORDER BY delay_band
+    """,
+    doc="TPC-H Q12 shape (shipping-mode priority; ship-delay bands "
+        "standing in for shipmode since the trimmed schema has no "
+        "l_shipmode/commitdate/receiptdate): lineitems shipped in 1997 "
+        "at least 30 days after ordering, banded by delay, counting "
+        "high- vs low-priority orders per band via conditional "
+        "aggregation. Single orders⋈lineitem shuffle on orderkey; the "
+        "delay predicate is a residual on the join output; the "
+        "two-value band key makes the final agg a 2-group reduction.",
+)
+def q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .where(delay >= 30)
+        .select(
+            F.when(delay >= 60, "60+").otherwise("30-59").alias("delay_band"),
+            F.when(high, 1).otherwise(0).alias("is_high"),
+        )
+        .groupBy("delay_band")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum(1 - F.col("is_high")).alias("low_line_count"),
+        )
+        .orderBy("delay_band")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    sql=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({SQL_CENTS('l_extendedprice')}
+                        * (100 - {SQL_CENTS('l_discount')})) AS BIGINT)
+                   AS rev4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey),
+    m AS (SELECT CAST(MAX(rev4) AS BIGINT) AS max4 FROM revenue)
+    SELECT s_suppkey, s_name,
+           CAST(rev4 AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no, m
+    WHERE rev4 = max4
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape (top supplier via a revenue view): the "
+        "supplier(s) with maximum revenue in 1997Q1. The correlated "
+        "MAX-over-view subquery decorrelates to a broadcast 1-row MAX "
+        "cross-joined onto the per-supplier rollup (one lineitem "
+        "shuffle on suppkey; the rollup is NOT recomputed for the max "
+        "— Spark reuses the exchange). Equality compares exact "
+        "integer 10^-4-dollar units, so max-ties are kept identically "
+        "in both engines; supplier dim broadcasts onto the tiny "
+        "winners set.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = (
+        li.select(
+            "l_suppkey",
+            (cents("l_extendedprice") * (100 - cents("l_discount"))).alias("v4"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("v4").alias("rev4"))
+    )
+    m = rev.agg(F.max("rev4").alias("max4"))
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(m))
+        .where(F.col("rev4") == F.col("max4"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev4").cast("double") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
