@@ -306,6 +306,55 @@ def stream_session_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_exec",
+    sql="""
+    WITH slid AS (
+        SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)
+                    AS TIMESTAMP) AS win_start, value FROM events
+        UNION ALL
+        SELECT CAST(to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - 1) * 1800)
+                    AS TIMESTAMP), value FROM events
+    )
+    SELECT win_start, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
+    FROM slid GROUP BY win_start
+    """,
+    doc="Sliding-window aggregation EXECUTED as a stream: the events "
+        "table is replayed as a file stream and aggregated with the "
+        "streaming window(ts, 1h, 30m) operator in complete mode; the "
+        "drained memory sink must hash-match the batch DuckDB oracle "
+        "(each event expanded into its two windows). Completes the "
+        "executed-streaming parity family: tumbling, sliding, session, "
+        "dedup (SURVEY §2.12).",
+)
+def stream_sliding_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        replay_events,
+        run_to_memory,
+        stream_sliding_counts,
+    )
+
+    out = tempfile.mkdtemp(prefix="ev_replay_")
+    replay_events(table(spark, sf_dir, "events"), out, n_files=4)
+    sink = f"sl_sink_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            stream_sliding_counts(spark, f"{out}/part*"),
+            sink,
+            output_mode="complete",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT win_start, n, sum_value FROM {sink}")
+
+
+@register(
     "stream_dedup_exec",
     sql="""
     SELECT event_id, ts, user_id, event_type, value FROM events

@@ -1069,3 +1069,46 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id")
     )
+
+
+@register(
+    "e_centroid_stats",
+    sql="""
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                              AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS centroid
+    FROM (SELECT label, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+    doc="Per-label embedding centroids (the IVF/k-means 'train "
+        "step' as a first-class operator): element-wise mean of each "
+        "label's vectors. posexplode fans each vector into (pos, "
+        "value) rows, then ONE hash aggregation on (label, pos) with "
+        "map-side partial sums — the shuffle carries only "
+        "n_labels x dim rows, not vectors, so at 100 TB the reduce "
+        "side is trivially small. Components accumulate as exact "
+        "6-dp-scaled integers (float->double is exact, round is "
+        "deterministic), divided once at the end — no order-dependent "
+        "float summation to diverge between engines.",
+)
+def e_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("x").cast("double") * 1000000.0).cast("long"))
+                .cast("double")
+                / 1000000.0
+                / F.count(F.lit(1))
+            ).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )

@@ -72,6 +72,30 @@ def stream_tumbling_counts(
     )
 
 
+def stream_sliding_counts(
+    spark: SparkSession,
+    src_glob: str,
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window counts (each event lands in window/slide windows);
+    state per open window, bounded by the watermark."""
+    return (
+        _read_stream(spark, src_glob)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+
+
 def stream_dedup(
     spark: SparkSession, src_glob: str, watermark: str = "10 minutes"
 ) -> DataFrame:
