@@ -472,3 +472,65 @@ def w6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("sum_value_1h"),
     )
+
+
+@register(
+    "ev_multi_rollup",
+    sql="""
+    WITH b AS (
+        SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts)) AS BIGINT)
+                                 // 900 * 900) AS TIMESTAMP) AS b15,
+               CAST(to_timestamp(CAST(FLOOR(epoch(ts)) AS BIGINT)
+                                 // 3600 * 3600) AS TIMESTAMP) AS b1h,
+               CAST(to_timestamp(CAST(FLOOR(epoch(ts)) AS BIGINT)
+                                 // 86400 * 86400) AS TIMESTAMP) AS b1d,
+               CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+        FROM events)
+    SELECT CASE WHEN GROUPING(b15) = 0 THEN '15m'
+                WHEN GROUPING(b1h) = 0 THEN '1h'
+                ELSE '1d' END AS gran,
+           COALESCE(b15, b1h, b1d) AS bucket_start,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(v_cents) AS BIGINT) AS DOUBLE) / 100.0
+               AS sum_value
+    FROM b
+    GROUP BY GROUPING SETS ((b15), (b1h), (b1d))
+    """,
+    doc="Hypertable-style multi-granularity rollup (continuous-"
+        "aggregate shape): 15-minute, hourly, and daily buckets of the "
+        "event stream in ONE pass — GROUPING SETS over three "
+        "pre-computed bucket columns expands each row once and hash-"
+        "aggregates behind a single shuffle, instead of three separate "
+        "scans+shuffles. At 100 TB this is the materialization query "
+        "for a cascaded rollup: coarser tiers could equally fold from "
+        "the 15m tier (sum of sums), which the exact integer-cents "
+        "accumulation makes lossless.",
+)
+def ev_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    secs = F.unix_timestamp("ts")
+    b = ev.select(
+        F.timestamp_seconds((secs / 900).cast("long") * 900).alias("b15"),
+        F.timestamp_seconds((secs / 3600).cast("long") * 3600).alias("b1h"),
+        F.timestamp_seconds((secs / 86400).cast("long") * 86400).alias("b1d"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    return (
+        b.groupingSets([["b15"], ["b1h"], ["b1d"]], "b15", "b1h", "b1d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("v_cents").cast("double") / 100.0).alias("sum_value"),
+            # grouping() must be evaluated inside the Aggregate node
+            F.grouping("b15").alias("g15"),
+            F.grouping("b1h").alias("g1h"),
+        )
+        .select(
+            F.when(F.col("g15") == 0, "15m")
+            .when(F.col("g1h") == 0, "1h")
+            .otherwise("1d")
+            .alias("gran"),
+            F.coalesce("b15", "b1h", "b1d").alias("bucket_start"),
+            "n",
+            "sum_value",
+        )
+    )

@@ -1110,17 +1110,21 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT s_suppkey FROM supplier
             WHERE s_nationkey IN (SELECT n_nationkey FROM nation
                                   WHERE n_name = 'NATION_7'))),
-    tot AS (SELECT CAST(SUM(price_cents) AS BIGINT) AS tot_cents FROM nat_li)
+    tot AS (SELECT CAST(SUM(price_cents) AS BIGINT) AS tot_cents,
+                   COUNT(DISTINCT l_partkey) AS n_parts
+            FROM nat_li)
     SELECT l_partkey AS p_partkey,
            CAST(CAST(SUM(price_cents) AS BIGINT) AS DOUBLE) / 100.0 AS value
     FROM nat_li, tot
-    GROUP BY l_partkey, tot_cents
-    HAVING CAST(SUM(price_cents) AS BIGINT) * 500 > tot_cents
+    GROUP BY l_partkey, tot_cents, n_parts
+    HAVING CAST(SUM(price_cents) AS BIGINT) * n_parts > 2 * tot_cents
     ORDER BY value DESC, p_partkey
     """,
     doc="TPC-H Q11 shape (important stock; lineitem value standing in "
         "for partsupp supplycost*availqty): parts whose NATION_7 "
-        "shipped value exceeds 0.2%% of that nation's total. The "
+        "shipped value exceeds twice the average part's share — "
+        "scale-free where Q11's fixed fraction (spec: 0.0001/SF) "
+        "empties at larger SFs. The "
         "scalar global-sum subquery becomes a broadcast 1-row "
         "aggregate cross-joined onto the per-part rollup — one "
         "lineitem shuffle on partkey for the rollup, one partial-agg "
@@ -1145,12 +1149,15 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .select("l_partkey", cents("l_extendedprice").alias("price_cents"))
     )
-    tot = nat_li.agg(F.sum("price_cents").alias("tot_cents"))
+    tot = nat_li.agg(
+        F.sum("price_cents").alias("tot_cents"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
     return (
         nat_li.groupBy("l_partkey")
         .agg(F.sum("price_cents").alias("part_cents"))
         .join(F.broadcast(tot))
-        .where(F.col("part_cents") * 500 > F.col("tot_cents"))
+        .where(F.col("part_cents") * F.col("n_parts") > 2 * F.col("tot_cents"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             (F.col("part_cents").cast("double") / 100.0).alias("value"),
