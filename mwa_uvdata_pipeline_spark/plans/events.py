@@ -534,3 +534,48 @@ def ev_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+_KMV_K = 8
+
+
+@register(
+    "agg_kmv_distinct",
+    sql=f"""
+    WITH h AS (
+        SELECT DISTINCT CAST(list_sum(list_transform(
+                   generate_series(1, 8),
+                   i -> (strpos('0123456789abcdef',
+                                substr(md5(CAST(user_id AS VARCHAR)), i, 1))
+                         - 1) * 16 ** (8 - i))) AS BIGINT) AS hv
+        FROM events),
+    k8 AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K})
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           CAST(MAX(hv) AS BIGINT) AS kth_hash,
+           ({_KMV_K} - 1) * 4294967296.0 / MAX(hv) AS est_distinct
+    FROM k8
+    """,
+    doc="KMV (k-minimum-values) distinct-count sketch over "
+        "events.user_id: hash every key (first 8 md5 hex chars as a "
+        "32-bit value), keep the k smallest distinct hashes, estimate "
+        "|D| = (k-1) / max_kept_normalized. Unlike HLL the sketch is "
+        "exactly reproducible across engines (md5 is byte-stable), so "
+        "the oracle matches bit-for-bit. The plan is "
+        "sketch-shaped-at-scale: map-side hashing, per-partition "
+        "partial top-k via the distinct + TakeOrdered, one tiny "
+        "reduction — the k-row sketch is mergeable (union then "
+        "re-take-k), the basis of distributed distinct estimation.",
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    kmin = (
+        ev.select(hv.alias("hv")).distinct().orderBy("hv").limit(_KMV_K)
+    )
+    return kmin.agg(
+        F.lit(_KMV_K).cast("long").alias("k"),
+        F.max("hv").alias("kth_hash"),
+        ((_KMV_K - 1) * F.lit(4294967296.0) / F.max("hv")).alias("est_distinct"),
+    )

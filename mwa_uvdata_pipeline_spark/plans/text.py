@@ -1170,3 +1170,77 @@ def t_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_bigrams"),
         )
     )
+
+
+@register(
+    "t_hash_split",
+    sql="""
+    WITH assigned AS (
+        SELECT n_chars,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split
+    """,
+    doc="Deterministic train/val/test holdout split: assign each "
+        "document by the first md5 byte of its id (lexical hex compare "
+        "== numeric compare; ~80/10/10). The standard reproducible "
+        "split for training corpora — no RNG state, no global sort, "
+        "stable under corpus growth (a doc's split never changes when "
+        "other docs are added/removed). Pure map + 3-group reduction; "
+        "at 100 TB the assignment is free at scan time and usually "
+        "fused into the writer as a partition column.",
+)
+def t_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_STRATUM_N = 20
+
+
+@register(
+    "t_stratified_sample",
+    sql=f"""
+    SELECT doc_id, lang, rn FROM (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INTEGER) AS rn
+        FROM documents)
+    WHERE rn <= {_STRATUM_N}
+    """,
+    doc=f"Stratified sampling for data mixing: {_STRATUM_N} documents "
+        "per language, chosen by md5-of-id order — a deterministic "
+        "'random' draw reproducible across engines and runs. One "
+        "shuffle partitioned by the stratum key; per-stratum "
+        "row_number never sorts the corpus globally. The building "
+        "block for language-balanced training mixtures (upsample rare "
+        "strata by raising their cap).",
+)
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= _STRATUM_N)
+    )
