@@ -54,10 +54,11 @@ def main() -> None:
         t0 = time.perf_counter()
         p.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        # steady state = best of two warm runs (a single run can absorb a
-        # GC pause; the min is what a long-running executor sustains)
+        # steady state = best of three warm runs (a single run can absorb
+        # a GC pause or a noisy-neighbor stall — observed 10x swings on
+        # shared hosts; the min is what a long-running executor sustains)
         dt = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             p.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
             dt = min(dt, time.perf_counter() - t0)
