@@ -892,6 +892,68 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t_dedup_attrition",
+    sql=f"""
+    WITH RECURSIVE {_SQL_JACCARD_CTES},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM jpairs
+        UNION ALL SELECT doc_b, doc_a FROM jpairs),
+    reach(u, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+    canon AS (SELECT u AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY u)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id <> COALESCE(c.canonical_id, d.doc_id)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN d.doc_id <> COALESCE(c.canonical_id, d.doc_id)
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+               AS drop_ppm,
+           CAST(SUM(CASE WHEN d.doc_id = COALESCE(c.canonical_id, d.doc_id)
+                         THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM documents d LEFT JOIN canon c USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="Dedup attrition by source: after transitive near-dup "
+        "clustering (the dedup_clusters components, keep-min policy), "
+        "how many documents each source loses, the drop rate in ppm "
+        "(exact integer division), and the surviving char volume — the "
+        "curation diagnostic that tells a data mixer which sources are "
+        "boilerplate-heavy BEFORE retraining mixture weights. Adds one "
+        "corpus-scale equi-join on doc_id to the component map (AQE "
+        "broadcasts it when the pair-participating subset is small) "
+        "and a |sources|-key hash agg with map-side partials; all "
+        "counters integer, so the oracle matches bit-for-bit.",
+)
+def t_dedup_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.graph import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    canonical = F.coalesce("component", "doc_id")
+    return (
+        docs.join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "source",
+            "n_chars",
+            (F.col("doc_id") != canonical).alias("dropped"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(~F.col("dropped"), F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+        .withColumn("drop_ppm", F.expr("n_dropped * 1000000 DIV n_docs"))
+        .select("source", "n_docs", "n_dropped", "drop_ppm", "kept_chars")
+    )
+
+
 _CHUNK_LEN = 120
 _CHUNK_STRIDE = 90
 
