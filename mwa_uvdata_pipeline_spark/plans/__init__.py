@@ -42,9 +42,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects by default; read nanos as long and truncate to
-    microseconds (exactly what DuckDB's nanos→micros cast does)."""
+    """Load events with ``ts`` tolerant of parquet timestamp drift.
+
+    The driver has shipped events.parquet both as TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects — read nanos as long and
+    truncate to micros, exactly DuckDB's nanos→micros cast) and as
+    plain micros (which Spark 4 reads as TIMESTAMP_NTZ). Plans must
+    work over either, so epoch arithmetic goes through ``epoch_us``.
+    """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -52,6 +57,23 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def epoch_us(df: DataFrame, colname: str = "ts"):
+    """NTZ-safe epoch microseconds for a timestamp column.
+
+    ``F.unix_micros`` only accepts TIMESTAMP (with local time zone);
+    the test tables carry TIMESTAMP_NTZ, where the naive wall time IS
+    the UTC instant (DuckDB's ``epoch_us`` convention). Interpreting
+    the naive value as UTC via ``to_utc_timestamp`` is session-tz
+    independent; for an LTZ column ``unix_micros`` applies directly.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(colname)
+    if dict(df.dtypes).get(colname) == "timestamp_ntz":
+        c = F.to_utc_timestamp(c, "UTC")
+    return F.unix_micros(c)
 
 
 def _driver_verified() -> set[str]:

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mwa_uvdata_pipeline_spark.functions.times import _GPS_EPOCH_UNIX, _LEAP_SECONDS
-from mwa_uvdata_pipeline_spark.plans import register, table
+from mwa_uvdata_pipeline_spark.plans import epoch_us, register, table
 
 
 def _gps_case_sql(unix_expr: str) -> str:
@@ -64,7 +64,7 @@ def x_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x6_time_representations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    unix = F.floor(F.col("ts").cast("double")).cast("long")
+    unix = F.floor(epoch_us(ev) / F.lit(1_000_000.0)).cast("long")
     from mwa_uvdata_pipeline_spark.functions.times import _gps_offset_expr
 
     return ev.select(
@@ -158,11 +158,12 @@ def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_window(ts, '30 minutes') (SURVEY §2.12).",
 )
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    raw = table(spark, sf_dir, "events")
+    ev = raw.withColumn("ts_us", epoch_us(raw))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
+    prev_us = F.lag("ts_us").over(w)
     is_new = F.when(
-        prev.isNull() | ((F.col("ts").cast("double") - prev.cast("double")) > 1800),
+        prev_us.isNull() | ((F.col("ts_us") - prev_us) > 1800 * 1_000_000),
         1,
     ).otherwise(0)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -461,7 +462,7 @@ def w6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_us(ev))
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mwa_uvdata_pipeline_spark.plans import register, table
+from mwa_uvdata_pipeline_spark.plans import epoch_us, register, table
 from mwa_uvdata_pipeline_spark.plans.relational import SQL_CENTS, cents
 
 
@@ -192,18 +192,15 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "enumeration.",
 )
 def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
-        table(spark, sf_dir, "events")
-        .where(F.col("event_type").isin("purchase", "view"))
-        .select(
-            "user_id",
-            "ts",
-            "event_id",
-            (F.col("event_type") == "purchase").alias("is_purchase"),
-            F.when(
-                F.col("event_type") == "view", F.unix_micros("ts")
-            ).alias("view_us"),
-        )
+    raw = table(spark, sf_dir, "events")
+    us = epoch_us(raw)
+    ev = raw.where(F.col("event_type").isin("purchase", "view")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+        F.when(F.col("event_type") == "view", us).alias("view_us"),
+        us.alias("event_us"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -216,7 +213,7 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.unix_micros("ts").alias("purchase_us"),
+            F.col("event_us").alias("purchase_us"),
             "last_view_us",
         )
     )
@@ -245,19 +242,18 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    us = epoch_us(ev)
     window_s = 600
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",
         F.col("ts").alias("p_ts"),
-        F.unix_micros("ts").alias("p_us"),
+        us.alias("p_us"),
     )
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user_id"),
-        F.unix_micros("ts").alias("c_us"),
-        (F.unix_micros("ts") / F.lit(window_s * 1_000_000)).cast("long").alias(
-            "bucket"
-        ),
+        us.alias("c_us"),
+        (us / F.lit(window_s * 1_000_000)).cast("long").alias("bucket"),
     )
     # each purchase probes its own bucket and the one before it
     probes = purchases.withColumn(
