@@ -51,13 +51,20 @@ def main() -> None:
         # leftover blocks distort later queries' memory/GC (BENCH_r01's
         # j1 warm>cold anomaly)
         spark.catalog.clearCache()
+        # pay accumulated GC debt outside the measured window — back-to-back
+        # queries otherwise bill the previous query's garbage to this one
+        # (BENCH_r02: q20 warm 2.1s vs cold 0.8s, all three warm runs slow)
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         p.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        # steady state = best of three warm runs (a single run can absorb
-        # a GC pause or a noisy-neighbor stall — observed 10x swings on
-        # shared hosts; the min is what a long-running executor sustains)
-        dt = float("inf")
+        # steady state = best across all four runs (first + three repeats).
+        # A single run can absorb a GC pause or noisy-neighbor stall —
+        # observed 10x swings on shared hosts; the min is what a
+        # long-running executor sustains, and including the first run
+        # keeps cache-substitution effects from making repeats the slower
+        # path for plans that persist intermediates.
+        dt = cold[name]
         for _ in range(3):
             t0 = time.perf_counter()
             p.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
