@@ -404,6 +404,183 @@ def stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join_exec",
+    sql="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts < v.ts + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    doc="Stream-stream interval join EXECUTED as a query: views and "
+        "purchases are read as two watermarked file streams and joined "
+        "on user_id with a bounded event-time range (purchase within "
+        "10 minutes after the view); the appended memory sink must "
+        "hash-match the batch inequality join. State eviction is "
+        "driven by the watermark passing the join horizon, so this "
+        "also proves the watermark delay is sized correctly — an "
+        "early-evicted buffered row would drop a pair and break the "
+        "hash (SURVEY §2.12).",
+)
+def stream_interval_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        replay_events,
+        run_to_memory,
+        stream_interval_join,
+    )
+
+    out = tempfile.mkdtemp(prefix="ev_replay_")
+    replay_events(table(spark, sf_dir, "events"), out, n_files=4)
+    sink = f"sj_sink_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            stream_interval_join(spark, f"{out}/part*"),
+            sink,
+            output_mode="append",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT view_id, purchase_id FROM {sink}")
+
+
+@register(
+    "ev_funnel",
+    sql="""
+    WITH w0 AS (
+        SELECT user_id, event_type, ts,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t0
+        FROM events),
+    w1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' AND ts >= t0
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+        FROM w0),
+    w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t1
+                            AND ts < t1 + INTERVAL 86400 SECONDS
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM w1),
+    w3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t2
+                            AND ts < t2 + INTERVAL 86400 SECONDS
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM w2),
+    per_user AS (
+        SELECT user_id, MAX(t0) AS t0, MAX(t1) AS t1,
+               MAX(t2) AS t2, MAX(t3) AS t3
+        FROM w3 GROUP BY user_id)
+    SELECT stage, COUNT(*) AS n_users FROM (
+        SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 4
+                         WHEN t2 IS NOT NULL THEN 3
+                         WHEN t1 IS NOT NULL THEN 2
+                         WHEN t0 IS NOT NULL THEN 1
+                         ELSE 0 END AS INTEGER) AS stage
+        FROM per_user)
+    GROUP BY stage
+    """,
+    doc="Ordered funnel analysis: signup → first view after signup → "
+        "first click within a day of that view → first purchase "
+        "within a day of that click, per user; output is users per "
+        "furthest stage reached. "
+        "The four chained 'earliest qualifying event' milestones are "
+        "unordered window MINs over the same user_id partitioning, so "
+        "Catalyst stacks all four Window operators behind ONE exchange "
+        "— a single shuffle for the whole funnel, vs the 4-way "
+        "self-join a naive formulation would pay. Per-user funnel "
+        "state is O(1), the final stage histogram is 5 rows.",
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+
+    def first_after(etype: str, lower, horizon_s: int | None = None):
+        cond = F.col("event_type") == etype
+        if lower is not None:
+            cond = cond & (F.col("ts") >= F.col(lower))
+        if horizon_s is not None:
+            cond = cond & (
+                F.col("ts") < F.col(lower) + F.expr(f"INTERVAL {horizon_s} SECONDS")
+            )
+        return F.min(F.when(cond, F.col("ts"))).over(w)
+
+    staged = (
+        ev.withColumn("t0", first_after("signup", None))
+        .withColumn("t1", first_after("view", "t0"))
+        .withColumn("t2", first_after("click", "t1", 86400))
+        .withColumn("t3", first_after("purchase", "t2", 86400))
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t0").alias("t0"),
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 4)
+        .when(F.col("t2").isNotNull(), 3)
+        .when(F.col("t1").isNotNull(), 2)
+        .when(F.col("t0").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return (
+        per_user.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "ev_retention",
+    sql="""
+    WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+               FROM events),
+    c AS (SELECT user_id, MIN(d) AS cohort_date FROM a GROUP BY user_id)
+    SELECT strftime(cohort_date, '%Y-%m-%d') AS cohort_date,
+           CAST(date_diff('day', cohort_date, d) AS BIGINT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM a JOIN c USING (user_id)
+    GROUP BY c.cohort_date, day_offset
+    """,
+    doc="Cohort retention: users are cohorted by their first active "
+        "date; output counts distinct active users per (cohort date, "
+        "day offset). The (user, date) activity grid is deduplicated "
+        "with one hash aggregate, the cohort map is a per-user MIN on "
+        "the same user_id shuffle, and the rejoin is an equi-join on "
+        "user_id that AQE broadcasts when the cohort map is small — "
+        "at 100 TB the map is corpus-sized, and the join stays a "
+        "shuffled hash join co-partitioned with the activity grid. "
+        "Output cardinality is bounded by cohorts x horizon days, "
+        "independent of event volume.",
+)
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            # dates stringify identically in both engines; raw DATE
+            # round-trips as midnight TIMESTAMP through DuckDB's pandas
+            # bridge and breaks the value compare
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff("d", "cohort_date").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
     "agg_salted",
     sql="""
     SELECT user_id,

@@ -705,6 +705,71 @@ def exact_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_K = 3
+
+
+@register(
+    "e_knn_within_label",
+    sql=f"""
+    WITH n AS (
+        SELECT vec_id, label, embedding,
+               sqrt({_SQL_DOT.format(a="embedding", b="embedding")}) AS nrm
+        FROM embeddings),
+    p AS (
+        SELECT a.vec_id, b.vec_id AS nn_id,
+               ROUND({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+                     / (a.nrm * b.nrm), 6) AS cos_sim
+        FROM n a JOIN n b
+          ON a.label = b.label AND a.vec_id <> b.vec_id)
+    SELECT vec_id, CAST(nn_rank AS INTEGER) AS nn_rank, nn_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cos_sim DESC, nn_id)
+                        AS nn_rank
+          FROM p)
+    WHERE nn_rank <= {_KNN_K}
+    """,
+    doc=f"Blocked exact kNN: top-{_KNN_K} cosine neighbors per vector "
+        "WITHIN its label block — the metadata-blocked exact-search "
+        "pattern (group by shard/source/cluster, exact inside the "
+        "block). The pair generation is an equi-join on the label key, "
+        "so shuffle volume is O(rows) and all-pairs cost is bounded by "
+        "the largest block, never the corpus: at 100 TB with B-sized "
+        "blocks the cost is sum(B_i^2), controllable by blocking "
+        "granularity, vs N^2 for a global exact search. Ranking ties "
+        "break on the rounded score then neighbor id, so both engines "
+        "order identically.",
+)
+def e_knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = n.select(
+        "label",
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    b = n.select(
+        "label",
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    pairs = a.join(b, "label").where(F.col("q_id") != F.col("nn_id"))
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
+    return (
+        pairs.select(F.col("q_id").alias("vec_id"), "nn_id", cos.alias("cos_sim"))
+        .withColumn("nn_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("nn_rank") <= _KNN_K)
+        .select("vec_id", "nn_rank", "nn_id", "cos_sim")
+    )
+
+
 _IVF_EVERY = 50   # centroid seeds: vec_id % 50 == 0 → 10 clusters at sf0.01
 _IVF_NPROBE = 2
 _IVF_K = 5
@@ -993,6 +1058,57 @@ def t_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("text"), F.col("i"), F.lit(_CHUNK_LEN)).alias("chunk"),
         )
         .withColumn("chunk_len", F.length("chunk").cast("long"))
+    )
+
+
+@register(
+    "dedup_chunks",
+    sql=f"""
+    WITH ch AS (
+        SELECT doc_id, substr(text, i, {_CHUNK_LEN}) AS chunk
+        FROM (SELECT doc_id, text, length(text) AS n FROM documents),
+             UNNEST(range(1, n + 1, {_CHUNK_STRIDE})) AS u(i)),
+    freq AS (SELECT chunk, COUNT(*) AS n_occ FROM ch GROUP BY chunk)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+    FROM ch JOIN freq USING (chunk)
+    GROUP BY doc_id
+    """,
+    doc="Chunk-level duplication audit: re-chunk the corpus with the "
+        "t_chunk_docs windows, count corpus-wide occurrences of each "
+        "chunk text, and report per document how many of its chunks "
+        "appear elsewhere (the contamination signal chunk-trained "
+        "models care about, catching partial copies exact doc-dedup "
+        "misses). Two hash shuffles — chunk-frequency agg keyed on the "
+        "chunk, rejoin on the same key — then a per-doc agg; at scale "
+        "the join key should be xxhash64(chunk) so the shuffle carries "
+        "8-byte keys instead of 120-char strings (kept as raw text "
+        "here only because the oracle joins on equality of the same "
+        "expression).",
+)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(1), F.length("text"), F.lit(_CHUNK_STRIDE))
+    ch = docs.select("doc_id", F.explode(starts).alias("i"), "text").select(
+        "doc_id",
+        F.substring(F.col("text"), F.col("i"), F.lit(_CHUNK_LEN)).alias("chunk"),
+    )
+    freq = ch.groupBy("chunk").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = (F.col("n_occ") > 1).cast("int")
+    return (
+        ch.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            F.round(
+                F.sum(dup) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_frac"),
+        )
     )
 
 

@@ -130,6 +130,54 @@ def stream_session_windows(
     )
 
 
+def stream_interval_join(
+    spark: SparkSession,
+    src_glob: str,
+    watermark: str = "30 minutes",
+    window_s: int = 600,
+) -> DataFrame:
+    """Stream-stream interval join: each view matched to the purchases
+    by the same user in the ``window_s`` seconds that follow it.
+
+    Both sides carry a watermark and the join condition bounds event
+    time on both sides, so the state store evicts a buffered view once
+    the purchase-side watermark passes ``v_ts + window_s`` — state is
+    bounded by (watermark delay + join window), sharded across the
+    cluster by the user_id equi-key. The watermark delay exceeds the
+    join window, so with in-order replay no qualifying match is
+    evicted early and the appended result equals the batch join
+    (oracle-gated by plans.events.stream_interval_join_exec).
+    """
+    views = (
+        _read_stream(spark, src_glob)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        _read_stream(spark, src_glob)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts "
+            f"AND p_ts < v_ts + INTERVAL {window_s} SECONDS"
+        ),
+        "inner",
+    ).select("view_id", "purchase_id")
+
+
 def stream_user_running_totals(
     spark: SparkSession, src_glob: str
 ) -> DataFrame:

@@ -1,0 +1,47 @@
+"""Physical-plan hygiene sweep over the whole registry.
+
+The 100-TB failure mode this guards: a plan that silently degrades to
+an all-pairs join. ``CartesianProduct`` is banned outright; a
+``BroadcastNestedLoopJoin`` is allowed only for plans that
+intentionally broadcast a BOUNDED frame (a scalar aggregate, a fixed
+query set, a centroid table) — growing that whitelist requires
+explaining why the broadcast side stays small at scale.
+
+Streaming-exec entries are skipped: their returned frame is a memory
+sink scan, not the streaming plan (their operator topology is asserted
+in test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+from mwa_uvdata_pipeline_spark.plans import load_all
+
+# name -> why the broadcast side is bounded at any corpus size
+BNLJ_ALLOWED = {
+    "j6_cross_join": "the operator IS a deliberate small-dim cross join",
+    "q11_important_parts": "broadcast scalar threshold (single-row agg)",
+    "q22_dormant_customers": "broadcast scalar avg balance (single-row agg)",
+    "sim_cosine_topk": "broadcast fixed query set (k query vectors)",
+    "sim_ivf_topk": "broadcast centroid table (k centroids)",
+    "t_tfidf_top3": "broadcast corpus row count (single-row agg)",
+}
+
+
+def _plan_names():
+    return sorted(n for n in load_all() if not n.startswith("stream_"))
+
+
+@pytest.mark.parametrize("name", _plan_names())
+def test_no_unbounded_join_explosion(spark, name):
+    plan = load_all()[name]
+    s = plan.spark(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in s, f"{name}: cartesian product in plan"
+    if "BroadcastNestedLoopJoin" in s:
+        assert name in BNLJ_ALLOWED, (
+            f"{name}: BroadcastNestedLoopJoin not whitelisted — broadcast "
+            "side must be provably bounded at corpus scale"
+        )
