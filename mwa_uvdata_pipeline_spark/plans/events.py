@@ -404,6 +404,45 @@ def stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_foreachbatch_exec",
+    sql="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="foreachBatch incremental materialization EXECUTED as a query: "
+        "the tumbling aggregate streams in update mode, each "
+        "micro-batch appends its changed keys to a parquet log stamped "
+        "with the batch id, and the read-side last-write-wins merge "
+        "must hash-match the batch aggregate — the append-only upsert "
+        "pattern for materializing continuous aggregates onto a plain "
+        "data lake, proven equivalent to recomputation (SURVEY §2.12).",
+)
+def stream_foreachbatch_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        latest_per_key,
+        replay_events,
+        stream_tumbling_to_parquet,
+    )
+
+    src = tempfile.mkdtemp(prefix="ev_replay_")
+    sink = tempfile.mkdtemp(prefix="ev_matview_")
+    replay_events(table(spark, sf_dir, "events"), src, n_files=4)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream_tumbling_to_parquet(spark, f"{src}/part*", f"{sink}/log")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return latest_per_key(spark, f"{sink}/log")
+
+
+@register(
     "stream_interval_join_exec",
     sql="""
     SELECT v.event_id AS view_id, p.event_id AS purchase_id
@@ -488,6 +527,7 @@ def stream_interval_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_user)
     GROUP BY stage
     """,
+    bench=True,
     doc="Ordered funnel analysis: signup → first view after signup → "
         "first click within a day of that view → first purchase "
         "within a day of that click, per user; output is users per "

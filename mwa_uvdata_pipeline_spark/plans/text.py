@@ -728,6 +728,7 @@ _KNN_K = 3
           FROM p)
     WHERE nn_rank <= {_KNN_K}
     """,
+    bench=True,
     doc=f"Blocked exact kNN: top-{_KNN_K} cosine neighbors per vector "
         "WITHIN its label block — the metadata-blocked exact-search "
         "pattern (group by shard/source/cluster, exact inside the "

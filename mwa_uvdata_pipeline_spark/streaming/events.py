@@ -211,6 +211,58 @@ def stream_user_running_totals(
     )
 
 
+def stream_tumbling_to_parquet(
+    spark: SparkSession,
+    src_glob: str,
+    out_dir: str,
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+    timeout: int = 120,
+) -> None:
+    """Incremental materialization via ``foreachBatch``: the tumbling
+    aggregate runs in update mode and each micro-batch APPENDS its
+    updated (key, aggregate) rows to a parquet directory, stamped with
+    the micro-batch id. The materialized view is then the last write
+    per key (``latest_per_key``) — the upsert-into-a-data-lake pattern
+    expressed against a plain parquet sink: appends are cheap and
+    idempotent per batch id, and the merge is deferred to read time.
+    State on the write path is the streaming agg's own (watermark
+    bounded); the sink itself is stateless, so a 1000-executor writer
+    needs no coordination beyond file commit.
+    """
+    agg = stream_tumbling_counts(spark, src_glob, watermark, window)
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
+def latest_per_key(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read-side merge of the foreachBatch append log: keep the row
+    from the highest batch id per (win_start, event_type) — last
+    write wins, exactly the final streaming state for each key."""
+    from pyspark.sql import Window
+
+    log = spark.read.parquet(out_dir)
+    w = Window.partitionBy("win_start", "event_type").orderBy(
+        F.col("batch_id").desc()
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("win_start", "event_type", "n", "sum_value")
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "update", timeout: int = 120
 ):
