@@ -9,6 +9,8 @@ from __future__ import annotations
 from mwa_uvdata_pipeline_spark.plans.text import (
     dedup_clusters,
     dedup_embedding_cosine,
+    e_knn_within_label,
+    e_knn_within_label_fold,
     exact_pairwise_cosine,
 )
 from tests.conftest import SF_SMALL
@@ -35,6 +37,16 @@ def test_lsh_dedup_subset_of_exact(spark):
     }
     assert got, "LSH candidate generation found no pairs at all"
     assert got <= exact  # every survivor verified by exact cosine
+
+
+def test_blocked_knn_blas_equals_fold(spark):
+    # the registered Arrow/BLAS block kernel and the pure-DataFrame
+    # exact-fold twin must agree to the last bit after the 6-dp round —
+    # this pins the numeric contract the DuckDB oracle checks
+    cols = ["vec_id", "nn_rank", "nn_id", "cos_sim"]
+    fast = sorted(map(tuple, e_knn_within_label(spark, SF_SMALL).select(*cols).collect()))
+    fold = sorted(map(tuple, e_knn_within_label_fold(spark, SF_SMALL).select(*cols).collect()))
+    assert fast == fold
 
 
 def test_cluster_component_join_is_unhinted(spark):
