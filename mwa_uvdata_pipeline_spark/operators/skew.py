@@ -29,6 +29,36 @@ _PARTIAL = {
 }
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_col: Column,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-mitigating equi-join: spread each of the big side's key
+    groups over ``n_salt`` sub-partitions and replicate the small side
+    once per sub-key, so a hot join key occupies ``n_salt`` reducers
+    instead of one.
+
+    ``salt_col`` must VARY WITHIN a key group (e.g. a hash of the
+    row's unique id) — salting by the join key itself would keep the
+    hot key on one reducer. The result is salt-invariant: every big
+    row still meets exactly one replica of its matching small row.
+    Cost: small side inflates x n_salt, the standard trade against a
+    straggling reducer. AQE's skew-join split handles this adaptively
+    when sizes are observable; explicit salting is for the planned
+    case (known-hot keys, or aggregation layered above the join where
+    AQE cannot rewrite).
+    """
+    salt = F.pmod(salt_col, F.lit(n_salt)).cast("int")
+    big_s = big.withColumn("_salt", salt)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array([F.lit(i) for i in range(n_salt)]))
+    )
+    return big_s.join(small_s, [on, "_salt"]).drop("_salt")
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

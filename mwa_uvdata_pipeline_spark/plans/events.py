@@ -490,6 +490,86 @@ def stream_interval_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j9_salted_join",
+    sql="""
+    WITH c AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+               FROM events GROUP BY user_id)
+    SELECT strftime(cohort_date, '%Y-%m-%d') AS cohort_date,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events JOIN c USING (user_id)
+    GROUP BY c.cohort_date
+    """,
+    doc="Salted skew join oracle-gated against the plain equi-join: "
+        "events join their user's cohort row with each user's rows "
+        "spread over 8 salt sub-keys (salt = hash of the unique "
+        "event_id, so a hot user occupies 8 reducers) and the cohort "
+        "side replicated once per sub-key (operators/skew.py:salted_"
+        "join). The per-cohort rollup on top is salt-invariant, so a "
+        "green row proves the spread-and-replicate rewrite preserves "
+        "join semantics end-to-end — the planned-skew complement of "
+        "agg_salted.",
+)
+def j9_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events")
+    cohort = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("cohort_date"))
+    )
+    joined = salted_join(
+        ev, cohort, on="user_id", salt_col=F.xxhash64("event_id"), n_salt=8
+    )
+    return joined.groupBy(
+        F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "agg_pivot",
+    sql=f"""
+    SELECT user_id,
+           {", ".join(
+               f"COUNT(*) FILTER (event_type = '{t}') AS n_{t}"
+               for t in _PIVOT_TYPES
+           )}
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot: per-user event counts spread into one column per event "
+        "type. The value list is EXPLICIT — at scale an unlisted pivot "
+        "first runs a distinct-values job over the corpus and then "
+        "risks a column per unique value; listing the domain makes the "
+        "pivot a single hash aggregate with a fixed output schema "
+        "(Catalyst compiles it to the same conditional-count form the "
+        "oracle states). Missing cells are filled to 0 to match COUNT "
+        "FILTER semantics.",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    renamed = out.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in _PIVOT_TYPES]
+    )
+    return renamed
+
+
+@register(
     "ev_funnel",
     sql="""
     WITH w0 AS (
