@@ -285,6 +285,75 @@ def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_OFF = 1_000_000_000  # supplier node ids offset into their own space
+
+
+@register(
+    "graph_pagerank",
+    sql=f"""
+    WITH fwd AS (SELECT DISTINCT l_partkey AS u,
+                        l_suppkey + {_PR_OFF} AS v
+                 FROM lineitem),
+    e AS (SELECT u, v FROM fwd UNION ALL SELECT v AS u, u AS v FROM fwd),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u),
+    r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+    r1 AS (SELECT e.v AS node,
+                  CAST(150000 + (85 * CAST(SUM(r0.r // deg.d) AS BIGINT))
+                       // 100 AS BIGINT) AS r
+           FROM e JOIN deg USING (u) JOIN r0 ON r0.node = e.u
+           GROUP BY e.v),
+    r2 AS (SELECT e.v AS node,
+                  CAST(150000 + (85 * CAST(SUM(r1.r // deg.d) AS BIGINT))
+                       // 100 AS BIGINT) AS r
+           FROM e JOIN deg USING (u) JOIN r1 ON r1.node = e.u
+           GROUP BY e.v),
+    r3 AS (SELECT e.v AS node,
+                  CAST(150000 + (85 * CAST(SUM(r2.r // deg.d) AS BIGINT))
+                       // 100 AS BIGINT) AS r
+           FROM e JOIN deg USING (u) JOIN r2 ON r2.node = e.u
+           GROUP BY e.v)
+    SELECT node, r AS rank_micro FROM r3
+    """,
+    doc="PageRank (3 power iterations, damping 0.85) over the "
+        "undirected part↔supplier bipartite graph, in EXACT integer "
+        "arithmetic: ranks are micro-units and every step is integer "
+        "division/multiplication/sum, so both engines converge to "
+        "bit-identical values — no float accumulation-order hazard, "
+        "which is what makes an iterative numeric fixpoint "
+        "oracle-checkable at all. Per iteration: one contribution join "
+        "edges⋈ranks (co-partitioned on the node key) + one hash agg — "
+        "O(E) shuffle per round, the same shape GraphX materializes; "
+        "complements the connected-components operator "
+        "(operators/graph.py) for iterative-algorithm coverage.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_partkey").alias("u"),
+        (F.col("l_suppkey") + F.lit(_PR_OFF)).alias("v"),
+    ).distinct()
+    edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ranks = deg.select(
+        F.col("u").alias("node"), F.lit(1_000_000).cast("long").alias("r")
+    )
+    e_deg = edges.join(deg, "u")
+    for _ in range(3):
+        ranks = (
+            e_deg.join(ranks, e_deg["u"] == ranks["node"])
+            .select("v", F.expr("r div d").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("v").alias("node"),
+                (F.lit(150_000) + F.expr("(85 * s) div 100"))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
 @register(
     "x_unpivot",
     sql=f"""

@@ -60,3 +60,52 @@ def write_hypercube(
     per-gpubox file split). Partition values must be low-cardinality —
     obsid and coarse channel, never time or baseline."""
     vis.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_files: int | None = None,
+    target_file_bytes: int = 256 << 20,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Small-files compaction: rewrite a fragmented parquet directory
+    into ``target_files`` right-sized files (default sized from the
+    input bytes at ``target_file_bytes`` per file, the 100-TB-friendly
+    128-512 MiB band).
+
+    The small-files problem is the classic long-running-ingest failure
+    mode — streaming appends and per-partition writers leave thousands
+    of KiB-scale files whose open/footer overhead dominates scans and
+    whose listing stalls the driver. Compaction here is one
+    ``repartition`` (round-robin, so output files are uniform) feeding
+    an executor-parallel rewrite; the driver only lists file metadata
+    to size the job. Returns {files_before, files_after, bytes}.
+    """
+    import glob
+    import os
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)
+        if not os.path.basename(f).startswith("_")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    if target_files is None:
+        target_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(src_path)
+    w = df.repartition(target_files).write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(dst_path)
+    after = [
+        f
+        for f in glob.glob(os.path.join(dst_path, "**", "*.parquet"), recursive=True)
+        if not os.path.basename(f).startswith("_")
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total,
+    }

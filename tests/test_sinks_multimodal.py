@@ -14,7 +14,12 @@ from mwa_uvdata_pipeline_spark.operators.multimodal import (
     sample_frames,
 )
 from mwa_uvdata_pipeline_spark.plans import table
-from mwa_uvdata_pipeline_spark.sinks import read_tsv, write_hypercube, write_tsv
+from mwa_uvdata_pipeline_spark.sinks import (
+    compact_parquet,
+    read_tsv,
+    write_hypercube,
+    write_tsv,
+)
 from tests.conftest import SF_SMALL
 
 
@@ -38,6 +43,21 @@ def test_hypercube_layout_prunes(spark, vis, tmp_path):
     # partition pruning: a chan predicate must reach PartitionFilters
     plan = back.where(F.col("chan") == 3)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(chan" in plan
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    ev = table(spark, SF_SMALL, "events")
+    ev.repartition(64).write.parquet(src)
+    stats = compact_parquet(spark, src, dst, target_files=4)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 4
+    before = spark.read.parquet(src)
+    after = spark.read.parquet(dst)
+    assert after.schema == before.schema
+    key = [F.sum("event_id"), F.count(F.lit(1)), F.sum(F.crc32(F.col("props")))]
+    assert after.agg(*key).collect() == before.agg(*key).collect()
 
 
 def test_decode_media_one_row_per_input(spark):
