@@ -1156,6 +1156,46 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_udtf_word_windows",
+    sql="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(i // 10 AS INTEGER) AS win_idx,
+           array_to_string(w[i + 1 : i + 20], ' ') AS window_text
+    FROM t, UNNEST(range(0, CAST(len(w) AS BIGINT), 10)) AS u(i)
+    """,
+    doc="Python UDTF surface (§2.11): word-level sliding windows "
+        "(20 words, stride 10) emitted by a table function consumed "
+        "via LATERAL join — the arrow-serialized UDTF path new in "
+        "Spark 4, complementing the DataSource, mapInPandas, and "
+        "applyInPandasWithState extension points. The same windows are "
+        "SQL-expressible (the oracle proves it), so the registered "
+        "entry doubles as a correctness pin on the UDTF bridge itself: "
+        "per-row fan-out, ordering, and string round-trip. Splits on "
+        "single spaces exactly like the oracle's string_split.",
+)
+def x_udtf_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="win_idx int, window_text string")
+    class WordWindows:
+        def eval(self, text: str):
+            words = (text or "").split(" ")
+            for s in range(0, len(words), 10):
+                yield s // 10, " ".join(words[s : s + 20])
+
+    spark.udtf.register("word_windows", WordWindows)
+    view = f"docs_{uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT d.doc_id, t.win_idx, t.window_text "
+        f"FROM {view} d, LATERAL word_windows(d.text) t"
+    )
+
+
+@register(
     "t_common_ngrams",
     sql="""
     WITH bg AS (
