@@ -187,6 +187,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard — the 100 TB path for near-dup is dedup_minhash_buckets
     (LSH candidates, no pairwise join), with this operator as the
     exact verifier on candidates.
+
+    Measured negative result (round 3): prefix filtering (SSJoin /
+    PPJoin — index only each doc's first |d|-ceil(t|d|)+1 tokens in
+    hash order, verify survivors with array_intersect) was tried and
+    LOST on this corpus: 291k candidate pairs survive the prefix at
+    sf0.1 because the synthetic vocabulary is tiny and uniform — no
+    rare shingles, so prefixes prune nothing and the per-candidate
+    set intersect costs more than the join+partial-agg it replaced
+    (3.0s vs 1.3s warm). Prefix filtering is the right upgrade only
+    under a Zipfian shingle distribution; on near-uniform token sets
+    the posting join with map-side combine wins.
     """
     t = 0.6
     docs = table(spark, sf_dir, "documents")
