@@ -443,6 +443,53 @@ def stream_foreachbatch_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_exec",
+    sql="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful operator (applyInPandasWithState) EXECUTED as "
+        "a query: per-user running totals stream in update mode, and "
+        "the final state — the last update per user, recovered as the "
+        "MAX over the monotone update log — must hash-match the batch "
+        "GROUP BY. Works because the state accumulates exact integer "
+        "cents: an exact accumulator makes the fixpoint independent of "
+        "micro-batch boundaries, which is what makes arbitrary "
+        "stateful logic oracle-checkable (SURVEY §2.12).",
+)
+def stream_stateful_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        replay_events,
+        run_to_memory,
+        stream_user_running_totals,
+    )
+
+    out = tempfile.mkdtemp(prefix="ev_replay_")
+    replay_events(table(spark, sf_dir, "events"), out, n_files=4)
+    sink = f"ss_sink_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            stream_user_running_totals(spark, f"{out}/part*"),
+            sink,
+            output_mode="update",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(
+        f"SELECT user_id, MAX(n_events) AS n_events, "
+        f"MAX(sum_cents) AS sum_cents FROM {sink} GROUP BY user_id"
+    )
+
+
+@register(
     "stream_interval_join_exec",
     sql="""
     SELECT v.event_id AS view_id, p.event_id AS purchase_id

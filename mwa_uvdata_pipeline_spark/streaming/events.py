@@ -184,18 +184,31 @@ def stream_user_running_totals(
     """Custom stateful operator via ``applyInPandasWithState``: running
     per-user event count + value sum across micro-batches. State is one
     small tuple per user, sharded by the groupBy key across the cluster;
-    emits the updated total each batch (update mode)."""
+    emits the updated total each batch (update mode).
+
+    The value accumulator is INTEGER CENTS, not a float: an exact
+    accumulator makes the final state independent of micro-batch
+    boundaries and accumulation order, which is what lets
+    ``stream_stateful_exec`` gate this operator against a batch SQL
+    oracle — and is the right practice for any restart-tolerant
+    streaming aggregate."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        n, sv = state.get if state.exists else (0, 0.0)
+        n, sc = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            sv += float(pdf["value"].sum())
-        state.update((n, sv))
+            # floor(x*100 + 0.5): SQL ROUND half-up for the non-negative
+            # values here; pandas .round() is banker's and would differ
+            # on exact .5 cents
+            sc += int(
+                pdf["value"].mul(100).add(0.5).pipe(np.floor).astype("int64").sum()
+            )
+        state.update((n, sc))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [sv]}
+            {"user_id": [key[0]], "n_events": [n], "sum_cents": [sc]}
         )
 
     return (
@@ -203,8 +216,8 @@ def stream_user_running_totals(
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
-            outputStructType="user_id long, n_events long, sum_value double",
-            stateStructType="n long, sv double",
+            outputStructType="user_id long, n_events long, sum_cents long",
+            stateStructType="n long, sc long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
