@@ -580,6 +580,46 @@ def j9_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_argmax",
+    sql="""
+    SELECT user_id, event_type AS top_type, value AS top_value,
+           event_id AS top_event_id
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY value DESC, event_id DESC)
+                        AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    doc="Arg-max aggregation: each user's highest-value event (type, "
+        "value, id) via max_by keyed on a (value, event_id) struct — "
+        "the struct ordering makes ties deterministic, which is the "
+        "difference between max_by being safe and being flaky at "
+        "scale. One hash aggregate with map-side partials; the oracle "
+        "states the same thing as a ranking window, so the green row "
+        "also pins Spark's struct-ordering semantics against SQL "
+        "DESC/DESC ordering.",
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    key = F.struct("value", "event_id")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr("max_by(event_type, struct(value, event_id))").alias(
+                "top_type"
+            ),
+            F.max(key).alias("m"),
+        )
+        .select(
+            "user_id",
+            "top_type",
+            F.col("m.value").alias("top_value"),
+            F.col("m.event_id").alias("top_event_id"),
+        )
+    )
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
