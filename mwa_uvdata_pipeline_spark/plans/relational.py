@@ -653,6 +653,96 @@ def o6_except_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.exceptAll(ords.distinct()).distinct()
 
 
+@register(
+    "o7_intersect",
+    sql="""
+    SELECT c_custkey AS k FROM customer
+    INTERSECT
+    SELECT o_custkey AS k FROM orders
+    """,
+    doc="O7 set-intersection, completing the set-op family (O4 union, "
+        "O5 equality, O6 difference): customers that placed at least "
+        "one order, as INTERSECT rather than a semi-join. Spark plans "
+        "intersect as a left-semi hash join over distinct inputs — "
+        "same single-shuffle cost profile as EXCEPT.",
+)
+def o7_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ords = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return cust.intersect(ords)
+
+
+@register(
+    "w7_dist_rank",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey),
+                 9) AS pr,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey),
+                 9) AS cd
+    FROM orders
+    """,
+    doc="Distribution-rank windows (percent_rank / cume_dist), "
+        "completing the W5 ranking family: per-priority price "
+        "percentile position of every order. Ordering carries the "
+        "unique orderkey tiebreak so frame boundaries are "
+        "deterministic; one shuffle on the partition key, single "
+        "sorted pass per partition. Rounded to 9 dp because both are "
+        "ratios of integers and the engines' division must agree "
+        "after rounding.",
+)
+def w7_dist_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
+
+
+@register(
+    "x_sequence_gaps",
+    sql="""
+    SELECT event_id + 1 AS gap_start, next_id - 1 AS gap_end,
+           next_id - event_id - 1 AS n_missing
+    FROM (SELECT event_id,
+                 LEAD(event_id) OVER (ORDER BY event_id) AS next_id
+          FROM events WHERE event_type <> 'error')
+    WHERE next_id > event_id + 1
+    """,
+    doc="Sequence-gap detection (data-quality audit): ranges of "
+        "missing ids in the event_id sequence via a single LEAD over "
+        "the sorted ids — the gaps-and-islands complement of "
+        "ev_sessionize (audited over the non-error stream, whose ids "
+        "genuinely have holes where errors fell). "
+        "The global orderBy is the honest cost: a "
+        "range-partitioned sort (Spark samples boundaries, so the "
+        "'window over everything' is really a parallel sort + "
+        "per-partition scan with one boundary row exchanged); output "
+        "is only the gaps, which is what makes the audit cheap to "
+        "store at any scale.",
+)
+def x_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("event_id")
+    ids = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") != "error")
+        .select("event_id")
+    )
+    return (
+        ids.withColumn("next_id", F.lead("event_id").over(w))
+        .where(F.col("next_id") > F.col("event_id") + 1)
+        .select(
+            (F.col("event_id") + 1).alias("gap_start"),
+            (F.col("next_id") - 1).alias("gap_end"),
+            (F.col("next_id") - F.col("event_id") - 1).alias("n_missing"),
+        )
+    )
+
+
 # ------------------------------------------------------------- scalars
 
 @register(
