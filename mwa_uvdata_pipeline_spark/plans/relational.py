@@ -532,7 +532,10 @@ def w2_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT DISTINCT o_orderdate AS d FROM orders)
     """,
     doc="W2 time-slice chunking: ntile over the distinct time grid "
-        "(reference processors.py:165-172 step_size batching).",
+        "(reference processors.py:165-172 step_size batching). The "
+        "unpartitioned window is safe HERE because its input is the "
+        "distinct date grid — bounded by the calendar, not the "
+        "corpus — unlike x_sequence_gaps, which buckets first.",
 )
 def w2_ntile_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("order_date")
@@ -714,32 +717,49 @@ def w7_dist_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE next_id > event_id + 1
     """,
     doc="Sequence-gap detection (data-quality audit): ranges of "
-        "missing ids in the event_id sequence via a single LEAD over "
-        "the sorted ids — the gaps-and-islands complement of "
-        "ev_sessionize (audited over the non-error stream, whose ids "
-        "genuinely have holes where errors fell). "
-        "The global orderBy is the honest cost: a "
-        "range-partitioned sort (Spark samples boundaries, so the "
-        "'window over everything' is really a parallel sort + "
-        "per-partition scan with one boundary row exchanged); output "
-        "is only the gaps, which is what makes the audit cheap to "
-        "store at any scale.",
+        "missing ids in the event_id sequence — the gaps-and-islands "
+        "complement of ev_sessionize (audited over the non-error "
+        "stream, whose ids genuinely have holes where errors fell). "
+        "A naive global-LEAD formulation puts the whole corpus in ONE "
+        "window partition (Spark executes an unpartitioned window "
+        "single-threaded); instead ids are bucketed by value range, "
+        "LEAD runs per bucket in parallel, and bucket-boundary gaps "
+        "come from a second window over the per-bucket min/max table "
+        "— corpus/bucket_width rows, the only single-partition step. "
+        "Same output, shuffle O(rows), parallelism corpus-wide; "
+        "bucket_w is the knob (size it so the bucket table stays "
+        "trivial, e.g. 1e8 ids per bucket at 100 TB).",
 )
 def x_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("event_id")
+    bucket_w = 4096  # small so the tests exercise >1 bucket; see doc
     ids = (
         table(spark, sf_dir, "events")
         .where(F.col("event_type") != "error")
         .select("event_id")
+        .withColumn("b", F.expr(f"event_id div {bucket_w}"))
     )
-    return (
-        ids.withColumn("next_id", F.lead("event_id").over(w))
+    w_in = Window.partitionBy("b").orderBy("event_id")
+    within = (
+        ids.withColumn("next_id", F.lead("event_id").over(w_in))
         .where(F.col("next_id") > F.col("event_id") + 1)
+        .select("event_id", "next_id")
+    )
+    bounds = ids.groupBy("b").agg(
+        F.min("event_id").alias("first_id"), F.max("event_id").alias("last_id")
+    )
+    w_b = Window.orderBy("b")
+    boundary = (
+        bounds.withColumn("next_first", F.lead("first_id").over(w_b))
+        .where(F.col("next_first") > F.col("last_id") + 1)
         .select(
-            (F.col("event_id") + 1).alias("gap_start"),
-            (F.col("next_id") - 1).alias("gap_end"),
-            (F.col("next_id") - F.col("event_id") - 1).alias("n_missing"),
+            F.col("last_id").alias("event_id"),
+            F.col("next_first").alias("next_id"),
         )
+    )
+    return within.unionByName(boundary).select(
+        (F.col("event_id") + 1).alias("gap_start"),
+        (F.col("next_id") - 1).alias("gap_end"),
+        (F.col("next_id") - F.col("event_id") - 1).alias("n_missing"),
     )
 
 
