@@ -1,0 +1,64 @@
+"""Command-line entry point: list and run registry queries.
+
+The reference declares a console script (its pyproject.toml:19-20 —
+the target ``main`` doesn't exist there; this implements the surface
+it promises). Usage:
+
+    python -m mwa_uvdata_pipeline_spark list [substring]
+    python -m mwa_uvdata_pipeline_spark run <entry> [--sf-dir DIR]
+        [--limit N] [--explain]
+
+``run`` prints the result as tab-separated rows (the reference's TSV
+convention); ``--explain`` prints the formatted physical plan instead
+of executing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="mwa_uvdata_pipeline_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p_list = sub.add_parser("list", help="list registry entries")
+    p_list.add_argument("filter", nargs="?", default="")
+    p_run = sub.add_parser("run", help="run one entry")
+    p_run.add_argument("entry")
+    p_run.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_run.add_argument("--limit", type=int, default=20)
+    p_run.add_argument("--explain", action="store_true")
+    args = ap.parse_args(argv)
+
+    from mwa_uvdata_pipeline_spark.plans import load_all
+
+    plans = load_all()
+
+    if args.cmd == "list":
+        for name, p in sorted(plans.items()):
+            if args.filter in name:
+                doc = (p.doc or "").split(". ")[0][:70]
+                print(f"{name}\t{doc}")
+        return 0
+
+    if args.entry not in plans:
+        print(f"unknown entry {args.entry!r}; try: list", file=sys.stderr)
+        return 2
+
+    from mwa_uvdata_pipeline_spark.session import get_spark
+
+    spark = get_spark("cli")
+    df = plans[args.entry].spark(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    rows = df.limit(args.limit).collect()
+    print("\t".join(df.columns))
+    for r in rows:
+        print("\t".join(str(v) for v in r))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
