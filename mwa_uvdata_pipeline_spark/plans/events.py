@@ -581,6 +581,48 @@ def j9_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_markov_transitions",
+    sql="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events),
+    n AS (SELECT from_type, to_type, COUNT(*) AS n
+          FROM seq WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE),
+                 6) AS p
+    FROM n
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences: LEAD pairs consecutive events within each user's "
+        "timeline (unique event_id tiebreak), one hash aggregate "
+        "counts transitions, and row-normalization is a window over "
+        "the |types|^2-row count table — so the only corpus-sized "
+        "shuffle is the user_id sequence window, shared shape with "
+        "ev_sessionize/ev_funnel. The transition matrix is the "
+        "session-model / next-event-prediction primitive.",
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    n = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("from_type")
+    return n.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 6).alias("p"),
+    )
+
+
+@register(
     "agg_argmax",
     sql="""
     SELECT user_id, event_type AS top_type, value AS top_value,

@@ -824,6 +824,100 @@ def e_knn_within_label_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 4          # subspaces (64-dim → 4 x 16)
+_PQ_SUB = 16
+_PQ_EVERY = 50     # sub-codebook seeds: vec_id % 50 == 0
+
+
+@register(
+    "e_pq_codes",
+    sql=f"""
+    WITH cent AS (SELECT vec_id AS c_id, embedding AS ce
+                  FROM embeddings WHERE vec_id % {_PQ_EVERY} = 0),
+    sub AS (SELECT vec_id,
+                   m,
+                   embedding[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}]
+                       AS sv
+            FROM embeddings, UNNEST([0, 1, 2, 3]) AS u(m)),
+    csub AS (SELECT c_id, m,
+                    ce[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}] AS cv
+             FROM cent, UNNEST([0, 1, 2, 3]) AS u(m)),
+    scored AS (
+        SELECT vec_id, m, c_id,
+               ROUND(list_sum(list_transform(list_zip(sv, cv),
+                     p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+                     9) AS d
+        FROM sub JOIN csub USING (m)),
+    best AS (SELECT vec_id, m, c_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d, c_id) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT vec_id,
+           MAX(CASE WHEN m = 0 THEN c_id END) AS code0,
+           MAX(CASE WHEN m = 1 THEN c_id END) AS code1,
+           MAX(CASE WHEN m = 2 THEN c_id END) AS code2,
+           MAX(CASE WHEN m = 3 THEN c_id END) AS code3
+    FROM best GROUP BY vec_id
+    """,
+    doc=f"Product quantization encode (Jégou et al., PAMI'11): each "
+        f"embedding splits into {_PQ_M} subspaces of {_PQ_SUB} dims; "
+        "per subspace the nearest sub-centroid id (exact squared-L2, "
+        "deterministic id tiebreak) becomes one byte-ish code — the "
+        "compressed representation ANN indexes store instead of raw "
+        "vectors (64 floats → 4 codes). Codebooks are seeded "
+        "deterministically like sim_ivf_topk and BROADCAST; scoring "
+        "is map-side (rows x M x K fan-out, no shuffle until the "
+        "per-vector argmin), so encode throughput scales linearly "
+        "with executors at any corpus size.",
+)
+def e_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    ms = F.array([F.lit(i) for i in range(_PQ_M)])
+    sub = emb.select(
+        "vec_id", F.explode(ms).alias("m"), F.col("embedding").alias("e")
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(e, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"),
+    )
+    csub = (
+        emb.where(F.col("vec_id") % _PQ_EVERY == 0)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.explode(ms).alias("m"),
+            F.col("embedding").alias("ce"),
+        )
+        .select(
+            "c_id",
+            "m",
+            F.expr(f"slice(ce, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv"),
+        )
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("cv"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = sub.join(F.broadcast(csub), "m").select(
+        "vec_id", "m", "c_id", F.round(diff2, 9).alias("d")
+    )
+    best = scored.groupBy("vec_id", "m").agg(
+        F.expr("min_by(c_id, struct(d, c_id))").alias("code")
+    )
+    out = best.groupBy("vec_id").pivot("m", list(range(_PQ_M))).agg(
+        F.first("code")
+    )
+    return out.select(
+        "vec_id", *[F.col(str(i)).alias(f"code{i}") for i in range(_PQ_M)]
+    )
+
+
 _IVF_EVERY = 50   # centroid seeds: vec_id % 50 == 0 → 10 clusters at sf0.01
 _IVF_NPROBE = 2
 _IVF_K = 5
