@@ -828,14 +828,11 @@ _PQ_M = 4          # subspaces (64-dim → 4 x 16)
 _PQ_SUB = 16
 _PQ_EVERY = 50     # sub-codebook seeds: vec_id % 50 == 0
 
-
-@register(
-    "e_pq_codes",
-    sql=f"""
-    WITH cent AS (SELECT vec_id AS c_id, embedding AS ce
-                  FROM embeddings WHERE vec_id % {_PQ_EVERY} = 0),
-    sub AS (SELECT vec_id,
-                   m,
+# shared encode CTEs: sub-codebooks, per-subspace scoring, argmin codes
+_PQ_SQL_CTES = f"""
+    cent AS (SELECT vec_id AS c_id, embedding AS ce
+             FROM embeddings WHERE vec_id % {_PQ_EVERY} = 0),
+    sub AS (SELECT vec_id, m,
                    embedding[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}]
                        AS sv
             FROM embeddings, UNNEST([0, 1, 2, 3]) AS u(m)),
@@ -853,6 +850,13 @@ _PQ_EVERY = 50     # sub-codebook seeds: vec_id % 50 == 0
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
                                      ORDER BY d, c_id) AS rn
         FROM scored) WHERE rn = 1)
+"""
+
+
+@register(
+    "e_pq_codes",
+    sql=f"""
+    WITH {_PQ_SQL_CTES}
     SELECT vec_id,
            MAX(CASE WHEN m = 0 THEN c_id END) AS code0,
            MAX(CASE WHEN m = 1 THEN c_id END) AS code1,
@@ -915,6 +919,105 @@ def e_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "vec_id", *[F.col(str(i)).alias(f"code{i}") for i in range(_PQ_M)]
+    )
+
+
+_PQ_K = 5
+
+
+@register(
+    "sim_pq_adc_topk",
+    sql=f"""
+    WITH {_PQ_SQL_CTES},
+    lut AS (
+        SELECT q.vec_id AS q_id, cs.m, cs.c_id,
+               CAST(ROUND(list_sum(list_transform(
+                     list_zip(q.embedding[cs.m * {_PQ_SUB} + 1
+                                          : cs.m * {_PQ_SUB} + {_PQ_SUB}],
+                              cs.cv),
+                     p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+                     * 1000000) AS BIGINT) AS d_micro
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+        CROSS JOIN csub cs),
+    adc AS (
+        SELECT lut.q_id, best.vec_id,
+               CAST(SUM(lut.d_micro) AS BIGINT) AS adc_micro
+        FROM best JOIN lut ON best.m = lut.m AND best.c_id = lut.c_id
+        GROUP BY lut.q_id, best.vec_id)
+    SELECT q_id, vec_id, adc_micro, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY adc_micro, vec_id) AS rk
+        FROM adc)
+    WHERE rk <= {_PQ_K}
+    """,
+    doc=f"PQ asymmetric-distance search (the ADC query path of Jégou "
+        "et al.): each query precomputes a (subspace x sub-centroid) "
+        "distance lookup table — INTEGER micro-units, so the 4-term "
+        "ADC sum is exact and order-free across engines — and every "
+        "database vector's approximate distance is the sum of its "
+        f"codes' LUT entries; top-{_PQ_K} per query. At scale the LUT "
+        "is queries x M x K rows (broadcast), codes are 4 ints per "
+        "vector, and scoring never touches raw vectors — the whole "
+        "point of PQ: the scan reads the compact code table, not the "
+        "float embeddings. Completes the encode (e_pq_codes) / "
+        "search pair.",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    ms = F.array([F.lit(i) for i in range(_PQ_M)])
+    csub = (
+        emb.where(F.col("vec_id") % _PQ_EVERY == 0)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.explode(ms).alias("m"),
+            F.col("embedding").alias("ce"),
+        )
+        .select(
+            "c_id",
+            "m",
+            F.expr(f"slice(ce, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv"),
+        )
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = (
+        q.crossJoin(F.broadcast(csub))
+        .withColumn("qv", F.expr(f"slice(qe, m * {_PQ_SUB} + 1, {_PQ_SUB})"))
+        .select(
+            "q_id",
+            "m",
+            "c_id",
+            F.round(diff2 * 1_000_000).cast("long").alias("d_micro"),
+        )
+    )
+    codes = e_pq_codes(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            "stack(4, 0, code0, 1, code1, 2, code2, 3, code3) AS (m, c_id)"
+        ),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "c_id"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d_micro").cast("long").alias("adc_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_micro", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= _PQ_K)
+        .select("q_id", "vec_id", "adc_micro", "rk")
     )
 
 

@@ -27,6 +27,7 @@ BNLJ_ALLOWED = {
     "q22_dormant_customers": "broadcast scalar avg balance (single-row agg)",
     "sim_cosine_topk": "broadcast fixed query set (k query vectors)",
     "sim_ivf_topk": "broadcast centroid table (k centroids)",
+    "sim_pq_adc_topk": "LUT build: queries x sub-codebook, both fixed-size",
     "t_tfidf_top3": "broadcast corpus row count (single-row agg)",
 }
 
