@@ -64,16 +64,20 @@ def epoch_us(df: DataFrame, colname: str = "ts"):
 
     ``F.unix_micros`` only accepts TIMESTAMP (with local time zone);
     the test tables carry TIMESTAMP_NTZ, where the naive wall time IS
-    the UTC instant (DuckDB's ``epoch_us`` convention). Interpreting
-    the naive value as UTC via ``to_utc_timestamp`` is session-tz
-    independent; for an LTZ column ``unix_micros`` applies directly.
+    the UTC instant (DuckDB's ``epoch_us`` convention). The NTZ path
+    is a pure wall-clock difference from the NTZ epoch literal —
+    genuinely session-tz independent (``to_utc_timestamp`` would first
+    implicitly cast NTZ→LTZ through the session zone, which is only
+    correct under a pinned UTC session).
     """
     from pyspark.sql import functions as F
 
-    c = F.col(colname)
     if dict(df.dtypes).get(colname) == "timestamp_ntz":
-        c = F.to_utc_timestamp(c, "UTC")
-    return F.unix_micros(c)
+        return F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {colname})"
+        )
+    return F.unix_micros(F.col(colname))
 
 
 def _driver_verified() -> set[str]:

@@ -453,10 +453,11 @@ def stream_foreachbatch_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Custom stateful operator (applyInPandasWithState) EXECUTED as "
         "a query: per-user running totals stream in update mode, and "
-        "the final state — the last update per user, recovered as the "
-        "MAX over the monotone update log — must hash-match the batch "
-        "GROUP BY. Works because the state accumulates exact integer "
-        "cents: an exact accumulator makes the fixpoint independent of "
+        "the final state — the last update per user, recovered via "
+        "max_by keyed on the strictly-increasing per-user update "
+        "sequence n_events — must hash-match the batch GROUP BY. "
+        "Works because the state accumulates exact integer cents: an "
+        "exact accumulator makes the fixpoint independent of "
         "micro-batch boundaries, which is what makes arbitrary "
         "stateful logic oracle-checkable (SURVEY §2.12).",
 )
@@ -483,9 +484,14 @@ def stream_stateful_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # last-write-per-key: n_events is the per-user update sequence
+    # (strictly increasing — every emitted update has seen >= 1 more
+    # event), so max_by keys the latest state without assuming
+    # sum_cents itself is monotone (it isn't if values can be negative)
     return spark.sql(
         f"SELECT user_id, MAX(n_events) AS n_events, "
-        f"MAX(sum_cents) AS sum_cents FROM {sink} GROUP BY user_id"
+        f"max_by(sum_cents, n_events) AS sum_cents "
+        f"FROM {sink} GROUP BY user_id"
     )
 
 

@@ -86,6 +86,19 @@ def compact_parquet(
     import glob
     import os
 
+    src_abs = os.path.abspath(src_path)
+    dst_abs = os.path.abspath(dst_path)
+    if dst_abs == src_abs or dst_abs.startswith(src_abs + os.sep):
+        # the read is lazy: overwrite into (or inside) the source would
+        # clobber input files mid-rewrite and lose data
+        raise ValueError(
+            f"compact_parquet destination {dst_path!r} overlaps source "
+            f"{src_path!r}; write to a sibling directory and swap"
+        )
+    # NOTE: sizing/counting uses driver-local glob, so it only sees
+    # local paths — on an object store these counts read as 0 and
+    # target_files must be passed explicitly (the rewrite itself is
+    # path-scheme agnostic).
     files = [
         f
         for f in glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)

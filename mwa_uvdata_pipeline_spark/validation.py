@@ -21,6 +21,11 @@ OnError = Literal["raise", "warn", "ignore"]
 
 _REPORT_SCHEMA = "rule string, severity string, message string"
 
+# Offender lists are sampled, never collected whole: a 100-TB lake's
+# catalog is itself large, so the report carries the exact violation
+# COUNT plus a deterministic (sorted) sample of this many examples.
+OFFENDER_SAMPLE = 20
+
 
 def validation_report(spark: SparkSession, catalog: DataFrame) -> DataFrame:
     """Run V1-V8 over a file catalog; one report row per violation.
@@ -47,9 +52,16 @@ def validation_report(spark: SparkSession, catalog: DataFrame) -> DataFrame:
     # metafits list must be non-empty per obsid, not merely the group dict)
     fits_obsids = cat.where(F.col("file_type") == "fits").select("obsid").distinct()
     meta_obsids = cat.where(F.col("file_type") == "metafits").select("obsid").distinct()
-    missing = [r["obsid"] for r in fits_obsids.join(meta_obsids, "obsid", "left_anti").collect()]
-    for obsid in sorted(missing):
-        rows.append(("V3", "error", f"obsid {obsid} has no metafits"))
+    missing_df = fits_obsids.join(meta_obsids, "obsid", "left_anti")
+    n_missing = missing_df.count()
+    for r in missing_df.orderBy("obsid").limit(OFFENDER_SAMPLE).collect():
+        rows.append(("V3", "error", f"obsid {r['obsid']} has no metafits"))
+    if n_missing > OFFENDER_SAMPLE:
+        rows.append((
+            "V3", "error",
+            f"... and {n_missing - OFFENDER_SAMPLE} more obsids without "
+            f"metafits ({n_missing} total)",
+        ))
 
     # V4: no unsupported types (configurators.py:164-168)
     for t in sorted(set(type_counts) - set(SUPPORTED_TYPES)):
@@ -69,12 +81,18 @@ def validation_report(spark: SparkSession, catalog: DataFrame) -> DataFrame:
     # V8: every fits filename yields a channel (processors.py:121-129 →
     # utils.py:61-78 error paths). Requires resolve_channels to have run.
     if "channel" in cat.columns:
-        offenders = (
-            cat.where((F.col("file_type") == "fits") & F.col("channel").isNull())
-            .select("file_name").collect()
-        )
-        for r in sorted(x["file_name"] for x in offenders):
-            rows.append(("V8", "error", f"no channel derivable from {r}"))
+        off_df = cat.where(
+            (F.col("file_type") == "fits") & F.col("channel").isNull()
+        ).select("file_name")
+        n_off = off_df.count()
+        for r in off_df.orderBy("file_name").limit(OFFENDER_SAMPLE).collect():
+            rows.append(("V8", "error", f"no channel derivable from {r['file_name']}"))
+        if n_off > OFFENDER_SAMPLE:
+            rows.append((
+                "V8", "error",
+                f"... and {n_off - OFFENDER_SAMPLE} more files without a "
+                f"derivable channel ({n_off} total)",
+            ))
 
     cat.unpersist()
     return spark.createDataFrame(rows, _REPORT_SCHEMA) if rows else \
