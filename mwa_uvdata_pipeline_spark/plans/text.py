@@ -573,10 +573,10 @@ _EMB_LSH_BITS = 4
 _EMB_COS_T = 0.35
 
 
-def _emb_lsh_key(e: Column, t: int) -> Column:
+def _emb_lsh_key(e: Column, t: int, bits: int = _EMB_LSH_BITS) -> Column:
     key = F.lit(0)
-    for j in range(_EMB_LSH_BITS):
-        key = key + (e.getItem(t * _EMB_LSH_BITS + j) > 0).cast("int") * (1 << j)
+    for j in range(bits):
+        key = key + (e.getItem(t * bits + j) > 0).cast("int") * (1 << j)
     return key
 
 
@@ -717,6 +717,40 @@ def exact_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_K = 3
+_KNN_LSH_TABLES = 4
+_KNN_LSH_BITS_MIN = 4    # the SQL-twin instantiation (holds at sf<=0.01)
+_KNN_BUCKET_TARGET = 4   # desired rows per (label, table, bucket)
+
+
+def _knn_lsh_bits(n_rows: int, n_labels: int) -> int:
+    """Sub-bucket width control: bits grow with the average label-block
+    size so a (label, table, bucket) cell stays ~``_KNN_BUCKET_TARGET``
+    rows regardless of corpus scale. Candidate volume is then
+    ~ N * tables * target — linear in N — instead of sum(B_label^2).
+    Clamped to 16 so 4 tables x 16 bits fit the 64-dim embeddings;
+    at the floor (sf<=0.01 block sizes) this is exactly the static
+    4-bit SQL twin."""
+    import math
+
+    b_avg = n_rows / max(n_labels, 1)
+    return max(
+        _KNN_LSH_BITS_MIN,
+        min(16, math.ceil(math.log2(max(b_avg / _KNN_BUCKET_TARGET, 2.0)))),
+    )
+
+
+def _sql_knn_lsh_keyed() -> str:
+    """UNION ALL of one (label-carrying) keyed projection per hash
+    table at the 4-bit floor instantiation (DuckDB arrays 1-indexed)."""
+    bits = _KNN_LSH_BITS_MIN
+    selects = []
+    for t in range(_KNN_LSH_TABLES):
+        expr = " + ".join(
+            f"CAST(embedding[{t * bits + j + 1}] > 0 AS INT) * {1 << j}"
+            for j in range(bits)
+        )
+        selects.append(f"SELECT vec_id, label, {t} AS t, {expr} AS k FROM n")
+    return "\nUNION ALL\n".join(selects)
 
 
 @register(
@@ -726,12 +760,19 @@ _KNN_K = 3
         SELECT vec_id, label, embedding,
                sqrt({_SQL_DOT.format(a="embedding", b="embedding")}) AS nrm
         FROM embeddings),
+    keyed AS ({_sql_knn_lsh_keyed()}),
+    cand AS (
+        SELECT DISTINCT a.vec_id, b.vec_id AS nn_id
+        FROM keyed a JOIN keyed b
+          ON a.label = b.label AND a.t = b.t AND a.k = b.k
+         AND a.vec_id <> b.vec_id),
     p AS (
-        SELECT a.vec_id, b.vec_id AS nn_id,
-               ROUND({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
-                     / (a.nrm * b.nrm), 6) AS cos_sim
-        FROM n a JOIN n b
-          ON a.label = b.label AND a.vec_id <> b.vec_id)
+        SELECT c.vec_id, c.nn_id,
+               ROUND({_SQL_DOT.format(a="q.embedding", b="v.embedding")}
+                     / (q.nrm * v.nrm), 6) AS cos_sim
+        FROM cand c
+        JOIN n q ON c.vec_id = q.vec_id
+        JOIN n v ON c.nn_id = v.vec_id)
     SELECT vec_id, CAST(nn_rank AS INTEGER) AS nn_rank, nn_id, cos_sim
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                        ORDER BY cos_sim DESC, nn_id)
@@ -740,24 +781,99 @@ _KNN_K = 3
     WHERE nn_rank <= {_KNN_K}
     """,
     bench=True,
-    doc=f"Blocked exact kNN: top-{_KNN_K} cosine neighbors per vector "
-        "WITHIN its label block — the metadata-blocked exact-search "
-        "pattern (group by shard/source/cluster, exact inside the "
-        "block). The pair generation is an equi-join on the label key, "
-        "so shuffle volume is O(rows) and all-pairs cost is bounded by "
-        "the largest block, never the corpus: at 100 TB with B-sized "
-        "blocks the cost is sum(B_i^2), controllable by blocking "
-        "granularity, vs N^2 for a global exact search. Ranking ties "
-        "break on the rounded score then neighbor id, so both engines "
-        "order identically. Executed as ONE groupBy(label).applyInPandas: "
-        "the whole block lands in a single Arrow batch and the Gram "
-        "matrix + per-row top-k run as one BLAS matmul in C — no "
-        "pair-row shuffle, no window over B² rows; measured 7.6x "
-        "faster than the per-pair expression-fold plan at sf0.1, which "
-        "is kept as e_knn_within_label_fold and equality-tested "
-        "(test_embedding_dedup.py).",
+    doc=f"Blocked kNN, LSH-sub-bucketed: top-{_KNN_K} cosine neighbors "
+        "per vector within its label block, with candidates generated "
+        "by sign-LSH INSIDE the label (4 tables, bit width adaptive "
+        "via _knn_lsh_bits) and only candidates exactly re-ranked. "
+        "The round-3 exact plan joined on label alone, so one task "
+        "carried a whole label block and cost sum(B_label^2) — the "
+        "all-pairs blow-up in disguise when labels are few (this "
+        "corpus has 10). Now the join key is (label, table, bucket): "
+        "per-cell work is bucket-width-bounded (~4 rows, held constant "
+        "by raising bits with block size), shuffle carries 4 small "
+        "ints per row, candidate volume is ~linear in N, and no task "
+        "ever sees a full label block. Recall is the standard "
+        "sign-LSH tradeoff; the exact twins remain available "
+        "unregistered (e_knn_exact_blocked for tiny-block audits, "
+        "e_knn_within_label_fold as the pure-DataFrame contract) with "
+        "the cutover documented: use exact within blocks that fit a "
+        "task, this plan or sim_ivf_topk/sim_pq_adc_topk beyond. The "
+        "SQL twin instantiates the 4-bit floor, which the adaptive "
+        "width yields at oracle scale (sf<=0.01).",
 )
 def e_knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("label").alias("l")
+    ).first()
+    bits = _knn_lsh_bits(stats["n"], stats["l"])
+    n = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    keyed = n.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _emb_lsh_key(F.col("embedding"), t, bits).alias("k"),
+                    )
+                    for t in range(_KNN_LSH_TABLES)
+                ]
+            )
+        ).alias("tk"),
+    ).select("vec_id", "label", F.col("tk.t").alias("t"), F.col("tk.k").alias("k"))
+    # candidate generation carries ids only (same discipline as
+    # dedup_embedding_cosine): the (label, t, k) self-join shuffles 4
+    # ints per row, distinct collapses multi-table hits before the
+    # exact re-rank pays for the vectors
+    cand = (
+        keyed.alias("ca")
+        .join(
+            keyed.alias("cb"),
+            (F.col("ca.label") == F.col("cb.label"))
+            & (F.col("ca.t") == F.col("cb.t"))
+            & (F.col("ca.k") == F.col("cb.k"))
+            & (F.col("ca.vec_id") != F.col("cb.vec_id")),
+        )
+        .select(F.col("ca.vec_id").alias("vec_id"), F.col("cb.vec_id").alias("nn_id"))
+        .distinct()
+    )
+    q = n.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    v = n.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("vn"),
+    )
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("vn")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
+    return (
+        cand.join(q, "vec_id")
+        .join(v, "nn_id")
+        .select("vec_id", "nn_id", cos.alias("cos_sim"))
+        .withColumn("nn_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("nn_rank") <= _KNN_K)
+        .select("vec_id", "nn_rank", "nn_id", "cos_sim")
+    )
+
+
+def e_knn_exact_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blocked kNN audit twin (the round-3 registered plan):
+    one groupBy(label).applyInPandas, whole block per Arrow batch, Gram
+    matrix + per-row top-k as one BLAS matmul. Deliberately NOT
+    registered: cost is sum(B_label^2) and the largest label block
+    bounds a single task's memory — correct and fast only while every
+    block fits a task (the documented exact-vs-ANN cutover; beyond it
+    use e_knn_within_label / sim_ivf_topk / sim_pq_adc_topk)."""
     import numpy as np
     import pandas as pd
 
@@ -788,12 +904,12 @@ def e_knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def e_knn_within_label_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audit twin of ``e_knn_within_label``: the same blocked kNN as a
-    pure DataFrame plan — label equi-join pair generation, exact
-    left-to-right fold dot product, ranking window. Deliberately NOT
-    registered (the Arrow/BLAS version is the production plan); the
-    equality test between the two pins the numeric contract (values
-    agree exactly after the 6-dp round)."""
+    """Exact blocked kNN as a pure DataFrame plan — label equi-join
+    pair generation, exact left-to-right fold dot product, ranking
+    window. Deliberately NOT registered (cost sum(B_label^2), see
+    ``e_knn_exact_blocked``); the equality test between the two exact
+    twins pins the numeric contract the registered LSH plan's re-rank
+    relies on (test_embedding_dedup.py)."""
     emb = table(spark, sf_dir, "embeddings")
     n = emb.select(
         "vec_id",
