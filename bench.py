@@ -6,12 +6,14 @@ Execution uses the noop sink so results are fully materialized without
 driver-collect overhead — the measured time is scan + shuffle + agg,
 i.e. what a cluster would do.
 
-Each query runs twice at the target SF: the headline value is the
-second (steady-state) run, matching long-running-executor behavior on
-a real cluster, where HotSpot has compiled the codegen'd loops. The
-first-run times are reported alongside under "queries_cold" (local[32]
-pays 3-10s of JIT per novel codegen path; measured: identical plans,
-8.7s first run vs 2.5s thereafter).
+Each query runs four times at the target SF: one cold run (reported
+under "queries_cold" — local[32] pays 3-10s of JIT per novel codegen
+path; measured: identical plans, 8.7s first run vs 2.5s thereafter)
+then three repeats whose MIN is the headline "queries" value, matching
+long-running-executor behavior on a real cluster where HotSpot has
+compiled the codegen'd loops. The cold run is never folded into the
+warm min; queries whose steady state is SLOWER than cold are called
+out under "warm_slower_than_cold" so warm-path regressions surface.
 """
 
 from __future__ import annotations
@@ -58,19 +60,22 @@ def main() -> None:
         t0 = time.perf_counter()
         p.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        # steady state = best across all four runs (first + three repeats).
-        # A single run can absorb a GC pause or noisy-neighbor stall —
-        # observed 10x swings on shared hosts; the min is what a
-        # long-running executor sustains, and including the first run
-        # keeps cache-substitution effects from making repeats the slower
-        # path for plans that persist intermediates.
-        dt = cold[name]
+        # warm = min of the three REPEAT runs only — the cold run is
+        # deliberately NOT folded in, so a genuine warm-path regression
+        # (e.g. cache substitution making repeats slower) surfaces as
+        # warm > cold instead of being masked by construction
+        dt = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             p.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
             dt = min(dt, time.perf_counter() - t0)
         timings[name] = round(dt, 3)
         total += dt
+    slower_warm = {
+        n: {"warm": timings[n], "cold": cold[n]}
+        for n in timings
+        if timings[n] > cold[n]
+    }
 
     print(
         json.dumps(
@@ -80,6 +85,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": cold,
+                "warm_slower_than_cold": slower_warm,
                 "sf": sf,
             }
         )

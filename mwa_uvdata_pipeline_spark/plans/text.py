@@ -608,6 +608,7 @@ def _sql_emb_lsh_keyed() -> str:
     WHERE ROUND({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
                 / (a.nrm * b.nrm), 6) >= {_EMB_COS_T}
     """,
+    bench=True,
     doc="Embedding-cosine near-dup (north-star dedup): candidate pairs "
         "from multi-table sign-LSH (4 tables x 4 sign bits, the "
         "OR-construction boosting recall), exact cosine >= threshold as "
@@ -943,11 +944,17 @@ def e_knn_within_label_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M = 4          # subspaces (64-dim → 4 x 16)
 _PQ_SUB = 16
 _PQ_EVERY = 50     # sub-codebook seeds: vec_id % 50 == 0
+# codebook seeds are CAPPED, not a corpus fraction: a %-only rule grows
+# the codebook linearly with N and turns encode (N x codebook) into
+# N^2/50 — real PQ/IVF trains a FIXED-size codebook. The cap is a
+# no-op at oracle/bench scale (max vec_id 1999) and binds beyond it.
+_CENT_CAP = 2500   # => at most 50 centroid seeds at any corpus size
 
 # shared encode CTEs: sub-codebooks, per-subspace scoring, argmin codes
 _PQ_SQL_CTES = f"""
     cent AS (SELECT vec_id AS c_id, embedding AS ce
-             FROM embeddings WHERE vec_id % {_PQ_EVERY} = 0),
+             FROM embeddings
+             WHERE vec_id % {_PQ_EVERY} = 0 AND vec_id < {_CENT_CAP}),
     sub AS (SELECT vec_id, m,
                    embedding[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}]
                        AS sv
@@ -1002,7 +1009,7 @@ def e_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"slice(e, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"),
     )
     csub = (
-        emb.where(F.col("vec_id") % _PQ_EVERY == 0)
+        emb.where((F.col("vec_id") % _PQ_EVERY == 0) & (F.col("vec_id") < _CENT_CAP))
         .select(
             F.col("vec_id").alias("c_id"),
             F.explode(ms).alias("m"),
@@ -1067,6 +1074,7 @@ _PQ_K = 5
         FROM adc)
     WHERE rk <= {_PQ_K}
     """,
+    bench=True,
     doc=f"PQ asymmetric-distance search (the ADC query path of Jégou "
         "et al.): each query precomputes a (subspace x sub-centroid) "
         "distance lookup table — INTEGER micro-units, so the 4-term "
@@ -1083,7 +1091,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     ms = F.array([F.lit(i) for i in range(_PQ_M)])
     csub = (
-        emb.where(F.col("vec_id") % _PQ_EVERY == 0)
+        emb.where((F.col("vec_id") % _PQ_EVERY == 0) & (F.col("vec_id") < _CENT_CAP))
         .select(
             F.col("vec_id").alias("c_id"),
             F.explode(ms).alias("m"),
@@ -1147,7 +1155,8 @@ _IVF_K = 5
     sql=f"""
     WITH n AS ({_SQL_NORMS}),
     cent AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cn
-             FROM n WHERE vec_id % {_IVF_EVERY} = 0),
+             FROM n WHERE vec_id % {_IVF_EVERY} = 0
+                      AND vec_id < {_CENT_CAP}),
     ascore AS (
         SELECT n.vec_id, cent.c_id, n.embedding, n.nrm,
                ROUND({_SQL_DOT.format(a="n.embedding", b="cent.ce")}
@@ -1187,7 +1196,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    cent = n.where(F.col("vec_id") % _IVF_EVERY == 0).select(
+    cent = n.where(
+        (F.col("vec_id") % _IVF_EVERY == 0) & (F.col("vec_id") < _CENT_CAP)
+    ).select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cn"),
@@ -1295,6 +1306,7 @@ def t_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
            d.doc_id = COALESCE(c.canonical_id, d.doc_id) AS is_canonical
     FROM documents d LEFT JOIN canon c USING (doc_id)
     """,
+    bench=True,
     doc="Transitive dedup clustering: near-dup PAIRS (exact n-gram "
         "Jaccard >= 0.6) closed into CLUSTERS via connected components "
         "(operators/graph.py min-label propagation), every document "

@@ -314,6 +314,7 @@ _PR_OFF = 1_000_000_000  # supplier node ids offset into their own space
            GROUP BY e.v)
     SELECT node, r AS rank_micro FROM r3
     """,
+    bench=True,
     doc="PageRank (3 power iterations, damping 0.85) over the "
         "undirected part↔supplier bipartite graph, in EXACT integer "
         "arithmetic: ranks are micro-units and every step is integer "

@@ -1,19 +1,34 @@
 """Measure how headline plans scale when facts grow 10x.
 
-Builds a synthetic 10x dataset from sf0.1: fact tables (lineitem,
-orders, events) are unioned 10 times with key offsets so join keys
-stay consistent and cardinalities grow linearly; dimensions are kept
-as-is (the realistic growth mode — facts grow, dims don't). Then
-times a headline subset at both scales (best of 2 warm runs) and
-prints the time ratio per query. A plan whose ratio is near the data
-ratio (or below it, since fixed overhead amortizes) scales linearly;
-a super-linear ratio exposes a hidden all-pairs/skew problem.
+Builds a synthetic 10x dataset from sf0.1: fact tables are unioned 10
+times with key offsets so join keys stay consistent and cardinalities
+grow linearly; dimensions are kept as-is (the realistic growth mode —
+facts grow, dims don't). Grown corpora are PERTURBED, not duplicated:
 
-Usage: python tools/scale_probe.py [n_copies]   (default 10)
+- ``documents``: every non-leading token in copy i is tagged ``c{i}``,
+  so shingles are disjoint across copies — a 10x corpus of new content.
+  Plain duplication would make every doc a 10-way near-dup and the
+  dedup answers themselves (pair lists, clusters) would grow
+  quadratically by construction, telling us nothing about the plan.
+- ``embeddings``: copy i flips the sign of dimension j when bit
+  (j mod 4) of i is set — norm-preserving, deterministic, and spreads
+  copies across LSH/IVF buckets the way genuinely new vectors would.
+- ``lineitem``: orderkey/partkey/suppkey all offset per copy, so the
+  part-supplier graph gains 10x nodes AND 10x edges (offsetting only
+  orderkey would leave the DISTINCT edge set unchanged).
+
+Then times each query at both scales (min of 2 warm runs after a
+warmup) and prints the per-query time ratio plus one JSON line. A plan
+whose ratio is near the data ratio (or below — fixed overhead
+amortizes) scales linearly; a super-linear ratio exposes a hidden
+all-pairs/skew problem.
+
+Usage: python tools/scale_probe.py [n_copies] [query ...]
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -32,13 +47,52 @@ QUERIES = [
     "ev_funnel",
     "ev_retention",
     "x_unpivot",
+    # the heavy north-star family (VERDICT r3: previously unprobed)
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "graph_pagerank",
+    "sim_pq_adc_topk",
+    "e_knn_within_label",
 ]
 
 KEY_OFFSETS = {
-    "lineitem": {"l_orderkey": 1_000_000_000},
+    "lineitem": {
+        "l_orderkey": 1_000_000_000,
+        "l_partkey": 10_000_000,
+        "l_suppkey": 10_000_000,
+    },
     "orders": {"o_orderkey": 1_000_000_000},
     "events": {"event_id": 1_000_000_000},
+    "documents": {"doc_id": 1_000_000_000},
+    "embeddings": {"vec_id": 1_000_000_000},
 }
+
+
+def _perturb(df, t: str, i: int):
+    """Make copy i genuinely new content (see module docstring)."""
+    from pyspark.sql import functions as F
+
+    if i == 0:
+        return df
+    if t == "documents":
+        return df.withColumn(
+            "text", F.regexp_replace(F.col("text"), " ", f" c{i}")
+        )
+    if t == "embeddings":
+        signs = [-1.0 if (i >> b) & 1 else 1.0 for b in range(4)]
+
+        def flip(x, j):
+            jm = j % 4
+            s = (
+                F.when(jm == 0, F.lit(signs[0]))
+                .when(jm == 1, F.lit(signs[1]))
+                .when(jm == 2, F.lit(signs[2]))
+                .otherwise(F.lit(signs[3]))
+            )
+            return (x * s).cast("float")
+
+        return df.withColumn("embedding", F.transform(F.col("embedding"), flip))
+    return df
 
 
 def build(spark, n_copies: int) -> None:
@@ -53,7 +107,7 @@ def build(spark, n_copies: int) -> None:
         if t in KEY_OFFSETS:
             copies = []
             for i in range(n_copies):
-                c = df
+                c = _perturb(df, t, i)
                 for col, step in KEY_OFFSETS[t].items():
                     c = c.withColumn(col, F.col(col) + F.lit(i * step))
                 copies.append(c)
@@ -65,9 +119,9 @@ def build(spark, n_copies: int) -> None:
         out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
 
 
-def run(spark, plans, sf_dir: str) -> dict[str, float]:
+def run(spark, plans, queries, sf_dir: str) -> dict[str, float]:
     times = {}
-    for name in QUERIES:
+    for name in queries:
         p = plans[name]
         p.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = float("inf")
@@ -81,7 +135,11 @@ def run(spark, plans, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = sys.argv[1:]
+    n_copies = int(args[0]) if args and args[0].isdigit() else 10
+    if args and args[0].isdigit():
+        args = args[1:]
+    queries = args or QUERIES
 
     from mwa_uvdata_pipeline_spark.plans import load_all
     from mwa_uvdata_pipeline_spark.session import get_spark
@@ -90,14 +148,19 @@ def main() -> None:
     plans = load_all()
     print(f"building {n_copies}x facts at {DST} ...", flush=True)
     build(spark, n_copies)
-    base = run(spark, plans, SRC)
-    big = run(spark, plans, DST)
+    base = run(spark, plans, queries, SRC)
+    big = run(spark, plans, queries, DST)
     print(f"\n{'query':<24}{'sf0.1':>9}{'10x':>9}{'ratio':>8}")
-    for name in QUERIES:
-        print(
-            f"{name:<24}{base[name]:>9.2f}{big[name]:>9.2f}"
-            f"{big[name] / base[name]:>8.1f}"
-        )
+    ratios = {}
+    for name in queries:
+        ratios[name] = round(big[name] / base[name], 2)
+        print(f"{name:<24}{base[name]:>9.2f}{big[name]:>9.2f}{ratios[name]:>8.1f}")
+    print(json.dumps({
+        "n_copies": n_copies,
+        "base_sec": {k: round(v, 3) for k, v in base.items()},
+        "big_sec": {k: round(v, 3) for k, v in big.items()},
+        "ratio": ratios,
+    }))
 
 
 if __name__ == "__main__":
