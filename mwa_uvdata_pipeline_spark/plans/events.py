@@ -496,6 +496,59 @@ def stream_stateful_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_file_sink_exec",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+    doc="File-source → file-sink ingest EXECUTED end-to-end: the "
+        "events replay streams through a checkpointed append-mode "
+        "parquet sink (each micro-batch commits its own small files), "
+        "the fragmented landing zone is rewritten by "
+        "sinks.compact_parquet into right-sized files, and the "
+        "aggregate over the COMPACTED copy must hash-match the batch "
+        "oracle over the original table — proving no rows were lost or "
+        "duplicated across the stream-commit + compaction seam, the "
+        "continuous-ingest loop every 100-TB lake runs (SURVEY §2.12; "
+        "the compaction rationale is sinks.py's small-files note).",
+)
+def stream_file_sink_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mwa_uvdata_pipeline_spark.sinks import compact_parquet
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        replay_events,
+        stream_append_to_parquet,
+    )
+
+    src = tempfile.mkdtemp(prefix="ev_replay_")
+    work = tempfile.mkdtemp(prefix="ev_landing_")
+    replay_events(table(spark, sf_dir, "events"), src, n_files=4)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream_append_to_parquet(
+            spark, f"{src}/part*", f"{work}/raw", f"{work}/ckpt"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    stats = compact_parquet(spark, f"{work}/raw", f"{work}/compact", target_files=2)
+    assert stats["files_before"] >= 4, stats  # one+ file per micro-batch
+    assert stats["files_after"] <= 2, stats
+    return (
+        spark.read.parquet(f"{work}/compact")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+@register(
     "stream_interval_join_exec",
     sql="""
     SELECT v.event_id AS view_id, p.event_id AS purchase_id

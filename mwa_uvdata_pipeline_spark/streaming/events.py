@@ -276,6 +276,40 @@ def latest_per_key(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def stream_append_to_parquet(
+    spark: SparkSession,
+    src_glob: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout: int = 120,
+) -> None:
+    """File-source → file-sink ingest seam: the replayed event files
+    stream through a stateless normalizing projection (exact integer
+    cents, same discipline as the stateful operators) into an
+    append-mode PARQUET sink with a checkpoint — the exactly-once
+    landing-zone pattern (checkpoint + file-sink manifest give
+    end-to-end idempotence on restart). Each micro-batch commits its
+    own small files; the follow-up ``sinks.compact_parquet`` rewrite is
+    what makes the result scan-friendly — together they are the
+    standard continuous-ingest + compaction loop of a 100-TB lake."""
+    ev = _read_stream(spark, src_glob).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "update", timeout: int = 120
 ):
