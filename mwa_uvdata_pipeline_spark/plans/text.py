@@ -571,6 +571,23 @@ _SQL_NORMS = f"""
 _EMB_LSH_TABLES = 4
 _EMB_LSH_BITS = 4
 _EMB_COS_T = 0.35
+_EMB_BUCKET_TARGET = 32  # desired rows per (table, bucket)
+
+
+def _emb_lsh_bits(n_rows: int) -> int:
+    """Corpus-adaptive key width: bits grow with N so a (table, bucket)
+    cell stays ~``_EMB_BUCKET_TARGET`` rows and candidate volume stays
+    ~ N * tables * target — linear — instead of T*N^2/2^bits with the
+    width frozen (measured 17.7x wall at 10x data before this, 100x
+    candidate pairs). Floor 4 = the static SQL-twin instantiation at
+    oracle scale (sf<=0.01); cap 16 keeps 4x16 sign dims inside the
+    64-dim embeddings."""
+    import math
+
+    return max(
+        _EMB_LSH_BITS,
+        min(16, math.ceil(math.log2(max(n_rows / _EMB_BUCKET_TARGET, 2.0)))),
+    )
 
 
 def _emb_lsh_key(e: Column, t: int, bits: int = _EMB_LSH_BITS) -> Column:
@@ -614,8 +631,11 @@ def _sql_emb_lsh_keyed() -> str:
         "OR-construction boosting recall), exact cosine >= threshold as "
         "the per-bucket equi-join verify. No corpus-wide pairwise join: "
         "shuffle is keyed on (table, bucket), pair work is "
-        "sum-of-squared-bucket-sizes ~ T*N^2/2^bits — raise bits with "
-        "corpus size to hold bucket width constant. Recall is the "
+        "sum-of-squared-bucket-sizes ~ T*N^2/2^bits — and bits RISE "
+        "with corpus size (_emb_lsh_bits) to hold bucket width "
+        "constant, keeping candidate volume ~linear in N (the SQL twin "
+        "instantiates the 4-bit floor, which the adaptive width yields "
+        "at oracle scale sf<=0.01). Recall is the "
         "standard LSH tradeoff (sign agreement ~ 1 - theta/pi per bit): "
         "near-total at real near-dup thresholds (cos >= 0.9), partial at "
         "this deliberately weak 0.35 gate. The exact all-pairs verifier "
@@ -623,6 +643,7 @@ def _sql_emb_lsh_keyed() -> str:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
+    bits = _emb_lsh_bits(emb.count())
     n = emb.select(
         "vec_id",
         "embedding",
@@ -637,7 +658,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(t).alias("t"),
-                        _emb_lsh_key(F.col("embedding"), t).alias("k"),
+                        _emb_lsh_key(F.col("embedding"), t, bits).alias("k"),
                     )
                     for t in range(_EMB_LSH_TABLES)
                 ]

@@ -136,6 +136,8 @@ def run(spark, plans, queries, sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     args = sys.argv[1:]
+    skip_build = "--nobuild" in args
+    args = [a for a in args if a != "--nobuild"]
     n_copies = int(args[0]) if args and args[0].isdigit() else 10
     if args and args[0].isdigit():
         args = args[1:]
@@ -146,8 +148,9 @@ def main() -> None:
 
     spark = get_spark("scale-probe")
     plans = load_all()
-    print(f"building {n_copies}x facts at {DST} ...", flush=True)
-    build(spark, n_copies)
+    if not skip_build:
+        print(f"building {n_copies}x facts at {DST} ...", flush=True)
+        build(spark, n_copies)
     base = run(spark, plans, queries, SRC)
     big = run(spark, plans, queries, DST)
     print(f"\n{'query':<24}{'sf0.1':>9}{'10x':>9}{'ratio':>8}")
