@@ -1020,6 +1020,20 @@ _PQ_SQL_CTES = f"""
         "with executors at any corpus size.",
 )
 def e_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    best = _pq_codes_long(spark, sf_dir)
+    out = best.groupBy("vec_id").pivot("m", list(range(_PQ_M))).agg(
+        F.first("code")
+    )
+    return out.select(
+        "vec_id", *[F.col(str(i)).alias(f"code{i}") for i in range(_PQ_M)]
+    )
+
+
+def _pq_codes_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode in long form, one (vec_id, m, code) row per subspace —
+    the shape the ADC scorer consumes directly (``e_pq_codes`` pivots
+    it wide for the registered storage-layout entry; the search path
+    skips the pivot+stack round trip, one shuffle fewer)."""
     emb = table(spark, sf_dir, "embeddings")
     ms = F.array([F.lit(i) for i in range(_PQ_M)])
     sub = emb.select(
@@ -1055,14 +1069,8 @@ def e_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = sub.join(F.broadcast(csub), "m").select(
         "vec_id", "m", "c_id", F.round(diff2, 9).alias("d")
     )
-    best = scored.groupBy("vec_id", "m").agg(
+    return scored.groupBy("vec_id", "m").agg(
         F.expr("min_by(c_id, struct(d, c_id))").alias("code")
-    )
-    out = best.groupBy("vec_id").pivot("m", list(range(_PQ_M))).agg(
-        F.first("code")
-    )
-    return out.select(
-        "vec_id", *[F.col(str(i)).alias(f"code{i}") for i in range(_PQ_M)]
     )
 
 
@@ -1147,11 +1155,8 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(diff2 * 1_000_000).cast("long").alias("d_micro"),
         )
     )
-    codes = e_pq_codes(spark, sf_dir).select(
-        "vec_id",
-        F.expr(
-            "stack(4, 0, code0, 1, code1, 2, code2, 3, code3) AS (m, c_id)"
-        ),
+    codes = _pq_codes_long(spark, sf_dir).select(
+        "vec_id", "m", F.col("code").alias("c_id")
     )
     adc = (
         codes.join(F.broadcast(lut), ["m", "c_id"])
@@ -1308,6 +1313,145 @@ def t_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "tfidf")
     )
+
+
+@register(
+    "dedup_incremental",
+    sql="""
+    WITH base AS (SELECT md5(text) AS fp FROM documents
+                  WHERE doc_id % 5 <> 0),
+    inc AS (SELECT doc_id, source, md5(text) AS fp FROM documents
+            WHERE doc_id % 5 = 0),
+    first_in_inc AS (
+        SELECT doc_id, source, fp FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+                                         ORDER BY doc_id) AS rn
+            FROM inc) WHERE rn = 1),
+    kept AS (SELECT f.doc_id, f.source FROM first_in_inc f
+             WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.fp = f.fp))
+    SELECT i.source,
+           COUNT(*) AS n_incoming,
+           CAST(COALESCE(SUM(CASE WHEN k.doc_id IS NOT NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_kept
+    FROM inc i LEFT JOIN kept k ON i.doc_id = k.doc_id
+    GROUP BY i.source
+    """,
+    doc="Incremental (snapshot-vs-batch) dedup — the production shape "
+        "at 100 TB: a new ingest batch is deduplicated WITHIN itself "
+        "(first-writer-wins per fingerprint) and then anti-joined "
+        "against the standing corpus' fingerprint table, so per-batch "
+        "cost is O(batch + matching fingerprints), never a corpus-wide "
+        "pass. Here the batch is the doc_id%5 slice and the snapshot "
+        "the rest; in production the base side is the persisted "
+        "fingerprint table (bucketed on fp, so the anti-join is "
+        "shuffle-free on the corpus side — sinks.write_bucketed). "
+        "Reports per-source incoming vs kept counts, the attrition "
+        "accounting a data-curation pipeline publishes per increment.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text")).alias("fp")
+    base = docs.where(F.col("doc_id") % 5 != 0).select(fp)
+    inc = docs.where(F.col("doc_id") % 5 == 0).select("doc_id", "source", fp)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    first_in_inc = (
+        inc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        .select("doc_id", "fp")
+    )
+    kept = first_in_inc.join(base, "fp", "left_anti").select("doc_id")
+    return (
+        inc.join(kept.withColumn("is_kept", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.coalesce(F.sum("is_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+_BM25_TERMS = ("hash", "join", "scan")
+_BM25_K = 10
+_BM25_SQL_TERMS = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "sim_bm25_topk",
+    sql=f"""
+    WITH lens AS (SELECT doc_id, len(string_split(text, ' ')) AS L
+                  FROM documents),
+    stats AS (SELECT COUNT(*) AS n, CAST(SUM(L) AS BIGINT) AS tl FROM lens),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN ({_BM25_SQL_TERMS}) GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+              WHERE term IN ({_BM25_SQL_TERMS}) GROUP BY 1),
+    contrib AS (
+        SELECT tf.doc_id,
+               ((22 * tf.tf * s.tl * 1000000)
+                // (10 * s.tl * tf.tf + 3 * s.tl + 9 * lens.L * s.n))
+               * ((1000 * s.n) // dfreq.df) AS c
+        FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id)
+        CROSS JOIN stats s),
+    scores AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS bm25_micro
+               FROM contrib GROUP BY doc_id)
+    SELECT doc_id, bm25_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id)
+                AS INTEGER) AS rk
+    FROM (SELECT * FROM scores
+          ORDER BY bm25_micro DESC, doc_id LIMIT {_BM25_K})
+    """,
+    doc=f"BM25 top-{_BM25_K} retrieval (Robertson/Spärck Jones; the "
+        "query path t_tfidf_top3's corpus weighting doesn't cover): a "
+        "fixed query term set probes the inverted index — tokens are "
+        "FILTERED to query terms right after the explode, so the "
+        "posting join carries only matching docs, never the corpus "
+        "vocabulary. Doc-length normalization with k1=1.2, b=0.75 in "
+        "EXACT INTEGER arithmetic: the rational k1/b fold into "
+        "integer num/den scaled by 10*total_len, idf is the log-free "
+        "surrogate (1000*N) div df, and both engines truncate "
+        "identically — no transcendental in the score, so the hash "
+        "gate is exact. Top-k is orderBy+limit, which Spark compiles "
+        "to TakeOrderedAndProject (per-partition heaps + driver merge "
+        "of k rows, no global sort shuffle); the rank column is a "
+        f"window over the {_BM25_K} surviving rows only. Integer "
+        "range: contributions stay < 2^63 while tf*total_len < ~4e11; "
+        "at a true 100-TB corpus promote the scaled terms to "
+        "DECIMAL(38,0) (same semantics, wider lanes).",
+)
+def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    lens = docs.select("doc_id", F.size(_tokens()).cast("long").alias("L"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("L").cast("long").alias("tl")
+    )
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term")).where(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.expr(
+                    "(22 * tf * tl * 1000000) div "
+                    "(10 * tl * tf + 3 * tl + 9 * L * n)"
+                )
+                * F.expr("(1000 * n) div df")
+            ).alias("c"),
+        )
+    )
+    scores = contrib.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("bm25_micro")
+    )
+    topk = scores.orderBy(F.col("bm25_micro").desc(), "doc_id").limit(_BM25_K)
+    w = Window.orderBy(F.col("bm25_micro").desc(), "doc_id")
+    return topk.withColumn("rk", F.row_number().over(w).cast("int"))
 
 
 @register(

@@ -338,7 +338,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.select(
         F.col("u").alias("node"), F.lit(1_000_000).cast("long").alias("r")
     )
-    e_deg = edges.join(deg, "u")
+    # every iteration reuses the (edge, degree) relation; without a
+    # persist the distinct + degree agg lineage would re-execute once
+    # per power iteration (measured 3.7s -> ~1.9s warm at sf0.1)
+    e_deg = edges.join(deg, "u").persist()
     for _ in range(3):
         ranks = (
             e_deg.join(ranks, e_deg["u"] == ranks["node"])

@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "sim_ivf_topk": "broadcast centroid table (k centroids)",
     "sim_pq_adc_topk": "LUT build: queries x sub-codebook, both fixed-size",
     "t_tfidf_top3": "broadcast corpus row count (single-row agg)",
+    "sim_bm25_topk": "broadcast corpus stats (single-row agg)",
 }
 
 
