@@ -549,6 +549,65 @@ def stream_file_sink_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_restart_exec",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+    doc="Checkpoint RESTART recovery EXECUTED: the replay is drained in "
+        "two separate streaming runs against the SAME checkpoint and "
+        "sink — run 1 sees half the files, the query stops, more files "
+        "land, run 2 resumes from the checkpoint's committed offsets "
+        "and processes only the new files. The aggregate over the "
+        "combined sink must hash-match the batch oracle: one row lost "
+        "(offset over-commit) or doubled (replayed without the sink "
+        "manifest filtering it) breaks the hash. This is the "
+        "exactly-once-across-restart guarantee a long-running ingest "
+        "job actually relies on, distinct from stream_file_sink_exec's "
+        "single-run seam (SURVEY §2.12).",
+)
+def stream_restart_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        replay_events,
+        stream_append_to_parquet,
+    )
+
+    src = tempfile.mkdtemp(prefix="ev_replay_")
+    staged = tempfile.mkdtemp(prefix="ev_staged_")
+    work = tempfile.mkdtemp(prefix="ev_restart_")
+    paths = replay_events(table(spark, sf_dir, "events"), src, n_files=4)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for p in paths[:2]:  # first half lands, run 1 drains and stops
+            shutil.copytree(p, f"{staged}/{p.rsplit('/', 1)[-1]}")
+        stream_append_to_parquet(
+            spark, f"{staged}/part*", f"{work}/out", f"{work}/ckpt"
+        )
+        for p in paths[2:]:  # more files land, run 2 resumes the ckpt
+            shutil.copytree(p, f"{staged}/{p.rsplit('/', 1)[-1]}")
+        stream_append_to_parquet(
+            spark, f"{staged}/part*", f"{work}/out", f"{work}/ckpt"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.parquet(f"{work}/out")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+@register(
     "stream_interval_join_exec",
     sql="""
     SELECT v.event_id AS view_id, p.event_id AS purchase_id
