@@ -7,6 +7,7 @@ component-map join must carry no forced broadcast hint."""
 from __future__ import annotations
 
 from mwa_uvdata_pipeline_spark.plans.text import (
+    _emb_lsh_bits,
     _knn_lsh_bits,
     dedup_clusters,
     dedup_embedding_cosine,
@@ -116,6 +117,17 @@ def test_knn_lsh_no_cartesian_and_subset_of_exact(spark):
     got_pairs = {(r.vec_id, r.nn_id) for r in got}
     hits = sum(1 for p in exact_pairs if p in got_pairs)
     assert hits / len(exact_pairs) >= 0.3, f"recall {hits}/{len(exact_pairs)}"
+
+
+def test_emb_lsh_bits_scale_schedule():
+    # same contract as the kNN schedule: floor = the SQL-twin 4-bit
+    # instantiation at oracle scale, then bucket population held
+    # ~constant as the corpus grows (the 17.7x -> 1.15x probe fix)
+    assert _emb_lsh_bits(500) == 4       # oracle scale (sf<=0.01)
+    assert _emb_lsh_bits(50) == 4
+    assert _emb_lsh_bits(2000) == 6      # sf0.1
+    assert _emb_lsh_bits(20000) == 10    # 10x probe
+    assert _emb_lsh_bits(10**9) == 16    # clamped to the 64-dim cap
 
 
 def test_knn_lsh_bits_scale_schedule():

@@ -57,3 +57,50 @@ def test_rolling_fingerprint_local_edit_robust(spark):
     assert fps[0] == fps[1]  # min-gram fingerprint survives a local edit
     whole = [r[0] for r in df.select(F.md5("text")).collect()]
     assert whole[0] != whole[1]  # unlike whole-document hashing
+
+
+def test_incremental_dedup_containment(spark):
+    # invariants the oracle hash can't express directly: kept <=
+    # incoming per source, and the kept fingerprints are genuinely
+    # absent from the base snapshot
+    from tests.conftest import SF_SMALL
+
+    from mwa_uvdata_pipeline_spark.plans.text import dedup_incremental
+
+    rows = dedup_incremental(spark, SF_SMALL).collect()
+    assert rows, "no increment rows at all"
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_incoming"], r
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    base_fps = {
+        r[0]
+        for r in docs.where(F.col("doc_id") % 5 != 0)
+        .select(F.md5("text"))
+        .collect()
+    }
+    inc = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    first = {r["fp"]: r["doc_id"] for r in inc.orderBy("doc_id").collect()}
+    # recompute kept locally: first-writer per fp, fp not in base
+    n_kept_local = sum(1 for fp in set(r["fp"] for r in inc.collect())
+                       if fp not in base_fps)
+    assert sum(r["n_kept"] for r in rows) == n_kept_local
+    assert first  # sanity: increment non-empty
+
+
+def test_bm25_plan_uses_take_ordered(spark):
+    # the top-k must compile to TakeOrderedAndProject (per-partition
+    # heaps + driver merge of k rows), never a global sort shuffle
+    from tests.conftest import SF_SMALL
+
+    from mwa_uvdata_pipeline_spark.plans.text import sim_bm25_topk
+
+    df = sim_bm25_topk(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    scores = [r["bm25_micro"] for r in sorted(rows, key=lambda r: r["rk"])]
+    assert scores == sorted(scores, reverse=True)
