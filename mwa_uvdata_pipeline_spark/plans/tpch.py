@@ -285,6 +285,92 @@ def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_INS_OFF = 2_000_000_000  # inserted keys land in their own id space
+
+
+@register(
+    "x_cdc_apply",
+    sql=f"""
+    WITH base AS (
+        SELECT o_orderkey, {SQL_CENTS('o_totalprice')} AS c
+        FROM orders WHERE o_orderkey % 7 <> 0),
+    changes AS (
+        SELECT o_orderkey AS k, 'U' AS op,
+               {SQL_CENTS('o_totalprice')} + 100 AS c
+        FROM orders WHERE o_orderkey % 7 = 1
+        UNION ALL
+        SELECT o_orderkey, 'D', CAST(NULL AS BIGINT)
+        FROM orders WHERE o_orderkey % 7 = 2
+        UNION ALL
+        SELECT o_orderkey + {_CDC_INS_OFF}, 'I', {SQL_CENTS('o_totalprice')}
+        FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT COALESCE(b.o_orderkey, ch.k) AS o_orderkey,
+           CASE WHEN ch.op IN ('U', 'I') THEN ch.c ELSE b.c END
+               AS price_cents,
+           CASE WHEN ch.op = 'U' THEN 'upd'
+                WHEN ch.op = 'I' THEN 'ins'
+                ELSE 'base' END AS src
+    FROM base b FULL OUTER JOIN changes ch ON b.o_orderkey = ch.k
+    WHERE ch.op IS NULL OR ch.op <> 'D'
+    """,
+    doc="CDC apply / MERGE INTO semantics as a plain DataFrame op: a "
+        "change-set of inserts, updates and deletes (keyed, one op per "
+        "key) applied to a snapshot via ONE full-outer join on the "
+        "key — update rows take the change-side values, deletes drop "
+        "the base row, inserts survive with no base match, untouched "
+        "base rows pass through. This is the batch upsert every "
+        "lakehouse table format (Delta/Iceberg/Hudi MERGE) executes "
+        "under the hood; expressed directly it needs no table-format "
+        "runtime and inherits Spark's join machinery — at 100 TB "
+        "bucket both sides on the key (sinks.write_bucketed) and the "
+        "merge runs with no shuffle on the snapshot side. The "
+        "change-set here is derived deterministically from the orders "
+        "key space (%7 slices: updates +1.00 on existing keys, deletes "
+        "of existing keys, inserts in a disjoint id space).",
+)
+def x_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", cents("o_totalprice").alias("c")
+    )
+    changes = (
+        orders.where(F.col("o_orderkey") % 7 == 1)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit("U").alias("op"),
+            (cents("o_totalprice") + F.lit(100)).alias("cc"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 7 == 2).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("long").alias("cc"),
+            )
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 7 == 0).select(
+                (F.col("o_orderkey") + F.lit(_CDC_INS_OFF)).alias("k"),
+                F.lit("I").alias("op"),
+                cents("o_totalprice").alias("cc"),
+            )
+        )
+    )
+    merged = base.join(changes, base["o_orderkey"] == changes["k"], "full_outer")
+    return (
+        merged.where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce(base["o_orderkey"], F.col("k")).alias("o_orderkey"),
+            F.when(F.col("op").isin("U", "I"), F.col("cc"))
+            .otherwise(F.col("c"))
+            .alias("price_cents"),
+            F.when(F.col("op") == "U", F.lit("upd"))
+            .when(F.col("op") == "I", F.lit("ins"))
+            .otherwise(F.lit("base"))
+            .alias("src"),
+        )
+    )
+
+
 _PR_OFF = 1_000_000_000  # supplier node ids offset into their own space
 
 
