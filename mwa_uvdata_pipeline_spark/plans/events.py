@@ -655,6 +655,59 @@ def stream_interval_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_scd2_history",
+    sql="""
+    WITH ordered AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+               LAG(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    changes AS (
+        SELECT user_id, event_type, event_id, us FROM ordered
+        WHERE prev IS NULL OR event_type <> prev)
+    SELECT user_id, event_type,
+           us AS valid_from_us,
+           LEAD(us) OVER w2 AS valid_to_us,
+           LEAD(us) OVER w2 IS NULL AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+    """,
+    doc="SCD Type-2 history build — the dimension-versioning shape "
+        "every warehouse maintains: the event stream is treated as a "
+        "change log per user, consecutive duplicates collapse (LAG "
+        "change detection), and each surviving change becomes a "
+        "version row with [valid_from, valid_to) stitched by LEAD; "
+        "the open interval is the current version. Both windows "
+        "partition on the same user_id key, so the whole build is ONE "
+        "shuffle (the second window reuses the partitioning and only "
+        "re-sorts within partitions); ties at identical timestamps "
+        "break on event_id so both engines stitch identical "
+        "intervals. Epochs as integer microseconds via the NTZ-safe "
+        "epoch_us.",
+)
+def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = epoch_us(ev).alias("us")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", "event_id", us,
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    changes = ordered.where(
+        F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    nxt = F.lead("us").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("us").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
     "j9_salted_join",
     sql="""
     WITH c AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
