@@ -1316,6 +1316,51 @@ def t_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_edit_distance_pairs",
+    sql=f"""
+    WITH {_SQL_JACCARD_CTES}
+    SELECT p.doc_a, p.doc_b,
+           levenshtein(a.text, b.text) AS lev,
+           1000 - (1000 * levenshtein(a.text, b.text))
+                  // GREATEST(length(a.text), length(b.text)) AS sim_milli
+    FROM jpairs p
+    JOIN documents a ON a.doc_id = p.doc_a
+    JOIN documents b ON b.doc_id = p.doc_b
+    """,
+    doc="Edit-distance fuzzy matching (record-linkage verify): exact "
+        "Levenshtein + length-normalized similarity, computed ONLY on "
+        "the candidate pairs the n-gram Jaccard join surfaces — the "
+        "two-stage fuzzy-match discipline at scale, since Levenshtein "
+        "is O(|a|*|b|) per pair and must never run corpus x corpus. "
+        "Candidates shuffle as id pairs; the texts join back by key "
+        "and the DP runs once per surviving pair. Distance and the "
+        "integer-division similarity are exact integers, so the "
+        "cross-engine hash is bit-stable (both engines implement the "
+        "standard unit-cost DP).",
+)
+def t_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    lev = F.levenshtein("ta", "tb")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.alias("lev"),
+            (
+                F.lit(1000)
+                - F.expr("(1000 * levenshtein(ta, tb)) div "
+                         "greatest(length(ta), length(tb))")
+            ).alias("sim_milli"),
+        )
+    )
+
+
+@register(
     "dedup_incremental",
     sql="""
     WITH base AS (SELECT md5(text) AS fp FROM documents
