@@ -53,6 +53,12 @@ QUERIES = [
     "graph_pagerank",
     "sim_pq_adc_topk",
     "e_knn_within_label",
+    # round-4 additions
+    "x_cdc_apply",
+    "x_scd2_history",
+    "sim_bm25_topk",
+    "dedup_incremental",
+    "t_edit_distance_pairs",
 ]
 
 KEY_OFFSETS = {
