@@ -655,6 +655,58 @@ def stream_interval_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_rate_anomaly",
+    sql="""
+    WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT hr, event_type, n,
+                 CAST(SUM(n) OVER trail AS BIGINT) AS sum24,
+                 CAST(COUNT(*) OVER trail AS BIGINT) AS n24
+          FROM h
+          WINDOW trail AS (PARTITION BY event_type ORDER BY hr
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT hr, event_type, n,
+           COALESCE(sum24, 0) AS sum24,
+           (n24 = 24 AND n * 24 > 2 * sum24) AS is_anomaly
+    FROM w
+    """,
+    doc="Trailing-rate anomaly detection — the monitoring staple over "
+        "any event firehose: per (hour, type) counts compared against "
+        "the trailing 24 observed hours, flagged when the current rate "
+        "exceeds 2x the trailing mean. The comparison is the "
+        "cross-multiplied INTEGER inequality n * 24 > 2 * sum24 — no "
+        "float mean/stddev, so both engines flag identical rows (a "
+        "naive-vs-Welford stddev would differ in ulps and flip "
+        "boundary rows). One shuffle on the type key; the window runs "
+        "over the bounded hour grid per type, and warm-up hours "
+        "(fewer than 24 trailing) never flag.",
+)
+def ev_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    h = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    trail = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    return h.select(
+        "hr",
+        "event_type",
+        "n",
+        F.coalesce(F.sum("n").over(trail), F.lit(0)).alias("sum24"),
+        (
+            (F.count(F.lit(1)).over(trail) == 24)
+            & (F.col("n") * 24 > 2 * F.sum("n").over(trail))
+        ).alias("is_anomaly"),
+    )
+
+
+@register(
     "x_scd2_history",
     sql="""
     WITH ordered AS (

@@ -1420,9 +1420,7 @@ _BM25_K = 10
 _BM25_SQL_TERMS = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 
-@register(
-    "sim_bm25_topk",
-    sql=f"""
+_BM25_SQL = f"""
     WITH lens AS (SELECT doc_id, len(string_split(text, ' ')) AS L
                   FROM documents),
     stats AS (SELECT COUNT(*) AS n, CAST(SUM(L) AS BIGINT) AS tl FROM lens),
@@ -1446,7 +1444,12 @@ _BM25_SQL_TERMS = ", ".join(f"'{t}'" for t in _BM25_TERMS)
                 AS INTEGER) AS rk
     FROM (SELECT * FROM scores
           ORDER BY bm25_micro DESC, doc_id LIMIT {_BM25_K})
-    """,
+"""
+
+
+@register(
+    "sim_bm25_topk",
+    sql=_BM25_SQL,
     doc=f"BM25 top-{_BM25_K} retrieval (Robertson/Spärck Jones; the "
         "query path t_tfidf_top3's corpus weighting doesn't cover): a "
         "fixed query term set probes the inverted index — tokens are "
@@ -1497,6 +1500,91 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = scores.orderBy(F.col("bm25_micro").desc(), "doc_id").limit(_BM25_K)
     w = Window.orderBy(F.col("bm25_micro").desc(), "doc_id")
     return topk.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+_RRF_C = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+@register(
+    "sim_hybrid_rrf",
+    sql=f"""
+    WITH bm AS ({_BM25_SQL}),
+    n AS ({_SQL_NORMS}),
+    qv AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = 0),
+    cosr AS (
+        SELECT n.vec_id,
+               ROUND({_SQL_DOT.format(a="n.embedding", b="qv.qe")}
+                     / (n.nrm * qv.qn), 6) AS cs
+        FROM n CROSS JOIN qv),
+    costop AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id)
+                    AS INTEGER) AS rk_cos
+        FROM (SELECT * FROM cosr ORDER BY cs DESC, vec_id
+              LIMIT {_BM25_K}))
+    SELECT COALESCE(b.doc_id, c.vec_id) AS doc_id,
+           CAST(COALESCE(1000000 // ({_RRF_C} + b.rk), 0)
+                + COALESCE(1000000 // ({_RRF_C} + c.rk_cos), 0)
+                AS BIGINT) AS rrf_micro,
+           CAST(ROW_NUMBER() OVER (
+                ORDER BY COALESCE(1000000 // ({_RRF_C} + b.rk), 0)
+                       + COALESCE(1000000 // ({_RRF_C} + c.rk_cos), 0)
+                       DESC,
+                       COALESCE(b.doc_id, c.vec_id)) AS INTEGER) AS rk
+    FROM bm b FULL OUTER JOIN costop c ON b.doc_id = c.vec_id
+    """,
+    doc="Hybrid retrieval with reciprocal-rank fusion (the standard "
+        "lexical+dense combiner): the BM25 top-k and the embedding "
+        "cosine top-k (query = vector 0, broadcast single row) fuse by "
+        "RRF — score = sum of 1e6 div (60 + rank) over the lists a doc "
+        "appears in, an INTEGER formula, so the fusion is exactly "
+        "reproducible cross-engine (float fusion weights would not "
+        "be). Each leg is its own bounded top-k (TakeOrdered, no "
+        "global sort); the fusion joins two k-row lists — trivially "
+        "broadcastable at any corpus size. Docs and vectors share the "
+        "id space on a corpus prefix; the inner legs handle either "
+        "side missing via the full-outer fuse. This is the RAG-stack "
+        "retrieval shape (sparse + dense + fuse) as three DataFrame "
+        "stages.",
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    qv = n.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    cs = F.round(_dot(F.col("embedding"), F.col("qe")) / (F.col("nrm") * F.col("qn")), 6)
+    cosr = n.crossJoin(F.broadcast(qv)).select("vec_id", cs.alias("cs"))
+    costop = (
+        cosr.orderBy(F.col("cs").desc(), "vec_id")
+        .limit(_BM25_K)
+        .withColumn(
+            "rk_cos",
+            F.row_number()
+            .over(Window.orderBy(F.col("cs").desc(), "vec_id"))
+            .cast("int"),
+        )
+        .select("vec_id", "rk_cos")
+    )
+    bm = sim_bm25_topk(spark, sf_dir).select("doc_id", F.col("rk").alias("rk_bm"))
+    fused = bm.join(costop, bm["doc_id"] == costop["vec_id"], "full_outer")
+    contrib_bm = F.coalesce(
+        F.expr(f"1000000 div ({_RRF_C} + rk_bm)"), F.lit(0)
+    )
+    contrib_cos = F.coalesce(
+        F.expr(f"1000000 div ({_RRF_C} + rk_cos)"), F.lit(0)
+    )
+    out_id = F.coalesce(F.col("doc_id"), F.col("vec_id"))
+    scored = fused.select(
+        out_id.alias("doc_id"),
+        (contrib_bm + contrib_cos).cast("long").alias("rrf_micro"),
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return scored.withColumn("rk", F.row_number().over(w).cast("int"))
 
 
 @register(

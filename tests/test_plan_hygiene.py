@@ -30,6 +30,8 @@ BNLJ_ALLOWED = {
     "sim_pq_adc_topk": "LUT build: queries x sub-codebook, both fixed-size",
     "t_tfidf_top3": "broadcast corpus row count (single-row agg)",
     "sim_bm25_topk": "broadcast corpus stats (single-row agg)",
+    "sim_hybrid_rrf": "broadcast single query vector + corpus stats "
+                      "(both 1-row); fusion joins two k-row lists",
 }
 
 
