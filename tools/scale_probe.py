@@ -59,6 +59,8 @@ QUERIES = [
     "sim_bm25_topk",
     "dedup_incremental",
     "t_edit_distance_pairs",
+    "ev_rate_anomaly",
+    "sim_hybrid_rrf",
 ]
 
 KEY_OFFSETS = {
