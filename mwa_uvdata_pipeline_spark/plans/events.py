@@ -1229,3 +1229,80 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("hv").alias("kth_hash"),
         ((_KMV_K - 1) * F.lit(4294967296.0) / F.max("hv")).alias("est_distinct"),
     )
+
+
+@register(
+    "ev_gapfill_locf",
+    sql="""
+    WITH obs AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    )
+    SELECT grid.event_type,
+           strftime(grid.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           last_value(obs.c IGNORE NULLS) OVER (
+               PARTITION BY grid.event_type ORDER BY grid.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_cents,
+           obs.c IS NOT NULL AS observed
+    FROM grid LEFT JOIN obs
+      ON grid.event_type = obs.event_type AND grid.h = obs.h
+    """,
+    doc="Hypertable-style gap fill + LOCF (last observation carried "
+        "forward): each event-type series is regularized onto its own "
+        "hourly grid between its first and last observation, missing "
+        "hours inherit the most recent observed hourly total, and an "
+        "`observed` flag marks synthesized rows. The grid is built "
+        "per-series from a groupBy bounds aggregate + sequence/explode "
+        "— no cross join, and grid cardinality is series x horizon "
+        "hours, independent of event volume. The fill is one "
+        "ignore-nulls running `last` window per series; at 100 TB the "
+        "shuffle key is the series id, the natural hypertable "
+        "partitioning, and each partition holds only the bounded grid, "
+        "not the raw events (they were pre-aggregated on the same key "
+        "by the obs rollup, whose partial aggregation is map-side).",
+)
+def ev_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("cents").alias("c"))
+    )
+    grid = (
+        obs.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.last("c", ignorenulls=True).over(w).alias("sum_cents"),
+            F.col("c").isNotNull().alias("observed"),
+        )
+    )
