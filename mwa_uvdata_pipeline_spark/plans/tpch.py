@@ -1655,3 +1655,53 @@ def ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_LR_INTERCEPT).alias("intercept"),
         F.expr(_LR_R).alias("r"),
     )
+
+
+@register(
+    "x_bloom_prune",
+    sql=f"""
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM({SQL_CENTS('l_extendedprice')}) AS BIGINT) AS rev_cents
+    FROM lineitem
+    WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_9'
+    )
+    GROUP BY l_suppkey
+    """,
+    doc="Runtime bloom pruning as an explicit operator "
+        "(operators/bloom.py): the supplier keys of one nation build a "
+        "fixed 2^16-bit bitmap (one row of 1024 longs, size independent "
+        "of dim cardinality), the fact scan drops non-members with a "
+        "codegen'd bitwise test BEFORE the shuffle, and an exact "
+        "broadcast semi-join removes the bloom's false positives. The "
+        "oracle is the plain semi-join — the bloom is transparent by "
+        "construction (no false negatives). At 100 TB this is the "
+        "pattern that prunes a fact shuffle by a selective dim "
+        "predicate when the optimizer's own runtime filter does not "
+        "fire (DPP-less file sources, UDF-hidden predicates): shuffle "
+        "volume becomes |matching rows| + FP rate, not |fact|.",
+)
+def x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.bloom import build_bloom, might_contain
+
+    nat = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
+    dim = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    bloom = build_bloom(dim, "s_suppkey")
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    pruned = li.join(F.broadcast(bloom)).where(
+        might_contain("words", "l_suppkey")
+    )
+    exact = pruned.join(
+        F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    return exact.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(cents("l_extendedprice")).alias("rev_cents"),
+    )

@@ -32,6 +32,8 @@ BNLJ_ALLOWED = {
     "sim_bm25_topk": "broadcast corpus stats (single-row agg)",
     "sim_hybrid_rrf": "broadcast single query vector + corpus stats "
                       "(both 1-row); fusion joins two k-row lists",
+    "x_bloom_prune": "broadcast single-row bloom bitmap (fixed 2^16 "
+                     "bits = 1024 longs, independent of dim size)",
 }
 
 
