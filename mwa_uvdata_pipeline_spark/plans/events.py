@@ -1306,3 +1306,67 @@ def ev_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").isNotNull().alias("observed"),
         )
     )
+
+
+@register(
+    "stream_static_join_exec",
+    sql="""
+    SELECT CASE user_id % 3 WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
+                ELSE 'bronze' END AS tier,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static dimension join EXECUTED as a streaming query: "
+        "the events replay (file source, maxFilesPerTrigger=1, "
+        "AvailableNow) inner-joins a static user->tier dimension per "
+        "micro-batch — the stateless enrichment pattern — then "
+        "aggregates per (tier, event_type) in complete mode; the "
+        "drained memory sink must hash-match the batch DuckDB oracle "
+        "(which derives the tier inline, since the dim covers every "
+        "user). Join state is ZERO (only the bounded 3x5-key aggregate "
+        "holds state); at 100 TB the static side broadcasts per "
+        "micro-batch, so dim refreshes land without restarting the "
+        "stream.",
+)
+def stream_static_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        replay_events,
+        run_to_memory,
+        stream_static_enriched_counts,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.expr(
+                "CASE user_id % 3 WHEN 0 THEN 'gold' WHEN 1 THEN 'silver' "
+                "ELSE 'bronze' END"
+            ).alias("tier"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="ev_replay_")
+    replay_events(ev, out, n_files=4)
+    sink = f"ssj_sink_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            stream_static_enriched_counts(spark, f"{out}/part*", dim),
+            sink,
+            output_mode="complete",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(
+        f"SELECT tier, event_type, n, sum_cents FROM {sink}"
+    )

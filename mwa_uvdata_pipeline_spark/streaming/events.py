@@ -96,6 +96,27 @@ def stream_sliding_counts(
     )
 
 
+def stream_static_enriched_counts(
+    spark: SparkSession, src_glob: str, dim: DataFrame
+) -> DataFrame:
+    """Stream-static join then aggregate: each micro-batch of the event
+    stream is enriched against a STATIC dimension (inner equi-join on
+    user_id — stateless, the batch side is re-broadcast per micro-batch
+    by the planner) and rolled up per (tier, event_type). Only the
+    aggregation holds state, keyed by the bounded tier x type space.
+    The 100-TB pattern: dimension lookup inside a stream without
+    sending the stream through a stateful join."""
+    return (
+        _read_stream(spark, src_glob)
+        .join(dim, "user_id")
+        .groupBy("tier", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+
+
 def stream_dedup(
     spark: SparkSession, src_glob: str, watermark: str = "10 minutes"
 ) -> DataFrame:
