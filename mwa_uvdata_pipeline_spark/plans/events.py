@@ -1370,3 +1370,126 @@ def stream_static_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT tier, event_type, n, sum_cents FROM {sink}"
     )
+
+
+# chi-square cell contribution over exact integer marginals; written
+# once, parsed by both engines (int64 -> double is deterministic and
+# identical expression trees give bit-identical IEEE results)
+_CHI_E = (
+    "((CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)) / CAST(n AS DOUBLE))"
+)
+_CHI_CONTRIB = (
+    f"(((CAST(o AS DOUBLE) - {_CHI_E}) * (CAST(o AS DOUBLE) - {_CHI_E})) "
+    f"/ {_CHI_E})"
+)
+
+
+@register(
+    "x_chisq",
+    sql=f"""
+    WITH cells AS (
+        SELECT event_type,
+               CASE user_id % 3 WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
+                    ELSE 'bronze' END AS tier,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT event_type, tier, o,
+               CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS row_n,
+               CAST(SUM(o) OVER (PARTITION BY tier) AS BIGINT) AS col_n,
+               CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM cells
+    )
+    SELECT event_type, tier, o, row_n, col_n,
+           {_CHI_E} AS expected,
+           {_CHI_CONTRIB} AS chi2_contrib
+    FROM marg
+    """,
+    doc="Chi-square independence scan (event_type x user tier): "
+        "observed counts, marginals, expected-under-independence, and "
+        "per-cell chi-square contribution — the drift/bias detector a "
+        "training-data pipeline runs across slices. One hash aggregate "
+        "over the fact table reduces everything to the bounded "
+        "|types| x |tiers| cell grid; marginals are windows OVER THAT "
+        "GRID (15 rows — no second fact pass, no scalar-broadcast "
+        "join), and the statistic derives from exact int64 counts "
+        "through a double expression tree shared verbatim with the "
+        "oracle.",
+)
+def x_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "CASE user_id % 3 WHEN 0 THEN 'gold' WHEN 1 THEN 'silver' "
+                "ELSE 'bronze' END"
+            ).alias("tier"),
+        )
+        .groupBy("event_type", "tier")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    marg = cells.select(
+        "event_type", "tier", "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_n"),
+        F.sum("o").over(Window.partitionBy("tier")).alias("col_n"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    return marg.select(
+        "event_type", "tier", "o", "row_n", "col_n",
+        F.expr(_CHI_E).alias("expected"),
+        F.expr(_CHI_CONTRIB).alias("chi2_contrib"),
+    )
+
+
+@register(
+    "x_incremental_agg",
+    sql="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+    doc="Incremental materialized-view maintenance: a standing per-user "
+        "aggregate snapshot (events before 2024-01-20) is refreshed by "
+        "MERGING the new partition's partial aggregates — union the two "
+        "partial tables, re-aggregate with the same algebraic "
+        "combiners (count->sum, sum->sum, min->min, max->max) — and "
+        "must equal the full recompute, which is what the oracle "
+        "states. The refresh touches O(|delta| + |affected keys|) "
+        "rows, never the full history: the pattern that keeps a "
+        "100-TB rollup current without nightly full scans, and the "
+        "algebraic-mergeability guarantee is exactly what makes "
+        "partial aggregation / AQE combine legal.",
+)
+def x_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    cut = "2024-01-20"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    snapshot = partial(ev.where(F.col("ts") < cut))
+    delta = partial(ev.where(F.col("ts") >= cut))
+    return (
+        snapshot.union(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )

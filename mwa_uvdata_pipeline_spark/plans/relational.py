@@ -929,3 +929,43 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum(cents("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
     )
+
+
+@register(
+    "agg_histogram",
+    sql="""
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 600000.0 THEN 13
+                ELSE CAST(FLOOR((o_totalprice - 0.0) / 50000.0)
+                          AS BIGINT) + 1
+           END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders GROUP BY 1
+    """,
+    doc="Equi-width histogram via width_bucket (the oracle spells out "
+        "the same floor arithmetic Spark's WidthBucket evaluates — "
+        "width (600000-0)/12 = 50000 is exact in binary, so the bucket "
+        "boundaries agree bit-for-bit): 12 fixed bins over "
+        "order totals, count + exact integer mass per bin. Map-side "
+        "bucket assignment, one tiny hash aggregate on the bounded "
+        "bin key — the profile/quantile-sketch primitive for a first "
+        "look at a 100-TB column's distribution (fixed bounds make "
+        "the histogram mergeable across partitions and days).",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.width_bucket(
+                "o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("sum_cents"),
+        )
+    )

@@ -1705,3 +1705,107 @@ def x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.sum(cents("l_extendedprice")).alias("rev_cents"),
     )
+
+
+# association-rule strength metrics, written once and parsed by both
+# engines (same exact-int -> double determinism argument as _LR_*)
+_AR_CONF = "(CAST(supp_ab AS DOUBLE) / CAST(supp_a AS DOUBLE))"
+_AR_LIFT = (
+    "((CAST(supp_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)) "
+    "/ (CAST(supp_a AS DOUBLE) * CAST(supp_b AS DOUBLE)))"
+)
+
+
+@register(
+    "x_assoc_rules",
+    sql=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               CAST(COUNT(*) AS BIGINT) AS supp_ab
+        FROM op a
+        JOIN op b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    directed AS (
+        SELECT u AS ante, v AS cons, supp_ab FROM pairs
+        UNION ALL
+        SELECT v AS ante, u AS cons, supp_ab FROM pairs
+    ),
+    supp AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS supp_1
+        FROM op GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM lineitem)
+    SELECT ante, cons, supp_ab,
+           sa.supp_1 AS supp_a, sb.supp_1 AS supp_b,
+           {_AR_CONF} AS confidence,
+           {_AR_LIFT} AS lift
+    FROM directed
+    JOIN supp sa ON ante = sa.l_partkey
+    JOIN supp sb ON cons = sb.l_partkey
+    CROSS JOIN n
+    """,
+    doc="Market-basket association rules (the pair tier of FP-growth): "
+        "antecedent->consequent part pairs co-purchased in >= 2 orders, "
+        "scored with support / confidence / lift. Pair candidates come "
+        "from the same bounded per-basket expansion as graph_triangles "
+        "(one groupBy shuffle, no fact self-join); item supports are "
+        "one hash-agg over the distinct (order, part) pairs; the "
+        "basket total is a broadcast 1-row aggregate. Confidence and "
+        "lift derive from exact int64 counts through a double "
+        "expression tree shared verbatim with the oracle. At 100 TB "
+        "the support threshold is the scale lever — it prunes the "
+        "pair table BEFORE the metric joins, and per-basket expansion "
+        "cost stays |basket|^2 with baskets bounded by domain rules.",
+)
+def x_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pair_expand = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "y -> struct(least(x, y) AS u, greatest(x, y) AS v))))"
+    )
+    pairs = (
+        op.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode(pair_expand).alias("e"))
+        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("supp_ab"))
+        .where(F.col("supp_ab") >= 2)
+    )
+    directed = pairs.select(
+        F.col("u").alias("ante"), F.col("v").alias("cons"), "supp_ab"
+    ).union(
+        pairs.select(
+            F.col("v").alias("ante"), F.col("u").alias("cons"), "supp_ab"
+        )
+    )
+    supp = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("supp_1")
+    )
+    n = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    return (
+        directed.join(
+            supp.select(F.col("l_partkey").alias("ante"),
+                        F.col("supp_1").alias("supp_a")),
+            "ante",
+        )
+        .join(
+            supp.select(F.col("l_partkey").alias("cons"),
+                        F.col("supp_1").alias("supp_b")),
+            "cons",
+        )
+        .join(F.broadcast(n))
+        .select(
+            "ante", "cons", "supp_ab", "supp_a", "supp_b",
+            F.expr(_AR_CONF).alias("confidence"),
+            F.expr(_AR_LIFT).alias("lift"),
+        )
+    )

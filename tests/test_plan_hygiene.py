@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
                       "(both 1-row); fusion joins two k-row lists",
     "x_bloom_prune": "broadcast single-row bloom bitmap (fixed 2^16 "
                      "bits = 1024 longs, independent of dim size)",
+    "x_assoc_rules": "broadcast scalar basket count (single-row agg)",
 }
 
 

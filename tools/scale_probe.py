@@ -61,6 +61,11 @@ QUERIES = [
     "t_edit_distance_pairs",
     "ev_rate_anomaly",
     "sim_hybrid_rrf",
+    # round-4 second wave
+    "graph_triangles",
+    "ev_gapfill_locf",
+    "ml_linreg",
+    "x_bloom_prune",
 ]
 
 KEY_OFFSETS = {
