@@ -1493,3 +1493,108 @@ def x_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("last_ts").alias("last_ts"),
         )
     )
+
+
+@register(
+    "ev_trigrams",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, event_type AS t1,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+    doc="Behavioral trigram mining: count every length-3 event-type "
+        "sequence per user stream (order by ts with event_id "
+        "tiebreak) — the n-gram tier above ev_markov_transitions' "
+        "first-order matrix, the next-event / funnel-discovery "
+        "primitive. ONE shuffle on user_id serves both LEADs (same "
+        "window frame), then the trigram rollup groups on a key "
+        "bounded by |event types|^3 — map-side partials collapse it "
+        "before the second (tiny) exchange.",
+)
+def ev_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.where(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@register(
+    "x_table_diff",
+    sql="""
+    WITH before AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY user_id
+    ),
+    after AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY user_id
+    )
+    SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+           CASE WHEN b.user_id IS NULL THEN 'added'
+                WHEN a.user_id IS NULL THEN 'removed'
+                WHEN b.n = a.n AND b.sum_cents = a.sum_cents
+                    THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           b.n AS n_before, a.n AS n_after,
+           b.sum_cents AS cents_before, a.sum_cents AS cents_after
+    FROM before b FULL OUTER JOIN after a ON b.user_id = a.user_id
+    """,
+    doc="Table reconciliation (data diff): two snapshots of the "
+        "per-user rollup — as of 2024-01-20 vs current — compared "
+        "row-by-row with ONE full-outer join on the key, each row "
+        "classified added / removed / changed / unchanged. The "
+        "anti-entropy audit run after every CDC apply or backfill "
+        "(complements x_cdc_apply, which mutates; this verifies). At "
+        "100 TB both sides are pre-aggregated on the join key, so the "
+        "diff shuffles rollups, not raw facts, and the join is "
+        "co-partitioned with zero residual state.",
+)
+def x_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    b = rollup(ev.where(F.col("ts") < "2024-01-20")).alias("b")
+    a = rollup(ev).alias("a")
+    status = (
+        F.when(F.col("b.user_id").isNull(), "added")
+        .when(F.col("a.user_id").isNull(), "removed")
+        .when(
+            (F.col("b.n") == F.col("a.n"))
+            & (F.col("b.sum_cents") == F.col("a.sum_cents")),
+            "unchanged",
+        )
+        .otherwise("changed")
+    )
+    return b.join(a, F.col("b.user_id") == F.col("a.user_id"), "full_outer").select(
+        F.coalesce(F.col("b.user_id"), F.col("a.user_id")).alias("user_id"),
+        status.alias("status"),
+        F.col("b.n").alias("n_before"),
+        F.col("a.n").alias("n_after"),
+        F.col("b.sum_cents").alias("cents_before"),
+        F.col("a.sum_cents").alias("cents_after"),
+    )

@@ -2139,3 +2139,56 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= _STRATUM_N)
     )
+
+
+@register(
+    "dedup_best_in_cluster",
+    sql=f"""
+    WITH RECURSIVE {_SQL_JACCARD_CTES},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM jpairs
+        UNION ALL SELECT doc_b, doc_a FROM jpairs),
+    reach(u, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+    canon AS (SELECT u AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY u),
+    members AS (
+        SELECT COALESCE(c.canonical_id, d.doc_id) AS cluster_id,
+               d.doc_id, d.n_chars
+        FROM documents d LEFT JOIN canon c USING (doc_id)
+    ),
+    ranked AS (
+        SELECT cluster_id, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS n_members
+        FROM members
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, n_chars AS kept_n_chars,
+           n_members
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Quality-aware canonical pick: after transitive near-dup "
+        "clustering (same components as dedup_clusters), each cluster "
+        "keeps its LONGEST member (ties to the smallest doc_id) rather "
+        "than the min-id — the curation policy that retains the most "
+        "complete copy of duplicated content. Spark side is one "
+        "max_by over a struct-ordered (n_chars, -doc_id) key per "
+        "cluster — a hash aggregate on the cluster id, no window sort; "
+        "the oracle states the pick as a ROW_NUMBER window. Cost on "
+        "top of clustering is one agg over the membership map "
+        "(corpus-linear rows, tiny payload).",
+)
+def dedup_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "canonical_id")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = clusters.join(docs, "doc_id").select(
+        F.col("canonical_id").alias("cluster_id"), "doc_id", "n_chars"
+    )
+    return members.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(n_chars, -doc_id))").alias("kept_doc_id"),
+        F.max("n_chars").alias("kept_n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
