@@ -1598,3 +1598,61 @@ def x_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.sum_cents").alias("cents_before"),
         F.col("a.sum_cents").alias("cents_after"),
     )
+
+
+_CMS_LANES = 4
+_CMS_WIDTH = 256
+_CMS_T = 80  # heavy-hitter threshold (events per user)
+
+
+@register(
+    "agg_cms_heavy",
+    sql=f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id HAVING COUNT(*) >= {_CMS_T}
+    """,
+    doc="Count-min-sketch heavy hitters with exact verify: event "
+        "counts fold into a FIXED 4x256 counter matrix (explode 4 "
+        "hash lanes, one hash-agg on (lane, pos) — the mergeable "
+        "frequency sketch, 1 KB regardless of key cardinality), "
+        "candidate keys take the MIN estimate across their 4 lanes "
+        "(CMS never underestimates, so candidates are a superset of "
+        "the true heavy hitters), and an exact count pass runs ONLY "
+        "over candidate keys (semi-join pruned) to drop collision "
+        "inflation. The oracle is the plain HAVING — the sketch is "
+        "transparent by the no-underestimate guarantee, same "
+        "verify-after-prune contract as x_bloom_prune. At 100 TB the "
+        "first pass moves 1 KB per partition and the exact pass only "
+        "touches keys that might qualify.",
+)
+def agg_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    lanes = F.array(*[
+        F.struct(
+            F.lit(i).alias("lane"),
+            F.pmod(F.xxhash64(F.col("user_id"), F.lit(i)), F.lit(_CMS_WIDTH))
+            .alias("pos"),
+        )
+        for i in range(_CMS_LANES)
+    ])
+    cms = (
+        ev.select(F.explode(lanes).alias("lp"))
+        .groupBy(F.col("lp.lane").alias("lane"), F.col("lp.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    users = ev.select("user_id").distinct()
+    probes = users.select(
+        "user_id", F.explode(lanes).alias("lp")
+    ).select("user_id", F.col("lp.lane").alias("lane"), F.col("lp.pos").alias("pos"))
+    est = (
+        probes.join(cms, ["lane", "pos"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est"))
+    )
+    candidates = est.where(F.col("est") >= _CMS_T).select("user_id")
+    return (
+        ev.join(candidates, "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") >= _CMS_T)
+    )
