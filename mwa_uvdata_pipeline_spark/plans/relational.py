@@ -969,3 +969,52 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_cents"),
         )
     )
+
+
+@register(
+    "s_partition_pruning",
+    sql="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    GROUP BY 1, 2
+    """,
+    doc="Hive-style partition pruning end-to-end: events are laid out "
+        "partitionBy(event_date) (the canonical lake layout for a "
+        "time-keyed 100-TB fact table), then read back with a date "
+        "predicate that must resolve at PLANNING time — the scan's "
+        "PartitionFilters prune to 3 of ~30 directories and the "
+        "non-matching days are never opened (asserted in "
+        "test_partition_pruning.py; the data filter never reaches the "
+        "row level because partition columns are directory names, not "
+        "file columns). The oracle states the same filter over the "
+        "unpartitioned table. The write is a one-time fixture per "
+        "call — at scale the layout exists once and every daily query "
+        "pays only its slice.",
+)
+def s_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="ev_bydate_")
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    part = spark.read.parquet(out).where(
+        F.col("event_date").between("2024-01-10", "2024-01-12")
+    )
+    return (
+        part.groupBy(
+            # dates stringify identically in both engines (a raw DATE
+            # round-trips as midnight TIMESTAMP through DuckDB's pandas
+            # bridge and breaks the value compare)
+            F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
