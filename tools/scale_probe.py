@@ -66,6 +66,10 @@ QUERIES = [
     "ev_gapfill_locf",
     "ml_linreg",
     "x_bloom_prune",
+    "x_assoc_rules",
+    "agg_cms_heavy",
+    "x_table_diff",
+    "dedup_best_in_cluster",
 ]
 
 KEY_OFFSETS = {
