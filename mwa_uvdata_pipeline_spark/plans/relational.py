@@ -1018,3 +1018,58 @@ def s_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@register(
+    "s_schema_evolution",
+    sql="""
+    WITH v1 AS (
+        SELECT user_id, value, CAST(NULL AS VARCHAR) AS event_type
+        FROM events WHERE ts < TIMESTAMP '2024-01-15'
+    ),
+    v2 AS (
+        SELECT user_id, value, event_type
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+    ),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT COALESCE(event_type, '(pre-schema)') AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM unioned GROUP BY 1
+    """,
+    doc="Lake schema evolution: a table whose early files predate a "
+        "column (v1: no event_type) and later files carry it (v2) is "
+        "read as ONE table via mergeSchema — the reader unions the "
+        "footers at planning time and back-fills missing columns with "
+        "NULL per file, exactly the additive-column evolution every "
+        "long-lived 100-TB dataset goes through (no rewrite of old "
+        "files, reads stay footer-bounded). The aggregate buckets the "
+        "NULL back-fill explicitly so the oracle (which states the "
+        "same union) matches value-for-value.",
+)
+def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mwa_uvdata_pipeline_spark.plans import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="ev_schemaevo_")
+    ev.where(F.col("ts") < "2024-01-15").select("user_id", "value").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/v1")
+    ev.where(F.col("ts") >= "2024-01-15").select(
+        "user_id", "value", "event_type"
+    ).write.mode("overwrite").parquet(f"{out}/v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/v1", f"{out}/v2"
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("event_type", F.lit("(pre-schema)")).alias("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+    )

@@ -2192,3 +2192,71 @@ def dedup_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("kept_n_chars"),
         F.count(F.lit(1)).cast("long").alias("n_members"),
     )
+
+
+@register(
+    "dedup_containment",
+    sql=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(c AS BIGINT) AS n_shared,
+           CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+           CAST(c AS DOUBLE) / sa.n AS containment_a,
+           CAST(c AS DOUBLE) / sb.n AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c * 10 >= sa.n * 8 OR c * 10 >= sb.n * 8
+    """,
+    doc="Asymmetric containment dedup: C(A,B) = |A∩B|/|A| over 3-gram "
+        "shingle sets, keeping pairs where EITHER side is >= 80% "
+        "contained in the other — the quote/subset/boilerplate-wrap "
+        "relation symmetric Jaccard structurally misses (a short doc "
+        "fully quoted inside a long one has low Jaccard but "
+        "containment 1.0). Same posting-list equi-join shape as "
+        "dedup_ngram_jaccard but WITHOUT the size-compatibility "
+        "filter, which is a Jaccard-only optimization — containment "
+        "deliberately admits size-skewed pairs; the threshold is "
+        "applied as an integer cross-multiplied inequality "
+        "(c*10 >= n*8) so both engines make identical float-free "
+        "keep/drop decisions.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    arr = (
+        docs.select(
+            "doc_id",
+            F.transform(_shingles(), lambda s: F.xxhash64(s)).alias("ss"),
+        )
+        .select("doc_id", "ss", F.size("ss").alias("n"))
+        .persist()
+    )
+    sh = arr.select("doc_id", "n", F.explode("ss").alias("s"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    inter = (
+        a.join(b, (F.col("s") == F.col("sb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    kept = inter.where(
+        (F.col("c") * 10 >= F.col("na") * 8) | (F.col("c") * 10 >= F.col("nb") * 8)
+    )
+    return kept.select(
+        "doc_a", "doc_b",
+        F.col("c").cast("long").alias("n_shared"),
+        F.col("na").cast("long").alias("size_a"),
+        F.col("nb").cast("long").alias("size_b"),
+        (F.col("c").cast("double") / F.col("na")).alias("containment_a"),
+        (F.col("c").cast("double") / F.col("nb")).alias("containment_b"),
+    )
