@@ -2235,6 +2235,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "ss", F.size("ss").alias("n"))
         .persist()
     )
+    arr.count()  # materialize so both join sides read the cache
     sh = arr.select("doc_id", "n", F.explode("ss").alias("s"))
     a = sh.select(
         F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na")
