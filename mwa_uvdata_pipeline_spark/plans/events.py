@@ -1656,3 +1656,80 @@ def agg_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .where(F.col("n") >= _CMS_T)
     )
+
+
+@register(
+    "stream_session_ttl_exec",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)) > 21600
+                         OR LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new,
+               event_id
+        FROM events),
+    sess AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS sid
+        FROM marked),
+    agg AS (
+        SELECT user_id, sid, MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid)
+    SELECT user_id, session_start, session_end, n_events FROM agg
+    """,
+    doc="Custom session windows with TTL state eviction, EXECUTED "
+        "(streaming/events.py stream_session_ttl): "
+        "applyInPandasWithState + EventTimeTimeout — a user's state "
+        "row is REMOVED once the watermark passes last-event + 6h, so "
+        "total state is bounded by the gap-horizon's active users, "
+        "never by every key seen (the unbounded-key-universe fix "
+        "SCALE.md prescribes over NoTimeout). Sessions split on "
+        "arrival inside the update fn, the timeout only flushes idle "
+        "trailers, making the emission micro-batch-invariant; two "
+        "sentinel far-future events appended to the replay "
+        "(append_watermark_sentinels) push the final watermark past "
+        "every real key's last-event + TTL, so ALL real sessions flush "
+        "deterministically before the drain. Oracle: the full batch "
+        "6h-gap gaps-and-islands sessionization — exact parity, no "
+        "trailing-session carve-out.",
+)
+def stream_session_ttl_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        append_watermark_sentinels,
+        replay_events,
+        run_to_memory,
+        stream_session_ttl,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="ev_replay_")
+    replay_events(ev, out, n_files=4)
+    # 6h TTL + 10 min watermark delay + slack: the sentinels' watermark
+    # must clear every real key's (last event + gap)
+    append_watermark_sentinels(ev, out, advance_s=21600 + 7200)
+    sink = f"sttl_sink_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            stream_session_ttl(spark, f"{out}/part*"),
+            sink,
+            output_mode="update",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(
+        f"SELECT user_id, session_start, session_end, n_events "
+        f"FROM {sink} WHERE user_id >= 0"  # sentinel user never emits,
+        # but keep the guard explicit
+    )

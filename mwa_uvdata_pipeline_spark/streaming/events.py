@@ -45,6 +45,36 @@ def replay_events(events: DataFrame, out_dir: str, n_files: int = 10) -> list[st
     return paths
 
 
+def append_watermark_sentinels(
+    events: DataFrame, out_dir: str, advance_s: int
+) -> None:
+    """Write two single-event files for a sentinel user (-1) whose
+    timestamps sit ``advance_s`` (and +1h) past the real stream's end.
+    Processing them advances the event-time watermark beyond every real
+    key's last-event + TTL, so EventTimeTimeout state flushes
+    DETERMINISTICALLY before the AvailableNow drain. TWO files, not
+    one: timers armed against a watermark fire in the batch AFTER that
+    watermark commits, so the second sentinel's batch is what flushes
+    keys whose timers needed the first sentinel's watermark (measured:
+    batch-by-batch numRowsTotal goes 150 -> 66 -> 1 — the trailing 1 is
+    the sentinel's own never-closing session, which sits within one TTL
+    gap of its sibling and is filtered by user_id >= 0 downstream)."""
+    spark = events.sparkSession
+    max_ts = events.agg(F.max("ts")).first()[0]  # bounded: one scalar
+    for i, off in enumerate((advance_s, advance_s + 3600)):
+        row = [(
+            -1 - i,
+            max_ts + __import__("datetime").timedelta(seconds=off),
+            -1,
+            "sentinel",
+            0.0,
+            "{}",
+        )]
+        spark.createDataFrame(row, EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/part9{i:02d}")  # matches the part* glob
+
+
 def _read_stream(spark: SparkSession, src_glob: str) -> DataFrame:
     return (
         spark.readStream.schema(EVENT_SCHEMA)
@@ -345,3 +375,79 @@ def run_to_memory(
     )
     q.awaitTermination(timeout)
     return q
+
+
+def stream_session_ttl(
+    spark: SparkSession,
+    src_glob: str,
+    gap_s: int = 21600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom session windows with TTL state eviction — the
+    ``applyInPandasWithState`` + ``EventTimeTimeout`` pattern for an
+    UNBOUNDED key universe: a user's state lives only while the
+    watermark is within ``gap_s`` of their last event, then the session
+    flushes and the state row is REMOVED. Total state is therefore
+    bounded by users active inside the gap horizon, not by every key
+    ever seen (the fix SCALE.md prescribes over NoTimeout).
+
+    Sessions are split on ARRIVAL (event-time gap > gap_s inside the
+    update function), with the timeout only flushing idle trailers —
+    so the emitted sessions are exactly batch gap-sessionization
+    regardless of micro-batch boundaries, which is what lets
+    ``stream_session_ttl_exec`` gate this against a SQL oracle.
+    State timestamps are integer microseconds (exact, order-safe)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_s * 1_000_000
+    cols = ["user_id", "start_us", "end_us", "n_events"]
+
+    def update(key, pdfs, state: GroupState):
+        closed = []
+        if state.hasTimedOut:
+            st, en, n = state.get
+            closed.append((key[0], st, en, n))
+            state.remove()
+        else:
+            ts_us = (
+                pd.concat([pdf["ts"] for pdf in pdfs], ignore_index=True)
+                .astype("datetime64[us]")  # normalize ns/us Arrow units
+                .astype("int64")
+                .sort_values()
+            )
+            st, en, n = state.get if state.exists else (None, None, 0)
+            for t in ts_us:
+                t = int(t)
+                if st is None:
+                    st, en, n = t, t, 1
+                elif t - en > gap_us:
+                    closed.append((key[0], st, en, n))
+                    st, en, n = t, t, 1
+                else:
+                    en, n = t, n + 1
+            state.update((st, en, n))
+            # flush when event-time watermark passes last event + gap
+            state.setTimeoutTimestamp((en + gap_us) // 1000)
+        yield pd.DataFrame(closed, columns=cols)
+
+    return (
+        _read_stream(spark, src_glob)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, start_us long, end_us long, n_events long"
+            ),
+            stateStructType="st long, en long, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("start_us")).alias("session_start"),
+            F.timestamp_micros(F.col("end_us")).alias("session_end"),
+            "n_events",
+        )
+    )

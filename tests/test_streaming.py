@@ -143,3 +143,37 @@ def test_stream_sessionize_runs(spark, replay_dir):
     )
     n = spark.sql("SELECT COUNT(*) AS n FROM session_sink").first()["n"]
     assert n > 0
+
+
+def test_session_ttl_state_evicted(spark):
+    """The TTL session operator must END with ~zero state: every real
+    user's state row is removed once the watermark passes last-event +
+    gap (the sentinels guarantee it does), leaving only the sentinel's
+    own open session. This is the bounded-state claim of SCALE.md
+    measured, not asserted from theory."""
+    import tempfile
+
+    from mwa_uvdata_pipeline_spark.plans import load_events
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        append_watermark_sentinels,
+        replay_events,
+        run_to_memory,
+        stream_session_ttl,
+    )
+
+    ev = load_events(spark, SF_SMALL)
+    out = tempfile.mkdtemp(prefix="ttl_replay_")
+    replay_events(ev, out, n_files=4)
+    append_watermark_sentinels(ev, out, advance_s=21600 + 7200)
+    q = run_to_memory(
+        stream_session_ttl(spark, f"{out}/part*"),
+        "ttl_evict_sink",
+        output_mode="update",
+    )
+    final_state = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_state <= 1  # only the sentinel's open session survives
+    peak_state = max(
+        p["stateOperators"][0]["numRowsTotal"] for p in q.recentProgress
+    )
+    n_users = ev.select("user_id").distinct().count()
+    assert peak_state <= n_users + 1  # bounded by active keys, not events
