@@ -2212,6 +2212,7 @@ def dedup_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE c * 10 >= sa.n * 8 OR c * 10 >= sb.n * 8
     """,
+    bench=True,
     doc="Asymmetric containment dedup: C(A,B) = |A∩B|/|A| over 3-gram "
         "shingle sets, keeping pairs where EITHER side is >= 80% "
         "contained in the other — the quote/subset/boilerplate-wrap "

@@ -1749,6 +1749,7 @@ _AR_LIFT = (
     JOIN supp sb ON cons = sb.l_partkey
     CROSS JOIN n
     """,
+    bench=True,
     doc="Market-basket association rules (the pair tier of FP-growth): "
         "antecedent->consequent part pairs co-purchased in >= 2 orders, "
         "scored with support / confidence / lift. Pair candidates come "
