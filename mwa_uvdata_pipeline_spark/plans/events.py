@@ -1733,3 +1733,58 @@ def stream_session_ttl_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"FROM {sink} WHERE user_id >= 0"  # sentinel user never emits,
         # but keep the guard explicit
     )
+
+
+@register(
+    "ev_rollup_cascade",
+    sql="""
+    SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts)) AS BIGINT)
+                             // 86400 * 86400) AS TIMESTAMP) AS b1d,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Continuous-aggregate CASCADE: the daily rollup is computed "
+        "from the HOURLY rollup, which is computed from the 15-MINUTE "
+        "rollup, which is computed from raw events — never re-reading "
+        "raw data above the finest tier — and must equal the oracle's "
+        "direct day-from-raw aggregate. This is the maintenance path "
+        "of a hypertable continuous aggregate at 100 TB (each tier "
+        "refreshes from the tier below, cost ∝ finer-tier rows, not "
+        "raw events), legal because count/sum-of-cents are algebraic "
+        "and the bucket lattice is aligned (900 | 3600 | 86400). Each "
+        "re-aggregation groups ~24-96x fewer rows than its input; "
+        "only the first tier shuffles event-scale data.",
+)
+def ev_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = epoch_us(ev)
+    base = ev.select(
+        (us - (us % F.lit(900 * 1_000_000))).alias("b15_us"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    m15 = base.groupBy("b15_us", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_cents").alias("sum_cents"),
+    )
+    h1 = (
+        m15.withColumn(
+            "b1h_us", F.col("b15_us") - (F.col("b15_us") % F.lit(3600 * 1_000_000))
+        )
+        .groupBy("b1h_us", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    d1 = (
+        h1.withColumn(
+            "b1d_us", F.col("b1h_us") - (F.col("b1h_us") % F.lit(86400 * 1_000_000))
+        )
+        .groupBy("b1d_us", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    return d1.select(
+        F.timestamp_micros(F.col("b1d_us")).alias("b1d"),
+        "event_type", "n", "sum_cents",
+    )

@@ -2262,3 +2262,64 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c").cast("double") / F.col("na")).alias("containment_a"),
         (F.col("c").cast("double") / F.col("nb")).alias("containment_b"),
     )
+
+
+@register(
+    "t_bigram_familiarity",
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    bg AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    cf AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY b)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(cf.cnt) AS BIGINT) AS familiarity_sum,
+           CAST(SUM(cf.cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS familiarity
+    FROM bg JOIN cf USING (b)
+    GROUP BY bg.doc_id
+    """,
+    doc="Bigram-familiarity quality scoring — the integer-exact "
+        "sibling of language-model perplexity filtering (CCNet-style): "
+        "each document is scored by the mean CORPUS frequency of its "
+        "bigrams, so formulaic/boilerplate text scores high and "
+        "gibberish scores ~1, with none of the non-reproducible float "
+        "log-prob accumulation a real LM would add (ln is not "
+        "correctly-rounded across engines; counts are). Shape: bigram "
+        "generation is a map (one explode), the corpus frequency "
+        "table is one hash-agg on the bigram key (xxhash64 longs "
+        "through the shuffle, same trick as dedup_ngram_jaccard), and "
+        "the score join is posting-list-shaped — cost tracks total "
+        "token volume, the same plan at 100 TB.",
+)
+def t_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    # NOT _shingles(): that dedups occurrences (right for Jaccard sets,
+    # wrong here — familiarity weights by how often the doc repeats a
+    # bigram, matching the oracle's non-distinct generation)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 2)))
+    )
+    bg = docs.select("doc_id", F.explode(bigrams).alias("b"))
+    cf = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return (
+        bg.join(cf, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("cnt").alias("familiarity_sum"),
+            (
+                F.sum("cnt").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("familiarity"),
+        )
+    )
