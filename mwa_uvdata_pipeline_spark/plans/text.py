@@ -2323,3 +2323,80 @@ def t_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("familiarity"),
         )
     )
+
+
+@register(
+    "m_phash_dedup",
+    sql="""
+    WITH b AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    ph AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN CAST('0x' || substr(hx, 2*i - 1, 2)
+                                  AS INT) >= 128
+                             THEN 1 << (i - 1) ELSE 0 END) AS BIGINT)
+                   AS phash
+        FROM b, UNNEST(range(1, 9)) AS u(i)
+        GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM ph a JOIN ph b
+      ON a.doc_id < b.doc_id
+     AND bit_count(xor(a.phash, b.phash)) <= 1
+    """,
+    doc="Perceptual-hash near-dup for multimodal payloads: the 8-dim "
+        "stub features (operators.multimodal — stand-in for a vision "
+        "encoder) sign-quantize into an 8-bit pHash (bit i set iff "
+        "feature_i > 0.5, i.e. payload byte >= 128 — 255 is odd so the "
+        "threshold can never tie), and near-dup pairs are found at "
+        "hamming distance <= 1 by MULTI-PROBE equi-join: each doc "
+        "probes its exact hash plus all 8 single-bit flips, so "
+        "candidates come from a hash-bucket join (work ~ sum of "
+        "bucket^2), never the O(n^2) pairwise scan the oracle states. "
+        "The image-dedup shape every multimodal training pipeline "
+        "runs, with the same verify-after-probe contract as the LSH "
+        "families.",
+)
+def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        binary_payload,
+        extract_features,
+    )
+
+    feats = extract_features(binary_payload(table(spark, sf_dir, "documents")))
+    ph = (
+        feats.select("doc_id", F.posexplode("features").alias("dim", "value"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN value > 0.5 THEN shiftleft(1L, dim) "
+                "ELSE 0L END) AS BIGINT)"
+            ).alias("phash")
+        )
+    )
+    probes = ph.select(
+        F.col("doc_id").alias("doc_b"),
+        F.explode(
+            F.array(
+                F.col("phash"),
+                *[F.col("phash").bitwiseXOR(F.lit(1 << i)) for i in range(8)],
+            )
+        ).alias("probe"),
+    )
+    cand = (
+        ph.join(probes, (F.col("phash") == F.col("probe"))
+                & (F.col("doc_id") < F.col("doc_b")))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    pa = ph.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ha"))
+    pb = ph.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("hb"))
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("long").alias("hamming"),
+        )
+    )
