@@ -2400,3 +2400,77 @@ def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("hamming"),
         )
     )
+
+
+@register(
+    "e_matryoshka",
+    sql=f"""
+    WITH t AS (SELECT vec_id, embedding[1:16] AS e16, embedding
+               FROM embeddings),
+    norms AS (
+        SELECT vec_id, e16, embedding,
+               sqrt({_SQL_DOT.format(a="e16", b="e16")}) AS n16,
+               sqrt({_SQL_DOT.format(a="embedding", b="embedding")}) AS nf
+        FROM t),
+    q AS (SELECT vec_id AS q_id, e16 AS q16, embedding AS qf,
+                 n16 AS qn16, nf AS qnf
+          FROM norms WHERE vec_id < 5),
+    scored AS (
+        SELECT q.q_id, n.vec_id,
+               ROUND({_SQL_DOT.format(a="n.e16", b="q.q16")}
+                     / (n.n16 * q.qn16), 6) AS cos_trunc,
+               ROUND({_SQL_DOT.format(a="n.embedding", b="q.qf")}
+                     / (n.nf * q.qnf), 6) AS cos_full
+        FROM norms n CROSS JOIN q WHERE n.vec_id != q.q_id)
+    SELECT q_id, vec_id, cos_trunc, cos_full FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_trunc DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 5
+    """,
+    doc="Matryoshka retrieval: top-k by cosine over the FIRST 16 of 64 "
+        "dims (the truncated-prefix trick MRL-trained embedders "
+        "support), with the full-dim cosine carried alongside so the "
+        "quality/cost trade is measurable per hit. Shape is the "
+        "brute-force baseline's (broadcast fixed query set, per-query "
+        "window top-k) but the scan reads and multiplies 4x less "
+        "vector data — the cheap first pass of a two-stage "
+        "truncate-then-rerank cascade (full-dim rerank = "
+        "sim_cosine_topk on the shortlist); at 100 TB the prefix scan "
+        "is the difference between streaming 25 GB and 100 GB per "
+        "billion vectors.",
+)
+def e_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 16).alias("e16"), "embedding"
+    )
+    norms = emb.select(
+        "vec_id", "e16", "embedding",
+        F.sqrt(_dot(F.col("e16"), F.col("e16"))).alias("n16"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nf"),
+    )
+    q = norms.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e16").alias("q16"),
+        F.col("embedding").alias("qf"),
+        F.col("n16").alias("qn16"),
+        F.col("nf").alias("qnf"),
+    )
+    scored = (
+        norms.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            F.round(
+                _dot(F.col("e16"), F.col("q16")) / (F.col("n16") * F.col("qn16")), 6
+            ).alias("cos_trunc"),
+            F.round(
+                _dot(F.col("embedding"), F.col("qf")) / (F.col("nf") * F.col("qnf")), 6
+            ).alias("cos_full"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_trunc").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "cos_trunc", "cos_full")
+    )

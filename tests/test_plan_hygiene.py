@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "x_bloom_prune": "broadcast single-row bloom bitmap (fixed 2^16 "
                      "bits = 1024 longs, independent of dim size)",
     "x_assoc_rules": "broadcast scalar basket count (single-row agg)",
+    "e_matryoshka": "broadcast fixed query set (k query vectors)",
 }
 
 
