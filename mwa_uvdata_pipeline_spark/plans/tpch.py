@@ -1810,3 +1810,133 @@ def x_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_AR_LIFT).alias("lift"),
         )
     )
+
+
+_G_EDGES_SQL = """
+    fwd AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_quantity >= 30 AND b.l_quantity >= 30
+    ),
+    e AS (SELECT u, v FROM fwd UNION ALL SELECT v, u FROM fwd)
+"""
+
+
+def _g_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected bulk co-purchase edge list (both directions), same
+    bounded per-order expansion as graph_triangles."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 30)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "y -> struct(least(x, y) AS u, greatest(x, y) AS v))))"
+    )
+    fwd = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.u", "p.v")
+        .distinct()
+    )
+    return fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+@register(
+    "graph_bfs_hops",
+    sql=f"""
+    WITH RECURSIVE {_G_EDGES_SQL},
+    r(node, d) AS (
+        SELECT u AS node, 0 AS d FROM e WHERE u < 10
+        UNION ALL
+        SELECT e.v, r.d + 1 FROM r JOIN e ON e.u = r.node WHERE r.d < 3
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+    FROM r GROUP BY node
+    """,
+    doc="Bounded BFS (3 hops) from a seed set over the bulk "
+        "co-purchase graph: per-node minimum hop distance. The oracle "
+        "states it as depth-bounded recursive path enumeration; the "
+        "Spark plan is level-synchronous BFS — per round ONE frontier⋈"
+        "edges equi-join and a min-dist aggregate, the frontier "
+        "deduplicated before expanding so work per round is "
+        "O(frontier-adjacent edges), never the oracle's path count "
+        "(which grows as degree^depth). The reachability/ego-network "
+        "primitive; 3 rounds = 3 shuffles, each co-partitioned on the "
+        "node key.",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _g_edges(spark, sf_dir).persist()
+    seeds = (
+        edges.where(F.col("u") < 10)
+        .select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    best = seeds
+    frontier = seeds
+    for d in range(1, 4):
+        reached = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(d).cast("long"))
+        )
+        # next frontier: nodes not already reached at a smaller depth
+        frontier = reached.join(
+            best.select("node"), "node", "left_anti"
+        ).persist()
+        best = best.union(frontier)
+    return best.groupBy("node").agg(F.min("dist").alias("dist"))
+
+
+@register(
+    "graph_kcore_peel",
+    sql=f"""
+    WITH {_G_EDGES_SQL},
+    d0 AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+    k0 AS (SELECT u FROM d0 WHERE deg >= 5),
+    e1 AS (SELECT e.u, e.v FROM e
+           JOIN k0 a ON e.u = a.u JOIN k0 b ON e.v = b.u),
+    d1 AS (SELECT u, COUNT(*) AS deg FROM e1 GROUP BY u),
+    k1 AS (SELECT u FROM d1 WHERE deg >= 5),
+    e2 AS (SELECT e1.u, e1.v FROM e1
+           JOIN k1 a ON e1.u = a.u JOIN k1 b ON e1.v = b.u),
+    d2 AS (SELECT u, COUNT(*) AS deg FROM e2 GROUP BY u),
+    k2 AS (SELECT u FROM d2 WHERE deg >= 5),
+    e3 AS (SELECT e2.u, e2.v FROM e2
+           JOIN k2 a ON e2.u = a.u JOIN k2 b ON e2.v = b.u)
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e3 GROUP BY u
+    """,
+    doc="k-core peeling (k=5, 3 synchronized rounds): repeatedly drop "
+        "nodes with degree < 5 and re-induce the subgraph — the "
+        "degeneracy-based community/spam filter that strips hangers-on "
+        "before expensive graph ML. Each round is one degree hash-agg "
+        "+ two semi-shaped joins re-inducing the edge set, all "
+        "equi-joins on node keys; the oracle unrolls the SAME three "
+        "rounds as nested CTEs, so both engines compute the identical "
+        "fixed-round peel (full-fixpoint peeling is the same loop run "
+        "until the survivor set stops changing — rounds here are "
+        "synchronized, so round counts match across engines by "
+        "construction).",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _g_edges(spark, sf_dir).persist()
+    e = edges
+    for _ in range(3):
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= 5).select("u")
+        e = (
+            e.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+        )
+    return e.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    ).select(F.col("u").alias("node"), "core_degree")
