@@ -1073,3 +1073,92 @@ def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
         )
     )
+
+
+@register(
+    "s_json_source",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events GROUP BY 1
+    """,
+    doc="JSON-lines source round-trip (S2 multi-format dispatch, real "
+        "path): events written as JSONL (timestamps ISO-8601, nested "
+        "props kept as a raw JSON string), read back with an EXPLICIT "
+        "schema — no inference pass, the production rule for a 100-TB "
+        "JSON lake since schema inference is itself a full scan — and "
+        "aggregated; must match the oracle over the parquet original, "
+        "proving the serialize/parse round-trip is lossless including "
+        "microsecond timestamps and the embedded JSON payload (sum_k "
+        "extracts from props post-round-trip).",
+)
+def s_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mwa_uvdata_pipeline_spark.plans import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="ev_jsonl_")
+    ev.write.mode("overwrite").json(out)
+    ts_type = dict(ev.dtypes)["ts"]
+    back = (
+        spark.read.schema(
+            f"event_id long, ts {ts_type}, user_id long, "
+            f"event_type string, value double, props string"
+        )
+        .json(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        F.sum(
+            F.get_json_object("props", "$.k").cast("long")
+        ).alias("sum_k"),
+    )
+
+
+@register(
+    "s_csv_source",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents
+    FROM lineitem GROUP BY 1, 2
+    """,
+    doc="CSV source round-trip (S2 multi-format dispatch, real path): "
+        "lineitem written as headered CSV and read back with an "
+        "explicit schema (header used for naming only — no inference "
+        "scan) plus an explicit timestampFormat so l_shipdate "
+        "round-trips losslessly; the aggregate must match the oracle "
+        "over the parquet original (timestamps round-trip through "
+        "Spark's default ISO format on both write and read). CSV is "
+        "splittable by line, so the read parallelizes across the "
+        "cluster like any text source; money survives because the "
+        "check is exact integer cents, the same discipline every "
+        "entry uses.",
+)
+def s_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    li = table(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="li_csv_")
+    li.write.mode("overwrite").option("header", "true").csv(out)
+    schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in li.dtypes
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .csv(out)
+    )
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("price_cents"),
+    )

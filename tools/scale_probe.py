@@ -70,6 +70,13 @@ QUERIES = [
     "agg_cms_heavy",
     "x_table_diff",
     "dedup_best_in_cluster",
+    # round-4 third wave
+    "dedup_containment",
+    "t_bigram_familiarity",
+    "m_phash_dedup",
+    "graph_bfs_hops",
+    "graph_kcore_peel",
+    "e_matryoshka",
 ]
 
 KEY_OFFSETS = {
