@@ -1162,3 +1162,66 @@ def s_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") * 100).cast("long")
         ).alias("price_cents"),
     )
+
+
+_N_CORRUPT = 7  # malformed lines injected; the oracle shares the literal
+
+
+@register(
+    "s_corrupt_records",
+    sql=f"""
+    SELECT CAST(COUNT(*) + {_N_CORRUPT} AS BIGINT) AS n_total,
+           CAST({_N_CORRUPT} AS BIGINT) AS n_corrupt,
+           CAST(COUNT(*) AS BIGINT) AS n_parsed,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    """,
+    doc="Fault-tolerant ingestion (PERMISSIVE mode): the events JSONL "
+        "plus 7 injected malformed lines is read with an explicit "
+        "schema + _corrupt_record column — bad lines land in the "
+        "quarantine column with every data field NULL instead of "
+        "failing the job or being silently dropped (the only "
+        "acceptable behaviors at 100 TB are quarantine-and-count or "
+        "fail-fast, never skip-and-shrug). The audit row proves the "
+        "accounting: total = parsed + corrupt, and the parsed rows' "
+        "exact cents sum shows no good line was lost. Oracle shares "
+        "the injection count as a literal over the clean table.",
+)
+def s_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mwa_uvdata_pipeline_spark.plans import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="ev_corrupt_")
+    ev.write.mode("overwrite").json(f"{out}/clean")
+    bad = spark.createDataFrame(
+        [(f"{{broken json line {i}",) for i in range(_N_CORRUPT)], "raw string"
+    )
+    bad.coalesce(1).write.mode("overwrite").text(f"{out}/bad")
+    ts_type = dict(ev.dtypes)["ts"]
+    back = (
+        spark.read.schema(
+            f"event_id long, ts {ts_type}, user_id long, event_type string, "
+            f"value double, props string, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json([f"{out}/clean", f"{out}/bad"])
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_parsed"),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(),
+                F.round(F.col("value") * 100).cast("long"),
+            )
+        ).alias("sum_cents"),
+    )
