@@ -1788,3 +1788,60 @@ def ev_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("b1d_us")).alias("b1d"),
         "event_type", "n", "sum_cents",
     )
+
+
+@register(
+    "x_identity_stitch",
+    sql="""
+    WITH RECURSIVE pairs AS (
+        -- users sharing a device: device nodes offset into their own
+        -- id space so the bipartite graph has disjoint node ranges
+        SELECT DISTINCT user_id AS u,
+               CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
+                   + 1000000 AS v
+        FROM events
+        WHERE CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) < 20
+    ),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    reach(u, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    ),
+    canon AS (SELECT u, MIN(r) AS cid FROM reach GROUP BY u)
+    SELECT u AS user_id, cid AS identity_id
+    FROM canon WHERE u < 1000000
+    """,
+    doc="Identity stitching (entity resolution): users observed on the "
+        "same device (events.props k < 20, standing in for a device/"
+        "cookie id) merge into one identity via connected components "
+        "over the user↔device bipartite graph — the cross-device "
+        "user-stitching every analytics/training pipeline runs before "
+        "per-identity dedup or attribution. Device nodes are offset "
+        "into a disjoint id range; the components operator "
+        "(operators/graph.py min-label propagation) does the closure "
+        "in O(diameter) join+agg rounds, and the bipartite diameter "
+        "is short by construction. The oracle states reachability as "
+        "a recursive CTE, same contract as dedup_clusters.",
+)
+def x_identity_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.graph import connected_components
+
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    pairs = (
+        ev.select(
+            F.col("user_id").alias("doc_a"),
+            (k + 1_000_000).alias("doc_b"),
+        )
+        .where(F.col("doc_b") - 1_000_000 < 20)
+        .distinct()
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.where(F.col("node") < 1_000_000)
+        .select(
+            F.col("node").alias("user_id"),
+            F.col("component").alias("identity_id"),
+        )
+    )
