@@ -1845,3 +1845,84 @@ def x_identity_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("component").alias("identity_id"),
         )
     )
+
+
+@register(
+    "ev_attribution",
+    sql="""
+    WITH stream AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    windowed AS (
+        SELECT user_id, event_type, cents,
+               LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS touch_type,
+               epoch_us(ts) - LAST_VALUE(CASE WHEN event_type IN
+                                              ('view', 'click')
+                                              THEN epoch_us(ts)
+                                         END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS touch_age_us
+        FROM stream
+    )
+    SELECT COALESCE(CASE WHEN touch_age_us <= 3600000000
+                         THEN touch_type END, '(direct)') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS rev_cents
+    FROM windowed
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="Last-touch attribution: every purchase credits the most "
+        "recent view/click by the same user within a 1h lookback, "
+        "else '(direct)'. ONE user_id window pass computes the "
+        "last-marketing-touch type AND its age for every event "
+        "(ignore-nulls LAST_VALUE over the preceding frame — no "
+        "purchases×touches join, no as-of join state), then the "
+        "purchase rows fold into a channel rollup bounded by |touch "
+        "types|. The shuffle key is user_id — the same partitioning "
+        "every other per-user operator here reuses; at 100 TB this "
+        "is one exchange regardless of touch volume, where the naive "
+        "purchases⋈touches range join is quadratic in active users' "
+        "event density.",
+)
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = epoch_us(ev)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    stream = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        us.alias("ts_us"),
+    )
+    attributed = (
+        stream.withColumn(
+            "touch_type",
+            F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "touch_age_us",
+            F.col("ts_us")
+            - F.last(F.when(is_touch, F.col("ts_us")), ignorenulls=True).over(w),
+        )
+        .where(F.col("event_type") == "purchase")
+    )
+    channel = F.coalesce(
+        F.when(F.col("touch_age_us") <= 3_600_000_000, F.col("touch_type")),
+        F.lit("(direct)"),
+    )
+    return attributed.groupBy(channel.alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("cents").alias("rev_cents"),
+    )

