@@ -1926,3 +1926,93 @@ def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         F.sum("cents").alias("rev_cents"),
     )
+
+
+# two-proportion z arithmetic over exact integer counts; one string,
+# both engines (same determinism argument as _CHI_*)
+_AB = {c: f"CAST({c} AS DOUBLE)" for c in ("n1", "c1", "n2", "c2")}
+_AB_P1 = f"({_AB['c1']} / {_AB['n1']})"
+_AB_P2 = f"({_AB['c2']} / {_AB['n2']})"
+_AB_P = f"(({_AB['c1']} + {_AB['c2']}) / ({_AB['n1']} + {_AB['n2']}))"
+_AB_Z = (
+    f"(({_AB_P1} - {_AB_P2}) / sqrt({_AB_P} * (1.0 - {_AB_P}) "
+    f"* (1.0 / {_AB['n1']} + 1.0 / {_AB['n2']})))"
+)
+
+
+@register(
+    "ev_ab_test",
+    sql=f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE user_id % 3 WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
+                    ELSE 'bronze' END AS tier,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY 1
+    ),
+    t AS (
+        SELECT tier, CAST(COUNT(*) AS BIGINT) AS n1,
+               CAST(SUM(converted) AS BIGINT) AS c1
+        FROM u GROUP BY tier
+    ),
+    m AS (
+        SELECT tier, n1, c1,
+               CAST(SUM(n1) OVER () - n1 AS BIGINT) AS n2,
+               CAST(SUM(c1) OVER () - c1 AS BIGINT) AS c2
+        FROM t
+    )
+    SELECT tier, n1 AS n_users, c1 AS n_converted,
+           {_AB_P1} AS conv_rate,
+           {_AB_Z} AS z_vs_rest
+    FROM m
+    """,
+    doc="A/B conversion test: per-tier user conversion (a purchase over 90 — a predicate rare enough that the pooled rate is not 1, which would zero the variance) "
+        "with a two-proportion z-score of each tier against the pooled "
+        "rest — the experiment-readout primitive. One user-level "
+        "hash-agg collapses events to (user, converted), one tiny agg "
+        "to tier counts, complements as windows over the 3-row grid "
+        "(no second fact pass), and the statistic derives from exact "
+        "int64 counts through a double expression tree shared verbatim "
+        "with the oracle — a floating-point significance test that is "
+        "exactly oracle-checkable, same discipline as ml_linreg and "
+        "x_chisq.",
+)
+def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 90),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.expr(
+                "CASE user_id % 3 WHEN 0 THEN 'gold' WHEN 1 THEN 'silver' "
+                "ELSE 'bronze' END"
+            ).alias("tier"),
+            "converted",
+        )
+    )
+    t = u.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum("converted").cast("long").alias("c1"),
+    )
+    w = Window.partitionBy()
+    m = t.select(
+        "tier", "n1", "c1",
+        (F.sum("n1").over(w) - F.col("n1")).cast("long").alias("n2"),
+        (F.sum("c1").over(w) - F.col("c1")).cast("long").alias("c2"),
+    )
+    return m.select(
+        "tier",
+        F.col("n1").alias("n_users"),
+        F.col("c1").alias("n_converted"),
+        F.expr(_AB_P1).alias("conv_rate"),
+        F.expr(_AB_Z).alias("z_vs_rest"),
+    )
