@@ -2016,3 +2016,94 @@ def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_AB_P1).alias("conv_rate"),
         F.expr(_AB_Z).alias("z_vs_rest"),
     )
+
+
+@register(
+    "x_pandas_udaf",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                    * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_sq_cents
+    FROM events GROUP BY 1
+    """,
+    doc="Custom aggregate via a GROUPED_AGG pandas UDF — the "
+        "user-defined-aggregate tier of the UDF surface (SURVEY "
+        "§2.11), distinct from mapInPandas (row transform) and "
+        "applyInPandasWithState (stateful stream): the UDF receives "
+        "each group's column as an Arrow-backed pandas Series and "
+        "returns one scalar. The aggregate is an EXACT integer sum of "
+        "squared cents, so the result is accumulation-order-free and "
+        "oracle-checkable — the same discipline that makes every "
+        "float aggregate here gateable. Note the scale caveat in the "
+        "plan: a grouped-agg pandas UDF is all-to-one per group (no "
+        "partial aggregation), so it is the right tool for genuinely "
+        "non-algebraic aggregates only — anything decomposable should "
+        "stay a built-in (this entry exists to prove the API, and the "
+        "group count here is bounded at |event types|).",
+)
+def x_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # this Spark build does not resolve the (pd.Series) -> float type
+    # hint for grouped aggregates — declare GROUPED_AGG explicitly.
+    # The int64 sum returns through a double, exact because
+    # sum(cents^2) < 2^53 per group at any realistic group size here
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def sum_sq(cents):
+        v = cents.astype("int64")
+        return float((v * v).sum())
+
+    # grouped-agg pandas UDFs cannot mix with built-in aggregates in
+    # one agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count rides
+    # through a second UDF
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def cnt(cents):
+        return float(len(cents))
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return ev.groupBy("event_type").agg(
+        cnt("cents").cast("long").alias("n"),
+        sum_sq("cents").cast("long").alias("sum_sq_cents"),
+    )
+
+
+@register(
+    "x_arrow_batch",
+    sql="""
+    SELECT event_type,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * 2 + 1) AS BIGINT)
+               AS adj_cents
+    FROM events GROUP BY 1
+    """,
+    doc="mapInArrow transform — the zero-copy tier of the UDF surface "
+        "(SURVEY §2.11): batches arrive as pyarrow RecordBatches and "
+        "are transformed with Arrow compute kernels (multiply/add on "
+        "the int64 cents column), never materializing pandas objects — "
+        "the cheapest Python hook Spark offers when the work is "
+        "columnar arithmetic on Arrow arrays. The transform is exact "
+        "integer (2x+1 per cent value), so the downstream aggregate "
+        "hash-matches the oracle; memory per task is one Arrow batch "
+        "regardless of partition size.",
+)
+def x_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def double_plus_one(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            adj = pc.add(pc.multiply(batch.column(1), 2), 1)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), adj], ["event_type", "adj_cents"]
+            )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out = ev.mapInArrow(double_plus_one, "event_type string, adj_cents long")
+    return out.groupBy("event_type").agg(
+        F.sum("adj_cents").alias("adj_cents")
+    )
