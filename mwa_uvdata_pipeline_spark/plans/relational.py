@@ -1225,3 +1225,37 @@ def s_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sum_cents"),
     )
+
+
+@register(
+    "x_decimal_exact",
+    sql="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2))) AS VARCHAR)
+               AS gross,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * CAST(1 - l_discount AS DECIMAL(18, 2)))
+                AS VARCHAR) AS net
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact DECIMAL arithmetic — the other standard money "
+        "discipline beside this repo's integer-cents convention: "
+        "2-decimal doubles cast to DECIMAL(18,2), summed and "
+        "multiplied with Spark's decimal precision-promotion rules "
+        "(sum -> DECIMAL(28,2); product -> scale 4), which DuckDB "
+        "mirrors; results compare as canonical strings so the gate "
+        "checks the DECIMAL pipeline end-to-end rather than a "
+        "round-trip through binary floats. Decimal aggregation is "
+        "exact and associative like integer cents — safe under any "
+        "partial-aggregation order at 100 TB — at ~2x the compute of "
+        "int64 (128-bit arithmetic), which is why the hot entries "
+        "here prefer cents.",
+)
+def x_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    keep = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("string").alias("gross"),
+        F.sum(price * keep).cast("string").alias("net"),
+    )
