@@ -136,3 +136,62 @@ def test_union_of_slices_equals_whole(spark, split, seed):
     hi = df.where(F.col("time_idx") >= split)
     assert lo.unionByName(hi).exceptAll(df).isEmpty()
     assert df.exceptAll(lo.unionByName(hi)).isEmpty()
+
+
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    probes=st.lists(st.integers(10_001, 50_000), min_size=1, max_size=60),
+)
+@settings(**_SETTINGS)
+def test_bloom_never_false_negative(spark, keys, probes):
+    """Any inserted key set, any probe set: every inserted key tests
+    positive (bloom exactness of x_bloom_prune rests on this)."""
+    from mwa_uvdata_pipeline_spark.operators.bloom import build_bloom, might_contain
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    bloom = build_bloom(df, "k", m_bits=1 << 12, k=4)
+    hits = (
+        df.join(F.broadcast(bloom))
+        .where(might_contain("words", "k", m_bits=1 << 12, k=4))
+        .count()
+    )
+    assert hits == len(keys)
+
+
+@given(
+    cents=st.lists(
+        st.integers(-10_000_000, 10_000_000), min_size=1, max_size=50
+    ),
+    cut=st.integers(1, 49),
+)
+@settings(**_SETTINGS)
+def test_partial_agg_merge_equals_full(spark, cents, cut):
+    """x_incremental_agg's algebra: splitting any value list at any
+    point and merging the two partial (count, sum, min, max) tuples
+    must equal the unsplit aggregate."""
+    cut = min(cut, len(cents))
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "i long, c long"
+    )
+
+    def partial(d):
+        return d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s"),
+            F.min("c").alias("lo"),
+            F.max("c").alias("hi"),
+        )
+
+    merged = (
+        partial(df.where(F.col("i") < cut))
+        .union(partial(df.where(F.col("i") >= cut)))
+        .agg(
+            F.sum("n").alias("n"), F.sum("s").alias("s"),
+            F.min("lo").alias("lo"), F.max("hi").alias("hi"),
+        )
+        .first()
+    )
+    full = partial(df).first()
+    assert (merged.n, merged.s, merged.lo, merged.hi) == (
+        full.n, full.s, full.lo, full.hi,
+    )
