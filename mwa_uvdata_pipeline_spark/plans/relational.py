@@ -1133,8 +1133,7 @@ def s_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="CSV source round-trip (S2 multi-format dispatch, real path): "
         "lineitem written as headered CSV and read back with an "
         "explicit schema (header used for naming only — no inference "
-        "scan) plus an explicit timestampFormat so l_shipdate "
-        "round-trips losslessly; the aggregate must match the oracle "
+        "scan); the aggregate must match the oracle "
         "over the parquet original (timestamps round-trip through "
         "Spark's default ISO format on both write and read). CSV is "
         "splittable by line, so the read parallelizes across the "

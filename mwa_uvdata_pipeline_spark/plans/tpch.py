@@ -1514,30 +1514,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "closure join on the (b, c) pair); no theta join anywhere.",
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .where(F.col("l_quantity") >= 30)
-        .select("l_orderkey", "l_partkey")
-    )
-    # pair generation: ONE groupBy shuffle + in-memory expansion of the
-    # bounded (~7-part) per-order set, instead of a lineitem⋈lineitem
-    # sort-merge self-join (two shuffle legs over the full fact table)
-    pairs = F.expr(
-        "flatten(transform(ps, (x, i) -> "
-        "transform(slice(ps, i + 2, size(ps)), "
-        "y -> struct(least(x, y) AS u, greatest(x, y) AS v))))"
-    )
-    edges = (
-        li.groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
-        .select(F.explode(pairs).alias("e"))
-        .select("e.u", "e.v")
-        .distinct()
-        # consumed by the degree agg AND both sides of the orientation
-        # join; without a persist the pair expansion + distinct
-        # re-executes once per consumer
-        .persist()
-    )
+    # _g_fwd: ONE groupBy shuffle + in-memory expansion of the bounded
+    # (~7-part) per-order set, instead of a lineitem⋈lineitem
+    # sort-merge self-join (two shuffle legs over the full fact table).
+    # Persisted: consumed by the degree agg AND both sides of the
+    # orientation join.
+    edges = _g_fwd(spark, sf_dir).persist()
     deg = (
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))
@@ -1766,15 +1748,10 @@ _AR_LIFT = (
 def x_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
-    pair_expand = F.expr(
-        "flatten(transform(ps, (x, i) -> "
-        "transform(slice(ps, i + 2, size(ps)), "
-        "y -> struct(least(x, y) AS u, greatest(x, y) AS v))))"
-    )
     pairs = (
         op.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("ps"))
-        .select(F.explode(pair_expand).alias("e"))
+        .select(F.explode(F.expr(_PAIR_EXPAND_SQL)).alias("e"))
         .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("supp_ab"))
         .where(F.col("supp_ab") >= 2)
@@ -1824,26 +1801,37 @@ _G_EDGES_SQL = """
 """
 
 
-def _g_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected bulk co-purchase edge list (both directions), same
-    bounded per-order expansion as graph_triangles."""
+# unordered-pair expansion of a per-basket item set `ps` — each pair
+# once, normalized (u < v); shared by every basket-derived graph/rule
+# entry so the slice arithmetic lives in exactly one place
+_PAIR_EXPAND_SQL = (
+    "flatten(transform(ps, (x, i) -> "
+    "transform(slice(ps, i + 2, size(ps)), "
+    "y -> struct(least(x, y) AS u, greatest(x, y) AS v))))"
+)
+
+
+def _g_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward (u < v, distinct) bulk co-purchase edges: parts sharing
+    an order with quantity >= 30, via one groupBy + bounded in-basket
+    expansion (no fact self-join)."""
     li = (
         table(spark, sf_dir, "lineitem")
         .where(F.col("l_quantity") >= 30)
         .select("l_orderkey", "l_partkey")
     )
-    pairs = F.expr(
-        "flatten(transform(ps, (x, i) -> "
-        "transform(slice(ps, i + 2, size(ps)), "
-        "y -> struct(least(x, y) AS u, greatest(x, y) AS v))))"
-    )
-    fwd = (
+    return (
         li.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("ps"))
-        .select(F.explode(pairs).alias("p"))
+        .select(F.explode(F.expr(_PAIR_EXPAND_SQL)).alias("p"))
         .select("p.u", "p.v")
         .distinct()
     )
+
+
+def _g_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected bulk co-purchase edge list (both directions)."""
+    fwd = _g_fwd(spark, sf_dir)
     return fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 

@@ -21,6 +21,18 @@ EVENT_SCHEMA = (
 )
 
 
+def _await_drained(q, timeout: int) -> None:
+    """awaitTermination returns False on timeout with the query STILL
+    RUNNING — callers would then read a partially-written sink as if
+    complete. Fail loudly instead (the probes use 300s for the same
+    drains; 120s is tight on a loaded host)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain exceeded {timeout}s; sink is incomplete"
+        )
+
+
 def replay_events(events: DataFrame, out_dir: str, n_files: int = 10) -> list[str]:
     """Split a batch events frame into ``n_files`` sequential parquet
     files by time order (FIXTURES.md §B5 replay layout). Driver-side
@@ -307,7 +319,7 @@ def stream_tumbling_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    _await_drained(q, timeout)
 
 
 def latest_per_key(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -358,7 +370,7 @@ def stream_append_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    _await_drained(q, timeout)
 
 
 def run_to_memory(
@@ -373,7 +385,7 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    _await_drained(q, timeout)
     return q
 
 

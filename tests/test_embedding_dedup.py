@@ -62,10 +62,10 @@ def test_blocked_knn_blas_equals_fold(spark):
     assert fast.keys() == fold.keys()
     for key, (nn_a, cos_a) in fast.items():
         nn_b, cos_b = fold[key]
-        if nn_a == nn_b:
-            assert abs(cos_a - cos_b) <= 1e-6, key
-        else:  # rounding-boundary tie: both scores must be within tol
-            assert abs(cos_a - cos_b) <= 1e-6, key
+        # neighbor ids may differ only on a rounding-boundary tie, in
+        # which case both scores still sit within the tolerance — the
+        # score bound is the single invariant either way
+        assert abs(cos_a - cos_b) <= 1e-6, key
 
 
 def test_knn_lsh_no_cartesian_and_subset_of_exact(spark):

@@ -62,6 +62,10 @@ def main() -> int:
         if name_filter and not any(f in name for f in name_filter):
             continue
         t0 = time.time()
+        # several plans persist() intermediates they cannot unpersist
+        # lazily; without this, cached edge/shingle tables accumulate
+        # across the ~170-entry sweep and pressure executor memory
+        spark.catalog.clearCache()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
