@@ -2506,3 +2506,46 @@ def e_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("q_id", "vec_id", "cos_trunc", "cos_full")
     )
+
+
+@register(
+    "t_bpe_token_estimate",
+    sql=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS BIGINT)
+               AS n_pretokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(GREATEST(
+                len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')),
+                (n_chars + 3) // 4) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+    doc="BPE-ish token counting (the north-star's 'whitespace + a "
+        "BPE-ish regex' pair with t_token_stats): a GPT-2-style "
+        "pre-tokenizer regex — letter runs | digit runs | punctuation "
+        "runs — counts pre-tokens (the RE2-compatible core of the "
+        "real pattern; contraction/lookahead cases are Java-regex-"
+        "only, so the shared pattern stays engine-portable), and the "
+        "budget estimate is max(pre-tokens, ceil(chars/4)) — the "
+        "standard ~4-chars-per-BPE-token floor. All-integer outputs, "
+        "zero shuffle (pure map over the corpus): the cost-estimation "
+        "pass every training-data pipeline runs before tokenizing "
+        "100 TB for real.",
+)
+def t_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+    # group 0 = whole match (Spark defaults to capture group 1; DuckDB
+    # defaults to 0 — pin it so both engines count full matches)
+    n_pre = F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_ws_tokens"),
+        n_pre.cast("long").alias("n_pretokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.greatest(
+            n_pre, F.expr("(n_chars + 3) div 4")
+        ).cast("long").alias("est_bpe_tokens"),
+    )
