@@ -2549,3 +2549,107 @@ def t_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_pre, F.expr("(n_chars + 3) div 4")
         ).cast("long").alias("est_bpe_tokens"),
     )
+
+
+def _sql_lang_id() -> str:
+    """The lang_id fold (functions/text.py) rendered as ANSI SQL: same
+    stopword profiles, same sorted-language strictly-greater
+    replacement (earliest language wins ties), same CJK gate via
+    char-count subtraction (RE2 has no lookahead, so the oracle counts
+    CJK by deleting the class instead of its complement)."""
+    from mwa_uvdata_pipeline_spark.functions.text import LANG_PROFILES
+
+    score = {
+        lang: (
+            "len(list_intersect(toks, ["
+            + ", ".join(f"'{w}'" for w in words)
+            + "]))"
+        )
+        for lang, words in LANG_PROFILES.items()
+    }
+    langs = sorted(score)
+    best_lang, best_score = f"'{langs[0]}'", score[langs[0]]
+    for lang in langs[1:]:
+        cond = f"{score[lang]} > {best_score}"
+        best_lang = f"(CASE WHEN {cond} THEN '{lang}' ELSE {best_lang} END)"
+        best_score = (
+            f"(CASE WHEN {cond} THEN {score[lang]} ELSE {best_score} END)"
+        )
+    cjk = (
+        "(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))"
+    )
+    return f"""
+    WITH toked AS (
+        SELECT lang AS declared,
+               list_distinct(string_split_regex(lower(text),
+                   '[^\\p{{L}}\\p{{N}}]+')) AS toks,
+               text
+        FROM documents
+    )
+    SELECT CASE WHEN {cjk} * 5 >= length(text) THEN 'zh'
+                WHEN {best_score} > 0 THEN {best_lang}
+                ELSE 'und' END AS detected,
+           declared,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM toked GROUP BY 1, 2
+    """
+
+
+@register(
+    "t_lang_id",
+    sql=_sql_lang_id(),
+    doc="Heuristic language ID EXECUTED over the corpus (the "
+        "functions/text.py stopword-profile + CJK-gate classifier, "
+        "previously golden-tested only): detected x declared language "
+        "confusion counts. The classifier is one pass of array "
+        "intersections against 4 broadcast-literal profiles — pure "
+        "codegen, no shuffle until the bounded confusion-grid rollup. "
+        "On this synthetic corpus (same vocabulary for every declared "
+        "lang) detection collapses to the English-stopword column by "
+        "construction — the entry gates the CLASSIFIER's cross-engine "
+        "semantics (tie order, CJK threshold arithmetic), while the "
+        "real-text behavior stays golden-tested.",
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.functions.text import lang_id
+
+    return (
+        table(spark, sf_dir, "documents")
+        .select(lang_id().alias("detected"), F.col("lang").alias("declared"))
+        .groupBy("detected", "declared")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@register(
+    "t_rolling_fingerprint",
+    sql="""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+               FROM documents),
+    g AS (
+        SELECT doc_id,
+               MIN(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                       || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5]
+                       || ' ' || tk[i+6] || ' ' || tk[i+7])) AS fp
+        FROM t, UNNEST(range(1, len(tk) - 6)) AS u(i)
+        WHERE len(tk) >= 8
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id, COALESCE(g.fp, md5(t.text)) AS fingerprint
+    FROM t LEFT JOIN g USING (doc_id)
+    """,
+    doc="Winnowing-style rolling fingerprint EXECUTED per document "
+        "(functions/text.py rolling_fingerprint, previously "
+        "golden-tested only): min-md5 over word 8-grams, robust to "
+        "local edits where whole-doc md5 (t_fingerprint) is not — the "
+        "rolling-hash fingerprinting item of the north-star text "
+        "list. Pure map per doc (the gram array never leaves the "
+        "row); short docs (<8 tokens) fall back to the whole-text "
+        "hash on both sides.",
+)
+def t_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.functions.text import rolling_fingerprint
+
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", rolling_fingerprint().alias("fingerprint")
+    )
