@@ -77,6 +77,13 @@ QUERIES = [
     "graph_bfs_hops",
     "graph_kcore_peel",
     "e_matryoshka",
+    # round-4 fourth wave
+    "x_identity_stitch",
+    "ev_attribution",
+    "ev_ab_test",
+    "t_bpe_token_estimate",
+    "t_lang_id",
+    "t_rolling_fingerprint",
 ]
 
 KEY_OFFSETS = {
