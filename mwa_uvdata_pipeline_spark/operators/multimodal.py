@@ -128,6 +128,52 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(batches, FRAMES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, out_width int, out_height int, "
+    "scale_num int, scale_den int"
+)
+
+
+def resize_media(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    target: int = 256,
+) -> DataFrame:
+    """Resize planning: compute the aspect-preserving output geometry
+    that fits each decoded image inside ``target`` x ``target``. The
+    pixel resample itself would run here (PIL/ffmpeg — not in this
+    container, same stub seam as decode_media); the geometry math is
+    real and exact-integer (floor scaling with a rational scale
+    factor), so the operator is oracle-checkable end-to-end. Arrow
+    batch in, Arrow batch out; one row per input, no fan-out."""
+
+    meta_fn = _make_meta_fn()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height", "out_width", "out_height",
+                    "scale_num", "scale_den",
+                )
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, _ = meta_fn(hashlib.md5(bytes(b)).hexdigest())
+                den = max(w, h)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_width"].append(w * target // den)
+                out["out_height"].append(h * target // den)
+                out["scale_num"].append(target)
+                out["scale_den"].append(den)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def extract_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:

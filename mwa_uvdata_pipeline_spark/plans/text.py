@@ -2653,3 +2653,40 @@ def t_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "documents").select(
         "doc_id", rolling_fingerprint().alias("fingerprint")
     )
+
+
+@register(
+    "m_resize_meta",
+    sql="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(64 + CAST('0x' || substr(md5(text), 1, 4) AS INT)
+                    % 1024 AS INT) AS width,
+               CAST(64 + CAST('0x' || substr(md5(text), 5, 4) AS INT)
+                    % 1024 AS INT) AS height
+        FROM documents)
+    SELECT doc_id, width, height,
+           CAST(width * 256 // GREATEST(width, height) AS INT)
+               AS out_width,
+           CAST(height * 256 // GREATEST(width, height) AS INT)
+               AS out_height,
+           CAST(256 AS INT) AS scale_num,
+           CAST(GREATEST(width, height) AS INT) AS scale_den
+    FROM m
+    """,
+    doc="Multimodal resize (operators.multimodal.resize_media): "
+        "aspect-preserving fit-inside-256 output geometry per payload "
+        "— the resize item of the north-star multimodal list, with "
+        "the pixel resample stubbed behind the same no-media-libs "
+        "seam as decode and the geometry math exact integer (floor "
+        "scaling by the rational 256/max(w,h)), so the Arrow-batched "
+        "mapInPandas plumbing is gated end-to-end. One row per input, "
+        "no shuffle.",
+)
+def m_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        binary_payload,
+        resize_media,
+    )
+
+    return resize_media(binary_payload(table(spark, sf_dir, "documents")))
