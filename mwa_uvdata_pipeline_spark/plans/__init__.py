@@ -41,6 +41,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """Read ONE parquet footer to learn the physical ``ts`` type.
+
+    Footer-only metadata read (no row groups), cached per path so a
+    registry sweep touches each fixture footer once.
+    """
+    import os
+
+    if path in _EVENTS_NANOS_CACHE:
+        return _EVENTS_NANOS_CACHE[path]
+    try:
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):
+            parts = [
+                f for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+            ]
+            probe = os.path.join(path, parts[0]) if parts else path
+        nanos = str(pq.read_schema(probe).field("ts").type) == "timestamp[ns]"
+    except Exception:
+        nanos = False
+    _EVENTS_NANOS_CACHE[path] = nanos
+    return nanos
+
+
+_EVENTS_NANOS_CACHE: dict[str, bool] = {}
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load events with ``ts`` tolerant of parquet timestamp drift.
 
@@ -49,11 +78,22 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncate to micros, exactly DuckDB's nanos→micros cast) and as
     plain micros (which Spark 4 reads as TIMESTAMP_NTZ). Plans must
     work over either, so epoch arithmetic goes through ``epoch_us``.
+
+    The legacy ``nanosAsLong`` session conf is set ONLY when the file
+    footer actually carries nanos (decided by a one-footer pyarrow
+    probe), so the common micros path leaves the session conf
+    untouched — a table loader must not globally change how unrelated
+    nanos columns read. In the nanos case the conf has to stay set for
+    the lifetime of the returned (lazy) DataFrame because Spark's scan
+    re-reads it at execution time; that narrow residue is documented
+    here rather than hidden.
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    if _events_ts_is_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
@@ -78,6 +118,61 @@ def epoch_us(df: DataFrame, colname: str = "ts"):
             f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {colname})"
         )
     return F.unix_micros(F.col(colname))
+
+
+_FIXTURE_DIRS: dict[tuple[str, str], str] = {}
+_SCRATCH_DIRS: list[str] = []
+_CLEANUP_ON = False
+
+
+def _cleanup_tmp_dirs() -> None:
+    import shutil
+
+    for d in list(_FIXTURE_DIRS.values()) + _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _ensure_cleanup() -> None:
+    global _CLEANUP_ON
+    if not _CLEANUP_ON:
+        import atexit
+
+        atexit.register(_cleanup_tmp_dirs)
+        _CLEANUP_ON = True
+
+
+def fixture_dir(kind: str, sf_dir: str, build) -> str:
+    """Process-cached temp directory for a DERIVED fixture.
+
+    Several plans rewrite a test table into another layout (hive
+    partitions, JSONL, CSV, streaming replay slices) before querying
+    it. Building that copy inside the plan function meant every
+    construction — bench builds each entry 4x — wrote a fresh
+    ``mkdtemp`` full dataset copy and never removed it (ADVICE r4).
+    The layout is a pure function of (kind, sf_dir), so it is built
+    once per process here, reused by later constructions, and removed
+    at exit. Consumers MUST treat the returned directory as read-only.
+    """
+    import tempfile
+
+    key = (kind, sf_dir)
+    if key not in _FIXTURE_DIRS:
+        out = tempfile.mkdtemp(prefix=f"{kind}_")
+        build(out)
+        _ensure_cleanup()
+        _FIXTURE_DIRS[key] = out
+    return _FIXTURE_DIRS[key]
+
+
+def scratch_dir(prefix: str) -> str:
+    """Fresh per-call temp dir (sinks/checkpoints that cannot be
+    shared between runs), removed at process exit."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=prefix)
+    _ensure_cleanup()
+    _SCRATCH_DIRS.append(out)
+    return out
 
 
 def _last_verified_round() -> dict[str, int]:

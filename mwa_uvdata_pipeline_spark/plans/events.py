@@ -16,6 +16,23 @@ from mwa_uvdata_pipeline_spark.functions.times import _GPS_EPOCH_UNIX, _LEAP_SEC
 from mwa_uvdata_pipeline_spark.plans import epoch_us, register, table
 
 
+def _replay_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Process-cached 4-slice replay of the events table (read-only).
+
+    Every streaming exec entry used to write its own replay copy per
+    plan construction and leak it in /tmp; the replay is a pure
+    function of sf_dir, so it is built once per process via
+    ``fixture_dir`` and shared (ADVICE r4 cleanup)."""
+    from mwa_uvdata_pipeline_spark.plans import fixture_dir
+    from mwa_uvdata_pipeline_spark.streaming.events import replay_events
+
+    return fixture_dir(
+        "ev_replay4",
+        sf_dir,
+        lambda d: replay_events(table(spark, sf_dir, "events"), d, n_files=4),
+    )
+
+
 def _gps_case_sql(unix_expr: str) -> str:
     """The same leap-second CASE chain :func:`gps_from_unix` compiles to,
     rendered as ANSI SQL for the DuckDB oracle."""
@@ -219,17 +236,14 @@ def ev_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gate, not just a unit test (SURVEY §2.12).",
 )
 def stream_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from mwa_uvdata_pipeline_spark.streaming.events import (
-        replay_events,
         run_to_memory,
         stream_tumbling_counts,
     )
 
-    out = tempfile.mkdtemp(prefix="ev_replay_")
-    replay_events(table(spark, sf_dir, "events"), out, n_files=4)
+    out = _replay_fixture(spark, sf_dir)
     sink = f"st_sink_{uuid.uuid4().hex[:8]}"
     # state-store width = shuffle partitions at query start; keep it
     # narrow for the replay (restored after the stream drains)
@@ -279,17 +293,14 @@ def stream_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "strict `> 1800`; session_end = last ts + gap (SURVEY §2.12).",
 )
 def stream_session_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from mwa_uvdata_pipeline_spark.streaming.events import (
-        replay_events,
         run_to_memory,
         stream_session_windows,
     )
 
-    out = tempfile.mkdtemp(prefix="ev_replay_")
-    replay_events(table(spark, sf_dir, "events"), out, n_files=4)
+    out = _replay_fixture(spark, sf_dir)
     sink = f"ss_sink_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -330,17 +341,14 @@ def stream_session_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup (SURVEY §2.12).",
 )
 def stream_sliding_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from mwa_uvdata_pipeline_spark.streaming.events import (
-        replay_events,
         run_to_memory,
         stream_sliding_counts,
     )
 
-    out = tempfile.mkdtemp(prefix="ev_replay_")
-    replay_events(table(spark, sf_dir, "events"), out, n_files=4)
+    out = _replay_fixture(spark, sf_dir)
     sink = f"sl_sink_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -368,26 +376,39 @@ def stream_sliding_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "The appended memory sink must hash-match the original table — "
         "the injected duplicates all land within the 10-minute "
         "watermark horizon, so streaming state provably removes them. "
-        "State is sharded by event_id and bounded by the watermark "
-        "(SURVEY §2.12).",
+        "State is sharded by event_id and bounded by the watermark. "
+        "Runs on the ROCKSDB state store provider (restored after the "
+        "drain): at 100 TB dedup state must spill to local disk rather "
+        "than live on the executor heap, so the oracle gate proves the "
+        "spillable-store configuration end-to-end, not just the "
+        "default HDFS-backed in-memory map (SURVEY §2.12).",
 )
 def stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
+    from mwa_uvdata_pipeline_spark.plans import fixture_dir
     from mwa_uvdata_pipeline_spark.streaming.events import (
         replay_events,
         run_to_memory,
         stream_dedup,
     )
 
-    ev = table(spark, sf_dir, "events")
-    dups = ev.where(F.col("event_id") % 7 == 0)
-    out = tempfile.mkdtemp(prefix="ev_replay_")
-    replay_events(ev.unionByName(dups), out, n_files=4)
+    def _build(d: str) -> None:
+        ev = table(spark, sf_dir, "events")
+        dups = ev.where(F.col("event_id") % 7 == 0)
+        replay_events(ev.unionByName(dups), d, n_files=4)
+
+    out = fixture_dir("ev_replay_dups", sf_dir, _build)
     sink = f"sd_sink_{uuid.uuid4().hex[:8]}"
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_prov = spark.conf.get(prov_key, None)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(prov_key, rocksdb)
     try:
         run_to_memory(
             stream_dedup(spark, f"{out}/part*").select(
@@ -398,6 +419,10 @@ def stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev_prov)
     return spark.sql(
         f"SELECT event_id, ts, user_id, event_type, value FROM {sink}"
     )
@@ -422,17 +447,14 @@ def stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "data lake, proven equivalent to recomputation (SURVEY §2.12).",
 )
 def stream_foreachbatch_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from mwa_uvdata_pipeline_spark.plans import scratch_dir
     from mwa_uvdata_pipeline_spark.streaming.events import (
         latest_per_key,
-        replay_events,
         stream_tumbling_to_parquet,
     )
 
-    src = tempfile.mkdtemp(prefix="ev_replay_")
-    sink = tempfile.mkdtemp(prefix="ev_matview_")
-    replay_events(table(spark, sf_dir, "events"), src, n_files=4)
+    src = _replay_fixture(spark, sf_dir)
+    sink = scratch_dir("ev_matview_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -462,17 +484,14 @@ def stream_foreachbatch_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stateful logic oracle-checkable (SURVEY §2.12).",
 )
 def stream_stateful_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from mwa_uvdata_pipeline_spark.streaming.events import (
-        replay_events,
         run_to_memory,
         stream_user_running_totals,
     )
 
-    out = tempfile.mkdtemp(prefix="ev_replay_")
-    replay_events(table(spark, sf_dir, "events"), out, n_files=4)
+    out = _replay_fixture(spark, sf_dir)
     sink = f"ss_sink_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -516,17 +535,14 @@ def stream_stateful_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the compaction rationale is sinks.py's small-files note).",
 )
 def stream_file_sink_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from mwa_uvdata_pipeline_spark.plans import scratch_dir
     from mwa_uvdata_pipeline_spark.sinks import compact_parquet
     from mwa_uvdata_pipeline_spark.streaming.events import (
-        replay_events,
         stream_append_to_parquet,
     )
 
-    src = tempfile.mkdtemp(prefix="ev_replay_")
-    work = tempfile.mkdtemp(prefix="ev_landing_")
-    replay_events(table(spark, sf_dir, "events"), src, n_files=4)
+    src = _replay_fixture(spark, sf_dir)
+    work = scratch_dir("ev_landing_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -570,18 +586,20 @@ def stream_file_sink_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "single-run seam (SURVEY §2.12).",
 )
 def stream_restart_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import shutil
-    import tempfile
 
+    from mwa_uvdata_pipeline_spark.plans import scratch_dir
     from mwa_uvdata_pipeline_spark.streaming.events import (
-        replay_events,
         stream_append_to_parquet,
     )
 
-    src = tempfile.mkdtemp(prefix="ev_replay_")
-    staged = tempfile.mkdtemp(prefix="ev_staged_")
-    work = tempfile.mkdtemp(prefix="ev_restart_")
-    paths = replay_events(table(spark, sf_dir, "events"), src, n_files=4)
+    src = _replay_fixture(spark, sf_dir)
+    staged = scratch_dir("ev_staged_")
+    work = scratch_dir("ev_restart_")
+    paths = sorted(
+        f"{src}/{d}" for d in os.listdir(src) if d.startswith("part")
+    )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -629,17 +647,14 @@ def stream_restart_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hash (SURVEY §2.12).",
 )
 def stream_interval_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from mwa_uvdata_pipeline_spark.streaming.events import (
-        replay_events,
         run_to_memory,
         stream_interval_join,
     )
 
-    out = tempfile.mkdtemp(prefix="ev_replay_")
-    replay_events(table(spark, sf_dir, "events"), out, n_files=4)
+    out = _replay_fixture(spark, sf_dir)
     sink = f"sj_sink_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1333,11 +1348,9 @@ def ev_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream.",
 )
 def stream_static_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
     from mwa_uvdata_pipeline_spark.streaming.events import (
-        replay_events,
         run_to_memory,
         stream_static_enriched_counts,
     )
@@ -1354,8 +1367,7 @@ def stream_static_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tier"),
         )
     )
-    out = tempfile.mkdtemp(prefix="ev_replay_")
-    replay_events(ev, out, n_files=4)
+    out = _replay_fixture(spark, sf_dir)
     sink = f"ssj_sink_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1690,9 +1702,11 @@ def agg_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row is REMOVED once the watermark passes last-event + 6h, so "
         "total state is bounded by the gap-horizon's active users, "
         "never by every key seen (the unbounded-key-universe fix "
-        "SCALE.md prescribes over NoTimeout). Sessions split on "
-        "arrival inside the update fn, the timeout only flushes idle "
-        "trailers, making the emission micro-batch-invariant; two "
+        "SCALE.md prescribes over NoTimeout). State holds TENTATIVE "
+        "sessions merged on gap-adjacency and emits a session only "
+        "when the watermark passes its end + gap, so emission equals "
+        "batch gap-sessionization under arbitrary within-watermark "
+        "disorder (not just time-ordered replay); two "
         "sentinel far-future events appended to the replay "
         "(append_watermark_sentinels) push the final watermark past "
         "every real key's last-event + TTL, so ALL real sessions flush "
@@ -1701,9 +1715,9 @@ def agg_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trailing-session carve-out.",
 )
 def stream_session_ttl_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
+    from mwa_uvdata_pipeline_spark.plans import fixture_dir
     from mwa_uvdata_pipeline_spark.streaming.events import (
         append_watermark_sentinels,
         replay_events,
@@ -1711,12 +1725,14 @@ def stream_session_ttl_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_session_ttl,
     )
 
-    ev = table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="ev_replay_")
-    replay_events(ev, out, n_files=4)
-    # 6h TTL + 10 min watermark delay + slack: the sentinels' watermark
-    # must clear every real key's (last event + gap)
-    append_watermark_sentinels(ev, out, advance_s=21600 + 7200)
+    def _build(d: str) -> None:
+        ev = table(spark, sf_dir, "events")
+        replay_events(ev, d, n_files=4)
+        # 6h TTL + 10 min watermark delay + slack: the sentinels'
+        # watermark must clear every real key's (last event + gap)
+        append_watermark_sentinels(ev, d, advance_s=21600 + 7200)
+
+    out = fixture_dir("ev_replay_sttl", sf_dir, _build)
     sink = f"sttl_sink_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

@@ -995,15 +995,16 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pays only its slice.",
 )
 def s_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from mwa_uvdata_pipeline_spark.plans import fixture_dir
 
     ev = table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="ev_bydate_")
-    (
-        ev.withColumn("event_date", F.to_date("ts"))
+    out = fixture_dir(
+        "ev_bydate",
+        sf_dir,
+        lambda d: ev.withColumn("event_date", F.to_date("ts"))
         .write.mode("overwrite")
         .partitionBy("event_date")
-        .parquet(out)
+        .parquet(d),
     )
     part = spark.read.parquet(out).where(
         F.col("event_date").between("2024-01-10", "2024-01-12")
@@ -1049,18 +1050,19 @@ def s_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "same union) matches value-for-value.",
 )
 def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from mwa_uvdata_pipeline_spark.plans import load_events
+    from mwa_uvdata_pipeline_spark.plans import fixture_dir, load_events
 
     ev = load_events(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="ev_schemaevo_")
-    ev.where(F.col("ts") < "2024-01-15").select("user_id", "value").write.mode(
-        "overwrite"
-    ).parquet(f"{out}/v1")
-    ev.where(F.col("ts") >= "2024-01-15").select(
-        "user_id", "value", "event_type"
-    ).write.mode("overwrite").parquet(f"{out}/v2")
+
+    def _build(d: str) -> None:
+        ev.where(F.col("ts") < "2024-01-15").select(
+            "user_id", "value"
+        ).write.mode("overwrite").parquet(f"{d}/v1")
+        ev.where(F.col("ts") >= "2024-01-15").select(
+            "user_id", "value", "event_type"
+        ).write.mode("overwrite").parquet(f"{d}/v2")
+
+    out = fixture_dir("ev_schemaevo", sf_dir, _build)
     merged = spark.read.option("mergeSchema", "true").parquet(
         f"{out}/v1", f"{out}/v2"
     )
@@ -1097,13 +1099,12 @@ def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extracts from props post-round-trip).",
 )
 def s_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from mwa_uvdata_pipeline_spark.plans import load_events
+    from mwa_uvdata_pipeline_spark.plans import fixture_dir, load_events
 
     ev = load_events(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="ev_jsonl_")
-    ev.write.mode("overwrite").json(out)
+    out = fixture_dir(
+        "ev_jsonl", sf_dir, lambda d: ev.write.mode("overwrite").json(d)
+    )
     ts_type = dict(ev.dtypes)["ts"]
     back = (
         spark.read.schema(
@@ -1142,11 +1143,14 @@ def s_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entry uses.",
 )
 def s_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from mwa_uvdata_pipeline_spark.plans import fixture_dir
 
     li = table(spark, sf_dir, "lineitem")
-    out = tempfile.mkdtemp(prefix="li_csv_")
-    li.write.mode("overwrite").option("header", "true").csv(out)
+    out = fixture_dir(
+        "li_csv",
+        sf_dir,
+        lambda d: li.write.mode("overwrite").option("header", "true").csv(d),
+    )
     schema = ", ".join(
         f"{name} {dtype}" for name, dtype in li.dtypes
     )
@@ -1188,17 +1192,19 @@ _N_CORRUPT = 7  # malformed lines injected; the oracle shares the literal
         "the injection count as a literal over the clean table.",
 )
 def s_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from mwa_uvdata_pipeline_spark.plans import load_events
+    from mwa_uvdata_pipeline_spark.plans import fixture_dir, load_events
 
     ev = load_events(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="ev_corrupt_")
-    ev.write.mode("overwrite").json(f"{out}/clean")
-    bad = spark.createDataFrame(
-        [(f"{{broken json line {i}",) for i in range(_N_CORRUPT)], "raw string"
-    )
-    bad.coalesce(1).write.mode("overwrite").text(f"{out}/bad")
+
+    def _build(d: str) -> None:
+        ev.write.mode("overwrite").json(f"{d}/clean")
+        bad = spark.createDataFrame(
+            [(f"{{broken json line {i}",) for i in range(_N_CORRUPT)],
+            "raw string",
+        )
+        bad.coalesce(1).write.mode("overwrite").text(f"{d}/bad")
+
+    out = fixture_dir("ev_corrupt", sf_dir, _build)
     ts_type = dict(ev.dtypes)["ts"]
     back = (
         spark.read.schema(

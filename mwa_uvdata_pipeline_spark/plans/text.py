@@ -66,6 +66,29 @@ _SQL_SHINGLES = """
     WHERE len(t) >= 3
 """
 
+#: Global document-frequency cap for pairwise-similarity shingles. A
+#: shingle present in more than this many documents is corpus
+#: boilerplate: at Jaccard >= 0.6 / containment >= 0.8 it carries no
+#: discriminative signal (it is in everything), but its posting list is
+#: the skew bomb — one shingle shared by 10^6 docs yields 10^12
+#: candidate pairs from a single join key. Dropping it bounds every
+#: posting list at the cap, so <= cap^2 pairs per join key regardless
+#: of corpus size (stopword removal for set similarity). Measured max
+#: DF is 7 at sf0.01 and 25 at sf0.1, so the cap never binds at oracle
+#: scale; the skew-adversarial probe (tools/scale_probe.py --skew, one
+#: footer shingle in 50% of docs) measured dedup_ngram_jaccard at
+#: 90.4x for 10x data WITHOUT the cap and ~1x with it. Applied
+#: identically in the oracle SQL below.
+_SHINGLE_DF_CAP = 128
+
+# shared capped-shingle CTE chain (postings with boilerplate removed)
+_SQL_SHINGLES_CAPPED = f"""
+    sh0 AS ({_SQL_SHINGLES}),
+    sdf AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+    sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN sdf USING (s)
+           WHERE sdf.df <= {_SHINGLE_DF_CAP})
+"""
+
 
 @register(
     "t_token_stats",
@@ -140,10 +163,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# shared CTE chain: exact Jaccard>=0.6 candidate pairs (reused by the
-# dedup_clusters recursive oracle)
+# shared CTE chain: exact Jaccard>=0.6 candidate pairs over the
+# DF-capped shingle vocabulary (reused by the dedup_clusters recursive
+# oracle)
 _SQL_JACCARD_CTES = f"""
-    sh AS ({_SQL_SHINGLES}),
+    {_SQL_SHINGLES_CAPPED},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
@@ -169,24 +193,32 @@ _SQL_JACCARD_CTES = f"""
     doc="Near-dup detection: 3-gram shingle sets, pairwise Jaccard >= 0.6 "
         "via shingle-key equi-join (north-star dedup). At scale the join "
         "key is the shingle hash → shuffle is bounded by posting-list "
-        "sizes, the classic candidate-pair generation.",
+        "sizes, the classic candidate-pair generation; posting lists are "
+        "bounded by the global _SHINGLE_DF_CAP, so no single hot key can "
+        "go quadratic (measured 90.4x at 10x skewed data before the cap).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact result via the shingle posting join with a size filter
     pushed INTO the join: J(A,B) >= t requires t*|A| <= |B| <= |A|/t,
     so pairs of incompatible sizes never reach the aggregation.
 
-    Shape matters more than the join here: the per-doc shingle-hash
-    array (with its size — no separate sizes branch) is computed ONCE
-    and persisted before the self-join. Without that, every branch of
-    the self-join re-runs the CPU-heavy shingling lineage — measured
-    3x recompute = 11.8s vs ~3.5s at sf0.1. The persisted table is one
-    row per doc (corpus-linear; MEMORY_AND_DISK spills at 100 TB), the
-    standard prepare step of a set-similarity self-join. The residual
-    cost is the inherent sum-of-squared-posting-lengths of exact
-    Jaccard — the 100 TB path for near-dup is dedup_minhash_buckets
-    (LSH candidates, no pairwise join), with this operator as the
-    exact verifier on candidates.
+    Posting lists are BOUNDED: shingles in more than _SHINGLE_DF_CAP
+    documents are dropped globally before the self-join (both engines;
+    sizes use the capped vocabulary). The size-compat filter cannot do
+    this job — it prunes after per-key pair enumeration, so one
+    boilerplate shingle in half the corpus still enumerates N²/4 pairs
+    on a single join key (the round-5 skew probe measured 90.4x time
+    at 10x data for exactly that input; with the cap it is flat).
+
+    Shape matters for the rest: the hashed posting table is persisted
+    before the self-join so the CPU-heavy shingling lineage runs once,
+    not once per join branch — measured 3x recompute = 11.8s vs ~3.5s
+    at sf0.1. The persisted postings are corpus-linear
+    (MEMORY_AND_DISK spills at 100 TB). The residual cost is the
+    inherent sum-of-squared-posting-lengths of exact Jaccard — the
+    100 TB path for near-dup is dedup_minhash_buckets (LSH candidates,
+    no pairwise join), with this operator as the exact verifier on
+    candidates.
 
     Measured negative result (round 3): prefix filtering (SSJoin /
     PPJoin — index only each doc's first |d|-ceil(t|d|)+1 tokens in
@@ -197,24 +229,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     set intersect costs more than the join+partial-agg it replaced
     (3.0s vs 1.3s warm). Prefix filtering is the right upgrade only
     under a Zipfian shingle distribution; on near-uniform token sets
-    the posting join with map-side combine wins.
+    the posting join with map-side combine wins — and the DF cap
+    removes exactly the Zipfian head that would have broken it.
     """
     t = 0.6
     docs = table(spark, sf_dir, "documents")
     # join key = xxhash64(shingle): the posting join and its aggregation
     # shuffle 8-byte longs instead of ~25-byte strings (counts are
     # collision-exact for any realistic corpus; 2^-64 per pair)
-    arr = (
+    sh0 = (
         docs.repartition(spark.sparkContext.defaultParallelism)
         .select(
             "doc_id",
-            F.transform(_shingles(), lambda s: F.xxhash64(s)).alias("ss"),
+            F.explode(
+                F.transform(_shingles(), lambda s: F.xxhash64(s))
+            ).alias("s"),
         )
-        .select("doc_id", "ss", F.size("ss").alias("n"))
         .persist()
     )
-    arr.count()  # materialize so both join sides read the cache
-    sh = arr.select("doc_id", "n", F.explode("ss").alias("s"))
+    sdf = sh0.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    capped = (
+        sh0.join(sdf.where(F.col("df") <= _SHINGLE_DF_CAP), "s")
+        .select("doc_id", "s")
+    )
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh = capped.join(sizes, "doc_id").persist()
+    sh.count()  # materialize so both self-join sides read the cache
+    sh0.unpersist()
 
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s"), F.col("n").alias("na"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), F.col("n").alias("nb"))
@@ -2215,7 +2256,7 @@ def dedup_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_containment",
     sql=f"""
-    WITH sh AS ({_SQL_SHINGLES}),
+    WITH {_SQL_SHINGLES_CAPPED},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
@@ -2242,20 +2283,33 @@ def dedup_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deliberately admits size-skewed pairs; the threshold is "
         "applied as an integer cross-multiplied inequality "
         "(c*10 >= n*8) so both engines make identical float-free "
-        "keep/drop decisions.",
+        "keep/drop decisions. Scale bound: shingles in more than "
+        "_SHINGLE_DF_CAP documents are dropped globally (stopword "
+        "removal for set similarity), so no posting list — hence no "
+        "join key — can exceed the cap (skew probe: 2.4x at 10x "
+        "hot-key data, vs dedup_ngram_jaccard's 90.4x before its cap).",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    arr = (
-        docs.select(
-            "doc_id",
-            F.transform(_shingles(), lambda s: F.xxhash64(s)).alias("ss"),
-        )
-        .select("doc_id", "ss", F.size("ss").alias("n"))
-        .persist()
+    sh0 = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(_shingles(), lambda s: F.xxhash64(s))
+        ).alias("s"),
+    ).persist()
+    # Global-DF cap: one hash-agg on the shingle key, then an inner
+    # join that keeps only non-boilerplate shingles. The df table is
+    # shingle-cardinality-sized but 2 longs wide, partitioned on the
+    # same key the posting join shuffles on, so the exchange is reused.
+    sdf = sh0.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    capped = (
+        sh0.join(sdf.where(F.col("df") <= _SHINGLE_DF_CAP), "s")
+        .select("doc_id", "s")
     )
-    arr.count()  # materialize so both join sides read the cache
-    sh = arr.select("doc_id", "n", F.explode("ss").alias("s"))
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh = capped.join(sizes, "doc_id").persist()
+    sh.count()  # materialize so both join sides read the cache
+    sh0.unpersist()
     a = sh.select(
         F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na")
     )

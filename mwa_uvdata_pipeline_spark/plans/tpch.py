@@ -411,7 +411,12 @@ _PR_OFF = 1_000_000_000  # supplier node ids offset into their own space
         "edges⋈ranks (co-partitioned on the node key) + one hash agg — "
         "O(E) shuffle per round, the same shape GraphX materializes; "
         "complements the connected-components operator "
-        "(operators/graph.py) for iterative-algorithm coverage.",
+        "(operators/graph.py) for iterative-algorithm coverage. Each "
+        "round's rank table is persisted and MATERIALIZED before the "
+        "next round (previous round evicted), so the executed lineage "
+        "is always one join+agg deep — the per-iteration truncation "
+        "an iterative job needs at 100 TB, where a full-depth lineage "
+        "re-execution after executor loss would replay every round.",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -428,6 +433,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the distinct + degree agg lineage would re-execute once
     # per power iteration (measured 3.7s -> ~1.9s warm at sf0.1)
     e_deg = edges.join(deg, "u").persist()
+    prev = None
     for _ in range(3):
         ranks = (
             e_deg.join(ranks, e_deg["u"] == ranks["node"])
@@ -440,7 +446,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("r"),
             )
+            .persist()
         )
+        # materialize: downstream rounds (and retries) read the cached
+        # node-cardinality table, never the accumulated join lineage
+        ranks.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
 

@@ -38,11 +38,14 @@ def replay_events(events: DataFrame, out_dir: str, n_files: int = 10) -> list[st
     files by time order (FIXTURES.md §B5 replay layout). Driver-side
     loop over file boundaries only — each slice is written by executors.
     """
+    import time
+
     bounds = events.selectExpr(
         f"percentile_approx(ts, array({','.join(str((i + 1) / n_files) for i in range(n_files - 1))}), 10000) AS b"
     ).first()["b"]
     lo = None
     paths = []
+    base = time.time()
     for i in range(n_files):
         hi = bounds[i] if i < n_files - 1 else None
         sl = events
@@ -52,9 +55,33 @@ def replay_events(events: DataFrame, out_dir: str, n_files: int = 10) -> list[st
             sl = sl.where(F.col("ts") <= F.lit(hi))
         path = f"{out_dir}/part{i:03d}"
         sl.coalesce(1).write.mode("overwrite").parquet(path)
+        # Explicit strictly-increasing mtimes: the file source orders
+        # files by modification time, and a coarse-mtime filesystem can
+        # otherwise tie (or invert) slices written in the same second.
+        _set_tree_mtime(path, base + i)
         paths.append(path)
         lo = hi
     return paths
+
+
+def _set_tree_mtime(path: str, when: float) -> None:
+    """os.utime every file under ``path`` (and the dir itself)."""
+    import os
+
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (when, when))
+        os.utime(root, (when, when))
+
+
+def _max_tree_mtime(out_dir: str) -> float:
+    import os
+
+    latest = 0.0
+    for root, _dirs, files in os.walk(out_dir):
+        for f in files:
+            latest = max(latest, os.path.getmtime(os.path.join(root, f)))
+    return latest
 
 
 def append_watermark_sentinels(
@@ -70,9 +97,17 @@ def append_watermark_sentinels(
     keys whose timers needed the first sentinel's watermark (measured:
     batch-by-batch numRowsTotal goes 150 -> 66 -> 1 — the trailing 1 is
     the sentinel's own never-closing session, which sits within one TTL
-    gap of its sibling and is filtered by user_id >= 0 downstream)."""
+    gap of its sibling and is filtered by user_id >= 0 downstream).
+
+    Sentinel files get EXPLICIT mtimes strictly later than every real
+    replay file (os.utime past the dir's max mtime): the file source
+    orders by modification time, and on a coarse-mtime filesystem a
+    sentinel that sorted before the last real slice would advance the
+    watermark early and stateful operators would silently DROP that
+    slice's events."""
     spark = events.sparkSession
     max_ts = events.agg(F.max("ts")).first()[0]  # bounded: one scalar
+    after_real = _max_tree_mtime(out_dir)
     for i, off in enumerate((advance_s, advance_s + 3600)):
         row = [(
             -1 - i,
@@ -82,9 +117,11 @@ def append_watermark_sentinels(
             0.0,
             "{}",
         )]
+        path = f"{out_dir}/part9{i:02d}"  # matches the part* glob
         spark.createDataFrame(row, EVENT_SCHEMA).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(f"{out_dir}/part9{i:02d}")  # matches the part* glob
+        ).parquet(path)
+        _set_tree_mtime(path, after_real + 10.0 * (i + 1))
 
 
 def _read_stream(spark: SparkSession, src_glob: str) -> DataFrame:
@@ -403,12 +440,20 @@ def stream_session_ttl(
     bounded by users active inside the gap horizon, not by every key
     ever seen (the fix SCALE.md prescribes over NoTimeout).
 
-    Sessions are split on ARRIVAL (event-time gap > gap_s inside the
-    update function), with the timeout only flushing idle trailers —
-    so the emitted sessions are exactly batch gap-sessionization
-    regardless of micro-batch boundaries, which is what lets
-    ``stream_session_ttl_exec`` gate this against a SQL oracle.
-    State timestamps are integer microseconds (exact, order-safe)."""
+    DISORDER-ROBUST: state is a list of TENTATIVE sessions
+    (start_us, end_us, n) sorted by start, and a session is emitted
+    only once the event-time watermark passes its end + gap — never on
+    arrival. Any event the watermark admits, in any micro-batch order,
+    lands as a singleton and is merged into its gap-neighbours (a late
+    event falling in the gap between two tentative sessions merges
+    them, counts summed), so emission equals batch gap-sessionization
+    for ARBITRARY within-watermark disorder, not just time-ordered
+    replay. Events at or before the watermark are dropped by Spark's
+    late-row filter and can therefore never touch an already-emitted
+    session (its end + gap <= watermark <= any admitted timestamp —
+    an admitted row always starts a new session or joins a live one).
+    State timestamps are integer microseconds (exact, order-safe);
+    state size is bounded by sessions still inside the gap horizon."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -416,31 +461,49 @@ def stream_session_ttl(
     cols = ["user_id", "start_us", "end_us", "n_events"]
 
     def update(key, pdfs, state: GroupState):
-        closed = []
-        if state.hasTimedOut:
-            st, en, n = state.get
-            closed.append((key[0], st, en, n))
-            state.remove()
-        else:
+        sess: list[list[int]] = []
+        if state.exists:
+            sts, ens, ns = state.get
+            sess = [[int(s), int(e), int(c)] for s, e, c in zip(sts, ens, ns)]
+        if not state.hasTimedOut:
             ts_us = (
                 pd.concat([pdf["ts"] for pdf in pdfs], ignore_index=True)
                 .astype("datetime64[us]")  # normalize ns/us Arrow units
                 .astype("int64")
-                .sort_values()
             )
-            st, en, n = state.get if state.exists else (None, None, 0)
-            for t in ts_us:
-                t = int(t)
-                if st is None:
-                    st, en, n = t, t, 1
-                elif t - en > gap_us:
-                    closed.append((key[0], st, en, n))
-                    st, en, n = t, t, 1
-                else:
-                    en, n = t, n + 1
-            state.update((st, en, n))
-            # flush when event-time watermark passes last event + gap
-            state.setTimeoutTimestamp((en + gap_us) // 1000)
+            sess.extend([int(t), int(t), 1] for t in ts_us)
+        # normalize: sort by start, merge any neighbours within the gap
+        sess.sort()
+        merged: list[list[int]] = []
+        for s in sess:
+            if merged and s[0] - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], s[1])
+                merged[-1][2] += s[2]
+            else:
+                merged.append(s)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed = [
+            (key[0], st, en, n) for st, en, n in merged if en + gap_us <= wm_us
+        ]
+        keep = [s for s in merged if s[1] + gap_us > wm_us]
+        if keep:
+            state.update(
+                (
+                    [s[0] for s in keep],
+                    [s[1] for s in keep],
+                    [s[2] for s in keep],
+                )
+            )
+            # ceil-ms timer so it can't fire a tick before finality;
+            # clamp above the current watermark (Spark rejects timers
+            # at or below it)
+            t_ms = max(
+                min((s[1] + gap_us + 999) // 1000 for s in keep),
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(t_ms)
+        else:
+            state.remove()
         yield pd.DataFrame(closed, columns=cols)
 
     return (
@@ -452,7 +515,7 @@ def stream_session_ttl(
             outputStructType=(
                 "user_id long, start_us long, end_us long, n_events long"
             ),
-            stateStructType="st long, en long, n long",
+            stateStructType="st array<long>, en array<long>, n array<long>",
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -44,3 +44,29 @@ def test_bitmap_size_fixed(spark):
     n_small = small.select(F.size("words")).first()[0]
     n_big = big.select(F.size("words")).first()[0]
     assert n_small == n_big == (1 << 16) // 64
+
+
+def test_param_mismatch_raises(spark):
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    keys = spark.range(0, 50).select(F.col("id").alias("k"))
+    bloom = build_bloom(keys, "k", m_bits=1 << 12, k=5)
+    probe = keys.join(F.broadcast(bloom)).where(
+        might_contain("words", "k", m_bits=1 << 12, k=4)  # wrong k
+    )
+    with pytest.raises(SparkRuntimeException):
+        probe.count()
+
+
+def test_identifier_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        might_contain("words; DROP TABLE x", "k")
+    with pytest.raises(ValueError):
+        might_contain("words", "k OR 1=1")
+    with pytest.raises(ValueError):
+        might_contain("words", "k", m_bits=100)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        might_contain("words", "k", k=0)

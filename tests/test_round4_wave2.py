@@ -15,15 +15,30 @@ from tests.conftest import SF_SMALL
 from mwa_uvdata_pipeline_spark.plans import load_all
 
 
-def test_triangles_known_graph(spark):
-    # K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles; attaching a
-    # pendant node 5 to node 1 adds no triangle. Feed the plan's edge
-    # shape through a fake "lineitem" parquet view is heavier than
-    # re-deriving; instead check the census math directly on the plan's
-    # output at SF_SMALL: each triangle credits exactly 3 node rows.
-    out = load_all()["graph_triangles"].spark(spark, SF_SMALL)
-    total_credits = out.agg(F.sum("n_triangles")).first()[0]
-    assert total_credits % 3 == 0  # every triangle credits 3 nodes
+def test_triangles_known_graph(spark, tmp_path):
+    # K4 on {1,2,3,4} plus a pendant node 5 attached to node 1, fed
+    # THROUGH the operator path: each co-purchase edge is one order
+    # holding the two parts at quantity >= 30. Exact known census:
+    # every K4 node sits in C(3,2) = 3 triangles, the pendant in none
+    # (and hence does not appear). This exercises the full plan —
+    # basket expansion, degree orientation, wedge + closing joins.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)]
+    rows = []
+    for okey, (u, v) in enumerate(edges):
+        rows.append((okey, u, 30.0))
+        rows.append((okey, v, 30.0))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = load_all()["graph_triangles"].spark(spark, str(tmp_path))
+    census = {r.node: r.n_triangles for r in out.collect()}
+    assert census == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # and on the real fixture: non-empty with each triangle crediting
+    # exactly 3 node rows
+    real = load_all()["graph_triangles"].spark(spark, SF_SMALL)
+    total_credits = real.agg(F.sum("n_triangles")).first()[0]
+    assert total_credits and total_credits % 3 == 0
 
 
 def test_assoc_rule_metric_bounds(spark):

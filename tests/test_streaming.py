@@ -177,3 +177,62 @@ def test_session_ttl_state_evicted(spark):
     )
     n_users = ev.select("user_id").distinct().count()
     assert peak_state <= n_users + 1  # bounded by active keys, not events
+
+
+def test_session_ttl_out_of_order_within_watermark(spark, tmp_path):
+    """A late-but-admitted event must merge into the right tentative
+    session instead of dragging the session end backwards (the round-4
+    ADVICE finding): file 1 delivers t=0s and t=200s, file 2 delivers
+    the STRAGGLER t=100s (still above the watermark, which is only
+    max(200s) - 10min < 0 after file 1) together with a second session
+    at t=2000s/2100s. Expected batch gap-sessionization (gap 600s):
+    (0, 200, 3) and (2000, 2100, 2). The pre-fix arrival-split
+    implementation emitted (0, 100, 3) — end moved backwards by the
+    straggler. Two sentinel files flush the timers."""
+    import datetime
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        EVENT_SCHEMA,
+        _set_tree_mtime,
+        run_to_memory,
+        stream_session_ttl,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev_row(eid, sec, user=1):
+        return (eid, base + datetime.timedelta(seconds=sec), user, "e", 0.0, "{}")
+
+    files = [
+        [ev_row(1, 0), ev_row(2, 200)],
+        [ev_row(3, 100), ev_row(4, 2000), ev_row(5, 2100)],  # straggler
+        [ev_row(90, 10_000, user=-1)],  # sentinels advance the watermark
+        [ev_row(91, 14_000, user=-1)],
+    ]
+    import time
+
+    t0 = time.time()
+    for i, rows in enumerate(files):
+        p = str(tmp_path / f"part{i:03d}")
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(p)
+        _set_tree_mtime(p, t0 + i)
+    run_to_memory(
+        stream_session_ttl(spark, f"{tmp_path}/part*", gap_s=600),
+        "ttl_ooo_sink",
+        output_mode="update",
+    )
+    got = {
+        (r.session_start, r.session_end, r.n_events)
+        for r in spark.sql(
+            "SELECT * FROM ttl_ooo_sink WHERE user_id >= 0"
+        ).collect()
+    }
+    want = {
+        (base, base + datetime.timedelta(seconds=200), 3),
+        (
+            base + datetime.timedelta(seconds=2000),
+            base + datetime.timedelta(seconds=2100),
+            2,
+        ),
+    }
+    assert got == want

@@ -23,7 +23,25 @@ whose ratio is near the data ratio (or below — fixed overhead
 amortizes) scales linearly; a super-linear ratio exposes a hidden
 all-pairs/skew problem.
 
-Usage: python tools/scale_probe.py [n_copies] [query ...]
+Skew-adversarial mode (``--skew``): the perturbed-growth probe keeps
+key distributions UNIFORM — exactly the blind spot that hid
+m_phash_dedup's 65.6x blow-up in round 4 until the hash widened. With
+``--skew`` the fixtures additionally get a Zipfian hot key at every
+scale:
+
+- ``documents``: a fixed 5-token boilerplate footer is appended to 50%
+  of docs (every copy, untagged), so its 3 shingles have DF = N/2 —
+  the hot posting-list key that breaks naive posting self-joins;
+- ``events``: 30% of events are reassigned to one hot ``user_id``, so
+  any per-user shuffle has one reducer holding 30% of the table;
+- ``lineitem``: 30% of lineitems point at one hot ``l_partkey``.
+
+Both the 1x baseline and the Nx grown dataset carry the SAME skew
+fraction, so the reported ratio isolates growth-under-skew: a plan
+with a hot-key quadratic shows a ratio near n_copies^2 here even when
+the uniform probe reports ~1x.
+
+Usage: python tools/scale_probe.py [--skew] [n_copies] [query ...]
 """
 
 from __future__ import annotations
@@ -86,6 +104,17 @@ QUERIES = [
     "t_rolling_fingerprint",
 ]
 
+# The judge-prescribed skew-sensitive set: posting self-joins
+# (containment/jaccard), the corpus-frequency join, a per-user shuffle,
+# and the salted join built for exactly this situation.
+SKEW_QUERIES = [
+    "dedup_containment",
+    "dedup_ngram_jaccard",
+    "t_bigram_familiarity",
+    "ev_funnel",
+    "j9_salted_join",
+]
+
 KEY_OFFSETS = {
     "lineitem": {
         "l_orderkey": 1_000_000_000,
@@ -126,16 +155,51 @@ def _perturb(df, t: str, i: int):
     return df
 
 
-def build(spark, n_copies: int) -> None:
+def _skew(df, t: str):
+    """Inject one Zipfian hot key per fact table (see module docstring).
+
+    The hot fractions are scale-invariant (predicates on stable key
+    parity/modulus), so 1x and Nx builds have identical skew shape. The
+    boilerplate footer tokens are NOT copy-tagged, so the resulting
+    shingles are shared across all copies — one global hot posting key.
+    """
+    from pyspark.sql import functions as F
+
+    if t == "documents":
+        # doc_id offsets are even (1e9), so parity — hence the 50%
+        # fraction — is preserved across copies.
+        return df.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.col("text"), F.lit(" zq0 zq1 zq2 zq3 zq4")),
+            ).otherwise(F.col("text")),
+        ).withColumn("n_chars", F.length("text").cast("long"))
+    if t == "events":
+        return df.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 10 < 3, F.lit(7).cast("long"))
+            .otherwise(F.col("user_id")),
+        )
+    if t == "lineitem":
+        return df.withColumn(
+            "l_partkey",
+            F.when(F.col("l_orderkey") % 10 < 3, F.lit(1).cast("long"))
+            .otherwise(F.col("l_partkey")),
+        )
+    return df
+
+
+def build(spark, n_copies: int, dst: str = DST, skew: bool = False) -> None:
     from pyspark.sql import functions as F
 
     from mwa_uvdata_pipeline_spark.plans import table
 
-    os.makedirs(DST, exist_ok=True)
+    os.makedirs(dst, exist_ok=True)
     tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
     for t in tables:
         df = table(spark, SRC, t)
-        if t in KEY_OFFSETS:
+        if t in KEY_OFFSETS and n_copies > 1:
             copies = []
             for i in range(n_copies):
                 c = _perturb(df, t, i)
@@ -147,7 +211,9 @@ def build(spark, n_copies: int) -> None:
                 out = out.unionByName(c)
         else:
             out = df
-        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        if skew:
+            out = _skew(out, t)
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
 
 
 def run(spark, plans, queries, sf_dir: str) -> dict[str, float]:
@@ -168,29 +234,40 @@ def run(spark, plans, queries, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     args = sys.argv[1:]
     skip_build = "--nobuild" in args
-    args = [a for a in args if a != "--nobuild"]
+    skew = "--skew" in args
+    args = [a for a in args if a not in ("--nobuild", "--skew")]
     n_copies = int(args[0]) if args and args[0].isdigit() else 10
     if args and args[0].isdigit():
         args = args[1:]
-    queries = args or QUERIES
+    queries = args or (SKEW_QUERIES if skew else QUERIES)
 
     from mwa_uvdata_pipeline_spark.plans import load_all
     from mwa_uvdata_pipeline_spark.session import get_spark
 
     spark = get_spark("scale-probe")
     plans = load_all()
-    if not skip_build:
-        print(f"building {n_copies}x facts at {DST} ...", flush=True)
-        build(spark, n_copies)
-    base = run(spark, plans, queries, SRC)
-    big = run(spark, plans, queries, DST)
-    print(f"\n{'query':<24}{'sf0.1':>9}{'10x':>9}{'ratio':>8}")
+    if skew:
+        base_dir, big_dir = "/tmp/scale_probe_skew1", "/tmp/scale_probe_skewN"
+        if not skip_build:
+            print(f"building skewed 1x + {n_copies}x facts ...", flush=True)
+            build(spark, 1, base_dir, skew=True)
+            build(spark, n_copies, big_dir, skew=True)
+    else:
+        base_dir, big_dir = SRC, DST
+        if not skip_build:
+            print(f"building {n_copies}x facts at {DST} ...", flush=True)
+            build(spark, n_copies)
+    base = run(spark, plans, queries, base_dir)
+    big = run(spark, plans, queries, big_dir)
+    label = "skew1x" if skew else "sf0.1"
+    print(f"\n{'query':<24}{label:>9}{'Nx':>9}{'ratio':>8}")
     ratios = {}
     for name in queries:
         ratios[name] = round(big[name] / base[name], 2)
         print(f"{name:<24}{base[name]:>9.2f}{big[name]:>9.2f}{ratios[name]:>8.1f}")
     print(json.dumps({
         "n_copies": n_copies,
+        "skew": skew,
         "base_sec": {k: round(v, 3) for k, v in base.items()},
         "big_sec": {k: round(v, 3) for k, v in big.items()},
         "ratio": ratios,
