@@ -237,15 +237,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join key = xxhash64(shingle): the posting join and its aggregation
     # shuffle 8-byte longs instead of ~25-byte strings (counts are
     # collision-exact for any realistic corpus; 2^-64 per pair)
-    sh0 = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(_shingles(), lambda s: F.xxhash64(s))
-            ).alias("s"),
-        )
-        .persist()
+    sh0 = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id",
+        F.explode(
+            F.transform(_shingles(), lambda s: F.xxhash64(s))
+        ).alias("s"),
     )
     sdf = sh0.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     capped = (
@@ -253,9 +249,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "s")
     )
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # one persisted table serves both self-join sides; shingling runs
+    # twice ONLY while this cache builds (df branch + probe branch) —
+    # not once per join branch per execution, which was the measured
+    # 3x recompute. (No nested persist of sh0: DataFrame.unpersist
+    # cascades, so dropping it would silently evict this cache too.)
     sh = capped.join(sizes, "doc_id").persist()
     sh.count()  # materialize so both self-join sides read the cache
-    sh0.unpersist()
 
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s"), F.col("n").alias("na"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), F.col("n").alias("nb"))
@@ -651,10 +651,39 @@ def _emb_lsh_bits(n_rows: int) -> int:
     )
 
 
+def _lsh_tables(bits: int, floor_tables: int = _EMB_LSH_TABLES) -> int:
+    """Corpus-adaptive OR-construction width: grow the number of hash
+    tables with the band width so RECALL at the design similarity
+    stays at the floor instantiation's level instead of decaying as
+    bits rise. Sign-LSH per-bit agreement for cosine c is
+    p = 1 - arccos(c)/pi (~0.86 at the near-dup design point c=0.9);
+    a pair survives one b-bit table with p^b, and T tables OR to
+    1-(1-p^b)^T. The floor (4 tables x 4 bits) gives ~0.958; holding
+    that as bits grow needs T = ln(1-0.958)/ln(1-p^bits), capped at 16
+    (beyond which the candidate-volume cost outweighs the recall tail;
+    the cap and the resulting recall are recorded in SCALE.md).
+    Candidate volume stays ~ T * N * bucket_target — linear in N with
+    a slowly-growing T factor, vs exponential bucket thinning if T
+    were frozen. At the floor bits this returns exactly floor_tables,
+    so the oracle-scale SQL twin is unchanged."""
+    import math
+
+    p = 0.86
+    floor_recall = 1.0 - (1.0 - p**_EMB_LSH_BITS) ** floor_tables
+    t = math.ceil(
+        math.log(1.0 - floor_recall) / math.log(1.0 - p**bits) - 1e-9
+    )
+    return max(floor_tables, min(16, t))
+
+
 def _emb_lsh_key(e: Column, t: int, bits: int = _EMB_LSH_BITS) -> Column:
+    """Sign bits of ``bits`` consecutive dims starting at t*bits,
+    wrapping mod 64 so adaptive table counts beyond 64/bits reuse dims
+    in shifted windows (distinct per table, identical to the SQL
+    twin's layout for the floor tables where no wrap occurs)."""
     key = F.lit(0)
     for j in range(bits):
-        key = key + (e.getItem(t * bits + j) > 0).cast("int") * (1 << j)
+        key = key + (e.getItem((t * bits + j) % 64) > 0).cast("int") * (1 << j)
     return key
 
 
@@ -688,23 +717,29 @@ def _sql_emb_lsh_keyed() -> str:
     """,
     bench=True,
     doc="Embedding-cosine near-dup (north-star dedup): candidate pairs "
-        "from multi-table sign-LSH (4 tables x 4 sign bits, the "
-        "OR-construction boosting recall), exact cosine >= threshold as "
-        "the per-bucket equi-join verify. No corpus-wide pairwise join: "
-        "shuffle is keyed on (table, bucket), pair work is "
-        "sum-of-squared-bucket-sizes ~ T*N^2/2^bits — and bits RISE "
+        "from multi-table sign-LSH (4 tables x 4 sign bits at the "
+        "floor, the OR-construction boosting recall), exact cosine >= "
+        "threshold as the per-bucket equi-join verify. No corpus-wide "
+        "pairwise join: shuffle is keyed on (table, bucket), pair work "
+        "is sum-of-squared-bucket-sizes ~ T*N^2/2^bits — and bits RISE "
         "with corpus size (_emb_lsh_bits) to hold bucket width "
-        "constant, keeping candidate volume ~linear in N (the SQL twin "
-        "instantiates the 4-bit floor, which the adaptive width yields "
-        "at oracle scale sf<=0.01). Recall is the "
-        "standard LSH tradeoff (sign agreement ~ 1 - theta/pi per bit): "
-        "near-total at real near-dup thresholds (cos >= 0.9), partial at "
-        "this deliberately weak 0.35 gate. The exact all-pairs verifier "
-        "remains available as exact_pairwise_cosine() for tiny-N audits.",
+        "constant, while the TABLE COUNT rises with bits (_lsh_tables) "
+        "to hold recall at the floor schedule's level — candidate "
+        "volume stays ~linear in N with a slowly-growing T factor "
+        "(the SQL twin instantiates the 4x4 floor, which both "
+        "schedules yield at oracle scale sf<=0.01). Recall is the "
+        "standard LSH tradeoff (sign agreement ~ 1 - theta/pi per "
+        "bit): ~0.96 at real near-dup thresholds (cos >= 0.9), "
+        "measured 0.336 at sf0.1's deliberately weak 0.35 gate — "
+        "matching the model's 0.32 prediction (recall_probe.py; floor "
+        "pinned in test_embedding_dedup.py). The exact all-pairs "
+        "verifier remains available as exact_pairwise_cosine() for "
+        "tiny-N audits.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     bits = _emb_lsh_bits(_emb_stats(spark, sf_dir)[0])
+    n_tables = _lsh_tables(bits)
     n = emb.select(
         "vec_id",
         "embedding",
@@ -721,7 +756,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(t).alias("t"),
                         _emb_lsh_key(F.col("embedding"), t, bits).alias("k"),
                     )
-                    for t in range(_EMB_LSH_TABLES)
+                    for t in range(n_tables)
                 ]
             )
         ).alias("tk"),
@@ -866,8 +901,10 @@ def _sql_knn_lsh_keyed() -> str:
     bench=True,
     doc=f"Blocked kNN, LSH-sub-bucketed: top-{_KNN_K} cosine neighbors "
         "per vector within its label block, with candidates generated "
-        "by sign-LSH INSIDE the label (4 tables, bit width adaptive "
-        "via _knn_lsh_bits) and only candidates exactly re-ranked. "
+        "by sign-LSH INSIDE the label (bit width adaptive via "
+        "_knn_lsh_bits, table count adaptive via _lsh_tables to hold "
+        "recall as bits rise; 4x4 at the oracle-scale floor) and only "
+        "candidates exactly re-ranked. "
         "The round-3 exact plan joined on label alone, so one task "
         "carried a whole label block and cost sum(B_label^2) — the "
         "all-pairs blow-up in disguise when labels are few (this "
@@ -888,6 +925,7 @@ def e_knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     n_rows, n_labels = _emb_stats(spark, sf_dir)
     bits = _knn_lsh_bits(n_rows, n_labels)
+    n_tables = _lsh_tables(bits, _KNN_LSH_TABLES)
     n = emb.select(
         "vec_id",
         "label",
@@ -904,7 +942,7 @@ def e_knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(t).alias("t"),
                         _emb_lsh_key(F.col("embedding"), t, bits).alias("k"),
                     )
-                    for t in range(_KNN_LSH_TABLES)
+                    for t in range(n_tables)
                 ]
             )
         ).alias("tk"),
@@ -2296,11 +2334,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(_shingles(), lambda s: F.xxhash64(s))
         ).alias("s"),
-    ).persist()
+    )
     # Global-DF cap: one hash-agg on the shingle key, then an inner
     # join that keeps only non-boilerplate shingles. The df table is
     # shingle-cardinality-sized but 2 longs wide, partitioned on the
     # same key the posting join shuffles on, so the exchange is reused.
+    # Shingling runs twice only while the sh cache builds (no nested
+    # sh0 persist: DataFrame.unpersist cascades and would evict sh).
     sdf = sh0.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     capped = (
         sh0.join(sdf.where(F.col("df") <= _SHINGLE_DF_CAP), "s")
@@ -2309,7 +2349,6 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sh = capped.join(sizes, "doc_id").persist()
     sh.count()  # materialize so both join sides read the cache
-    sh0.unpersist()
     a = sh.select(
         F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na")
     )

@@ -147,3 +147,51 @@ def test_cluster_component_join_is_unhinted(spark):
     df = dedup_clusters(spark, SF_SMALL)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
+
+
+def test_recall_floor_at_bench_scale(spark):
+    """Recall floors at sf0.1, where the adaptive schedules leave the
+    4-bit floor (6 bits -> 7 tables via _lsh_tables) and the sf0.001
+    recall tests stop being representative. Measured round 5:
+    dedup_embedding_cosine 0.336, e_knn_within_label 0.275 — matching
+    the sign-LSH model at this corpus's weak similarities (exact pairs
+    sit near the 0.35 gate, per-bit agreement p = 1 - arccos(.35)/pi
+    ~ 0.61, predicted 1-(1-p^6)^7 ~ 0.32; at the cos>=0.9 design point
+    the same schedule holds ~0.96). Floors are measured-minus-margin;
+    a schedule regression (frozen tables, over-wide buckets) trips
+    them long before it reaches production scale."""
+    sf_bench = "/root/testdata/sf0.1"
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in dedup_embedding_cosine(spark, sf_bench).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in exact_pairwise_cosine(spark, sf_bench).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.30
+
+    got_nn = {
+        (r.vec_id, r.nn_id)
+        for r in e_knn_within_label(spark, sf_bench).collect()
+    }
+    exact_nn = {
+        (r.vec_id, r.nn_id)
+        for r in e_knn_within_label_fold(spark, sf_bench).collect()
+    }
+    assert len(got_nn & exact_nn) / len(exact_nn) >= 0.24
+
+
+def test_lsh_tables_scale_schedule():
+    from mwa_uvdata_pipeline_spark.plans.text import _lsh_tables
+
+    # floor: the 4x4 SQL-twin instantiation must be exact at oracle
+    # scale or parity would break
+    assert _lsh_tables(4) == 4
+    assert _lsh_tables(4, 4) == 4
+    # recall-holding growth: more bits -> more tables, monotone, capped
+    assert _lsh_tables(6) == 7
+    assert _lsh_tables(10) == 13
+    assert _lsh_tables(16) == 16  # cap
+    widths = [_lsh_tables(b) for b in range(4, 17)]
+    assert widths == sorted(widths)

@@ -15,7 +15,13 @@ per-horizon state may grow with event RATE — but the growth must track
 the horizon population, never total rows ingested; replaying with more
 files (smaller horizon slices) must not grow it.
 
-Usage: python tools/stream_state_probe.py
+``--rocksdb`` runs the same probe on the RocksDB state store provider
+(the spillable store a 100-TB stream needs; stream_dedup_exec gates
+its correctness against the batch oracle) so the state-volume
+invariants are measured on the production store, not just the default
+HDFS-backed in-memory map.
+
+Usage: python tools/stream_state_probe.py [--rocksdb]
 """
 
 from __future__ import annotations
@@ -78,6 +84,13 @@ def main() -> None:
 
     spark = get_spark("stream-state-probe")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    rocksdb = "--rocksdb" in sys.argv[1:]
+    if rocksdb:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     ev = load_events(spark, SRC)
     # 10x volume in the SAME time span: offset ids, jitter ts by <1s so
     # rows are distinct but the horizon population genuinely densifies
@@ -96,7 +109,16 @@ def main() -> None:
     r1 = probe(spark, ev, 8, "1x")
     r10 = probe(spark, big, 8, "10x")
     r10_more_files = probe(spark, big, 32, "10xf")
-    print(json.dumps({"x1": r1, "x10": r10, "x10_32files": r10_more_files}))
+    print(
+        json.dumps(
+            {
+                "provider": "rocksdb" if rocksdb else "default",
+                "x1": r1,
+                "x10": r10,
+                "x10_32files": r10_more_files,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
