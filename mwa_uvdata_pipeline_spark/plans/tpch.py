@@ -433,7 +433,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the distinct + degree agg lineage would re-execute once
     # per power iteration (measured 3.7s -> ~1.9s warm at sf0.1)
     e_deg = edges.join(deg, "u").persist()
-    prev = None
+    iters = []
     for _ in range(3):
         ranks = (
             e_deg.join(ranks, e_deg["u"] == ranks["node"])
@@ -448,12 +448,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        # materialize: downstream rounds (and retries) read the cached
-        # node-cardinality table, never the accumulated join lineage
-        ranks.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
+        iters.append(ranks)
+    # ONE materialization after the loop: computing the last round
+    # builds every per-round cache along the way (each round's stages
+    # read the previous round's just-built cache), so executed lineage
+    # — and failure recomputation — is one join+agg deep per round,
+    # at the cost of a single extra job rather than one per round.
+    # Earlier rounds' caches are then dropped; the final consumer reads
+    # only the last cache (PLANS.md shows the plan as one cache read).
+    ranks.count()
+    for r in iters[:-1]:
+        r.unpersist()
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
 
