@@ -104,15 +104,20 @@ QUERIES = [
     "t_rolling_fingerprint",
 ]
 
-# The judge-prescribed skew-sensitive set: posting self-joins
-# (containment/jaccard), the corpus-frequency join, a per-user shuffle,
-# and the salted join built for exactly this situation.
+# The skew-sensitive set: posting self-joins (containment/jaccard),
+# the corpus-frequency join, a per-user shuffle, the salted join built
+# for exactly this situation, plus the hub-sensitive graph census,
+# basket pair expansion, signature grouping, and exact-dup groupBy.
 SKEW_QUERIES = [
     "dedup_containment",
     "dedup_ngram_jaccard",
     "t_bigram_familiarity",
     "ev_funnel",
     "j9_salted_join",
+    "graph_triangles",
+    "x_assoc_rules",
+    "dedup_minhash_buckets",
+    "dedup_exact",
 ]
 
 KEY_OFFSETS = {
