@@ -2123,3 +2123,55 @@ def x_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(
         F.sum("adj_cents").alias("adj_cents")
     )
+
+
+@register(
+    "x_skew_diagnose",
+    sql="""
+    WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY user_id),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                      CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+    SELECT c.user_id, c.n,
+           CAST(c.n * 1000000 // t.total AS BIGINT) AS share_ppm,
+           CAST(c.n * t.n_keys * 100 // t.total AS BIGINT)
+               AS x_avg_pct,
+           t.total, t.n_keys
+    FROM c, t
+    ORDER BY c.n DESC, c.user_id
+    LIMIT 10
+    """,
+    doc="Key-skew diagnostics — the profiling pass you run BEFORE "
+        "choosing a join/agg strategy at 100 TB: per-key frequency of "
+        "the shuffle key (user_id), top-10 heavy hitters with exact "
+        "integer share (ppm of all rows) and multiple-of-average "
+        "(x_avg_pct = 100 means a perfectly uniform key). A hitter at "
+        "x_avg_pct >> 100 is the signal to salt (j9_salted_join), "
+        "broadcast, or isolate that key. Shape: one partial-combine "
+        "hash agg (the count), a single-row global agg broadcast back "
+        "via crossJoin, and a TakeOrderedAndProject for the top-10 — "
+        "the diagnostic itself is skew-proof because counting "
+        "collapses the hot key map-side.",
+)
+def x_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            "n",
+            F.expr("n * 1000000 div total").alias("share_ppm"),
+            F.expr("n * n_keys * 100 div total").alias("x_avg_pct"),
+            "total",
+            "n_keys",
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+    )

@@ -2783,3 +2783,104 @@ def m_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return resize_media(binary_payload(table(spark, sf_dir, "documents")))
+
+
+# PII patterns, valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+# plain character classes, \d, \b, bounded repetition only — no
+# lookaround, no backreferences (RE2 has neither).
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# The corpus is synthetic word salad with no natural PII, so the plan
+# first plants deterministic PII spans (email / phone / IPv4 derived
+# from doc_id) on disjoint doc_id residues — the SAME derivation in
+# Spark and the oracle — then scrubs them back out. The gate therefore
+# proves the scrubber finds and replaces exactly the planted spans.
+_SQL_PII_RAW = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || doc_id || '@example.com now'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' call 555-867-' ||
+                        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' from 10.' || doc_id % 256 || '.0.1'
+                   ELSE '' END AS raw
+    FROM documents
+"""
+
+
+@register(
+    "t_pii_scrub",
+    sql=f"""
+    WITH raw AS ({_SQL_PII_RAW})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS INTEGER)
+               AS n_phones,
+           CAST(len(regexp_extract_all(
+               regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}')) AS INTEGER) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+                   raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g')) AS scrubbed_md5
+    FROM raw
+    """,
+    doc="PII redaction — the compliance pass every LLM training-data "
+        "pipeline runs before tokenization: detect and mask emails, "
+        "NANP phone numbers, and IPv4 addresses with patterns written "
+        "in the Java-regex/RE2 common subset (no lookaround, no "
+        "backreferences — RE2 has neither). Counts come from "
+        "regexp_count per class; the scrubbed text itself is gated by "
+        "md5 so the oracle proves byte-identical replacement, not "
+        "just identical counts. IP counting runs on the email-scrubbed "
+        "text because an address like 10.17.0.1 embedded in a dotted "
+        "hostname local-part would double-count. Scale shape: pure "
+        "per-row codegen'd string expressions, zero shuffle, zero "
+        "Python — at 100 TB this is a map-only pass that pipelines "
+        "with whatever scan feeds it.",
+)
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"),
+                     F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" call 555-867-"),
+                     F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" from 10."), (d % 256).cast("string"),
+                     F.lit(".0.1")),
+        ).otherwise(F.lit("")),
+    )
+    no_email = F.regexp_replace(F.col("raw"), _PII_EMAIL, "<EMAIL>")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(no_email, _PII_PHONE, "<PHONE>"), _PII_IP, "<IP>"
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", raw.alias("raw"))
+        .select(
+            "doc_id",
+            F.regexp_count(F.col("raw"), F.lit(_PII_EMAIL)).cast("int")
+                .alias("n_emails"),
+            F.regexp_count(F.col("raw"), F.lit(_PII_PHONE)).cast("int")
+                .alias("n_phones"),
+            F.regexp_count(no_email, F.lit(_PII_IP)).cast("int")
+                .alias("n_ips"),
+            F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+        )
+    )

@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
                      "bits = 1024 longs, independent of dim size)",
     "x_assoc_rules": "broadcast scalar basket count (single-row agg)",
     "e_matryoshka": "broadcast fixed query set (k query vectors)",
+    "x_skew_diagnose": "broadcast total/n_keys (single-row agg)",
 }
 
 

