@@ -2884,3 +2884,118 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
         )
     )
+
+
+# k-means seeds: the 4 smallest vec_ids (deterministic — kmeans++ needs
+# randomness, which the cross-engine gate cannot admit)
+_KM_K = 4
+_KM_SCALE = 1000000
+
+_SQL_KM_PTS = f"""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+           CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {_KM_SCALE})
+                AS BIGINT) AS q
+    FROM embeddings
+"""
+
+
+def _sql_km_round(prev: str, n: int) -> str:
+    """One unrolled Lloyd round: assign to nearest centroid (squared-L2
+    in exact int64, (dist, cid) tiebreak), then per-(cid, dim) integer
+    floor-mean."""
+    return f"""
+    d{n} AS (SELECT p.vec_id, c.cid,
+                    CAST(SUM((p.q - c.q) * (p.q - c.q)) AS BIGINT) AS dist
+             FROM pts p JOIN {prev} c USING (dim)
+             GROUP BY p.vec_id, c.cid),
+    a{n} AS (SELECT vec_id, cid FROM
+                 (SELECT vec_id, cid,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY dist, cid) AS rn
+                  FROM d{n}) WHERE rn = 1),
+    c{n} AS (SELECT a{n}.cid, p.dim,
+                    CAST(SUM(p.q) // COUNT(*) AS BIGINT) AS q
+             FROM a{n} JOIN pts p USING (vec_id)
+             GROUP BY a{n}.cid, p.dim)
+    """
+
+
+@register(
+    "ml_kmeans",
+    sql=f"""
+    WITH pts AS ({_SQL_KM_PTS}),
+    c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, dim, q
+           FROM pts WHERE vec_id < {_KM_K}),
+    {_sql_km_round("c0", 1)},
+    {_sql_km_round("c1", 2)},
+    sz AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+           FROM a2 GROUP BY cid)
+    SELECT c2.cid, sz.n_members, c2.dim, c2.q AS centroid_q
+    FROM c2 JOIN sz USING (cid)
+    ORDER BY c2.cid, c2.dim
+    """,
+    doc="k-means (2 unrolled Lloyd iterations, k=4, deterministic "
+        "smallest-id seeding) as relational dataflow in EXACT integer "
+        "arithmetic — like graph_pagerank, quantizing to micro-units "
+        "is what makes an iterative numeric fixpoint oracle-checkable "
+        "bit-for-bit (squared-L2 in int64, integer mean via the "
+        "truncating div both engines share — DuckDB's integer // "
+        "truncates toward zero exactly like Spark's div). "
+        "Per round: points join a BROADCAST centroid table on dim "
+        "(k x 64 rows regardless of corpus size — never a shuffle of "
+        "the points), one (vec_id, cid) hash agg for distances, a "
+        "per-vec_id window for the argmin, one (cid, dim) hash agg "
+        "for the update; each round's centroid table is persisted so "
+        "round n+1 does not re-execute round n's lineage (the "
+        "iterative-lineage lesson graph_kcore_peel taught). At 100 TB "
+        "the per-round cost is two scans of the exploded points — the "
+        "same shape MLlib's Lloyd step runs; empty clusters drop out "
+        "naturally in both engines.",
+)
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "vec_id",
+            "dim",
+            F.round(F.col("x").cast("double") * _KM_SCALE).cast("long")
+                .alias("q"),
+        )
+        .persist()
+    )
+    cents = (
+        pts.where(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").cast("int").alias("cid"), "dim", "q")
+    )
+
+    assign = None
+    for _ in range(2):
+        d = (
+            pts.join(F.broadcast(cents.withColumnRenamed("q", "cq")), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+                .alias("dist")
+            )
+        )
+        rn = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        assign = (
+            d.withColumn("rn", F.row_number().over(rn))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        cents = (
+            assign.join(pts, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(F.expr("sum(q) div count(1)").alias("q"))
+            .persist()
+        )
+
+    sz = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cents.join(sz, "cid")
+        .select("cid", "n_members", "dim", F.col("q").alias("centroid_q"))
+        .orderBy("cid", "dim")
+    )

@@ -63,3 +63,25 @@ def test_skew_diagnose_share_algebra(spark):
         assert r.x_avg_pct == r.n * n_keys * 100 // total
     # the heaviest key is at least average by construction
     assert rows[0].x_avg_pct >= 100
+
+
+def test_kmeans_partition_invariants(spark):
+    rows = load_all()["ml_kmeans"].spark(spark, SF_SMALL).collect()
+    assert rows
+    by_cid = {}
+    for r in rows:
+        by_cid.setdefault(r.cid, []).append(r)
+    # every surviving cluster reports all 64 dims and one member count
+    total = 0
+    for cid, rs in by_cid.items():
+        assert sorted(r.dim for r in rs) == list(range(64))
+        assert len({r.n_members for r in rs}) == 1
+        total += rs[0].n_members
+    # assignments PARTITION the corpus: every vector in exactly one
+    # cluster
+    from mwa_uvdata_pipeline_spark.plans import table as _table
+
+    n_vecs = _table(spark, SF_SMALL, "embeddings").count()
+    assert total == n_vecs
+    # centroids stay inside the quantized data envelope
+    assert all(abs(r.centroid_q) <= 4_000_000 for r in rows)
