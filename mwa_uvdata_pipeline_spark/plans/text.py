@@ -2999,3 +2999,77 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "n_members", "dim", F.col("q").alias("centroid_q"))
         .orderBy("cid", "dim")
     )
+
+
+@register(
+    "t_dataset_card",
+    sql="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(quantile_cont(n_chars, 0.5), 9) AS p50_chars,
+           ROUND(quantile_cont(n_chars, 0.9), 9) AS p90_chars,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+               AS n_exact_dup,
+           ROUND(-SUM(ent), 6) AS source_entropy
+    FROM documents
+    JOIN (SELECT lang AS l2, source AS s2,
+                 (CAST(COUNT(*) AS DOUBLE) / MAX(tot))
+                     * ln(CAST(COUNT(*) AS DOUBLE) / MAX(tot))
+                     / COUNT(*) AS ent
+          FROM documents
+          JOIN (SELECT lang AS l3, CAST(COUNT(*) AS DOUBLE) AS tot
+                FROM documents GROUP BY lang) t ON lang = l3
+          GROUP BY lang, source) e
+      ON lang = l2 AND source = s2
+    GROUP BY lang
+    """,
+    doc="Dataset card — the per-language curation report published "
+        "alongside a training corpus: volume (docs / chars), source "
+        "diversity (distinct sources + Shannon entropy of the source "
+        "mix, the mixing-weight diagnostic), length distribution "
+        "(exact interpolated p50/p90, Spark percentile == DuckDB "
+        "quantile_cont), and exact-duplicate mass "
+        "(n_docs - distinct md5). Entropy is the one transcendental: "
+        "both engines evaluate libm ln on identical doubles and the "
+        "result is rounded to 6 dp, the same tolerance the cosine "
+        "plans use. Shape: one hash agg per grouping level (lang, "
+        "lang x source), shuffles carry only group keys and partial "
+        "aggregates — the whole card is two passes over the corpus "
+        "regardless of scale. The per-source entropy term is spread "
+        "across that source's rows (term / COUNT) so one lang-level "
+        "agg folds it without a second join back.",
+)
+def t_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tot = docs.groupBy(F.col("lang").alias("l3")).agg(
+        F.count(F.lit(1)).cast("double").alias("tot")
+    )
+    p = F.col("cnt") / F.col("tot")
+    ent = (
+        docs.join(F.broadcast(tot), F.col("lang") == F.col("l3"))
+        .groupBy(F.col("lang").alias("l2"), F.col("source").alias("s2"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("cnt"),
+            F.max("tot").alias("tot"),
+        )
+        .select("l2", "s2", (p * F.log(p) / F.col("cnt")).alias("ent"))
+    )
+    return (
+        docs.join(
+            F.broadcast(ent),
+            (F.col("lang") == F.col("l2")) & (F.col("source") == F.col("s2")),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 9).alias("p50_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 9).alias("p90_chars"),
+            (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col("text").cast("binary"))))
+                .alias("n_exact_dup"),
+            F.round(-F.sum("ent"), 6).alias("source_entropy"),
+        )
+    )

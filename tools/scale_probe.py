@@ -102,6 +102,11 @@ QUERIES = [
     "t_bpe_token_estimate",
     "t_lang_id",
     "t_rolling_fingerprint",
+    # round-5 additions
+    "ml_kmeans",
+    "t_pii_scrub",
+    "x_skew_diagnose",
+    "s_zorder_layout",
 ]
 
 # The skew-sensitive set: posting self-joins (containment/jaccard),
