@@ -1342,3 +1342,40 @@ def s_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
     )
+
+
+@register(
+    "s_orc_source",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events GROUP BY 1
+    """,
+    doc="ORC source round-trip (S2 multi-format dispatch, real path): "
+        "events written as ORC — the second columnar format a lake "
+        "actually mixes with parquet — and read back, aggregate gated "
+        "against the oracle over the parquet original. ORC scans get "
+        "the same columnar treatment as parquet (column pruning, "
+        "predicate pushdown into stripe/row-group indexes, vectorized "
+        "read, splittable stripes), so at 100 TB a mixed parquet+ORC "
+        "lake reads through one code path with per-format pushdown "
+        "intact; timestamps survive via ORC's native timestamp type.",
+)
+def s_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.plans import fixture_dir, load_events
+
+    ev = load_events(spark, sf_dir)
+    out = fixture_dir(
+        "ev_orc", sf_dir, lambda d: ev.write.mode("overwrite").orc(d)
+    )
+    back = spark.read.orc(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
