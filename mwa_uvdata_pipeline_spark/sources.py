@@ -8,12 +8,14 @@ processors: ``supported_types`` {fits, metafits, ms, uvfits, uvf, uvh5}
 registry filled by a decorator (reference processors.py:23-38).
 
 Here the registry maps format → reader callable returning the
-long-format visibility DataFrame (SURVEY.md §1.4). Parquet is the real
-implementation (driver fixtures are parquet); the astronomy container
-formats are registered stubs that raise ``NotImplementedError`` unless
-their parser libraries (astropy / h5py / casacore) are importable —
-the idiomatic Spark ingest for them is ``binaryFile`` scan + Arrow-
-batched converter per file (SURVEY.md §4), not a driver-side loop.
+long-format visibility DataFrame (SURVEY.md §1.4). Parquet is the
+production path; ``uvfits`` and ``metafits`` are NATIVE readers
+(sources_fits.py — FITS parsed from the standard, no astropy) built
+exactly as the scale design prescribes: ``binaryFile`` scan +
+Arrow-batched per-file converter, one executor task per file. The
+remaining container formats (ms / uvh5) stay import-gated stubs —
+their container layouts (casacore tables, HDF5) need their parser
+libraries, which this container does not ship.
 
 X8 batch arithmetic (reference utils.py:20-47) is kept as advisory
 planning math — Spark's executor memory model (partitioning + spill +
@@ -110,12 +112,32 @@ def _stub_reader(fmt: str, libs: tuple[str, ...]) -> Reader:
 
 for _fmt, _libs in {
     "fits": ("astropy",),
-    "metafits": ("astropy",),
-    "uvfits": ("astropy",),
     "uvh5": ("h5py",),
     "ms": ("casacore",),
 }.items():
     register_reader(_fmt)(_stub_reader(_fmt, _libs))
+
+
+@register_reader("uvfits")
+def read_uvfits_vis(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """NATIVE random-groups uvfits reader (sources_fits.py — no
+    astropy): binaryFile listing + per-file numpy parse in mapInPandas,
+    one executor task per file. Replaces the reference's pyuvdata
+    delegation (reference processors.py:154-198) with a parser for the
+    FITS-standard subset interferometer files use."""
+    from mwa_uvdata_pipeline_spark.sources_fits import read_uvfits
+
+    return read_uvfits(spark, paths)
+
+
+@register_reader("metafits")
+def read_metafits_meta(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """NATIVE metafits header reader (sources_fits.py): S3
+    metadata-only scan, one typed row per observation plus the full
+    card map."""
+    from mwa_uvdata_pipeline_spark.sources_fits import read_metafits
+
+    return read_metafits(spark, paths)
 
 
 def compute_optimal_batches(

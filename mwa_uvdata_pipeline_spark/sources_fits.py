@@ -1,0 +1,367 @@
+"""Native FITS readers — no astropy, no container-library seam.
+
+The reference delegates every FITS-family read to pyuvdata/astropy
+(reference processors.py:70-76,154-198). This module implements the
+subset those delegates actually exercise, from the FITS standard
+directly (NASA FITS 4.0: 2880-byte blocks of 36 x 80-char ASCII cards;
+random-groups primary HDU for interferometer visibilities), so the
+`uvfits` and `metafits` formats registered in :mod:`sources` are REAL
+readers in this container rather than astropy-gated stubs:
+
+- **metafits** is a header-only primary HDU: parse the card blocks into
+  one row per file (typed common keywords + the full card map).
+- **uvfits** is a random-groups primary HDU (GROUPS=T, NAXIS1=0):
+  GCOUNT groups, each PCOUNT big-endian float32 parameters (UU, VV,
+  WW, BASELINE in the AIPS 256*ant1+ant2 convention, DATE with the JD
+  epoch carried in PZERO so float32 holds the fraction at full
+  precision) followed by the data array (COMPLEX re/im/weight x
+  STOKES x FREQ, C-order with FITS axis 2 fastest). Flags ride the
+  weight sign (negative = flagged), the AIPS/uvfits convention.
+
+Scale design: `spark.read.format("binaryFile")` lists and distributes
+the files across executors; `mapInPandas` runs the numpy parse per
+file and emits the long-format visibility schema (SURVEY.md §1.4) —
+one task per file, linear in file count, no driver-side loop. MWA
+splits an observation into per-coarse-channel files, so per-task
+memory is one coarse channel, the same unit the reference's batching
+arithmetic targets. The writer is a driver-side fixture/test tool
+(small files); a distributed writer would be a foreachPartition sink.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+BLOCK = 2880
+CARD = 80
+
+#: AIPS stokes codes for linear polarizations (negative per convention)
+POL_CODES = {-5: "XX", -6: "YY", -7: "XY", -8: "YX"}
+POL_NAMES = {v: k for k, v in POL_CODES.items()}
+
+
+def _parse_value(raw: str):
+    v = raw.strip()
+    if v.startswith("'"):
+        return v[1 : v.rindex("'")].rstrip()
+    if v == "T":
+        return True
+    if v == "F":
+        return False
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        return v
+
+
+def parse_header(buf: bytes, off: int = 0) -> tuple[dict, int]:
+    """Parse one FITS header starting at ``off``: 2880-byte blocks of
+    80-char cards until the END card. Returns (cards, data_offset)
+    where data_offset is the first byte after the header's last block.
+    """
+    cards: dict = {}
+    while off < len(buf):
+        block = buf[off : off + BLOCK].decode("ascii", errors="replace")
+        off += BLOCK
+        for i in range(BLOCK // CARD):
+            card = block[i * CARD : (i + 1) * CARD]
+            key = card[:8].strip()
+            if key == "END":
+                return cards, off
+            if not key or card[8:10] != "= ":
+                continue  # COMMENT / HISTORY / blank / CONTINUE
+            body = card[10:]
+            # a '/' inside a quoted string is not a comment separator
+            if body.lstrip().startswith("'"):
+                q = body.index("'", body.index("'") + 1)
+                val, _, _ = body[: q + 1], None, None
+            else:
+                val = body.split("/")[0]
+            cards[key] = _parse_value(val)
+    raise ValueError("FITS header missing END card")
+
+
+def _pad(n: int) -> int:
+    return (BLOCK - n % BLOCK) % BLOCK
+
+
+def _format_card(key: str, val) -> bytes:
+    if isinstance(val, bool):
+        s = f"{key:<8}= {'T' if val else 'F':>20}"
+    elif isinstance(val, str):
+        s = f"{key:<8}= '{val:<8}'"
+    elif isinstance(val, int):
+        s = f"{key:<8}= {val:>20}"
+    else:
+        s = f"{key:<8}= {val!r:>20}"
+    return s.ljust(CARD).encode("ascii")
+
+
+def write_header(cards: list[tuple[str, object]]) -> bytes:
+    out = b"".join(_format_card(k, v) for k, v in cards)
+    out += b"END".ljust(CARD)
+    return out + b" " * _pad(len(out))
+
+
+# ---------------------------------------------------------------- uvfits
+
+#: long-format schema the uvfits reader emits (SURVEY.md §1.4 hypercube)
+UVFITS_SCHEMA = (
+    "file string, time_jd double, ant1 int, ant2 int, chan int, "
+    "freq_hz double, pol string, re double, im double, "
+    "nsample double, flag boolean, uu double, vv double, ww double"
+)
+
+
+def write_uvfits(pdf: pd.DataFrame, path: str, jd_zero: float) -> None:
+    """Write a random-groups uvfits file from long-format rows
+    (columns: time_jd, ant1, ant2, chan, pol, freq_hz, re, im,
+    nsample, flag, uu, vv, ww). Grids must be dense and uniform (the
+    interferometer data model); one group per (time, baseline).
+    """
+    times = np.sort(pdf["time_jd"].unique())
+    chans = np.sort(pdf["chan"].unique())
+    freqs = np.sort(pdf["freq_hz"].unique())
+    pols = sorted(pdf["pol"].unique(), key=lambda p: -POL_NAMES[p])
+    bls = sorted(set(zip(pdf["ant1"], pdf["ant2"])))
+    nt, nc, npol, nbl = len(times), len(chans), len(pols), len(bls)
+    if len(freqs) > 1:
+        cdelt = freqs[1] - freqs[0]
+        assert np.allclose(np.diff(freqs), cdelt), "freq grid not uniform"
+    else:
+        cdelt = 1.0
+
+    t_ix = {t: i for i, t in enumerate(times)}
+    b_ix = {b: i for i, b in enumerate(bls)}
+    p_ix = {p: i for i, p in enumerate(pols)}
+
+    data = np.zeros((nt, nbl, nc, npol, 3), dtype=">f4")
+    rows = pdf
+    gi = (
+        rows["time_jd"].map(t_ix).to_numpy(),
+        rows[["ant1", "ant2"]].apply(tuple, axis=1).map(b_ix).to_numpy(),
+        rows["chan"].to_numpy() - chans[0],
+        rows["pol"].map(p_ix).to_numpy(),
+    )
+    data[gi[0], gi[1], gi[2], gi[3], 0] = rows["re"].to_numpy()
+    data[gi[0], gi[1], gi[2], gi[3], 1] = rows["im"].to_numpy()
+    wt = np.where(rows["flag"].to_numpy(), -1.0, 1.0) * rows[
+        "nsample"
+    ].to_numpy()
+    data[gi[0], gi[1], gi[2], gi[3], 2] = wt
+
+    params = np.zeros((nt, nbl, 5), dtype=">f4")
+    uvw = {
+        (a1, a2): rows[(rows["ant1"] == a1) & (rows["ant2"] == a2)].iloc[0]
+        for a1, a2 in bls
+    }
+    for (a1, a2), bi in b_ix.items():
+        r = uvw[(a1, a2)]
+        params[:, bi, 0] = r["uu"]
+        params[:, bi, 1] = r["vv"]
+        params[:, bi, 2] = r["ww"]
+        params[:, bi, 3] = 256 * (a1 + 1) + (a2 + 1)
+    for t, ti in t_ix.items():
+        params[ti, :, 4] = t - jd_zero  # PZERO5 carries the epoch
+
+    gcount = nt * nbl
+    header = write_header(
+        [
+            ("SIMPLE", True),
+            ("BITPIX", -32),
+            ("NAXIS", 6),
+            ("NAXIS1", 0),  # random-groups signature
+            ("NAXIS2", 3),  # COMPLEX: re, im, weight
+            ("NAXIS3", npol),
+            ("NAXIS4", nc),
+            ("NAXIS5", 1),  # degenerate RA
+            ("NAXIS6", 1),  # degenerate DEC
+            ("EXTEND", True),
+            ("GROUPS", True),
+            ("PCOUNT", 5),
+            ("GCOUNT", gcount),
+            ("CTYPE2", "COMPLEX"),
+            ("CRVAL2", 1.0),
+            ("CRPIX2", 1.0),
+            ("CDELT2", 1.0),
+            ("CTYPE3", "STOKES"),
+            ("CRVAL3", float(POL_NAMES[pols[0]])),
+            ("CRPIX3", 1.0),
+            ("CDELT3", -1.0),
+            ("CTYPE4", "FREQ"),
+            ("CRVAL4", float(freqs[0])),
+            ("CRPIX4", 1.0),
+            ("CDELT4", float(cdelt)),
+            ("CTYPE5", "RA"),
+            ("CTYPE6", "DEC"),
+            ("PTYPE1", "UU"),
+            ("PTYPE2", "VV"),
+            ("PTYPE3", "WW"),
+            ("PTYPE4", "BASELINE"),
+            ("PTYPE5", "DATE"),
+            ("PZERO5", jd_zero),
+        ]
+    )
+    # interleave params and data per group
+    flat = np.concatenate(
+        [
+            params.reshape(gcount, 5),
+            data.reshape(gcount, nc * npol * 3),
+        ],
+        axis=1,
+    ).astype(">f4")
+    body = flat.tobytes()
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(body)
+        f.write(b"\x00" * _pad(len(body)))
+
+
+def parse_uvfits(name: str, buf: bytes) -> pd.DataFrame:
+    """Parse one random-groups uvfits byte string to long-format rows."""
+    h, off = parse_header(buf)
+    if not (h.get("GROUPS") and h.get("NAXIS1") == 0):
+        raise ValueError(f"{name}: not a random-groups uvfits file")
+    if h["BITPIX"] != -32:
+        raise ValueError(f"{name}: only BITPIX=-32 supported")
+    pcount, gcount = h["PCOUNT"], h["GCOUNT"]
+    axes = [h[f"NAXIS{i}"] for i in range(2, h["NAXIS"] + 1)]
+    nelem = int(np.prod(axes))
+    total = gcount * (pcount + nelem)
+    a = np.frombuffer(buf, dtype=">f4", count=total, offset=off).reshape(
+        gcount, pcount + nelem
+    )
+    params = a[:, :pcount].astype("f8")
+    # PSCAL/PZERO calibration per param, PTYPE names the slot
+    names = []
+    for i in range(1, pcount + 1):
+        names.append(str(h.get(f"PTYPE{i}", f"P{i}")).strip().upper())
+        scal = float(h.get(f"PSCAL{i}", 1.0))
+        zero = float(h.get(f"PZERO{i}", 0.0))
+        params[:, i - 1] = zero + scal * params[:, i - 1]
+    p = {n: params[:, i] for i, n in enumerate(names)}
+
+    # FITS axis 2 varies fastest -> C-order is reversed axis list
+    npol, nchan = int(h["NAXIS3"]), int(h["NAXIS4"])
+    data = a[:, pcount:].reshape([gcount] + axes[::-1])
+    data = data.reshape(gcount, nchan, npol, 3)  # degenerate RA/DEC drop
+
+    bl = p["BASELINE"].astype("i8")
+    ant1 = bl // 256 - 1
+    ant2 = bl % 256 - 1
+    pol0, pold = int(h["CRVAL3"]), int(h["CDELT3"])
+    pol_names = [POL_CODES[pol0 + i * pold] for i in range(npol)]
+    f0, fd, fpix = float(h["CRVAL4"]), float(h["CDELT4"]), float(h["CRPIX4"])
+    freqs = f0 + (np.arange(nchan) + 1 - fpix) * fd
+
+    g = np.repeat(np.arange(gcount), nchan * npol)
+    c = np.tile(np.repeat(np.arange(nchan), npol), gcount)
+    s = np.tile(np.arange(npol), gcount * nchan)
+    flat = data.reshape(gcount * nchan * npol, 3).astype("f8")
+    wt = flat[:, 2]
+    return pd.DataFrame(
+        {
+            "file": name,
+            "time_jd": p["DATE"][g],
+            "ant1": ant1[g].astype("i4"),
+            "ant2": ant2[g].astype("i4"),
+            "chan": c.astype("i4"),
+            "freq_hz": freqs[c],
+            "pol": np.array(pol_names, dtype=object)[s],
+            "re": flat[:, 0],
+            "im": flat[:, 1],
+            "nsample": np.abs(wt),
+            "flag": wt < 0,
+            "uu": p["UU"][g],
+            "vv": p["VV"][g],
+            "ww": p["WW"][g],
+        }
+    )
+
+
+def read_uvfits(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Distributed uvfits scan: binaryFile listing + per-file numpy
+    parse in mapInPandas — one executor task per file, linear scale-out
+    in file count (MWA ships one file per coarse channel)."""
+    import os
+
+    files = spark.read.format("binaryFile").load(paths)
+
+    def parse(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                yield parse_uvfits(
+                    os.path.basename(row["path"]), row["content"]
+                )
+
+    return files.select("path", "content").mapInPandas(
+        parse, UVFITS_SCHEMA
+    )
+
+
+# --------------------------------------------------------------- metafits
+
+METAFITS_SCHEMA = (
+    "file string, obsid long, gpstime long, n_inputs int, n_chans int, "
+    "inttime double, freqcent double, cards map<string,string>"
+)
+
+
+def write_metafits(path: str, cards: dict) -> None:
+    """Header-only primary HDU (NAXIS=0) — the metafits shape."""
+    base: list[tuple[str, object]] = [
+        ("SIMPLE", True),
+        ("BITPIX", 8),
+        ("NAXIS", 0),
+        ("EXTEND", True),
+    ]
+    with open(path, "wb") as f:
+        f.write(write_header(base + list(cards.items())))
+
+
+def parse_metafits(name: str, buf: bytes) -> pd.DataFrame:
+    h, _ = parse_header(buf)
+
+    def num(key, cast):
+        v = h.get(key)
+        return cast(v) if v is not None else None
+
+    return pd.DataFrame(
+        [
+            {
+                "file": name,
+                "obsid": num("OBSID", int) or num("GPSTIME", int),
+                "gpstime": num("GPSTIME", int),
+                "n_inputs": num("NINPUTS", int),
+                "n_chans": num("NCHANS", int),
+                "inttime": num("INTTIME", float),
+                "freqcent": num("FREQCENT", float),
+                "cards": {k: str(v) for k, v in h.items()},
+            }
+        ]
+    )
+
+
+def read_metafits(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Metadata-only scan (S3): the read transfers each file once and
+    parses headers executor-side; one row per observation."""
+    import os
+
+    files = spark.read.format("binaryFile").load(paths)
+
+    def parse(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                yield parse_metafits(
+                    os.path.basename(row["path"]), row["content"]
+                )
+
+    return files.select("path", "content").mapInPandas(
+        parse, METAFITS_SCHEMA
+    )

@@ -1,0 +1,129 @@
+"""Native FITS reader tests (sources_fits.py): full-column uvfits
+round-trip through the Spark dispatch path, metafits header parsing,
+multi-file union, and header-parser edge cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from mwa_uvdata_pipeline_spark import sources_fits as sf
+from mwa_uvdata_pipeline_spark.sources import read_visibilities
+
+
+def _vis_pdf() -> pd.DataFrame:
+    raw = pq.read_table("fixtures/visibilities.parquet").to_pandas()
+    return pd.DataFrame(
+        {
+            "time_jd": raw["time_jd"],
+            "ant1": raw["ant1"],
+            "ant2": raw["ant2"],
+            "chan": raw["chan"],
+            "pol": raw["pol"],
+            "freq_hz": raw["freq_hz"],
+            "re": raw["vis"].map(lambda v: v["re"]),
+            "im": raw["vis"].map(lambda v: v["im"]),
+            "nsample": raw["nsample"].astype("f8"),
+            "flag": raw["flag"],
+            "uu": 0.25 * raw["ant1"],
+            "vv": 0.5 * raw["ant2"],
+            "ww": 0.125 * (raw["ant1"] + raw["ant2"]),
+        }
+    )
+
+
+def test_uvfits_roundtrip_via_spark(spark, tmp_path):
+    src = _vis_pdf()
+    path = str(tmp_path / "obs_1234567890.uvfits")
+    sf.write_uvfits(src, path, jd_zero=2460000.0)
+
+    back = (
+        read_visibilities(spark, [path])
+        .toPandas()
+        .sort_values(["time_jd", "ant1", "ant2", "chan", "pol"])
+        .reset_index(drop=True)
+    )
+    assert len(back) == len(src)
+    # quantize the source through float32 the way the file stores it;
+    # every fixture value is dyadic so the round-trip is bit-exact
+    exp = src.copy()
+    exp["time_jd"] = 2460000.0 + np.float64(
+        np.float32(exp["time_jd"] - 2460000.0)
+    )
+    for c in ["re", "im", "nsample", "uu", "vv", "ww"]:
+        exp[c] = np.float64(np.float32(exp[c]))
+    exp = exp.sort_values(["time_jd", "ant1", "ant2", "chan", "pol"]).reset_index(
+        drop=True
+    )
+    for c in ["time_jd", "re", "im", "nsample", "uu", "vv", "ww"]:
+        assert (back[c].to_numpy() == exp[c].to_numpy()).all(), c
+    for c in ["ant1", "ant2", "chan", "pol", "flag"]:
+        assert (back[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # freqs rebuild from CRVAL/CDELT in exact double arithmetic
+    assert (back["freq_hz"].to_numpy() == exp["freq_hz"].to_numpy()).all()
+
+
+def test_uvfits_multi_file_union(spark, tmp_path):
+    src = _vis_pdf()
+    lo = src[src["chan"] < 8]
+    hi = src[src["chan"] >= 8]
+    p1 = str(tmp_path / "obs_1234567890_ch00.uvfits")
+    p2 = str(tmp_path / "obs_1234567890_ch08.uvfits")
+    sf.write_uvfits(lo, p1, jd_zero=2460000.0)
+    # per-coarse-channel files have their own freq zero point
+    hi2 = hi.copy()
+    hi2["chan"] = hi2["chan"] - 8
+    sf.write_uvfits(hi2, p2, jd_zero=2460000.0)
+
+    vis = read_visibilities(spark, [p1, p2])
+    assert vis.count() == len(src)
+    # each file parsed independently: two distinct file names
+    assert vis.select("file").distinct().count() == 2
+
+
+def test_metafits_header_reader(spark, tmp_path):
+    path = str(tmp_path / "1234567890.metafits")
+    sf.write_metafits(
+        path,
+        {
+            "GPSTIME": 1234567890,
+            "NINPUTS": 256,
+            "NCHANS": 24,
+            "INTTIME": 2.0,
+            "FREQCENT": 154.24,
+            "PROJECT": "G0009",
+        },
+    )
+    rows = sf.read_metafits(spark, [path]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.gpstime == 1234567890
+    assert r.n_inputs == 256
+    assert r.n_chans == 24
+    assert r.inttime == 2.0
+    assert r.cards["PROJECT"] == "G0009"
+    assert r.cards["SIMPLE"] == "True"
+
+
+def test_header_parser_edges():
+    # quoted string containing '/' must not be cut at the comment char
+    hdr = sf.write_header(
+        [("SIMPLE", True), ("NAXIS", 0), ("PROJ", "a/b"), ("X", 1.5)]
+    )
+    cards, off = sf.parse_header(hdr)
+    assert cards["PROJ"] == "a/b"
+    assert cards["X"] == 1.5
+    assert cards["SIMPLE"] is True
+    assert off == len(hdr)
+    with pytest.raises(ValueError):
+        sf.parse_header(b" " * sf.BLOCK)  # no END card
+
+
+def test_uvfits_rejects_non_group_files():
+    hdr = sf.write_header(
+        [("SIMPLE", True), ("BITPIX", 8), ("NAXIS", 0)]
+    )
+    with pytest.raises(ValueError):
+        sf.parse_uvfits("x.uvfits", hdr)
