@@ -111,11 +111,22 @@ def _stub_reader(fmt: str, libs: tuple[str, ...]) -> Reader:
 
 
 for _fmt, _libs in {
-    "fits": ("astropy",),
     "uvh5": ("h5py",),
     "ms": ("casacore",),
 }.items():
     register_reader(_fmt)(_stub_reader(_fmt, _libs))
+
+
+@register_reader("fits")
+def read_gpubox_vis(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """NATIVE raw-correlator FITS reader (sources_fits.py — no
+    astropy/mwalib): multi-HDU image extensions, one integration per
+    HDU, BSCALE/BZERO scaled-int payloads, triangular baseline
+    ordering; binaryFile + per-file numpy parse, one task per gpubox
+    file exactly as MWA splits them per coarse channel."""
+    from mwa_uvdata_pipeline_spark.sources_fits import read_gpubox
+
+    return read_gpubox(spark, paths)
 
 
 @register_reader("uvfits")

@@ -365,3 +365,153 @@ def read_metafits(spark: SparkSession, paths: list[str]) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         parse, METAFITS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------- gpubox
+
+#: schema for the raw correlator dump reader ('fits' format): one row
+#: per (time, baseline, chan, pol) sample, no flags (raw data has none)
+GPUBOX_SCHEMA = (
+    "file string, time_unix double, time_idx int, ant1 int, ant2 int, "
+    "chan int, pol string, re double, im double"
+)
+
+
+def _bl_table(nant: int) -> np.ndarray:
+    """Row -> (ant1, ant2) for the ant1 <= ant2 lexicographic baseline
+    ordering (autos included)."""
+    a1, a2 = np.triu_indices(nant)
+    return np.stack([a1, a2], axis=1)
+
+
+def write_gpubox(
+    pdf: pd.DataFrame, path: str, time_unix: dict[int, float]
+) -> None:
+    """Write a gpubox-style raw correlator FITS dump: header-only
+    primary HDU, then one IMAGE extension per integration. Each HDU is
+    a (nbl, nchan*npol*2) int32 array ([chan][pol][re, im] fastest),
+    BSCALE-scaled so the dyadic visibility values store losslessly as
+    integers, with TIME/MILLITIM cards per integration — the layout
+    family mwalib handles for the reference (processors.py fits path),
+    reduced to its FITS-standard mechanics."""
+    chans = np.sort(pdf["chan"].unique())
+    pols = sorted(pdf["pol"].unique(), key=lambda p: -POL_NAMES[p])
+    nant = int(max(pdf["ant1"].max(), pdf["ant2"].max())) + 1
+    bls = _bl_table(nant)
+    b_ix = {(a1, a2): i for i, (a1, a2) in enumerate(bls)}
+    nbl, nc, npol = len(bls), len(chans), len(pols)
+    scale = 0.125  # dyadic fixture grid: value = BSCALE * int
+
+    with open(path, "wb") as f:
+        f.write(
+            write_header(
+                [
+                    ("SIMPLE", True),
+                    ("BITPIX", 8),
+                    ("NAXIS", 0),
+                    ("EXTEND", True),
+                    ("NANT", nant),
+                    ("NPOL", npol),
+                    ("POLS", ",".join(pols)),
+                    ("NCHAN", nc),
+                ]
+            )
+        )
+        for ti, t in enumerate(sorted(time_unix)):
+            sub = pdf[pdf["time_idx"] == t]
+            data = np.zeros((nbl, nc, npol, 2), dtype=">i4")
+            bi = sub[["ant1", "ant2"]].apply(tuple, axis=1).map(b_ix)
+            ci = sub["chan"].to_numpy() - chans[0]
+            pi = sub["pol"].map({p: i for i, p in enumerate(pols)})
+            data[bi, ci, pi, 0] = np.round(
+                sub["re"].to_numpy() / scale
+            ).astype("i8")
+            data[bi, ci, pi, 1] = np.round(
+                sub["im"].to_numpy() / scale
+            ).astype("i8")
+            secs = time_unix[t]
+            f.write(
+                write_header(
+                    [
+                        ("XTENSION", "IMAGE"),
+                        ("BITPIX", 32),
+                        ("NAXIS", 2),
+                        ("NAXIS1", nc * npol * 2),
+                        ("NAXIS2", nbl),
+                        ("PCOUNT", 0),
+                        ("GCOUNT", 1),
+                        ("BSCALE", scale),
+                        ("BZERO", 0.0),
+                        ("TIME", int(secs)),
+                        ("MILLITIM", int(round((secs % 1) * 1000))),
+                    ]
+                )
+            )
+            raw = data.tobytes()
+            f.write(raw + b"\x00" * _pad(len(raw)))
+
+
+def parse_gpubox(name: str, buf: bytes) -> pd.DataFrame:
+    """Parse a gpubox-style dump: iterate IMAGE HDUs to EOF, apply
+    BSCALE/BZERO, decode the triangular baseline ordering."""
+    prim, off = parse_header(buf)
+    nant, npol, nc = prim["NANT"], prim["NPOL"], prim["NCHAN"]
+    pols = np.array(str(prim["POLS"]).split(","), dtype=object)
+    bls = _bl_table(nant)
+    nbl = len(bls)
+    frames = []
+    ti = 0
+    while off < len(buf):
+        h, off = parse_header(buf, off)
+        if h.get("XTENSION", "").strip() != "IMAGE":
+            raise ValueError(f"{name}: unexpected extension at HDU {ti + 1}")
+        if h["BITPIX"] != 32:
+            raise ValueError(f"{name}: only BITPIX=32 gpubox supported")
+        n1, n2 = h["NAXIS1"], h["NAXIS2"]
+        count = n1 * n2
+        data = np.frombuffer(buf, dtype=">i4", count=count, offset=off)
+        off += count * 4 + _pad(count * 4)
+        phys = float(h.get("BZERO", 0.0)) + float(
+            h.get("BSCALE", 1.0)
+        ) * data.astype("f8")
+        phys = phys.reshape(nbl, nc, npol, 2)
+        t = float(h.get("TIME", 0)) + float(h.get("MILLITIM", 0)) / 1000.0
+        b = np.repeat(np.arange(nbl), nc * npol)
+        c = np.tile(np.repeat(np.arange(nc), npol), nbl)
+        s = np.tile(np.arange(npol), nbl * nc)
+        flat = phys.reshape(nbl * nc * npol, 2)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "file": name,
+                    "time_unix": t,
+                    "time_idx": ti,
+                    "ant1": bls[b, 0].astype("i4"),
+                    "ant2": bls[b, 1].astype("i4"),
+                    "chan": c.astype("i4"),
+                    "pol": pols[s],
+                    "re": flat[:, 0],
+                    "im": flat[:, 1],
+                }
+            )
+        )
+        ti += 1
+    return pd.concat(frames, ignore_index=True)
+
+
+def read_gpubox(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Distributed gpubox scan: binaryFile + per-file numpy parse."""
+    import os
+
+    files = spark.read.format("binaryFile").load(paths)
+
+    def parse(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                yield parse_gpubox(
+                    os.path.basename(row["path"]), row["content"]
+                )
+
+    return files.select("path", "content").mapInPandas(
+        parse, GPUBOX_SCHEMA
+    )

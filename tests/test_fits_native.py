@@ -127,3 +127,51 @@ def test_uvfits_rejects_non_group_files():
     )
     with pytest.raises(ValueError):
         sf.parse_uvfits("x.uvfits", hdr)
+
+
+def test_gpubox_roundtrip_via_spark(spark, tmp_path):
+    raw = pq.read_table("fixtures/visibilities.parquet").to_pandas()
+    src = pd.DataFrame(
+        {
+            "time_idx": raw["time_idx"],
+            "ant1": raw["ant1"],
+            "ant2": raw["ant2"],
+            "chan": raw["chan"],
+            "pol": raw["pol"],
+            "re": raw["vis"].map(lambda v: v["re"]),
+            "im": raw["vis"].map(lambda v: v["im"]),
+        }
+    )
+    tu = {int(i): 1.7e9 + 2.0 * int(i) for i in src["time_idx"].unique()}
+    path = str(tmp_path / "1234567890_gpubox01_00.fits")
+    sf.write_gpubox(src, path, tu)
+
+    back = (
+        read_visibilities(spark, [path])
+        .toPandas()
+        .sort_values(["time_idx", "ant1", "ant2", "chan", "pol"])
+        .reset_index(drop=True)
+    )
+    assert len(back) == len(src)
+    exp = src.sort_values(["time_idx", "ant1", "ant2", "chan", "pol"]).reset_index(
+        drop=True
+    )
+    for c in ["time_idx", "ant1", "ant2", "chan", "pol", "re", "im"]:
+        assert (back[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert (
+        back["time_unix"].to_numpy()
+        == back["time_idx"].map(lambda i: tu[int(i)]).to_numpy()
+    ).all()
+
+
+def test_gpubox_rejects_wrong_bitpix():
+    prim = sf.write_header(
+        [("SIMPLE", True), ("BITPIX", 8), ("NAXIS", 0), ("EXTEND", True),
+         ("NANT", 2), ("NPOL", 1), ("POLS", "XX"), ("NCHAN", 1)]
+    )
+    ext = sf.write_header(
+        [("XTENSION", "IMAGE"), ("BITPIX", -32), ("NAXIS", 2),
+         ("NAXIS1", 2), ("NAXIS2", 3)]
+    )
+    with pytest.raises(ValueError):
+        sf.parse_gpubox("x.fits", prim + ext + b"\x00" * sf.BLOCK)
