@@ -3073,3 +3073,75 @@ def t_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum("ent"), 6).alias("source_entropy"),
         )
     )
+
+
+@register(
+    "m_wav_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+    s AS (SELECT doc_id, n, (doc_id * 7 + i * 13) % 2048 - 1024 AS v
+          FROM d, UNNEST(range(0, n)) u(i))
+    SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(MAX(n) AS INTEGER) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(v)) AS INTEGER) AS max_abs
+    FROM s GROUP BY doc_id
+    """,
+    doc="REAL audio decode (operators.multimodal.decode_wav — stdlib "
+        "wave + numpy, no ffmpeg): per-doc deterministic 16-bit PCM "
+        "WAV payloads are synthesized executor-side, then DECODED "
+        "byte-for-byte — RIFF container parsed, PCM frames read, "
+        "integer-exact energy/peak stats emitted. The oracle computes "
+        "the same stats from the generator formula, so a parse error "
+        "anywhere (header fields, sample width, endianness) breaks "
+        "the gate. This closes the decode seam for uncompressed "
+        "audio; codec formats stay behind the import-gated stub. "
+        "Scale: payload bytes live only inside executor Arrow "
+        "batches — never the driver; memory is bounded by "
+        "maxRecordsPerBatch, not partition size.",
+)
+def m_wav_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_wav(synth_payloads(docs, "wav"))
+
+
+@register(
+    "m_ppm_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+               FROM documents),
+    px AS (SELECT doc_id, w, h,
+                  (doc_id + x * 3 + y * 5) % 256 AS r,
+                  (doc_id * 2 + x) % 256 AS g,
+                  (x * y + doc_id) % 256 AS b
+           FROM d, UNNEST(range(0, w)) ux(x), UNNEST(range(0, h)) uy(y))
+    SELECT doc_id, CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL image decode (operators.multimodal.decode_ppm — pure "
+        "numpy, no PIL): deterministic PPM P6 payloads synthesized "
+        "executor-side are parsed byte-for-byte — ASCII header with "
+        "comment handling, raw RGB plane reshaped, per-channel "
+        "integer sums emitted — and the oracle recomputes the sums "
+        "from the pixel formula, so any header/layout mis-parse "
+        "breaks the gate. Uncompressed images decode natively; "
+        "JPEG/PNG codecs stay behind the import-gated stub.",
+)
+def m_ppm_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_ppm(synth_payloads(docs, "ppm"))

@@ -85,3 +85,55 @@ def test_kmeans_partition_invariants(spark):
     assert total == n_vecs
     # centroids stay inside the quantized data envelope
     assert all(abs(r.centroid_q) <= 4_000_000 for r in rows)
+
+
+def test_wav_decode_is_real_parsing(spark):
+    # corrupt one byte of the RIFF header and the decoder must fail
+    # loudly, not return md5-fake metadata
+    import io
+    import wave
+
+    import pytest
+
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        synth_wav_bytes,
+    )
+
+    good = synth_wav_bytes(7)
+    with wave.open(io.BytesIO(good), "rb") as w:
+        assert w.getframerate() == 8000
+        assert w.getnframes() == 64 + 7 % 64
+    bad = b"JUNK" + good[4:]
+    with pytest.raises(Exception):
+        wave.open(io.BytesIO(bad), "rb")
+
+
+def test_ppm_decode_handles_comments(spark):
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        synth_ppm_bytes,
+    )
+
+    raw = synth_ppm_bytes(11)
+    # splice a comment line into the header; decode must skip it
+    assert raw.startswith(b"P6\n")
+    commented = b"P6\n# test comment\n" + raw[3:]
+    import numpy as np
+    import pandas as pd
+
+    from mwa_uvdata_pipeline_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [11], "payload": [commented]})
+    )
+    row = mm.decode_ppm(df).collect()[0]
+    assert row.width == 4 + 11 % 13
+    assert row.height == 3 + 11 % 7
+    # channel sums match the generator formula
+    w, h, d = row.width, row.height, 11
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    assert row.sum_r == int(((d + x * 3 + y * 5) % 256).sum() * 1)
+    assert row.sum_g == int(
+        np.broadcast_to((d * 2 + x) % 256, (h, w)).sum()
+    )
+    assert row.sum_b == int(((x * y + d) % 256).sum())
