@@ -3145,3 +3145,67 @@ def m_ppm_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return decode_ppm(synth_payloads(docs, "ppm"))
+
+
+@register(
+    "m_wav_resample",
+    sql="""
+    WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+    s AS (SELECT doc_id, n,
+                 (doc_id * 7 + (i * 2) * 13) % 2048 - 1024 AS v
+          FROM d, UNNEST(range(0, (n + 1) // 2)) u(i))
+    SELECT doc_id, CAST(4000 AS INTEGER) AS sample_rate,
+           CAST(MAX((n + 1) // 2) AS INTEGER) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(v)) AS INTEGER) AS max_abs
+    FROM s GROUP BY doc_id
+    """,
+    doc="REAL audio resample (decimate-by-2 on decoded PCM): the WAV "
+        "payload is parsed (stdlib wave), every second sample kept, "
+        "the nominal rate halved, and the resampled signal's "
+        "integer-exact stats gated against the oracle's closed form "
+        "over the even-index formula — the audio counterpart of the "
+        "resize op, with the sample selection happening on REAL "
+        "decoded bytes rather than metadata. (Proper band-limited "
+        "resampling needs an anti-alias filter — a fixed FIR over "
+        "the same decoded arrays, same plumbing, float tolerance "
+        "gate; decimation keeps the gate integer-exact.) Same "
+        "executor-side Arrow-batch shape as m_wav_native.",
+)
+def m_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import wave
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from mwa_uvdata_pipeline_spark.operators.multimodal import synth_payloads
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "sample_rate", "n_samples", "sum_sq",
+                          "max_abs")
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(b)), "rb") as w:
+                    rate = w.getframerate()
+                    s = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype="<i2"
+                    ).astype("i8")
+                r = s[::2]  # decimate
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate // 2)
+                rows["n_samples"].append(len(r))
+                rows["sum_sq"].append(int((r * r).sum()))
+                rows["max_abs"].append(int(np.abs(r).max()) if len(r) else 0)
+            yield pd.DataFrame(rows)
+
+    docs = table(spark, sf_dir, "documents")
+    return synth_payloads(docs, "wav").mapInPandas(
+        batches,
+        "doc_id long, sample_rate int, n_samples int, sum_sq long, "
+        "max_abs int",
+    )
