@@ -43,8 +43,15 @@ def test_read_visibilities_unsupported(spark):
 
 
 def test_stub_readers_raise(spark):
-    with pytest.raises(NotImplementedError, match="fits ingest needs"):
-        READERS["fits"](spark, ["/data/a.fits"])
+    # only the genuinely library-bound formats remain stubs now that
+    # the FITS family (fits/metafits/uvfits) has native readers
+    with pytest.raises(NotImplementedError, match="uvh5 ingest needs"):
+        READERS["uvh5"](spark, ["/data/a.uvh5"])
+    with pytest.raises(NotImplementedError, match="ms ingest needs"):
+        READERS["ms"](spark, ["/data/a.ms"])
+    from mwa_uvdata_pipeline_spark.sources import read_gpubox_vis
+
+    assert READERS["fits"] is read_gpubox_vis
 
 
 def test_batch_arithmetic_matches_reference_intent():
