@@ -3209,3 +3209,112 @@ def m_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate int, n_samples int, sum_sq long, "
         "max_abs int",
     )
+
+
+@register(
+    "ml_naive_bayes",
+    sql="""
+    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    cnt AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY lang, w),
+    tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS t
+            FROM tok GROUP BY lang),
+    v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tok),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    prior AS (SELECT lang AS l,
+                     CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) / MAX(nd.nd))
+                                * 1000000) AS BIGINT) AS pmicro
+              FROM documents, nd GROUP BY lang),
+    sc AS (SELECT tok.doc_id, MAX(tok.lang) AS actual, tot.lang AS l,
+                  CAST(SUM(CAST(ROUND(ln((COALESCE(cnt.c, 0) + 1.0)
+                                         / (tot.t + v.v)) * 1000000)
+                               AS BIGINT)) AS BIGINT) AS s
+           FROM tok CROSS JOIN tot CROSS JOIN v
+           LEFT JOIN cnt ON cnt.lang = tot.lang AND cnt.w = tok.w
+           GROUP BY tok.doc_id, tot.lang, tot.t, v.v),
+    pred AS (SELECT doc_id, actual, l AS predicted
+             FROM (SELECT sc.doc_id, sc.actual, sc.l,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY sc.doc_id
+                              ORDER BY sc.s + prior.pmicro DESC, sc.l
+                          ) AS rn
+                   FROM sc JOIN prior ON prior.l = sc.l)
+             WHERE rn = 1)
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY actual, predicted
+    """,
+    doc="Multinomial Naive Bayes language classifier TRAINED AND "
+        "SCORED as relational dataflow (the supervised complement of "
+        "t_lang_id's heuristic): token counts per (lang, token) with "
+        "add-one smoothing are the model; scoring sums per-token log "
+        "likelihoods quantized to INTEGER micro-nats — each token's "
+        "ln((c+1)/(t+V)) is computed on identical exact-integer-"
+        "derived doubles in both engines, rounded to 1e-6 nats, and "
+        "only the INTEGER sums cross the argmax, so the prediction "
+        "(and the emitted confusion grid) is bit-for-bit oracle-"
+        "checkable despite the transcendental — the graph_pagerank/"
+        "ml_kmeans exactness trick applied to log-space. Shapes: "
+        "train = one (lang, token) hash agg; score = tokens x "
+        "n_langs rows through a left join against the count table "
+        "and one (doc, lang) agg — linear in corpus tokens times "
+        "the label count, the same cost structure MLlib's NB fit "
+        "has; the count table join key (lang, token) is the natural "
+        "scale-out dimension (broadcast at small vocab, shuffle "
+        "join at web vocab — AQE picks).",
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(_tokens()).alias("w")
+    ).persist()
+    cnt = tok.groupBy(F.col("lang").alias("cl"), "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = tok.groupBy(F.col("lang").alias("l")).agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    v = tok.agg(F.countDistinct("w").alias("v"))
+    nd = docs.count()
+    prior = docs.groupBy(F.col("lang").alias("pl")).agg(
+        F.round(
+            F.log(F.count(F.lit(1)).cast("double") / F.lit(float(nd)))
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("pmicro")
+    )
+    sc = (
+        tok.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(v))
+        .join(
+            cnt,
+            (F.col("cl") == F.col("l")) & (cnt["w"] == tok["w"]),
+            "left",
+        )
+        .groupBy("doc_id", "l")
+        .agg(
+            F.max(tok["lang"]).alias("actual"),
+            F.sum(
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                        / (F.col("t") + F.col("v"))
+                    )
+                    * 1000000.0
+                ).cast("long")
+            ).alias("s"),
+        )
+    )
+    rn = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("s") + F.col("pmicro")), F.col("l")
+    )
+    pred = (
+        sc.join(F.broadcast(prior), F.col("pl") == F.col("l"))
+        .withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select("actual", F.col("l").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )

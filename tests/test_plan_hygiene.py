@@ -37,6 +37,8 @@ BNLJ_ALLOWED = {
     "x_assoc_rules": "broadcast scalar basket count (single-row agg)",
     "e_matryoshka": "broadcast fixed query set (k query vectors)",
     "x_skew_diagnose": "broadcast total/n_keys (single-row agg)",
+    "ml_naive_bayes": "broadcast per-label totals (n_langs rows, a "
+                      "fixed label domain) + single-row vocab size",
 }
 
 
