@@ -3268,9 +3268,9 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", F.explode(_tokens()).alias("w")
     ).persist()
-    cnt = tok.groupBy(F.col("lang").alias("cl"), "w").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    cnt = tok.groupBy(
+        F.col("lang").alias("cl"), F.col("w").alias("cw")
+    ).agg(F.count(F.lit(1)).alias("c"))
     tot = tok.groupBy(F.col("lang").alias("l")).agg(
         F.count(F.lit(1)).alias("t")
     )
@@ -3289,7 +3289,7 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(v))
         .join(
             cnt,
-            (F.col("cl") == F.col("l")) & (cnt["w"] == tok["w"]),
+            (F.col("cl") == F.col("l")) & (F.col("cw") == F.col("w")),
             "left",
         )
         .groupBy("doc_id", "l")
