@@ -3213,6 +3213,7 @@ def m_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_naive_bayes",
+    bench=True,
     sql="""
     WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
                  FROM documents),
