@@ -104,6 +104,8 @@ QUERIES = [
     "t_rolling_fingerprint",
     # round-5 additions
     "ml_kmeans",
+    "ml_naive_bayes",
+    "t_dataset_card",
     "t_pii_scrub",
     "x_skew_diagnose",
     "s_zorder_layout",
