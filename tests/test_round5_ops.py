@@ -137,3 +137,26 @@ def test_ppm_decode_handles_comments(spark):
         np.broadcast_to((d * 2 + x) % 256, (h, w)).sum()
     )
     assert row.sum_b == int(((x * y + d) % 256).sum())
+
+
+def test_dataset_card_invariants(spark):
+    rows = load_all()["t_dataset_card"].spark(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs > 0 and r.n_sources > 0
+        assert r.p50_chars <= r.p90_chars
+        assert 0 <= r.n_exact_dup < r.n_docs
+        # Shannon entropy of a distribution over n_sources outcomes
+        import math
+
+        assert -1e-9 <= r.source_entropy <= math.log(r.n_sources) + 1e-9
+
+
+def test_naive_bayes_beats_chance(spark):
+    rows = load_all()["ml_naive_bayes"].spark(spark, SF_SMALL).collect()
+    total = sum(r.n for r in rows)
+    correct = sum(r.n for r in rows if r.actual == r.predicted)
+    n_langs = len({r.actual for r in rows})
+    assert n_langs >= 2
+    # resubstitution accuracy must beat the uniform-chance rate
+    assert correct / total > 1.0 / n_langs
