@@ -3319,3 +3319,94 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("actual", "predicted").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "t_duplicate_spans",
+    sql="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+               FROM documents),
+    pos AS (SELECT doc_id, i AS pos,
+                   tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                   tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' ||
+                   tk[i+6] || ' ' || tk[i+7] AS s
+            FROM t, UNNEST(range(1, len(tk) - 6)) u(i)
+            WHERE len(tk) >= 8),
+    df AS (SELECT s, COUNT(DISTINCT doc_id) AS d FROM pos GROUP BY s),
+    dup AS (SELECT pos.doc_id, pos.pos
+            FROM pos JOIN df USING (s) WHERE df.d >= 2),
+    isl AS (SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM dup),
+    spans AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+              FROM isl GROUP BY doc_id, grp),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pos
+            FROM pos GROUP BY doc_id)
+    SELECT tot.doc_id, tot.n_pos,
+           CAST(COALESCE(SUM(spans.len), 0) AS BIGINT) AS n_dup_pos,
+           CAST(COUNT(spans.grp) AS BIGINT) AS n_spans,
+           CAST(COALESCE(MAX(spans.len), 0) AS BIGINT) AS longest_span
+    FROM tot LEFT JOIN spans ON spans.doc_id = tot.doc_id
+    GROUP BY tot.doc_id, tot.n_pos
+    """,
+    doc="Span-level duplicate detection — the relational form of the "
+        "suffix-array substring-dedup signal (Lee et al. 2022): "
+        "POSITIONED 8-gram shingles (not the distinct sets the "
+        "Jaccard family uses), cross-document frequency per shingle, "
+        "then gaps-and-islands over each doc's duplicated positions "
+        "to recover MAXIMAL duplicated runs — n_spans, longest run, "
+        "duplicated-position mass per doc. Catches the partial-copy "
+        "contamination whole-doc fingerprints and set-similarity "
+        "both miss (a long quoted paragraph inside an otherwise "
+        "unique doc). Shape: one positional explode, one shingle-DF "
+        "hash agg, one pos⋈df equi-join (a hot boilerplate shingle "
+        "joins many positions to ONE df row — fan-out linear, no "
+        "pair enumeration), and per-doc windows; everything shuffles "
+        "on doc_id or shingle once. The islands trick (pos - "
+        "row_number) turns consecutive-run detection into a plain "
+        "GROUP BY — no iterative logic.",
+)
+def t_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    k = 8
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    pos = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice(toks, i, k)).alias("s"),
+                    ),
+                )
+            ).alias("ps"),
+        )
+        .select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.s").alias("s"))
+        .persist()
+    )
+    df = pos.groupBy("s").agg(F.countDistinct("doc_id").alias("d"))
+    dup = pos.join(df.where(F.col("d") >= 2), "s").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    tot = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_pos"))
+    return (
+        tot.join(spans, "doc_id", "left")
+        .groupBy("doc_id", "n_pos")
+        .agg(
+            F.coalesce(F.sum("len"), F.lit(0)).alias("n_dup_pos"),
+            F.count("grp").alias("n_spans"),
+            F.coalesce(F.max("len"), F.lit(0)).alias("longest_span"),
+        )
+    )

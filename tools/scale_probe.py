@@ -105,6 +105,7 @@ QUERIES = [
     # round-5 additions
     "ml_kmeans",
     "ml_naive_bayes",
+    "t_duplicate_spans",
     "t_dataset_card",
     "t_pii_scrub",
     "x_skew_diagnose",
