@@ -3323,6 +3323,7 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_duplicate_spans",
+    bench=True,
     sql="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
                FROM documents),
