@@ -3411,3 +3411,143 @@ def t_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.max("len"), F.lit(0)).alias("longest_span"),
         )
     )
+
+
+def _sql_bpe_round(syms: str, n: int) -> str:
+    """One unrolled BPE merge round in SQL: adjacent-pair frequencies
+    weighted by word freq, deterministic top pair (distinct symbols
+    only — same-symbol pairs can self-overlap, whose left-to-right
+    greedy merge is inherently sequential), non-overlapping merge via
+    the lag-of-start trick, re-sequenced positions."""
+    return f"""
+    pr{n} AS (SELECT sym AS a, nxt AS b,
+                     CAST(SUM(f) AS BIGINT) AS cnt
+              FROM (SELECT w, f, pos, sym,
+                           LEAD(sym) OVER (PARTITION BY w ORDER BY pos)
+                               AS nxt
+                    FROM {syms})
+              WHERE nxt IS NOT NULL AND a != b
+              GROUP BY a, b),
+    top{n} AS (SELECT a, b FROM pr{n}
+               ORDER BY cnt DESC, a, b LIMIT 1),
+    mk{n} AS (SELECT s.w, s.f, s.pos, s.sym, t.a, t.b,
+                     (s.sym = t.a AND
+                      LEAD(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos)
+                          = t.b) AS is_start
+              FROM {syms} s CROSS JOIN top{n} t),
+    s{n} AS (SELECT w, f,
+                    ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos)
+                        AS pos,
+                    CASE WHEN is_start THEN a || b ELSE sym END AS sym
+             FROM (SELECT *,
+                          COALESCE(LAG(is_start) OVER (PARTITION BY w
+                                                       ORDER BY pos),
+                                   FALSE) AS prev_start
+                   FROM mk{n})
+             WHERE NOT prev_start)
+    """
+
+
+@register(
+    "t_bpe_train",
+    sql=f"""
+    WITH words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+                   FROM (SELECT unnest(string_split(text, ' ')) AS w
+                         FROM documents)
+                   GROUP BY w),
+    s0 AS (SELECT w, f, i AS pos, substr(w, i, 1) AS sym
+           FROM words, UNNEST(range(1, len(w) + 1)) u(i)),
+    {_sql_bpe_round("s0", 1)},
+    {_sql_bpe_round("s1", 2)}
+    SELECT r, merge_a || '+' || merge_b AS merged,
+           CAST(occ AS BIGINT) AS n_words_touched
+    FROM (
+      SELECT 1 AS r, MAX(t.a) AS merge_a, MAX(t.b) AS merge_b,
+             SUM(CASE WHEN m.is_start THEN 1 ELSE 0 END) AS occ
+      FROM mk1 m CROSS JOIN top1 t
+      UNION ALL
+      SELECT 2, MAX(t.a), MAX(t.b),
+             SUM(CASE WHEN m.is_start THEN 1 ELSE 0 END)
+      FROM mk2 m CROSS JOIN top2 t)
+    """,
+    doc="BPE tokenizer training (2 unrolled merge rounds) as "
+        "relational dataflow — the tokenizer-training step of an LLM "
+        "data pipeline, scaled the way real BPE trainers scale: the "
+        "corpus collapses to a DISTINCT-WORD frequency table first "
+        "(vocab-sized, not corpus-sized — the only corpus-width pass "
+        "is one word-count agg), then each round is adjacent-pair "
+        "counting via LEAD, a deterministic top pair (count desc, "
+        "lexicographic tiebreak), and a non-overlapping merge using "
+        "the lag-of-start trick; positions re-sequence with "
+        "row_number. Same-symbol pairs (aa) are excluded from "
+        "selection: their greedy left-to-right merge is inherently "
+        "sequential, while distinct-symbol occurrences provably "
+        "cannot overlap — the restriction that makes the merge "
+        "exactly relational (and exactly oracle-checkable). Output: "
+        "the learned merge per round + symbol-pair occurrence mass.",
+)
+def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .persist()
+    )
+    syms = words.select(
+        "w",
+        "f",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.substr(F.col("w"), i, F.lit(1)),
+            )
+        ).alias("p0", "sym"),
+    ).select("w", "f", (F.col("p0") + 1).alias("pos"), "sym")
+
+    out_rows = []
+    for rnd in (1, 2):
+        wspec = Window.partitionBy("w").orderBy("pos")
+        with_nxt = syms.withColumn("nxt", F.lead("sym").over(wspec))
+        pairs = (
+            with_nxt.where(
+                F.col("nxt").isNotNull() & (F.col("sym") != F.col("nxt"))
+            )
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("f").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).select("a", "b")
+        mk = (
+            with_nxt.crossJoin(F.broadcast(top))
+            .withColumn(
+                "is_start",
+                (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b")),
+            )
+            .persist()
+        )
+        out_rows.append(
+            mk.agg(
+                F.lit(rnd).alias("r"),
+                F.concat(F.max("a"), F.lit("+"), F.max("b")).alias("merged"),
+                F.sum(F.when(F.col("is_start"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_words_touched"),
+            )
+        )
+        merged = (
+            mk.withColumn(
+                "prev_start",
+                F.coalesce(F.lag("is_start").over(wspec), F.lit(False)),
+            )
+            .where(~F.col("prev_start"))
+            .select(
+                "w",
+                "f",
+                F.row_number().over(wspec).alias("pos"),
+                F.when(
+                    F.col("is_start"), F.concat(F.col("a"), F.col("b"))
+                ).otherwise(F.col("sym")).alias("sym"),
+            )
+        )
+        syms = merged
+    return out_rows[0].unionByName(out_rows[1])

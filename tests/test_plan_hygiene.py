@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "x_skew_diagnose": "broadcast total/n_keys (single-row agg)",
     "ml_naive_bayes": "broadcast per-label totals (n_langs rows, a "
                       "fixed label domain) + single-row vocab size",
+    "t_bpe_train": "broadcast single-row top merge pair per round",
 }
 
 
