@@ -3448,46 +3448,10 @@ def _sql_bpe_round(syms: str, n: int) -> str:
     """
 
 
-@register(
-    "t_bpe_train",
-    sql=f"""
-    WITH words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
-                   FROM (SELECT unnest(string_split(text, ' ')) AS w
-                         FROM documents)
-                   GROUP BY w),
-    s0 AS (SELECT w, f, i AS pos, substr(w, i, 1) AS sym
-           FROM words, UNNEST(range(1, len(w) + 1)) u(i)),
-    {_sql_bpe_round("s0", 1)},
-    {_sql_bpe_round("s1", 2)}
-    SELECT r, merge_a || '+' || merge_b AS merged,
-           CAST(occ AS BIGINT) AS n_words_touched
-    FROM (
-      SELECT 1 AS r, MAX(t.a) AS merge_a, MAX(t.b) AS merge_b,
-             SUM(CASE WHEN m.is_start THEN 1 ELSE 0 END) AS occ
-      FROM mk1 m CROSS JOIN top1 t
-      UNION ALL
-      SELECT 2, MAX(t.a), MAX(t.b),
-             SUM(CASE WHEN m.is_start THEN 1 ELSE 0 END)
-      FROM mk2 m CROSS JOIN top2 t)
-    """,
-    doc="BPE tokenizer training (2 unrolled merge rounds) as "
-        "relational dataflow — the tokenizer-training step of an LLM "
-        "data pipeline, scaled the way real BPE trainers scale: the "
-        "corpus collapses to a DISTINCT-WORD frequency table first "
-        "(vocab-sized, not corpus-sized — the only corpus-width pass "
-        "is one word-count agg), then each round is adjacent-pair "
-        "counting via LEAD, a deterministic top pair (count desc, "
-        "lexicographic tiebreak), and a non-overlapping merge using "
-        "the lag-of-start trick; positions re-sequence with "
-        "row_number. Same-symbol pairs (aa) are excluded from "
-        "selection: their greedy left-to-right merge is inherently "
-        "sequential, while distinct-symbol occurrences provably "
-        "cannot overlap — the restriction that makes the merge "
-        "exactly relational (and exactly oracle-checkable). Output: "
-        "the learned merge per round + symbol-pair occurrence mass.",
-)
-def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+def _bpe_rounds(docs: DataFrame, n_rounds: int = 2):
+    """Shared BPE trainer: collapse the corpus to the distinct-word
+    frequency table, run ``n_rounds`` greedy merge rounds, and return
+    (final symbol rows, per-round summary DataFrames)."""
     words = (
         docs.select(F.explode(_tokens()).alias("w"))
         .groupBy("w")
@@ -3506,7 +3470,7 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("w", "f", (F.col("p0") + 1).alias("pos"), "sym")
 
     out_rows = []
-    for rnd in (1, 2):
+    for rnd in range(1, n_rounds + 1):
         wspec = Window.partitionBy("w").orderBy("pos")
         with_nxt = syms.withColumn("nxt", F.lead("sym").over(wspec))
         pairs = (
@@ -3550,4 +3514,93 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         syms = merged
+    return syms, out_rows
+
+
+
+@register(
+    "t_bpe_train",
+    sql=f"""
+    WITH words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+                   FROM (SELECT unnest(string_split(text, ' ')) AS w
+                         FROM documents)
+                   GROUP BY w),
+    s0 AS (SELECT w, f, i AS pos, substr(w, i, 1) AS sym
+           FROM words, UNNEST(range(1, len(w) + 1)) u(i)),
+    {_sql_bpe_round("s0", 1)},
+    {_sql_bpe_round("s1", 2)}
+    SELECT r, merge_a || '+' || merge_b AS merged,
+           CAST(occ AS BIGINT) AS n_words_touched
+    FROM (
+      SELECT 1 AS r, MAX(t.a) AS merge_a, MAX(t.b) AS merge_b,
+             SUM(CASE WHEN m.is_start THEN 1 ELSE 0 END) AS occ
+      FROM mk1 m CROSS JOIN top1 t
+      UNION ALL
+      SELECT 2, MAX(t.a), MAX(t.b),
+             SUM(CASE WHEN m.is_start THEN 1 ELSE 0 END)
+      FROM mk2 m CROSS JOIN top2 t)
+    """,
+    doc="BPE tokenizer training (2 unrolled merge rounds) as "
+        "relational dataflow — the tokenizer-training step of an LLM "
+        "data pipeline, scaled the way real BPE trainers scale: the "
+        "corpus collapses to a DISTINCT-WORD frequency table first "
+        "(vocab-sized, not corpus-sized — the only corpus-width pass "
+        "is one word-count agg), then each round is adjacent-pair "
+        "counting via LEAD, a deterministic top pair (count desc, "
+        "lexicographic tiebreak), and a non-overlapping merge using "
+        "the lag-of-start trick; positions re-sequence with "
+        "row_number. Same-symbol pairs (aa) are excluded from "
+        "selection: their greedy left-to-right merge is inherently "
+        "sequential, while distinct-symbol occurrences provably "
+        "cannot overlap — the restriction that makes the merge "
+        "exactly relational (and exactly oracle-checkable). Output: "
+        "the learned merge per round + symbol-pair occurrence mass.",
+)
+def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, out_rows = _bpe_rounds(table(spark, sf_dir, "documents"))
     return out_rows[0].unionByName(out_rows[1])
+
+
+@register(
+    "t_bpe_apply",
+    sql=f"""
+    WITH words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+                   FROM (SELECT unnest(string_split(text, ' ')) AS w
+                         FROM documents)
+                   GROUP BY w),
+    s0 AS (SELECT w, f, i AS pos, substr(w, i, 1) AS sym
+           FROM words, UNNEST(range(1, len(w) + 1)) u(i)),
+    {_sql_bpe_round("s0", 1)},
+    {_sql_bpe_round("s1", 2)},
+    seg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym
+            FROM s2 GROUP BY w),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(seg.n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM tok JOIN seg USING (w)
+    GROUP BY tok.doc_id
+    """,
+    doc="BPE tokenization APPLY — the train->apply pair completed: "
+        "the corpus is re-tokenized with the 2 learned merges by "
+        "joining each corpus word against the vocab-sized "
+        "segmentation table (word -> symbol count after merges), one "
+        "hash agg per doc for the budget columns. This is the "
+        "production shape: training cost is vocab-sized "
+        "(t_bpe_train, 0.9x at 10x data) and application is ONE "
+        "equi-join of corpus tokens against that small table — "
+        "broadcast at real vocab sizes, so tokenizing 100 TB is a "
+        "map-only pass over the scan. Exact counts gate the whole "
+        "chain: a wrong merge anywhere changes some word's symbol "
+        "count and breaks the per-doc sums.",
+)
+def t_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    syms, _ = _bpe_rounds(docs)
+    seg = syms.groupBy("w").agg(F.count(F.lit(1)).alias("n_sym"))
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("w"))
+    return tok.join(F.broadcast(seg), "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_sym").alias("n_bpe_tokens"),
+    )

@@ -40,6 +40,8 @@ BNLJ_ALLOWED = {
     "ml_naive_bayes": "broadcast per-label totals (n_langs rows, a "
                       "fixed label domain) + single-row vocab size",
     "t_bpe_train": "broadcast single-row top merge pair per round",
+    "t_bpe_apply": "broadcast single-row top merge pair per round "
+                   "(training sub-plan) + vocab-sized segmentation",
 }
 
 
