@@ -42,10 +42,27 @@ POL_CODES = {-5: "XX", -6: "YY", -7: "XY", -8: "YX"}
 POL_NAMES = {v: k for k, v in POL_CODES.items()}
 
 
+def _string_end(s: str, start: int) -> int:
+    """Index just past the closing quote of a FITS string starting at
+    ``start`` (which must point at the opening quote). Doubled quotes
+    ('') inside the string are literal-quote escapes per the standard.
+    """
+    i = start + 1
+    while i < len(s):
+        if s[i] == "'":
+            if i + 1 < len(s) and s[i + 1] == "'":
+                i += 2  # escaped literal quote
+                continue
+            return i + 1
+        i += 1
+    raise ValueError(f"unterminated FITS string in card: {s!r}")
+
+
 def _parse_value(raw: str):
     v = raw.strip()
     if v.startswith("'"):
-        return v[1 : v.rindex("'")].rstrip()
+        end = _string_end(v, 0)
+        return v[1 : end - 1].replace("''", "'").rstrip()
     if v == "T":
         return True
     if v == "F":
@@ -78,9 +95,9 @@ def parse_header(buf: bytes, off: int = 0) -> tuple[dict, int]:
                 continue  # COMMENT / HISTORY / blank / CONTINUE
             body = card[10:]
             # a '/' inside a quoted string is not a comment separator
-            if body.lstrip().startswith("'"):
-                q = body.index("'", body.index("'") + 1)
-                val, _, _ = body[: q + 1], None, None
+            stripped = body.lstrip()
+            if stripped.startswith("'"):
+                val = stripped[: _string_end(stripped, 0)]
             else:
                 val = body.split("/")[0]
             cards[key] = _parse_value(val)
@@ -92,14 +109,21 @@ def _pad(n: int) -> int:
 
 
 def _format_card(key: str, val) -> bytes:
+    if len(key) > 8:
+        raise ValueError(f"FITS keyword too long (max 8): {key!r}")
     if isinstance(val, bool):
         s = f"{key:<8}= {'T' if val else 'F':>20}"
     elif isinstance(val, str):
-        s = f"{key:<8}= '{val:<8}'"
+        s = f"{key:<8}= '{val.replace(chr(39), chr(39) * 2):<8}'"
     elif isinstance(val, int):
         s = f"{key:<8}= {val:>20}"
     else:
         s = f"{key:<8}= {val!r:>20}"
+    if len(s) > CARD:
+        raise ValueError(
+            f"FITS card overflows 80 chars (CONTINUE not supported): "
+            f"{key}={val!r}"
+        )
     return s.ljust(CARD).encode("ascii")
 
 

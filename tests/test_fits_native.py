@@ -175,3 +175,50 @@ def test_gpubox_rejects_wrong_bitpix():
     )
     with pytest.raises(ValueError):
         sf.parse_gpubox("x.fits", prim + ext + b"\x00" * sf.BLOCK)
+
+
+def test_header_string_escaping_roundtrip():
+    # quotes escape by doubling per the FITS standard; '/' never splits
+    # inside a string; trailing-pad spaces strip, embedded spaces stay
+    cases = ["o'brien", "a/b'c", "''", "x  y", "don't / do"]
+    cards = [("SIMPLE", True)] + [(f"K{i}", v) for i, v in enumerate(cases)]
+    parsed, _ = sf.parse_header(sf.write_header(cards))
+    for i, v in enumerate(cases):
+        assert parsed[f"K{i}"] == v.rstrip(), v
+
+
+def test_header_writer_limits():
+    with pytest.raises(ValueError, match="keyword too long"):
+        sf.write_header([("TOOLONGKEY", 1)])
+    with pytest.raises(ValueError, match="overflows 80"):
+        sf.write_header([("K", "x" * 100)])
+
+
+def test_header_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    printable = st.text(
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=126, exclude_characters=""
+        ),
+        max_size=30,
+    )
+    values = st.one_of(
+        st.booleans(),
+        st.integers(min_value=-(10**15), max_value=10**15),
+        printable,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(values)
+    def roundtrip(v):
+        parsed, _ = sf.parse_header(
+            sf.write_header([("SIMPLE", True), ("V", v)])
+        )
+        expected = v.rstrip() if isinstance(v, str) else v
+        # empty / whitespace-only strings parse back as '' and integer
+        # strings like '7' stay strings because of the quotes
+        assert parsed["V"] == expected
+
+    roundtrip()
