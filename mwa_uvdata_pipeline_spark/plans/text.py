@@ -3604,3 +3604,158 @@ def t_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_words"),
         F.sum("n_sym").alias("n_bpe_tokens"),
     )
+
+
+@register(
+    "sim_ivfpq_topk",
+    sql=f"""
+    WITH {_PQ_SQL_CTES},
+    n AS ({_SQL_NORMS}),
+    ic AS (SELECT vec_id AS ic_id, embedding AS ice, nrm AS icn
+           FROM n WHERE vec_id % {_IVF_EVERY} = 0
+                    AND vec_id < {_CENT_CAP}),
+    iascore AS (
+        SELECT n.vec_id, ic.ic_id,
+               ROUND({_SQL_DOT.format(a="n.embedding", b="ic.ice")}
+                     / (n.nrm * ic.icn), 6) AS cs
+        FROM n CROSS JOIN ic),
+    iassign AS (SELECT vec_id, ic_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, ic_id) AS rn
+        FROM iascore) WHERE rn = 1),
+    iprobe AS (SELECT vec_id AS q_id, ic_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, ic_id) AS rn
+        FROM iascore WHERE vec_id < 5) WHERE rn <= {_IVF_NPROBE}),
+    lut AS (
+        SELECT q.vec_id AS q_id, cs.m, cs.c_id,
+               CAST(ROUND(list_sum(list_transform(
+                     list_zip(q.embedding[cs.m * {_PQ_SUB} + 1
+                                          : cs.m * {_PQ_SUB} + {_PQ_SUB}],
+                              cs.cv),
+                     p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+                     * 1000000) AS BIGINT) AS d_micro
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+        CROSS JOIN csub cs),
+    cand AS (SELECT p.q_id, a.vec_id
+             FROM iprobe p JOIN iassign a ON p.ic_id = a.ic_id
+             WHERE a.vec_id != p.q_id),
+    adc AS (
+        SELECT c.q_id, c.vec_id,
+               CAST(SUM(lut.d_micro) AS BIGINT) AS adc_micro
+        FROM cand c
+        JOIN best ON best.vec_id = c.vec_id
+        JOIN lut ON lut.q_id = c.q_id AND lut.m = best.m
+                AND lut.c_id = best.c_id
+        GROUP BY c.q_id, c.vec_id)
+    SELECT q_id, vec_id, adc_micro, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY adc_micro, vec_id) AS rk
+        FROM adc)
+    WHERE rk <= {_IVF_K}
+    """,
+    doc="IVF-PQ composite ANN — the FAISS production index shape "
+        "(IVFADC, Jégou et al.): a coarse quantizer prunes the corpus "
+        "to nprobe inverted lists per query, then candidates are "
+        "scored by PQ asymmetric distance from the per-query integer "
+        "LUT — raw vectors are touched only to build codes and "
+        "centroids offline; the query path reads 4-int codes for "
+        "~nprobe/n_clusters of the corpus. Composes the oracle-gated "
+        "pieces (sim_ivf_topk pruning × sim_pq_adc_topk scoring) into "
+        "the two-level index every production vector store runs. At "
+        "scale: inverted-list id is the partition key, the LUT is "
+        "queries × M × K rows broadcast, and the scan cost per query "
+        "is |probed lists| × 4 ints.",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    ic = n.where(
+        (F.col("vec_id") % _IVF_EVERY == 0) & (F.col("vec_id") < _CENT_CAP)
+    ).select(
+        F.col("vec_id").alias("ic_id"),
+        F.col("embedding").alias("ice"),
+        F.col("nrm").alias("icn"),
+    )
+    cs = F.round(
+        _dot(F.col("embedding"), F.col("ice")) / (F.col("nrm") * F.col("icn")),
+        6,
+    )
+    iascore = n.crossJoin(F.broadcast(ic)).select(
+        "vec_id", "ic_id", cs.alias("cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("ic_id"))
+    iassign = (
+        iascore.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "ic_id")
+    )
+    iprobe = (
+        iascore.where(F.col("vec_id") < 5)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), "ic_id")
+    )
+    # per-query integer LUT (same construction as sim_pq_adc_topk)
+    ms = F.array([F.lit(i) for i in range(_PQ_M)])
+    csub = (
+        emb.where(
+            (F.col("vec_id") % _PQ_EVERY == 0) & (F.col("vec_id") < _CENT_CAP)
+        )
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.explode(ms).alias("m"),
+            F.col("embedding").alias("ce"),
+        )
+        .select(
+            "c_id", "m",
+            F.expr(f"slice(ce, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv"),
+        )
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = (
+        q.crossJoin(F.broadcast(csub))
+        .withColumn("qv", F.expr(f"slice(qe, m * {_PQ_SUB} + 1, {_PQ_SUB})"))
+        .select(
+            "q_id", "m", "c_id",
+            F.round(diff2 * 1_000_000).cast("long").alias("d_micro"),
+        )
+    )
+    codes = _pq_codes_long(spark, sf_dir).select(
+        "vec_id", "m", F.col("code").alias("c_id")
+    )
+    cand = (
+        F.broadcast(iprobe)
+        .join(iassign, "ic_id")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "m", "c_id"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d_micro").cast("long").alias("adc_micro"))
+    )
+    wk = Window.partitionBy("q_id").orderBy("adc_micro", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(wk).cast("int"))
+        .where(F.col("rk") <= _IVF_K)
+        .select("q_id", "vec_id", "adc_micro", "rk")
+    )

@@ -28,6 +28,8 @@ BNLJ_ALLOWED = {
     "sim_cosine_topk": "broadcast fixed query set (k query vectors)",
     "sim_ivf_topk": "broadcast centroid table (k centroids)",
     "sim_pq_adc_topk": "LUT build: queries x sub-codebook, both fixed-size",
+    "sim_ivfpq_topk": "broadcast coarse-centroid table (<=50 rows) + "
+                      "LUT build (queries x sub-codebook, both fixed)",
     "t_tfidf_top3": "broadcast corpus row count (single-row agg)",
     "sim_bm25_topk": "broadcast corpus stats (single-row agg)",
     "sim_hybrid_rrf": "broadcast single query vector + corpus stats "
