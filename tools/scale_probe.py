@@ -106,6 +106,7 @@ QUERIES = [
     "ml_kmeans",
     "ml_naive_bayes",
     "t_duplicate_spans",
+    "sim_ivfpq_topk",
     "t_dataset_card",
     "t_pii_scrub",
     "x_skew_diagnose",
