@@ -122,3 +122,49 @@ def compact_parquet(
         "files_after": len(after),
         "bytes": total,
     }
+
+
+def write_uvfits_grouped(
+    vis: DataFrame,
+    out_dir: str,
+    group_col: str = "obsid",
+    jd_zero: float = 2460000.0,
+) -> DataFrame:
+    """Distributed uvfits EXPORT — the write half of the native FITS
+    story (sources_fits.py reads): one random-groups uvfits file per
+    ``group_col`` value, written executor-side via applyInPandas, so a
+    100-TB export parallelizes one task per observation with no
+    driver-side data movement. Returns the manifest (group, path,
+    rows, bytes) as a DataFrame — the only thing the driver sees.
+
+    Files land on a filesystem visible to the executors (local/NFS
+    here; on an object store the per-task write becomes an upload from
+    the same generator — the grouping and memory shape are unchanged,
+    one observation per task).
+    """
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from mwa_uvdata_pipeline_spark.sources_fits import write_uvfits
+
+        path = os.path.join(out_dir, f"obs_{key[0]}.uvfits")
+        write_uvfits(pdf, path, jd_zero=jd_zero)
+        return pd.DataFrame(
+            [
+                {
+                    "group": key[0],
+                    "path": path,
+                    "n_rows": len(pdf),
+                    "n_bytes": os.path.getsize(path),
+                }
+            ]
+        )
+
+    return vis.groupBy(group_col).applyInPandas(
+        write_group,
+        "group long, path string, n_rows long, n_bytes long",
+    )
