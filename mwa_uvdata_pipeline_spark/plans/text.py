@@ -3759,3 +3759,85 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _IVF_K)
         .select("q_id", "vec_id", "adc_micro", "rk")
     )
+
+
+@register(
+    "m_ppm_resize",
+    sql="""
+    WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+               FROM documents),
+    px AS (SELECT doc_id,
+                  (w + 1) // 2 AS ow, (h + 1) // 2 AS oh,
+                  (doc_id + (x * 2) * 3 + (y * 2) * 5) % 256 AS r,
+                  (doc_id * 2 + (x * 2)) % 256 AS g,
+                  ((x * 2) * (y * 2) + doc_id) % 256 AS b
+           FROM d, UNNEST(range(0, (w + 1) // 2)) ux(x),
+                   UNNEST(range(0, (h + 1) // 2)) uy(y))
+    SELECT doc_id, CAST(MAX(ow) AS INTEGER) AS out_width,
+           CAST(MAX(oh) AS INTEGER) AS out_height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL image resize (2x nearest-neighbor decimation on decoded "
+        "PPM pixels): the payload is parsed byte-for-byte, every "
+        "second pixel in each axis kept (img[::2, ::2]), and the "
+        "resized image's per-channel integer sums gated against the "
+        "even-coordinate closed form — the image counterpart of "
+        "m_wav_resample, with pixel selection on REAL decoded bytes "
+        "where m_resize_meta computes geometry only. (Area/bilinear "
+        "filters are the same plumbing with float tolerance gates; "
+        "decimation keeps the gate integer-exact.)",
+)
+def m_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from mwa_uvdata_pipeline_spark.operators.multimodal import synth_payloads
+
+    def parse_one(data: bytes):
+        assert data.startswith(b"P6")
+        fields: list[bytes] = []
+        pos = 2
+        while len(fields) < 3:
+            while data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":
+                pos = data.index(b"\n", pos) + 1
+                continue
+            end = pos
+            while not data[end : end + 1].isspace():
+                end += 1
+            fields.append(data[pos:end])
+            pos = end
+        pos += 1
+        w, h, _ = (int(f) for f in fields)
+        img = np.frombuffer(data, dtype="u1", count=w * h * 3, offset=pos)
+        return img.reshape(h, w, 3)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "out_width", "out_height", "sum_r",
+                          "sum_g", "sum_b")
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                small = parse_one(bytes(b))[::2, ::2].astype("i8")
+                rows["doc_id"].append(doc_id)
+                rows["out_width"].append(small.shape[1])
+                rows["out_height"].append(small.shape[0])
+                rows["sum_r"].append(int(small[:, :, 0].sum()))
+                rows["sum_g"].append(int(small[:, :, 1].sum()))
+                rows["sum_b"].append(int(small[:, :, 2].sum()))
+            yield pd.DataFrame(rows)
+
+    docs = table(spark, sf_dir, "documents")
+    return synth_payloads(docs, "ppm").mapInPandas(
+        batches,
+        "doc_id long, out_width int, out_height int, sum_r long, "
+        "sum_g long, sum_b long",
+    )
