@@ -69,6 +69,25 @@ def _events_ts_is_nanos(path: str) -> bool:
 
 _EVENTS_NANOS_CACHE: dict[str, bool] = {}
 
+#: Session confs a loader had to set and could not restore (the conf
+#: must outlive the returned lazy DataFrame). Conf name -> reason.
+#: Surfaced by :func:`session_conf_residues` so reports/tools can tell
+#: the user the session's parquet-nanos read behavior changed, instead
+#: of the residue being a silent global side effect (ADVICE r5).
+_SESSION_CONF_RESIDUES: dict[str, str] = {}
+
+
+def session_conf_residues() -> dict[str, str]:
+    """Session confs left set by table loaders, with reasons.
+
+    Empty in the common case: ``load_events`` only sets
+    ``spark.sql.legacy.parquet.nanosAsLong`` when the events footer
+    physically carries TIMESTAMP(NANOS). When non-empty, any later
+    parquet read of a nanos timestamp column in this session returns
+    bigint — callers that care should branch on this (as
+    ``load_events`` itself does via the footer probe)."""
+    return dict(_SESSION_CONF_RESIDUES)
+
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load events with ``ts`` tolerant of parquet timestamp drift.
@@ -93,6 +112,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     if _events_ts_is_nanos(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _SESSION_CONF_RESIDUES["spark.sql.legacy.parquet.nanosAsLong"] = (
+            f"events footer at {path} carries TIMESTAMP(NANOS); conf must "
+            "stay set for the lifetime of the lazy scan"
+        )
     df = spark.read.parquet(path)
     if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -281,7 +281,7 @@ _N_MINHASH = 4
 
 def _sql_minhash_sig() -> str:
     mins = ", ".join(
-        f"MIN(md5(CAST({i} AS VARCHAR) || '#' || s)) AS h{i}"
+        f"MIN(substring(md5(s), {8 * i + 1}, 8)) AS h{i}"
         for i in range(_N_MINHASH)
     )
     return f"SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
@@ -302,11 +302,22 @@ def _sql_minhash_sig() -> str:
 def dedup_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = shingle_rows(docs)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("s")))).alias(f"h{i}")
-        for i in range(_N_MINHASH)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    # ONE md5 per shingle row, split into four 8-hex-char lanes (the
+    # one-permutation-hashing trick): each lane's byte range orders
+    # shingles differently, so min-per-lane still yields k independent
+    # minhashes — at 1/4 the hash compute. The skew probe measured the
+    # salted 4-md5 variant compute-bound (8.0x at 10x: md5 cost, not a
+    # join blow-up); this halves-to-quarters the dominant term.
+    lanes = sh.select(
+        "doc_id",
+        *[
+            F.substring(F.md5("s"), 8 * i + 1, 8).alias(f"l{i}")
+            for i in range(_N_MINHASH)
+        ],
+    )
+    sig = lanes.groupBy("doc_id").agg(
+        *[F.min(f"l{i}").alias(f"h{i}") for i in range(_N_MINHASH)]
+    )
     return (
         sig.groupBy(F.concat("h0", "h1").alias("band0"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))

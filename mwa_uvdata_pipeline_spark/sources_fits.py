@@ -12,11 +12,15 @@ readers in this container rather than astropy-gated stubs:
   one row per file (typed common keywords + the full card map).
 - **uvfits** is a random-groups primary HDU (GROUPS=T, NAXIS1=0):
   GCOUNT groups, each PCOUNT big-endian float32 parameters (UU, VV,
-  WW, BASELINE in the AIPS 256*ant1+ant2 convention, DATE with the JD
-  epoch carried in PZERO so float32 holds the fraction at full
-  precision) followed by the data array (COMPLEX re/im/weight x
-  STOKES x FREQ, C-order with FITS axis 2 fastest). Flags ride the
-  weight sign (negative = flagged), the AIPS/uvfits convention.
+  WW — matched by PREFIX so suffixed AIPS names like 'UU---SIN'
+  resolve; BASELINE in the AIPS 256*ant1+ant2 convention, or the
+  2048-convention + 65536 offset for >255-antenna arrays, detected
+  per group; DATE with the JD epoch carried in PZERO, or split
+  across TWO DATE params that SUM after calibration — the real-file
+  convention cotter/Birli/pyuvdata write) followed by the data array
+  (COMPLEX re/im/weight x STOKES x FREQ, C-order with FITS axis 2
+  fastest). Flags ride the weight sign (negative = flagged), the
+  AIPS/uvfits convention.
 
 Scale design: `spark.read.format("binaryFile")` lists and distributes
 the files across executors; `mapInPandas` runs the numpy parse per
@@ -155,9 +159,23 @@ def write_uvfits(pdf: pd.DataFrame, path: str, jd_zero: float) -> None:
     pols = sorted(pdf["pol"].unique(), key=lambda p: -POL_NAMES[p])
     bls = sorted(set(zip(pdf["ant1"], pdf["ant2"])))
     nt, nc, npol, nbl = len(times), len(chans), len(pols), len(bls)
+    # Explicit raises (not assert — stripped under python -O): a gapped
+    # channel selection would otherwise IndexError or silently scatter
+    # values into wrong cube slots via the chan - chans[0] offset.
+    if not np.array_equal(chans, np.arange(chans[0], chans[0] + nc)):
+        raise ValueError(
+            f"uvfits writer requires a dense contiguous channel grid; "
+            f"got gapped selection {chans.tolist()[:8]}..."
+        )
+    if len(freqs) != nc:
+        raise ValueError(
+            f"channel/frequency grids disagree ({nc} chans, "
+            f"{len(freqs)} distinct freqs)"
+        )
     if len(freqs) > 1:
         cdelt = freqs[1] - freqs[0]
-        assert np.allclose(np.diff(freqs), cdelt), "freq grid not uniform"
+        if not np.allclose(np.diff(freqs), cdelt):
+            raise ValueError("uvfits writer requires a uniform freq grid")
     else:
         cdelt = 1.0
 
@@ -180,17 +198,26 @@ def write_uvfits(pdf: pd.DataFrame, path: str, jd_zero: float) -> None:
     ].to_numpy()
     data[gi[0], gi[1], gi[2], gi[3], 2] = wt
 
+    # Params filled per (time, baseline) from the ACTUAL rows (same
+    # fancy indexing as the data cube) — uvw varies with time for any
+    # tracking observation, so broadcasting one baseline's first-row
+    # uvw across all integrations would export wrong coordinates for
+    # every time but the first.
     params = np.zeros((nt, nbl, 5), dtype=">f4")
-    uvw = {
-        (a1, a2): rows[(rows["ant1"] == a1) & (rows["ant2"] == a2)].iloc[0]
-        for a1, a2 in bls
-    }
+    params[gi[0], gi[1], 0] = rows["uu"].to_numpy()
+    params[gi[0], gi[1], 1] = rows["vv"].to_numpy()
+    params[gi[0], gi[1], 2] = rows["ww"].to_numpy()
+    # Baseline codes: AIPS 256-convention up to 255 antennas; beyond
+    # that the 256 encoding silently collides (ant2+1 wraps), so
+    # switch to the standard 2048*(a1+1)+(a2+1)+65536 extension (max
+    # code ~4.3e6, exact in float32's 24-bit mantissa).
+    nant_hi = max(max(a1, a2) for a1, a2 in bls)
+    use2048 = nant_hi > 254
     for (a1, a2), bi in b_ix.items():
-        r = uvw[(a1, a2)]
-        params[:, bi, 0] = r["uu"]
-        params[:, bi, 1] = r["vv"]
-        params[:, bi, 2] = r["ww"]
-        params[:, bi, 3] = 256 * (a1 + 1) + (a2 + 1)
+        if use2048:
+            params[:, bi, 3] = 2048 * (a1 + 1) + (a2 + 1) + 65536
+        else:
+            params[:, bi, 3] = 256 * (a1 + 1) + (a2 + 1)
     for t, ti in t_ix.items():
         params[ti, :, 4] = t - jd_zero  # PZERO5 carries the epoch
 
@@ -262,23 +289,46 @@ def parse_uvfits(name: str, buf: bytes) -> pd.DataFrame:
         gcount, pcount + nelem
     )
     params = a[:, :pcount].astype("f8")
-    # PSCAL/PZERO calibration per param, PTYPE names the slot
+    # PSCAL/PZERO calibration per param, PTYPE names the slot.
+    # Real AIPS-convention files (cotter/Birli, pyuvdata's writer) use
+    # suffixed names like 'UU---SIN' and split DATE across TWO params
+    # (integer day + day fraction, so float32 holds full JD precision)
+    # — so slots resolve by PREFIX against the canonical names, and
+    # duplicate slots SUM after calibration (pyuvdata behavior: the
+    # two DATE parts add to the full JD).
     names = []
     for i in range(1, pcount + 1):
         names.append(str(h.get(f"PTYPE{i}", f"P{i}")).strip().upper())
         scal = float(h.get(f"PSCAL{i}", 1.0))
         zero = float(h.get(f"PZERO{i}", 0.0))
         params[:, i - 1] = zero + scal * params[:, i - 1]
-    p = {n: params[:, i] for i, n in enumerate(names)}
+    canon_prefixes = ("UU", "VV", "WW", "BASELINE", "DATE")
+    p: dict = {}
+    for i, n in enumerate(names):
+        canon = next((c for c in canon_prefixes if n.startswith(c)), n)
+        p[canon] = params[:, i] if canon not in p else p[canon] + params[:, i]
+    for req in ("BASELINE", "DATE", "UU", "VV", "WW"):
+        if req not in p:
+            raise ValueError(
+                f"{name}: no group parameter matching {req}* "
+                f"(PTYPEs present: {names})"
+            )
 
     # FITS axis 2 varies fastest -> C-order is reversed axis list
     npol, nchan = int(h["NAXIS3"]), int(h["NAXIS4"])
     data = a[:, pcount:].reshape([gcount] + axes[::-1])
     data = data.reshape(gcount, nchan, npol, 3)  # degenerate RA/DEC drop
 
-    bl = p["BASELINE"].astype("i8")
-    ant1 = bl // 256 - 1
-    ant2 = bl % 256 - 1
+    # Baseline decode: the AIPS 256*ant1+ant2 convention caps at 255
+    # antennas; larger arrays write 2048*(a1+1)+(a2+1)+65536. Standard
+    # heuristic (pyuvdata baseline_to_antnums): codes > 65536 are the
+    # 2048 convention — decide per group so the reader handles both.
+    bl = np.rint(p["BASELINE"]).astype("i8")
+    large = bl > 65536
+    blo = np.where(large, bl - 65536, bl)
+    div = np.where(large, 2048, 256)
+    ant1 = blo // div - 1
+    ant2 = blo % div - 1
     pol0, pold = int(h["CRVAL3"]), int(h["CDELT3"])
     pol_names = [POL_CODES[pol0 + i * pold] for i in range(npol)]
     f0, fd, fpix = float(h["CRVAL4"]), float(h["CDELT4"]), float(h["CRPIX4"])

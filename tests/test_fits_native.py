@@ -249,3 +249,137 @@ def test_uvfits_grouped_sink_roundtrip(spark, tmp_path):
     ).collect()[0].s
     exp = int(round(src["re"].sum() * 8))
     assert got == exp
+
+
+def test_uvfits_time_varying_uvw_roundtrip(tmp_path):
+    """uvw varies with time for any tracking observation; the writer
+    must fill params per (time, baseline) from the actual rows, not
+    broadcast the first integration's uvw (ADVICE r5)."""
+    src = _vis_pdf()
+    t_ix = {t: i for i, t in enumerate(np.sort(src["time_jd"].unique()))}
+    drift = src["time_jd"].map(t_ix).to_numpy().astype("f8")
+    src["uu"] = 0.25 * src["ant1"].to_numpy() + 0.0625 * drift
+    src["vv"] = 0.5 * src["ant2"].to_numpy() - 0.125 * drift
+    src["ww"] = 0.125 * (src["ant1"] + src["ant2"]).to_numpy() + 0.5 * drift
+    path = str(tmp_path / "drift.uvfits")
+    sf.write_uvfits(src, path, jd_zero=2460000.0)
+    with open(path, "rb") as f:
+        back = sf.parse_uvfits("drift.uvfits", f.read())
+    key = ["time_jd", "ant1", "ant2", "chan", "pol"]
+    exp = src.copy()
+    exp["time_jd"] = 2460000.0 + np.float64(
+        np.float32(exp["time_jd"] - 2460000.0)
+    )
+    exp = exp.sort_values(key).reset_index(drop=True)
+    got = back.sort_values(key).reset_index(drop=True)
+    for c in ["uu", "vv", "ww"]:
+        assert (
+            got[c].to_numpy() == np.float64(np.float32(exp[c]))
+        ).all(), c
+
+
+def test_uvfits_two_part_date_and_suffixed_ptypes():
+    """Real AIPS files (cotter/Birli, pyuvdata) use suffixed PTYPE
+    names ('UU---SIN') and split DATE across two params (day +
+    fraction). The reader must prefix-match names and SUM duplicate
+    DATE slots after PSCAL/PZERO calibration (ADVICE r5)."""
+    jd_day, jd_frac = 2460123.0, 0.25
+    header = sf.write_header(
+        [
+            ("SIMPLE", True),
+            ("BITPIX", -32),
+            ("NAXIS", 6),
+            ("NAXIS1", 0),
+            ("NAXIS2", 3),
+            ("NAXIS3", 1),
+            ("NAXIS4", 1),
+            ("NAXIS5", 1),
+            ("NAXIS6", 1),
+            ("GROUPS", True),
+            ("PCOUNT", 6),
+            ("GCOUNT", 1),
+            ("CTYPE2", "COMPLEX"),
+            ("CTYPE3", "STOKES"),
+            ("CRVAL3", -5.0),
+            ("CRPIX3", 1.0),
+            ("CDELT3", -1.0),
+            ("CTYPE4", "FREQ"),
+            ("CRVAL4", 150e6),
+            ("CRPIX4", 1.0),
+            ("CDELT4", 40e3),
+            ("PTYPE1", "UU---SIN"),
+            ("PTYPE2", "VV---SIN"),
+            ("PTYPE3", "WW---SIN"),
+            ("PTYPE4", "BASELINE"),
+            ("PTYPE5", "DATE"),
+            ("PZERO5", 2460000.0),  # day part: PZERO carries epoch
+            ("PTYPE6", "DATE"),  # fraction part
+        ]
+    )
+    params = np.array(
+        [[1.5, -2.5, 0.5, 256 * 2 + 3, jd_day - 2460000.0, jd_frac]],
+        dtype=">f4",
+    )
+    data = np.array([[4.0, -1.0, 2.0]], dtype=">f4")  # re, im, weight
+    buf = header + params.tobytes() + data.tobytes()
+    buf += b"\x00" * sf._pad(len(params.tobytes()) + len(data.tobytes()))
+    out = sf.parse_uvfits("aips.uvfits", buf)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["time_jd"] == jd_day + jd_frac  # both DATE parts summed
+    assert (r["uu"], r["vv"], r["ww"]) == (1.5, -2.5, 0.5)  # suffix match
+    assert (r["ant1"], r["ant2"]) == (1, 2)
+    assert (r["re"], r["im"], r["nsample"]) == (4.0, -1.0, 2.0)
+    assert not r["flag"]
+
+
+def test_uvfits_2048_baseline_convention_roundtrip(tmp_path):
+    """Arrays with >255 antennas can't use the 256 convention (codes
+    collide); writer switches to 2048*(a1+1)+(a2+1)+65536 and the
+    reader auto-detects it from bl > 65536 (ADVICE r5)."""
+    rows = []
+    for t in (2460000.125, 2460000.25):
+        for a1, a2 in ((0, 300), (10, 260), (299, 2000)):
+            rows.append(
+                {
+                    "time_jd": t,
+                    "ant1": a1,
+                    "ant2": a2,
+                    "chan": 0,
+                    "pol": "XX",
+                    "freq_hz": 150e6,
+                    "re": 1.0 + a1,
+                    "im": -0.5 * a2,
+                    "nsample": 2.0,
+                    "flag": False,
+                    "uu": 0.25 * a1,
+                    "vv": 0.5 * a2,
+                    "ww": 0.125,
+                }
+            )
+    src = pd.DataFrame(rows)
+    path = str(tmp_path / "big_array.uvfits")
+    sf.write_uvfits(src, path, jd_zero=2460000.0)
+    with open(path, "rb") as f:
+        back = sf.parse_uvfits("big_array.uvfits", f.read())
+    key = ["time_jd", "ant1", "ant2"]
+    got = back.sort_values(key).reset_index(drop=True)
+    exp = src.sort_values(key).reset_index(drop=True)
+    assert (got["ant1"].to_numpy() == exp["ant1"].to_numpy()).all()
+    assert (got["ant2"].to_numpy() == exp["ant2"].to_numpy()).all()
+    assert (got["re"].to_numpy() == exp["re"].to_numpy()).all()
+
+
+def test_uvfits_writer_rejects_gapped_grids(tmp_path):
+    """Gapped channel selections and non-uniform freq grids must raise
+    explicitly (not assert, not silent mis-scatter) (ADVICE r5)."""
+    src = _vis_pdf()
+    gapped = src[src["chan"] != 5]
+    with pytest.raises(ValueError, match="contiguous channel grid"):
+        sf.write_uvfits(gapped, str(tmp_path / "gap.uvfits"), 2460000.0)
+    warped = src.copy()
+    warped["freq_hz"] = np.where(
+        warped["chan"] == 3, warped["freq_hz"] + 1000.0, warped["freq_hz"]
+    )
+    with pytest.raises(ValueError):
+        sf.write_uvfits(warped, str(tmp_path / "warp.uvfits"), 2460000.0)
