@@ -285,6 +285,73 @@ def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_pair(spark: SparkSession, sf_dir: str):
+    """orders + lineitem rewritten as bucketed tables on the join key.
+
+    ``bucketBy(8, key).sortBy(key)`` persists the hash-partitioning in
+    the table layout, so an equi-join between the two reads is
+    co-located: the physical plan has NO Exchange on either join side
+    (asserted in tests/test_round6.py). At 100 TB this is the standard
+    answer to a repeated fact-fact join — pay the partitioning once at
+    write time, amortize it over every subsequent join/agg on that key,
+    and skip the dominant shuffle entirely. Rebuilt lazily per session
+    (the catalog is session-scoped); written to a scratch dir as
+    EXTERNAL tables so re-registration never trips the managed-table
+    nonempty-location guard.
+    """
+    import re
+
+    from mwa_uvdata_pipeline_spark.plans import scratch_dir
+
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    names = {t: f"bkt_{t}_{tag}" for t in ("orders", "lineitem")}
+    if not all(spark.catalog.tableExists(n) for n in names.values()):
+        out = scratch_dir("bucketed_")
+        for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+            (
+                table(spark, sf_dir, tbl)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{out}/{tbl}")
+                .mode("overwrite")
+                .saveAsTable(names[tbl])
+            )
+    return spark.table(names["orders"]), spark.table(names["lineitem"])
+
+
+@register(
+    "j10_bucketed_join",
+    sql="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    bench=True,
+    doc="Shuffle-free co-located fact-fact join: orders and lineitem "
+        "bucketed 8-ways on the join key at write time, then merge-"
+        "joined with ZERO Exchange on either input (the one exchange in "
+        "the plan is the 5-group final agg). The write-once/join-many "
+        "pattern that replaces the biggest shuffle of a 100-TB pipeline "
+        "with a layout contract; plan asserted in tests/test_round6.py.",
+)
+def j10_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, l = _bucketed_pair(spark, sf_dir)
+    # merge hint: at oracle scale the small side would auto-broadcast,
+    # which also avoids the shuffle but does not demonstrate (or test)
+    # the bucketing contract that survives at fact-fact scale
+    return (
+        l.hint("merge")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+        )
+    )
+
+
 _CDC_INS_OFF = 2_000_000_000  # inserted keys land in their own id space
 
 

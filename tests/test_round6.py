@@ -65,3 +65,31 @@ def test_nanos_events_record_conf_residue(spark, tmp_path):
     assert "TIMESTAMP(NANOS)" in residues[
         "spark.sql.legacy.parquet.nanosAsLong"
     ]
+
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """j10_bucketed_join's contract: bucketBy(8, key) on both tables
+    makes the merge join co-located — zero Exchange on either join
+    input; the plan's single Exchange is the 5-group final agg."""
+    from mwa_uvdata_pipeline_spark.plans import load_all
+
+    df = load_all()["j10_bucketed_join"].spark(spark, SF_SMALL)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert s.count("SortMergeJoin") == 1
+    assert s.count("Bucketed: true") == 2  # both scans read bucketed
+    assert s.count("Exchange") == 1  # final agg only, none at the join
+
+
+def test_bucketed_pair_reuses_session_tables(spark):
+    """Second construction must reuse the session catalog tables, not
+    rewrite the bucketed layout per run (bench builds entries 4x)."""
+    from mwa_uvdata_pipeline_spark.plans.tpch import _bucketed_pair
+
+    o1, l1 = _bucketed_pair(spark, SF_SMALL)
+    tabs = {t.name for t in spark.catalog.listTables()}
+    o2, l2 = _bucketed_pair(spark, SF_SMALL)
+    assert {t.name for t in spark.catalog.listTables()} == tabs
+    assert o1.count() == o2.count()
