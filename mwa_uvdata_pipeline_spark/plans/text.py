@@ -2965,6 +2965,20 @@ def _sql_km_round(prev: str, n: int) -> str:
         "naturally in both engines.",
 )
 def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts, assign, cents = _km_fit(spark, sf_dir)
+    sz = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cents.join(sz, "cid")
+        .select("cid", "n_members", "dim", F.col("q").alias("centroid_q"))
+        .orderBy("cid", "dim")
+    )
+
+
+def _km_fit(spark: SparkSession, sf_dir: str):
+    """Two unrolled Lloyd rounds in exact integer arithmetic (the
+    ml_kmeans dataflow, factored so dedup_semantic reuses the fitted
+    assignment). Returns (pts, assign, cents): quantized exploded
+    points, final vec_id->cid assignment, final centroid table."""
     pts = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", F.posexplode("embedding").alias("dim", "x"))
@@ -3003,12 +3017,226 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("sum(q) div count(1)").alias("q"))
             .persist()
         )
+    return pts, assign, cents
 
-    sz = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+
+def _sem_lsh_bits(n_rows: int) -> int:
+    """Adaptive sub-bucket width INSIDE a kmeans cluster: average block
+    is n/k, held to ~_EMB_BUCKET_TARGET rows per (cid, table, bucket)
+    as N grows. At oracle scale (sf<=0.01: 500/4-row blocks) this sits
+    at the 4-bit floor the static SQL twin instantiates."""
+    import math
+
+    block = n_rows / _KM_K
+    return max(
+        _EMB_LSH_BITS,
+        min(16, math.ceil(math.log2(max(block / _EMB_BUCKET_TARGET, 2.0)))),
+    )
+
+
+def _sql_sem_keyed() -> str:
+    """Floor instantiation of the per-cluster sign-LSH keys: UNION ALL
+    of one keyed projection per hash table, carrying the fitted cid."""
+    selects = []
+    for t in range(_EMB_LSH_TABLES):
+        bits = " + ".join(
+            f"CAST(n.embedding[{t * _EMB_LSH_BITS + j + 1}] > 0 AS INT)"
+            f" * {1 << j}"
+            for j in range(_EMB_LSH_BITS)
+        )
+        selects.append(
+            f"SELECT n.vec_id, n.embedding, n.nrm, a2.cid, {t} AS t, "
+            f"{bits} AS k FROM n JOIN a2 ON n.vec_id = a2.vec_id"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "dedup_semantic",
+    sql=f"""
+    WITH pts AS ({_SQL_KM_PTS}),
+    c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, dim, q
+           FROM pts WHERE vec_id < {_KM_K}),
+    {_sql_km_round("c0", 1)},
+    {_sql_km_round("c1", 2)},
+    vn AS (SELECT vec_id, sqrt(CAST(SUM(q * q) AS DOUBLE)) AS vn
+           FROM pts GROUP BY vec_id),
+    cn AS (SELECT cid, sqrt(CAST(SUM(q * q) AS DOUBLE)) AS cn
+           FROM c2 GROUP BY cid),
+    dc AS (SELECT p.vec_id, a2.cid, CAST(SUM(p.q * c.q) AS DOUBLE) AS dotc
+           FROM pts p
+           JOIN a2 ON p.vec_id = a2.vec_id
+           JOIN c2 c ON c.cid = a2.cid AND c.dim = p.dim
+           GROUP BY p.vec_id, a2.cid),
+    cc AS (SELECT dc.vec_id, dc.cid,
+                  ROUND(dc.dotc / (vn.vn * cn.cn), 6) AS cent_cos
+           FROM dc JOIN vn ON vn.vec_id = dc.vec_id
+           JOIN cn ON cn.cid = dc.cid),
+    n AS ({_SQL_NORMS}),
+    keyed AS ({_sql_sem_keyed()}),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        FROM keyed a JOIN keyed b
+          ON a.cid = b.cid AND a.t = b.t AND a.k = b.k
+         AND a.vec_id <> b.vec_id
+        WHERE ROUND({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+                    / (a.nrm * b.nrm), 6) >= {_EMB_COS_T}),
+    drops AS (
+        SELECT DISTINCT p.va AS vec_id
+        FROM pairs p
+        JOIN cc cv ON cv.vec_id = p.va
+        JOIN cc cu ON cu.vec_id = p.vb
+        WHERE cu.cent_cos < cv.cent_cos
+           OR (cu.cent_cos = cv.cent_cos AND cu.vec_id < cv.vec_id))
+    SELECT cc.vec_id, cc.cid, cc.cent_cos, d.vec_id IS NULL AS keep
+    FROM cc LEFT JOIN drops d ON d.vec_id = cc.vec_id
+    """,
+    bench=True,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023, public "
+        "arXiv:2303.09540 method): kmeans-cluster the embedding space "
+        "(the exact-integer 2-round Lloyd fit shared with ml_kmeans), "
+        "find near-duplicate pairs WITHIN each cluster, and per "
+        "duplicate group keep the member FARTHEST from the centroid "
+        "(lowest centroid-cosine — the paper's diversity-preserving "
+        "keep rule; ties break to the smallest vec_id). Output is a "
+        "per-vector verdict (vec_id, cid, cent_cos, keep). Scale "
+        "design: clustering bounds candidate scope, and within a "
+        "cluster pairs come from adaptive sign-LSH sub-buckets "
+        "(_sem_lsh_bits holds rows per (cid, t, k) cell ~constant as N "
+        "grows, table count grows via _lsh_tables to hold recall), so "
+        "pair volume stays ~linear in N — never the cluster-size "
+        "quadratic a naive within-cluster pairwise would be. The "
+        "centroid join is k x 64 integer rows, always broadcast-able. "
+        "SQL twin instantiates the 4-table x 4-bit floor, which the "
+        "adaptive schedule yields at oracle scale.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts, assign, cents = _km_fit(spark, sf_dir)
+    assign = assign.persist()  # consumed by cent-cos AND pair legs
+    emb = table(spark, sf_dir, "embeddings")
+    n_rows = _emb_stats(spark, sf_dir)[0]
+    bits = _sem_lsh_bits(n_rows)
+    n_tables = _lsh_tables(bits)
+
+    vn = pts.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")).alias("vn")
+    )
+    cn = cents.groupBy("cid").agg(
+        F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")).alias("cn")
+    )
+    dc = (
+        pts.join(assign, "vec_id")
+        .join(
+            F.broadcast(cents.select("cid", "dim", F.col("q").alias("cq"))),
+            ["cid", "dim"],
+        )
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(F.col("q") * F.col("cq")).cast("double").alias("dotc"))
+    )
+    cc = (
+        dc.join(vn, "vec_id")
+        .join(F.broadcast(cn), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.round(F.col("dotc") / (F.col("vn") * F.col("cn")), 6)
+                .alias("cent_cos"),
+        )
+        .persist()
+    )
+
+    norms = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    keyed = (
+        norms.join(assign, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "cid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            _emb_lsh_key(F.col("embedding"), t, bits)
+                                .alias("k"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tk"),
+        )
+        .select(
+            "vec_id", "embedding", "nrm", "cid",
+            F.col("tk.t").alias("t"), F.col("tk.k").alias("k"),
+        )
+    )
+    # candidates carry IDs only (the dedup_embedding_cosine lesson);
+    # each surviving pair pays for one exact-cosine evaluation
+    ids = keyed.select("cid", "t", "k", "vec_id")
+    cand = (
+        ids.alias("ca")
+        .join(
+            ids.alias("cb"),
+            (F.col("ca.cid") == F.col("cb.cid"))
+            & (F.col("ca.t") == F.col("cb.t"))
+            & (F.col("ca.k") == F.col("cb.k"))
+            & (F.col("ca.vec_id") != F.col("cb.vec_id")),
+        )
+        .select(
+            F.col("ca.vec_id").alias("va"), F.col("cb.vec_id").alias("vb")
+        )
+        .distinct()
+    )
+    ea = norms.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    eb = norms.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    pairs = (
+        cand.join(ea, "va")
+        .join(eb, "vb")
+        .where(cos >= _EMB_COS_T)
+        .select("va", "vb")
+    )
+    cv = cc.select(
+        F.col("vec_id").alias("va"), F.col("cent_cos").alias("cos_v")
+    )
+    cu = cc.select(
+        F.col("vec_id").alias("vb"), F.col("cent_cos").alias("cos_u")
+    )
+    drops = (
+        pairs.join(cv, "va")
+        .join(cu, "vb")
+        .where(
+            (F.col("cos_u") < F.col("cos_v"))
+            | (
+                (F.col("cos_u") == F.col("cos_v"))
+                & (F.col("vb") < F.col("va"))
+            )
+        )
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
     return (
-        cents.join(sz, "cid")
-        .select("cid", "n_members", "dim", F.col("q").alias("centroid_q"))
-        .orderBy("cid", "dim")
+        cc.join(drops, "vec_id", "left")
+        .select(
+            "vec_id", "cid", "cent_cos",
+            F.col("dropped").isNull().alias("keep"),
+        )
     )
 
 
