@@ -4080,3 +4080,148 @@ def m_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, out_width int, out_height int, sum_r long, "
         "sum_g long, sum_b long",
     )
+
+
+# --------------------------------------------------- end-to-end pipeline
+
+_SQL_QUAL_GATE = """
+    len(string_split(text, ' ')) >= 5
+    AND CAST(n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+             AS DOUBLE) / n_chars <= 0.2
+    AND CAST(len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a'))) AS DOUBLE)
+        / len(string_split(text, ' ')) >= 0.01
+"""
+
+
+def _sql_prep_lanes() -> str:
+    return ", ".join(
+        f"MIN(substring(md5(s), {8 * i + 1}, 8)) AS h{i}"
+        for i in range(_N_MINHASH)
+    )
+
+
+@register(
+    "pipeline_prep_attrition",
+    sql=f"""
+    WITH raw AS (SELECT doc_id, text, lang, n_chars FROM documents),
+    lang_f AS (SELECT * FROM raw WHERE lang = 'en'),
+    qual AS (SELECT * FROM lang_f WHERE {_SQL_QUAL_GATE}),
+    exact AS (
+        SELECT q.* FROM qual q
+        JOIN (SELECT md5(text) AS fp, MIN(doc_id) AS keep_id
+              FROM qual GROUP BY 1) k
+          ON q.doc_id = k.keep_id),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM exact),
+             UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3),
+    sig AS (SELECT doc_id, {{lanes}} FROM sh GROUP BY doc_id),
+    near AS (
+        SELECT e.* FROM exact e
+        JOIN (SELECT h0 || h1 AS band0, MIN(doc_id) AS keep_id
+              FROM sig GROUP BY 1) b
+          ON e.doc_id = b.keep_id),
+    decon AS (
+        SELECT n.* FROM near n
+        WHERE NOT EXISTS (SELECT 1 FROM sh
+                          WHERE sh.doc_id = n.doc_id
+                            AND s IN {{probes}}))
+    SELECT 0 AS stage_ord, 'raw' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM raw
+    UNION ALL SELECT 1, 'lang_filter', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT) FROM lang_f
+    UNION ALL SELECT 2, 'quality_filter', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT) FROM qual
+    UNION ALL SELECT 3, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT) FROM exact
+    UNION ALL SELECT 4, 'near_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT) FROM near
+    UNION ALL SELECT 5, 'decontaminate', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT) FROM decon
+    """.format(lanes=_sql_prep_lanes(), probes=repr(_PROBE_PHRASES)),
+    bench=True,
+    doc="The assembled pre-training data-prep pipeline as ONE entry — "
+        "the attrition waterfall a corpus curation run reports: "
+        "raw -> language filter (lang = 'en') -> quality gate (the "
+        "t_quality_score thresholds) -> exact dedup (keep min doc_id "
+        "per md5) -> minhash-band near-dedup (keep min doc_id per "
+        "band, the dedup_minhash_buckets signature) -> benchmark "
+        "decontamination (drop docs sharing a probe 3-gram, the "
+        "t_decontaminate rule); one row per stage with surviving doc "
+        "and char counts. Each stage consumes the SURVIVORS of the "
+        "previous one — a real composed pipeline, not six independent "
+        "filters. Scale shape: filters are codegen'd map-side "
+        "predicates, both dedup keeps are single hash-aggs keyed on "
+        "fingerprint/band, decontamination is a map-side IN filter + "
+        "anti join; survivor stages are persisted once each because "
+        "SIX count/sum aggregates consume them (at 100 TB each stage "
+        "is one pass; nothing quadratic anywhere).",
+)
+def pipeline_prep_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    lang_f = raw.where(F.col("lang") == "en")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    punct = (
+        F.col("n_chars")
+        - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    ).cast("double") / F.col("n_chars")
+    stop = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / n_tokens
+    )
+    qual = lang_f.where(
+        (n_tokens >= 5) & (punct <= 0.2) & (stop >= 0.01)
+    ).persist()
+    keep_exact = qual.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact = qual.join(keep_exact.select("doc_id"), "doc_id").persist()
+    sh = shingle_rows(exact).persist()
+    lanes = sh.select(
+        "doc_id",
+        *[
+            F.substring(F.md5("s"), 8 * i + 1, 8).alias(f"l{i}")
+            for i in range(_N_MINHASH)
+        ],
+    )
+    sig = lanes.groupBy("doc_id").agg(
+        *[F.min(f"l{i}").alias(f"h{i}") for i in range(_N_MINHASH)]
+    )
+    keep_near = sig.groupBy(F.concat("h0", "h1").alias("band0")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    near = exact.join(keep_near.select("doc_id"), "doc_id").persist()
+    contaminated = (
+        sh.where(F.col("s").isin(*_PROBE_PHRASES)).select("doc_id").distinct()
+    )
+    decon = near.join(contaminated, "doc_id", "left_anti")
+
+    def stat(df: DataFrame, ord_: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        ).select(
+            F.lit(ord_).alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "sum_chars",
+        )
+
+    stages = [
+        stat(raw, 0, "raw"),
+        stat(lang_f, 1, "lang_filter"),
+        stat(qual, 2, "quality_filter"),
+        stat(exact, 3, "exact_dedup"),
+        stat(near, 4, "near_dedup"),
+        stat(decon, 5, "decontaminate"),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionAll(s)
+    return out
