@@ -4225,3 +4225,125 @@ def pipeline_prep_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stages[1:]:
         out = out.unionAll(s)
     return out
+
+
+@register(
+    "t_importance_resample",
+    sql="""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                  FROM documents),
+    bg AS (SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS b
+           FROM toks, UNNEST(range(1, len(t))) AS u(i)
+           WHERE len(t) >= 2),
+    v AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS v FROM bg),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg WHERE lang = 'en'),
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg),
+    ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg
+           WHERE lang = 'en' GROUP BY b),
+    cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b),
+    w AS (SELECT bg.doc_id,
+                 CAST(SUM(
+                     CAST(ROUND(ln((COALESCE(ct.c, 0) + 1.0)
+                                   / (nt.n + v.v)) * 1000000) AS BIGINT)
+                     - CAST(ROUND(ln((cr.c + 1.0)
+                                     / (nr.n + v.v)) * 1000000) AS BIGINT)
+                 ) AS BIGINT) AS logw_micro,
+                 CAST(COUNT(*) AS BIGINT) AS n_bigrams
+          FROM bg CROSS JOIN v CROSS JOIN nt CROSS JOIN nr
+          JOIN cr ON cr.b = bg.b
+          LEFT JOIN ct ON ct.b = bg.b
+          GROUP BY bg.doc_id)
+    SELECT doc_id, n_bigrams, logw_micro,
+           CAST(ROUND(-ln(-ln(
+               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) + 0.5) / 4294967296.0))
+               * 1000000) AS BIGINT) AS gumbel_micro,
+           logw_micro
+           + CAST(ROUND(-ln(-ln(
+               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) + 0.5) / 4294967296.0))
+               * 1000000) AS BIGINT) AS key_micro
+    FROM w
+    ORDER BY key_micro DESC, doc_id
+    LIMIT 50
+    """,
+    doc="DSIR-style importance resampling (Xie et al. 2023, public "
+        "arXiv:2302.03169 method): select pre-training documents whose "
+        "bigram distribution looks like a TARGET domain (here lang = "
+        "'en' as the target sample). Importance weight per doc = sum "
+        "over its bigrams of ln p_target(b) - ln p_raw(b) under "
+        "add-one-smoothed bigram models; selection is Gumbel top-k "
+        "(logw + Gumbel noise), which samples WITHOUT replacement "
+        "proportionally to the importance weights. Every stochastic "
+        "piece is derandomized for the cross-engine gate: Gumbel "
+        "-ln(-ln(u)) draws u from the md5 of doc_id, and all log terms "
+        "quantize to integer micro-nats (the ml_naive_bayes trick) "
+        "before summation, so ordering is integer-exact. Shape: one "
+        "bigram explode, two (b) hash-aggs for the models, one "
+        "posting-shaped score join, global TakeOrdered(50) — cost "
+        "tracks token volume; the model tables join on the bigram key "
+        "with map-side partial aggregation, never a pairwise product.",
+)
+def t_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    bg = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", F.explode(bigrams).alias("b"))
+        .persist()
+    )
+    vdf = bg.agg(F.countDistinct("b").cast("long").alias("v"))
+    ntdf = bg.where(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    nrdf = bg.agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    ct = bg.where(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("ctc")
+    )
+    cr = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("crc"))
+    term_t = F.round(
+        F.log(
+            (F.coalesce(F.col("ctc"), F.lit(0)) + 1.0)
+            / (F.col("nt") + F.col("v"))
+        )
+        * 1000000
+    ).cast("long")
+    term_r = F.round(
+        F.log((F.col("crc") + 1.0) / (F.col("nr") + F.col("v"))) * 1000000
+    ).cast("long")
+    w = (
+        bg.join(cr, "b")
+        .join(ct, "b", "left")
+        .crossJoin(F.broadcast(vdf))
+        .crossJoin(F.broadcast(ntdf))
+        .crossJoin(F.broadcast(nrdf))
+        .select("doc_id", (term_t - term_r).alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("term").alias("logw_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    gumbel = F.round(-F.log(-F.log(u)) * 1000000).cast("long")
+    return (
+        w.select(
+            "doc_id",
+            "n_bigrams",
+            "logw_micro",
+            gumbel.alias("gumbel_micro"),
+            (F.col("logw_micro") + gumbel).alias("key_micro"),
+        )
+        .orderBy(F.desc("key_micro"), "doc_id")
+        .limit(50)
+    )

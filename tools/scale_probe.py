@@ -111,6 +111,10 @@ QUERIES = [
     "t_pii_scrub",
     "x_skew_diagnose",
     "s_zorder_layout",
+    # round-6 additions
+    "dedup_semantic",
+    "pipeline_prep_attrition",
+    "j10_bucketed_join",
 ]
 
 # The skew-sensitive set: posting self-joins (containment/jaccard),
