@@ -2175,3 +2175,66 @@ def x_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "user_id")
         .limit(10)
     )
+
+
+@register(
+    "ev_cohort_ltv",
+    sql="""
+    WITH c AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+               FROM events GROUP BY user_id),
+    p AS (SELECT user_id, CAST(ts AS DATE) AS d,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+    g AS (SELECT strftime(c.cohort_date, '%Y-%m-%d') AS cohort_date,
+                 CAST(date_diff('day', c.cohort_date, p.d) AS BIGINT)
+                     AS day_offset,
+                 CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_buyers,
+                 CAST(SUM(p.cents) AS BIGINT) AS revenue_cents
+          FROM p JOIN c USING (user_id)
+          GROUP BY c.cohort_date, day_offset)
+    SELECT cohort_date, day_offset, n_buyers, revenue_cents,
+           CAST(SUM(revenue_cents) OVER (
+               PARTITION BY cohort_date ORDER BY day_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_revenue_cents
+    FROM g
+    """,
+    doc="Cohort lifetime value: users cohorted by first-active date "
+        "(the ev_retention convention), purchase revenue aggregated "
+        "per (cohort, day offset) in exact cents, plus the running "
+        "cumulative LTV curve per cohort. Shape: one user_id shuffle "
+        "builds the cohort map, the purchase leg joins it "
+        "co-partitioned, ONE hash agg produces the cohort x offset "
+        "grid, and the cumulative window runs on that grid — bounded "
+        "by cohorts x horizon days, independent of event volume, so "
+        "the within-cohort ordered window never sees raw events.",
+)
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = (
+        p.join(c, "user_id")
+        .groupBy(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff("d", "cohort_date").cast("long").alias("day_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_buyers"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_date")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.withColumn(
+        "cum_revenue_cents", F.sum("revenue_cents").over(w).cast("long")
+    )

@@ -4347,3 +4347,143 @@ def t_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("key_micro"), "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "t_pack_sequences",
+    sql="""
+    WITH tc AS (SELECT doc_id, doc_id // 1000 AS shard,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents),
+    run AS (SELECT doc_id, shard, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM tc),
+    b AS (SELECT shard, (cum - n_tokens) // 2048 AS local_bin, n_tokens,
+                 CASE WHEN (cum - n_tokens) // 2048 <> (cum - 1) // 2048
+                      THEN 1 ELSE 0 END AS straddles
+          FROM run)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(local_bin AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(straddles) AS BIGINT) AS n_straddling
+    FROM b GROUP BY shard, local_bin
+    """,
+    doc="Training-sequence packing accounting: concatenate documents "
+        "in doc_id order into a token stream and cut 2048-token "
+        "windows; each doc lands in the bin where it STARTS, and "
+        "n_straddling counts docs crossing a window boundary (the "
+        "attention-mask pollution metric packing pipelines track). "
+        "Packing is per-SHARD (doc_id div 1000): real packing runs "
+        "per worker/file anyway, and it is what makes the running "
+        "cumsum scale — the window partitions by shard instead of a "
+        "corpus-wide total order, so 100 TB packs as thousands of "
+        "independent bounded frames rather than one sequential pass. "
+        "One shuffle on shard, one hash agg on (shard, bin).",
+)
+def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = 2048
+    tc = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("doc_id div 1000").alias("shard"),
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = tc.withColumn("cum", F.sum("n_tokens").over(w))
+    start_bin = F.expr(f"(cum - n_tokens) div {ctx}")
+    end_bin = F.expr(f"(cum - 1) div {ctx}")
+    return (
+        run.select(
+            F.col("shard").cast("long").alias("shard"),
+            start_bin.alias("bin_id"),
+            "n_tokens",
+            (start_bin != end_bin).cast("int").alias("straddles"),
+        )
+        .groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("straddles").cast("long").alias("n_straddling"),
+        )
+    )
+
+
+@register(
+    "t_token_mask",
+    sql="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                        generate_subscripts(string_split(text, ' '), 1)
+                            AS i
+                 FROM documents),
+    m AS (SELECT doc_id, i,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                         || CAST(i - 1 AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 100 < 15 AS hit,
+                 w
+          FROM tok)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked,
+           md5(string_agg(CASE WHEN hit THEN '<MASK>' ELSE w END,
+                          ' ' ORDER BY i)) AS masked_md5
+    FROM m GROUP BY doc_id
+    """,
+    doc="Deterministic MLM-style token masking (the BERT/T5 15% "
+        "corruption transform as a reproducible dataflow): token i of "
+        "doc d masks iff md5(d:i) mod 100 < 15 — a fixed pseudo-random "
+        "schedule both engines compute identically, so the SAME "
+        "masked corpus regenerates on any cluster at any parallelism "
+        "(the property a training-data pipeline needs for resumable "
+        "preprocessing). Output: per-doc token/mask counts plus the "
+        "md5 of the masked text. Spark side is one array transform "
+        "inside codegen (no explode, no shuffle at all before the "
+        "final projection); the oracle explodes because DuckDB lacks "
+        "an indexed lambda.",
+)
+def t_token_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens()
+
+    def hit(i: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            i.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < 15
+        )
+
+    masked = F.transform(
+        toks, lambda w, i: F.when(hit(i), F.lit("<MASK>")).otherwise(w)
+    )
+    n_masked = F.size(
+        F.filter(
+            F.sequence(F.lit(0), F.size(toks) - 1), lambda i: hit(i)
+        )
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_masked.cast("long").alias("n_masked"),
+        F.md5(F.concat_ws(" ", masked)).alias("masked_md5"),
+    )
