@@ -2238,3 +2238,81 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.withColumn(
         "cum_revenue_cents", F.sum("revenue_cents").over(w).cast("long")
     )
+
+
+@register(
+    "agg_kmv_merge",
+    sql=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(list_sum(list_transform(
+                   generate_series(1, 8),
+                   i -> (strpos('0123456789abcdef',
+                                substr(md5(CAST(user_id AS VARCHAR)), i, 1))
+                         - 1) * 16 ** (8 - i))) AS BIGINT) AS hv
+        FROM events),
+    g AS (SELECT event_type, hv,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY hv) AS rn
+          FROM h),
+    sk AS (SELECT event_type, hv FROM g WHERE rn <= {_KMV_K}),
+    m2 AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+           FROM (SELECT DISTINCT hv FROM sk)),
+    msk AS (SELECT hv FROM m2 WHERE rn <= {_KMV_K})
+    SELECT event_type AS scope,
+           CAST({_KMV_K} AS BIGINT) AS k,
+           CAST(MAX(hv) AS BIGINT) AS kth_hash,
+           ({_KMV_K} - 1) * 4294967296.0 / MAX(hv) AS est_distinct
+    FROM sk GROUP BY event_type
+    UNION ALL
+    SELECT '(merged)', CAST({_KMV_K} AS BIGINT), CAST(MAX(hv) AS BIGINT),
+           ({_KMV_K} - 1) * 4294967296.0 / MAX(hv)
+    FROM msk
+    """,
+    doc="KMV sketch MERGE — the property that makes a sketch "
+        "distributed: per-event_type k-minimum-value sketches (k "
+        "smallest distinct 32-bit md5 hashes of user_id), then a "
+        "merged global estimate built ONLY from the per-group "
+        "sketches (union the k-row sketches, re-take the k smallest). "
+        "Because every global k-min hash is necessarily inside its "
+        "own group's k-mins, the merged sketch equals the sketch of "
+        "the union — the exact algebra a 1000-executor rollup relies "
+        "on (partials per shard, tiny merge at the top). All windows "
+        "run on sketch-sized frames: per-group rank on the distinct "
+        "hash table, global rank on <= n_groups x k = 24 rows.",
+)
+def agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    wg = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(wg))
+        .where(F.col("rn") <= _KMV_K)
+        .select("event_type", "hv")
+        .persist()  # two consumers: per-group estimates + the merge
+    )
+    per_group = sk.groupBy(F.col("event_type").alias("scope")).agg(
+        F.lit(_KMV_K).cast("long").alias("k"),
+        F.max("hv").alias("kth_hash"),
+        ((_KMV_K - 1) * F.lit(4294967296.0) / F.max("hv"))
+            .alias("est_distinct"),
+    )
+    wm = Window.orderBy("hv")  # frame <= n_groups * k rows (sketches)
+    merged = (
+        sk.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") <= _KMV_K)
+        .agg(
+            F.lit("(merged)").alias("scope"),
+            F.lit(_KMV_K).cast("long").alias("k"),
+            F.max("hv").alias("kth_hash"),
+            ((_KMV_K - 1) * F.lit(4294967296.0) / F.max("hv"))
+                .alias("est_distinct"),
+        )
+        .select("scope", "k", "kth_hash", "est_distinct")
+    )
+    return per_group.unionAll(merged)
