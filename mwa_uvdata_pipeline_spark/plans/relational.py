@@ -1379,3 +1379,51 @@ def s_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@register(
+    "s_xml_source",
+    sql="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+    FROM documents GROUP BY lang
+    """,
+    doc="XML source round-trip (S2 multi-format dispatch, Spark 4 "
+        "native XML): documents written as XML (one <doc> element per "
+        "row, writer escapes markup), read back with an EXPLICIT "
+        "schema (no inference scan — the 100-TB rule) and "
+        "ignoreSurroundingSpaces=false so text round-trips "
+        "byte-exactly; aggregated per lang and matched against the "
+        "oracle over the parquet original, with COUNT(DISTINCT "
+        "md5(text)) proving content integrity through the "
+        "escape/parse cycle.",
+)
+def s_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.plans import fixture_dir
+
+    docs = table(spark, sf_dir, "documents")
+    out = fixture_dir(
+        "docs_xml",
+        sf_dir,
+        lambda d: docs.write.mode("overwrite")
+        .option("rowTag", "doc")
+        .format("xml")
+        .save(d),
+    )
+    back = (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .format("xml")
+        .load(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+    )
