@@ -2316,3 +2316,69 @@ def agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("scope", "k", "kth_hash", "est_distinct")
     )
     return per_group.unionAll(merged)
+
+
+@register(
+    "stream_state_read_exec",
+    sql="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    w AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+          FROM events GROUP BY 1, 2)
+    SELECT strftime(w.ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+           n, sum_cents
+    FROM w, mx
+    WHERE w.ws + INTERVAL 1 HOUR > mx.m - INTERVAL 10 MINUTE
+    """,
+    doc="State-store INTROSPECTION (Spark 4 statestore reader): run "
+        "the tumbling-window stream to completion against a real "
+        "checkpoint, then read the checkpoint's state store back as a "
+        "DataFrame and verify its residual contents against the batch "
+        "oracle. After the final no-data batch the watermark sits at "
+        "max(ts) - 10 minutes and append mode has emitted AND EVICTED "
+        "every window whose end <= watermark — so the surviving state "
+        "rows must be exactly the per-(window, event_type) partial "
+        "aggregates (count + cents sum, the pre-projection buffer) of "
+        "windows still open past the watermark. This gates the "
+        "EVICTION semantics themselves, not just the emitted output: "
+        "leaked state rows (the 100-TB unbounded-state failure mode) "
+        "or wrongly-dropped open windows both fail the compare. The "
+        "reader is also the production debugging tool for inspecting "
+        "a live job's state without stopping it.",
+)
+def stream_state_read_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.plans import scratch_dir
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        _await_drained,
+        stream_tumbling_counts,
+    )
+
+    out = _replay_fixture(spark, sf_dir)
+    ckpt = scratch_dir("ckpt_ssr_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_tumbling_counts(spark, f"{out}/part*")
+            .writeStream.format("memory")
+            .queryName(f"ssr_sink_{uuid.uuid4().hex[:8]}")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drained(q, 120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.date_format("key.window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("win_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+        F.col("value.sum").alias("sum_cents"),
+    )
