@@ -4487,3 +4487,82 @@ def t_token_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_masked.cast("long").alias("n_masked"),
         F.md5(F.concat_ws(" ", masked)).alias("masked_md5"),
     )
+
+
+def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit twin of dedup_semantic with EXACT within-cluster pairwise
+    cosine instead of LSH sub-buckets. Deliberately NOT registered:
+    the per-cluster quadratic is the 100-TB anti-pattern the
+    registered plan's adaptive sub-buckets exist to avoid;
+    tools/recall_probe.py uses it to measure the LSH plan's drop
+    recall at bench scale."""
+    pts, assign, cents = _km_fit(spark, sf_dir)
+    assign = assign.persist()
+    emb = table(spark, sf_dir, "embeddings")
+    vn = pts.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")).alias("vn")
+    )
+    cn = cents.groupBy("cid").agg(
+        F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")).alias("cn")
+    )
+    dc = (
+        pts.join(assign, "vec_id")
+        .join(
+            F.broadcast(cents.select("cid", "dim", F.col("q").alias("cq"))),
+            ["cid", "dim"],
+        )
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(F.col("q") * F.col("cq")).cast("double").alias("dotc"))
+    )
+    cc = (
+        dc.join(vn, "vec_id")
+        .join(F.broadcast(cn), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.round(F.col("dotc") / (F.col("vn") * F.col("cn")), 6)
+                .alias("cent_cos"),
+        )
+        .persist()
+    )
+    norms = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    ).join(assign, "vec_id")
+    a = norms.select(
+        F.col("cid").alias("cid_a"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = norms.select(
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    pairs = (
+        a.join(b, (F.col("cid_a") == F.col("cid_b")) & (F.col("va") != F.col("vb")))
+        .where(cos >= _EMB_COS_T)
+        .select("va", "vb")
+    )
+    cv = cc.select(F.col("vec_id").alias("va"), F.col("cent_cos").alias("cos_v"))
+    cu = cc.select(F.col("vec_id").alias("vb"), F.col("cent_cos").alias("cos_u"))
+    drops = (
+        pairs.join(cv, "va")
+        .join(cu, "vb")
+        .where(
+            (F.col("cos_u") < F.col("cos_v"))
+            | ((F.col("cos_u") == F.col("cos_v")) & (F.col("vb") < F.col("va")))
+        )
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return cc.join(drops, "vec_id", "left").select(
+        "vec_id", "cid", "cent_cos", F.col("dropped").isNull().alias("keep")
+    )

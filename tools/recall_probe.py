@@ -61,6 +61,25 @@ def main() -> None:
     }
     knn_recall = len(got_nn & exact_nn) / len(exact_nn) if exact_nn else 1.0
 
+    from mwa_uvdata_pipeline_spark.plans.text import (
+        dedup_semantic,
+        dedup_semantic_exact,
+    )
+
+    got_drop = {
+        r.vec_id
+        for r in dedup_semantic(spark, sf_dir).collect()
+        if not r.keep
+    }
+    exact_drop = {
+        r.vec_id
+        for r in dedup_semantic_exact(spark, sf_dir).collect()
+        if not r.keep
+    }
+    sem_recall = (
+        len(got_drop & exact_drop) / len(exact_drop) if exact_drop else 1.0
+    )
+
     print(
         json.dumps(
             {
@@ -74,6 +93,12 @@ def main() -> None:
                     "lsh_hits": len(got_nn & exact_nn),
                     "exact_topk": len(exact_nn),
                     "recall": round(knn_recall, 4),
+                },
+                "dedup_semantic": {
+                    "lsh_drops": len(got_drop),
+                    "exact_drops": len(exact_drop),
+                    "false_drops": len(got_drop - exact_drop),
+                    "drop_recall": round(sem_recall, 4),
                 },
             }
         )
