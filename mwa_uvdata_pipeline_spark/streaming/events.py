@@ -526,3 +526,73 @@ def stream_session_ttl(
             "n_events",
         )
     )
+
+
+def stream_tws_totals(spark: SparkSession, src_glob: str) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful successor to applyInPandasWithState:
+    typed per-key state handles (ValueState here; List/Map state and
+    timers are the same handle API) managed by the RocksDB state
+    store. Same exact-integer-cents discipline as
+    ``stream_user_running_totals``: an exact accumulator makes the
+    final state micro-batch-invariant, hence batch-oracle-checkable.
+
+    ENVIRONMENT-GATED in this container: the transformWithState state
+    server speaks protobuf between the JVM and the Python driver
+    worker, and ``google.protobuf`` is not installed here (verified:
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError at
+    query start), so this operator cannot EXECUTE in the test
+    environment — the same class of seam as the pyuvdata-gated
+    ms/uvh5 readers. The implementation is complete and the executed
+    oracle gate for the arbitrary-stateful family is carried by
+    ``stream_stateful_exec`` (applyInPandasWithState, protobuf-free
+    protocol); swap the registry entry to this operator on any
+    cluster with protobuf present (``tests/test_streaming.py``
+    skip-gates a parity test on the import).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [
+                    StructField("n", LongType(), True),
+                    StructField("sc", LongType(), True),
+                ]
+            )
+            self._tot = handle.getValueState("totals", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, sc = (self._tot.get() or (0, 0)) if self._tot.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                # floor(x*100 + 0.5) = SQL ROUND half-up for the
+                # non-negative values here (pandas .round is banker's)
+                sc += int(
+                    pdf["value"].mul(100).add(0.5).pipe(np.floor)
+                    .astype("int64").sum()
+                )
+            self._tot.update((n, sc))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_cents": [sc]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        _read_stream(spark, src_glob)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType="user_id long, n_events long, sum_cents long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -236,3 +236,61 @@ def test_session_ttl_out_of_order_within_watermark(spark, tmp_path):
         ),
     }
     assert got == want
+
+
+def test_tws_totals_parity_when_protobuf_available(spark):
+    """transformWithStateInPandas parity gate — SKIPPED in this
+    container (no google.protobuf, which the TWS state server
+    requires; see stream_tws_totals docstring). On a protobuf-enabled
+    cluster this runs the Spark 4 arbitrary-stateful operator and
+    checks the recovered final state against the batch GROUP BY."""
+    pytest.importorskip("google.protobuf")
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from mwa_uvdata_pipeline_spark.plans import table
+    from mwa_uvdata_pipeline_spark.plans.events import _replay_fixture
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        run_to_memory,
+        stream_tws_totals,
+    )
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = _replay_fixture(spark, SF_SMALL)
+        sink = f"tws_{uuid.uuid4().hex[:6]}"
+        run_to_memory(
+            stream_tws_totals(spark, f"{out}/part*"), sink,
+            output_mode="update",
+        )
+        got = {
+            (r.user_id, r.n, r.sc)
+            for r in spark.sql(
+                f"SELECT user_id, MAX(n_events) AS n, "
+                f"max_by(sum_cents, n_events) AS sc FROM {sink} "
+                f"GROUP BY user_id"
+            ).collect()
+        }
+        exp = {
+            (r.user_id, r.n, r.sc)
+            for r in table(spark, SF_SMALL, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"),
+            )
+            .collect()
+        }
+        assert got == exp
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
