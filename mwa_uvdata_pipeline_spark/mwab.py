@@ -36,6 +36,7 @@ import numpy as np
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -43,6 +44,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 MAGIC = b"MWAB1\n"
@@ -253,9 +255,100 @@ class MWABReader(DataSourceReader):
         yield batch
 
 
+class MWABCommit(WriterCommitMessage):
+    """Per-task commit message: files this task wrote + row count."""
+
+    def __init__(self, paths: list[str], n_rows: int) -> None:
+        self.paths = paths
+        self.n_rows = n_rows
+
+
+class MWABWriter(DataSourceWriter):
+    """Write half of the Python DataSource (Spark 4 writer API):
+    ``df.write.format("mwa_vis").mode(...).save(dir)`` packs each
+    task's rows into one MWAB file PER INTEGRATION (time_idx).
+
+    CONTRACT: rows of one time_idx must be co-located in one task —
+    ``df.repartition(n, "time_idx")`` before the write. MWAB is a
+    DENSE container (unwritten cells zero-fill, the interferometer
+    data model), so an integration split across tasks would produce
+    several overlapping dense files and the reader would explode the
+    full grid once PER FILE. This is the same discipline any dense
+    scientific container demands (one writer per hypercube slab); the
+    hive-style alternative of open-file handles per key inside a
+    task is exactly what the per-integration grouping inside write()
+    provides for free once the shuffle key is right.
+
+    commit() writes a _MANIFEST.json from the per-task messages — the
+    all-or-nothing visibility point a production sink pairs with a
+    file-listing reader; abort() best-effort removes this attempt's
+    files."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.dir = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        rows = list(iterator)
+        if not rows:
+            return MWABCommit([], 0)
+        pdf = pd.DataFrame([r.asDict() for r in rows])
+        os.makedirs(self.dir, exist_ok=True)
+        task = TaskContext.get().taskAttemptId()
+        paths: list[str] = []
+        for t, sub in pdf.groupby("time_idx"):
+            ants = sorted(set(sub["ant1"]) | set(sub["ant2"]))
+            pols = sorted(sub["pol"].unique())
+            chans = np.sort(sub["chan"].unique())
+            if not (chans == np.arange(len(chans))).all():
+                raise ValueError("chan grid must be dense 0..C-1")
+            freqs = np.sort(sub["freq_hz"].unique())
+            width = float(freqs[1] - freqs[0]) if len(freqs) > 1 else 0.0
+            path = os.path.join(self.dir, f"part-{task:06d}-t{int(t):06d}.mwab")
+            _pack_dense(
+                sub,
+                ants,
+                pols,
+                n_chans=len(chans),
+                times_jd=[float(sub["time_jd"].iloc[0])],
+                time0=int(t),
+                obsid=int(sub["obsid"].iloc[0]),
+                freq0_hz=float(freqs[0]),
+                chan_width_hz=width,
+                path=path,
+            )
+            paths.append(path)
+        return MWABCommit(paths, len(pdf))
+
+    def commit(self, messages) -> None:
+        import os
+
+        manifest = {
+            "files": sorted(p for m in messages for p in m.paths),
+            "n_rows": int(sum(m.n_rows for m in messages)),
+        }
+        with open(os.path.join(self.dir, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        import contextlib
+        import os
+
+        for m in messages:
+            for p in m.paths:
+                with contextlib.suppress(OSError):
+                    os.remove(p)
+
+
 class MWAVisDataSource(DataSource):
     """``spark.read.format("mwa_vis").option("path", glob)`` →
-    long-format visibility hypercube."""
+    long-format visibility hypercube; ``df.write.format("mwa_vis")``
+    → per-integration MWAB files + commit manifest."""
 
     @classmethod
     def name(cls) -> str:
@@ -266,6 +359,16 @@ class MWAVisDataSource(DataSource):
 
     def reader(self, schema) -> MWABReader:
         return MWABReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool) -> MWABWriter:
+        import glob as g
+        import os
+
+        opts = dict(self.options)
+        if overwrite:
+            for p in g.glob(os.path.join(opts["path"], "part-*.mwab")):
+                os.remove(p)  # driver-side clean of the previous commit
+        return MWABWriter(opts, overwrite)
 
 
 def register_mwa_source(spark) -> None:
