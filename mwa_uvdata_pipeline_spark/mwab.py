@@ -91,6 +91,26 @@ def write_mwab(
         f.write(np.ascontiguousarray(flag, dtype="u1").tobytes())
 
 
+def _committed_files(pattern: str) -> list[str]:
+    """Resolve a read path/glob to the COMMITTED file set. If the
+    target directory carries a writer ``_MANIFEST.json``, the listing
+    comes from it (filtered by the glob's basename pattern), so orphan
+    files from failed or retried write attempts are never read back as
+    duplicate dense slabs; directories without a manifest (fixture
+    packers, hand-placed files) fall back to a plain glob."""
+    import fnmatch
+    import os
+
+    d = os.path.dirname(pattern) or "."
+    manifest_path = os.path.join(d, "_MANIFEST.json")
+    if os.path.isfile(manifest_path) and not _glob.has_magic(d):
+        with open(manifest_path) as f:
+            files = json.load(f).get("files", [])
+        base = os.path.basename(pattern)
+        return sorted(p for p in files if fnmatch.fnmatch(os.path.basename(p), base))
+    return sorted(_glob.glob(pattern))
+
+
 def read_header(path: str) -> tuple[dict, int]:
     """Returns (header, payload_offset). The metadata-only open the
     reference does with read_data=False (processors.py:163-165)."""
@@ -115,7 +135,7 @@ class MWABReader(DataSourceReader):
     predicates shrink the planned byte ranges before any task runs."""
 
     def __init__(self, options: dict) -> None:
-        self.paths = sorted(_glob.glob(options["path"]))
+        self.paths = _committed_files(options["path"])
         if not self.paths:
             raise ValueError(f"no files match {options['path']}")
         self.time_block = int(options.get("time_block", DEFAULT_TIME_BLOCK))
@@ -256,10 +276,14 @@ class MWABReader(DataSourceReader):
 
 
 class MWABCommit(WriterCommitMessage):
-    """Per-task commit message: files this task wrote + row count."""
+    """Per-task commit message: (temp, final) rename pairs + row count.
+    Task output lands under dot-prefixed temp names (invisible to the
+    ``*.mwab`` glob); only commit() renames them to final names, so a
+    failed or speculatively-retried task attempt can never leak a
+    half-visible file into a later read."""
 
-    def __init__(self, paths: list[str], n_rows: int) -> None:
-        self.paths = paths
+    def __init__(self, renames: list[tuple[str, str]], n_rows: int) -> None:
+        self.renames = renames
         self.n_rows = n_rows
 
 
@@ -279,14 +303,25 @@ class MWABWriter(DataSourceWriter):
     task is exactly what the per-integration grouping inside write()
     provides for free once the shuffle key is right.
 
-    commit() writes a _MANIFEST.json from the per-task messages — the
-    all-or-nothing visibility point a production sink pairs with a
-    file-listing reader; abort() best-effort removes this attempt's
-    files."""
+    Commit protocol (the all-or-nothing visibility point, enforced on
+    BOTH paths): tasks write to dot-prefixed temp names and report
+    (temp, final) pairs; commit() renames the winners, then publishes
+    _MANIFEST.json (atomically, via os.replace), and only THEN — in
+    overwrite mode — deletes the previous commit's files, so a failed
+    overwrite never destroys readable data. Append mode merges the
+    prior manifest's file list and row count instead of clobbering it.
+    abort() removes only this attempt's temp files. Final names carry
+    a per-job token, so two jobs' outputs can never collide even if
+    task-attempt ids repeat across applications."""
 
     def __init__(self, options: dict, overwrite: bool) -> None:
+        import uuid
+
         self.dir = options["path"]
         self.overwrite = overwrite
+        # chosen driver-side, serialized into every task: names from
+        # different jobs (or a re-run of this one) can never collide
+        self.job_token = uuid.uuid4().hex[:8]
 
     def write(self, iterator):
         import os
@@ -294,14 +329,28 @@ class MWABWriter(DataSourceWriter):
         import pandas as pd
         from pyspark import TaskContext
 
-        rows = list(iterator)
-        if not rows:
-            return MWABCommit([], 0)
-        pdf = pd.DataFrame([r.asDict() for r in rows])
         os.makedirs(self.dir, exist_ok=True)
         task = TaskContext.get().taskAttemptId()
-        paths: list[str] = []
-        for t, sub in pdf.groupby("time_idx"):
+        # stream the iterator once, bucketing scalar columns per
+        # integration — never a whole-partition row list + row-wise
+        # pandas copy held simultaneously (executor-memory discipline:
+        # peak extra memory is one integration's small frame)
+        cols = (
+            "obsid", "time_idx", "time_jd", "ant1", "ant2",
+            "chan", "freq_hz", "pol", "vis", "flag",
+        )
+        buckets: dict[int, dict[str, list]] = {}
+        for row in iterator:
+            b = buckets.get(row["time_idx"])
+            if b is None:
+                b = buckets[row["time_idx"]] = {c: [] for c in cols}
+            for c in cols:
+                b[c].append(row[c])
+        renames: list[tuple[str, str]] = []
+        n_rows = 0
+        for t in sorted(buckets):
+            sub = pd.DataFrame(buckets.pop(t))
+            n_rows += len(sub)
             ants = sorted(set(sub["ant1"]) | set(sub["ant2"]))
             pols = sorted(sub["pol"].unique())
             chans = np.sort(sub["chan"].unique())
@@ -309,7 +358,8 @@ class MWABWriter(DataSourceWriter):
                 raise ValueError("chan grid must be dense 0..C-1")
             freqs = np.sort(sub["freq_hz"].unique())
             width = float(freqs[1] - freqs[0]) if len(freqs) > 1 else 0.0
-            path = os.path.join(self.dir, f"part-{task:06d}-t{int(t):06d}.mwab")
+            name = f"part-{self.job_token}-{task:06d}-t{int(t):06d}.mwab"
+            tmp = os.path.join(self.dir, f".{name}.inprogress")
             _pack_dense(
                 sub,
                 ants,
@@ -320,29 +370,56 @@ class MWABWriter(DataSourceWriter):
                 obsid=int(sub["obsid"].iloc[0]),
                 freq0_hz=float(freqs[0]),
                 chan_width_hz=width,
-                path=path,
+                path=tmp,
             )
-            paths.append(path)
-        return MWABCommit(paths, len(pdf))
+            renames.append((tmp, os.path.join(self.dir, name)))
+        return MWABCommit(renames, n_rows)
 
     def commit(self, messages) -> None:
         import os
 
-        manifest = {
-            "files": sorted(p for m in messages for p in m.paths),
-            "n_rows": int(sum(m.n_rows for m in messages)),
-        }
-        with open(os.path.join(self.dir, "_MANIFEST.json"), "w") as f:
-            json.dump(manifest, f, sort_keys=True)
+        manifest_path = os.path.join(self.dir, "_MANIFEST.json")
+        prior: dict = {"files": [], "n_rows": 0}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                prior = json.load(f)
+        # 1. make the winners visible
+        new_files: list[str] = []
+        for m in messages:
+            for tmp, final in m.renames:
+                os.replace(tmp, final)
+                new_files.append(final)
+        # 2. publish the manifest atomically (merge prior on append)
+        if self.overwrite:
+            files = sorted(new_files)
+            n_rows = int(sum(m.n_rows for m in messages))
+        else:
+            files = sorted(set(prior.get("files", [])) | set(new_files))
+            n_rows = int(prior.get("n_rows", 0)) + int(
+                sum(m.n_rows for m in messages)
+            )
+        tmp_manifest = manifest_path + ".inprogress"
+        with open(tmp_manifest, "w") as f:
+            json.dump({"files": files, "n_rows": n_rows}, f, sort_keys=True)
+        os.replace(tmp_manifest, manifest_path)
+        # 3. only now retire the previous commit's data (overwrite):
+        #    a crash before this point leaves BOTH generations on disk
+        #    but the manifest — the read path's source of truth —
+        #    already names only the new one
+        if self.overwrite:
+            keep = set(new_files)
+            for p in _glob.glob(os.path.join(self.dir, "part-*.mwab")):
+                if p not in keep:
+                    os.remove(p)
 
     def abort(self, messages) -> None:
         import contextlib
         import os
 
         for m in messages:
-            for p in m.paths:
+            for tmp, _final in m.renames:
                 with contextlib.suppress(OSError):
-                    os.remove(p)
+                    os.remove(tmp)
 
 
 class MWAVisDataSource(DataSource):
@@ -361,14 +438,10 @@ class MWAVisDataSource(DataSource):
         return MWABReader(dict(self.options))
 
     def writer(self, schema, overwrite: bool) -> MWABWriter:
-        import glob as g
-        import os
-
-        opts = dict(self.options)
-        if overwrite:
-            for p in g.glob(os.path.join(opts["path"], "part-*.mwab")):
-                os.remove(p)  # driver-side clean of the previous commit
-        return MWABWriter(opts, overwrite)
+        # nothing is deleted here: overwrite's deletion of the prior
+        # commit is deferred to MWABWriter.commit(), after the new
+        # generation is durable and the manifest republished
+        return MWABWriter(dict(self.options), overwrite)
 
 
 def register_mwa_source(spark) -> None:

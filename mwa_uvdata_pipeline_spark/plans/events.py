@@ -2382,3 +2382,312 @@ def stream_state_read_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("n"),
         F.col("value.sum").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------- round 7
+# Third sketch family (HLL registers), mergeable histogram/quantile
+# sketch, and a watermark-delay audit — each designed around the merge
+# algebra or bounded-frame property a 1000-executor rollup needs.
+
+_HLL_M = 64  # 6-bit bucket index; registers per sketch
+
+# rho = 1 + leading-zero count of the remaining 26 hash bits; identical
+# CASE text evaluated by BOTH engines, so there is no float log2 to
+# disagree on. rem >= 2^25 -> top bit set -> rho 1; rem = 0 -> rho 27.
+_HLL_RHO_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN rem >= {1 << k} THEN {26 - k}" for k in range(25, -1, -1)
+    )
+    + " ELSE 27 END"
+)
+
+
+@register(
+    "ev_hll_merge",
+    sql=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(list_sum(list_transform(
+                   generate_series(1, 8),
+                   i -> (strpos('0123456789abcdef',
+                                substr(md5(CAST(user_id AS VARCHAR)), i, 1))
+                         - 1) * 16 ** (8 - i))) AS BIGINT) AS hv
+        FROM events),
+    b AS (SELECT event_type, hv % {_HLL_M} AS bucket,
+                 hv // {_HLL_M} AS rem FROM h),
+    reg AS (SELECT event_type, bucket,
+                   MAX({_HLL_RHO_CASE}) AS rho
+            FROM b GROUP BY event_type, bucket),
+    per AS (SELECT event_type AS scope,
+                   CAST(COUNT(*) AS BIGINT) AS n_present,
+                   CAST(SUM(CAST(2 AS BIGINT) ** (27 - rho)) AS BIGINT)
+                       AS s_present
+            FROM reg GROUP BY event_type),
+    mreg AS (SELECT bucket, MAX(rho) AS rho FROM reg GROUP BY bucket),
+    mrg AS (SELECT '(merged)' AS scope,
+                   CAST(COUNT(*) AS BIGINT) AS n_present,
+                   CAST(SUM(CAST(2 AS BIGINT) ** (27 - rho)) AS BIGINT)
+                       AS s_present
+            FROM mreg),
+    u AS (SELECT * FROM per UNION ALL SELECT * FROM mrg)
+    SELECT scope, CAST({_HLL_M} AS BIGINT) AS m, n_present,
+           s_present + ({_HLL_M} - n_present) * 134217728 AS s_scaled,
+           0.709 * 4096.0 * 134217728.0 /
+               (s_present + ({_HLL_M} - n_present) * 134217728)
+               AS est_distinct
+    FROM u
+    """,
+    doc="HyperLogLog register sketch with its EXACT merge algebra — "
+        "the third sketch family after KMV (distinct) and CMS (heavy "
+        "hitters), and the one real engines ship for COUNT(DISTINCT): "
+        "bucket = hash mod 64, rho = 1 + leading-zero count of the "
+        "remaining 26 bits (a generated 27-arm integer CASE shared "
+        "verbatim with the oracle — no float log2 to disagree on), "
+        "register = MAX(rho) per bucket. MAX is associative and "
+        "commutative, so per-event_type register tables merge to the "
+        "global sketch by element-wise max — bit-identical to "
+        "sketching the union, the property a 1000-executor rollup "
+        "needs (64-long registers per shard, tiny merge at the top). "
+        "The harmonic-mean denominator sum(2^-rho) is kept in exact "
+        "integer form S/2^27 (S = sum 2^(27-rho), absent registers "
+        "contribute 2^27), so est_distinct is one deterministic "
+        "double division, not an order-dependent float sum. Shape: "
+        "one hash-distinct, one (type,bucket) hash agg with map-side "
+        "partials, then aggs over register-table frames (<= "
+        "n_types x 64 rows).",
+)
+def ev_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    b = (
+        ev.select("event_type", hv.alias("hv"))
+        .distinct()
+        .select(
+            "event_type",
+            (F.col("hv") % _HLL_M).alias("bucket"),
+            F.expr(f"hv div {_HLL_M}").alias("rem"),
+        )
+    )
+    reg = (
+        b.withColumn("rho", F.expr(_HLL_RHO_CASE))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .persist()  # two consumers: per-scope sketches + the merge
+    )
+    pow_term = F.expr("shiftleft(CAST(1 AS BIGINT), 27 - rho)")
+    per = reg.groupBy(F.col("event_type").alias("scope")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(pow_term).cast("long").alias("s_present"),
+    )
+    mrg = (
+        reg.groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .agg(
+            F.lit("(merged)").alias("scope"),
+            F.count(F.lit(1)).cast("long").alias("n_present"),
+            F.sum(pow_term).cast("long").alias("s_present"),
+        )
+    )
+    u = per.unionByName(mrg)
+    s_scaled = F.col("s_present") + (_HLL_M - F.col("n_present")) * F.lit(
+        134217728
+    )
+    return u.select(
+        "scope",
+        F.lit(_HLL_M).cast("long").alias("m"),
+        "n_present",
+        s_scaled.alias("s_scaled"),
+        (F.lit(0.709) * F.lit(4096.0) * F.lit(134217728.0) / s_scaled).alias(
+            "est_distinct"
+        ),
+    )
+
+
+_HB_W = 8  # histogram bin width over value
+_HB_N = 16  # bins; domain clamped to [0, 128)
+
+
+@register(
+    "agg_hist_merge",
+    sql=f"""
+    WITH b AS (
+        SELECT event_type,
+               LEAST(GREATEST(CAST(FLOOR(value / {_HB_W}) AS BIGINT), 0),
+                     {_HB_N - 1}) AS bin
+        FROM events),
+    hist AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+             FROM b GROUP BY event_type, bin),
+    merged AS (SELECT '(merged)' AS scope, bin, SUM(c) AS c
+               FROM hist GROUP BY bin),
+    allh AS (SELECT event_type AS scope, bin, c FROM hist
+             UNION ALL SELECT scope, bin, c FROM merged),
+    cum AS (SELECT scope, bin, c,
+                   SUM(c) OVER (PARTITION BY scope ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cumc,
+                   SUM(c) OVER (PARTITION BY scope) AS total
+            FROM allh),
+    med AS (SELECT scope, MIN(bin) AS mbin FROM cum
+            WHERE cumc >= total / 2.0 GROUP BY scope)
+    SELECT cum.scope,
+           CAST(MAX(cum.total) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_present,
+           CAST(MAX(med.mbin) AS BIGINT) AS median_bin,
+           MAX(CASE WHEN cum.bin = med.mbin THEN
+               med.mbin * {_HB_W} + {_HB_W} *
+               (cum.total / 2.0 - (cum.cumc - cum.c)) / cum.c
+           END) AS est_median
+    FROM cum JOIN med ON cum.scope = med.scope
+    GROUP BY cum.scope
+    """,
+    doc="Mergeable equi-width histogram sketch — the quantile-sketch "
+        "algebra alongside KMV/HLL (distinct) and CMS (frequency): "
+        "per-event_type 16-bin histograms over value (bin counts are "
+        "plain sums, so shard histograms merge to the global one by "
+        "vector addition — the '(merged)' scope is built ONLY from "
+        "the per-scope sketch rows, never re-reading the data), and "
+        "the median estimated by linear interpolation inside the "
+        "first bin whose cumulative count crosses total/2. Every "
+        "window runs on a sketch-sized frame (<= 16 rows per scope); "
+        "the only full-data pass is one (type,bin) hash agg with "
+        "map-side partials. Integer-exact until the single "
+        "interpolation division.",
+)
+def agg_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / _HB_W).cast("long"), F.lit(0)),
+        F.lit(_HB_N - 1),
+    )
+    hist = (
+        ev.select("event_type", bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()  # consumers: per-scope rows + the vector-sum merge
+    )
+    merged = (
+        hist.groupBy("bin")
+        .agg(F.sum("c").alias("c"))
+        .select(F.lit("(merged)").alias("scope"), "bin", "c")
+    )
+    allh = hist.select(
+        F.col("event_type").alias("scope"), "bin", "c"
+    ).unionByName(merged)
+    wcum = (
+        Window.partitionBy("scope")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("scope")
+    cum = allh.select(
+        "scope",
+        "bin",
+        "c",
+        F.sum("c").over(wcum).alias("cumc"),
+        F.sum("c").over(wtot).alias("total"),
+    )
+    med = (
+        cum.where(F.col("cumc") >= F.col("total") / 2.0)
+        .groupBy("scope")
+        .agg(F.min("bin").alias("mbin"))
+    )
+    interp = F.when(
+        F.col("bin") == F.col("mbin"),
+        F.col("mbin") * _HB_W
+        + _HB_W
+        * (F.col("total") / 2.0 - (F.col("cumc") - F.col("c")))
+        / F.col("c"),
+    )
+    return (
+        cum.join(med, "scope")
+        .groupBy("scope")
+        .agg(
+            F.max("total").cast("long").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_bins_present"),
+            F.max("mbin").cast("long").alias("median_bin"),
+            F.max(interp).alias("est_median"),
+        )
+    )
+
+
+_LATE_BATCH = 1000  # arrival micro-batch size (events per trigger)
+
+
+@register(
+    "ev_lateness_audit",
+    sql=f"""
+    WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us,
+                      event_id // {_LATE_BATCH} AS b
+               FROM events),
+    bt AS (SELECT b, MAX(us) AS bmax FROM e GROUP BY b),
+    wm AS (SELECT b,
+                  MAX(bmax) OVER (ORDER BY b
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS wm_prior
+           FROM bt)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN e.us < wm.wm_prior - 60000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_60s,
+           CAST(SUM(CASE WHEN e.us < wm.wm_prior - 300000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_300s,
+           CAST(MAX(GREATEST(COALESCE(wm.wm_prior - e.us, 0), 0))
+                AS BIGINT) AS max_lateness_us
+    FROM e JOIN wm ON e.b = wm.b
+    GROUP BY e.event_type
+    """,
+    doc="Watermark-delay audit — the batch analysis that picks "
+        "withWatermark() for the streaming family: arrival order "
+        "(event_id) is cut into trigger-sized micro-batches, the "
+        "high-water mark entering each batch is the running max "
+        "event-time over PRIOR batches (exactly Spark's "
+        "per-trigger watermark update), and each candidate delay's "
+        "drop count is how many events a watermark of that delay "
+        "would have discarded. The only ordered window runs on the "
+        "BATCH table — one row per trigger, not per event (the "
+        "production frame is #triggers, thousands, regardless of "
+        "corpus size); events join back on the batch key as an "
+        "ordinary equi-join with map-side partial aggregation on "
+        "top. Lateness stays in integer microseconds throughout.",
+)
+def ev_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = table(spark, sf_dir, "events")
+    e = raw.select(
+        "event_id",
+        "event_type",
+        epoch_us(raw).alias("us"),
+        F.expr(f"event_id div {_LATE_BATCH}").alias("b"),
+    )
+    bt = e.groupBy("b").agg(F.max("us").alias("bmax"))
+    wprior = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # frame = one row per trigger, bounded by trigger count
+    wm = bt.select("b", F.max("bmax").over(wprior).alias("wm_prior"))
+    late = F.greatest(
+        F.coalesce(F.col("wm_prior") - F.col("us"), F.lit(0)), F.lit(0)
+    )
+    return (
+        e.join(wm, "b")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.coalesce(
+                    (F.col("us") < F.col("wm_prior") - 60_000_000)
+                    .cast("int"),
+                    F.lit(0),
+                )
+            ).cast("long").alias("n_drop_60s"),
+            F.sum(
+                F.coalesce(
+                    (F.col("us") < F.col("wm_prior") - 300_000_000)
+                    .cast("int"),
+                    F.lit(0),
+                )
+            ).cast("long").alias("n_drop_300s"),
+            F.max(late).cast("long").alias("max_lateness_us"),
+        )
+    )

@@ -4297,11 +4297,16 @@ def t_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.explode(bigrams).alias("b"))
         .persist()
     )
-    vdf = bg.agg(F.countDistinct("b").cast("long").alias("v"))
-    ntdf = bg.where(F.col("lang") == "en").agg(
-        F.count(F.lit(1)).cast("long").alias("nt")
+    # one single-row scalar frame (vocab size + target/ref token
+    # totals) computed in ONE pass over bg, broadcast once — not three
+    # separate 1-row aggregates each costing its own scan + BNLJ
+    scalars = bg.agg(
+        F.countDistinct("b").cast("long").alias("v"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("nr"),
     )
-    nrdf = bg.agg(F.count(F.lit(1)).cast("long").alias("nr"))
     ct = bg.where(F.col("lang") == "en").groupBy("b").agg(
         F.count(F.lit(1)).cast("long").alias("ctc")
     )
@@ -4319,9 +4324,7 @@ def t_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         bg.join(cr, "b")
         .join(ct, "b", "left")
-        .crossJoin(F.broadcast(vdf))
-        .crossJoin(F.broadcast(ntdf))
-        .crossJoin(F.broadcast(nrdf))
+        .crossJoin(F.broadcast(scalars))
         .select("doc_id", (term_t - term_r).alias("term"))
         .groupBy("doc_id")
         .agg(
@@ -4566,3 +4569,162 @@ def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.join(drops, "vec_id", "left").select(
         "vec_id", "cid", "cent_cos", F.col("dropped").isNull().alias("keep")
     )
+
+
+# ---------------------------------------------------------------- round 7
+# Training-data assembly: token-budget mixture sampling and corpus
+# power-law profiling.
+
+
+@register(
+    "t_mixture_sample",
+    sql="""
+    WITH tc AS (SELECT doc_id, lang,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents),
+    lt AS (SELECT lang, SUM(n_tokens) AS lang_tokens,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs_total
+           FROM tc GROUP BY lang),
+    sc AS (SELECT CAST(FLOOR(MIN(lang_tokens) / 2.0) AS BIGINT)
+               AS budget FROM lt),
+    o AS (SELECT tc.*, sc.budget,
+                 SUM(tc.n_tokens) OVER (
+                     PARTITION BY tc.lang
+                     ORDER BY md5(CAST(tc.doc_id AS VARCHAR)), tc.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum
+          FROM tc, sc)
+    SELECT o.lang,
+           CAST(COUNT(CASE WHEN o.cum - o.n_tokens < o.budget
+                           THEN 1 END) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(CASE WHEN o.cum - o.n_tokens < o.budget
+                         THEN o.n_tokens ELSE 0 END) AS BIGINT)
+               AS n_tokens_kept,
+           CAST(MAX(o.budget) AS BIGINT) AS budget,
+           MAX(lt.n_docs_total) AS n_docs_total
+    FROM o JOIN lt ON o.lang = lt.lang
+    GROUP BY o.lang
+    """,
+    doc="Token-budget mixture sampling — the training-data assembly "
+        "step that turns raw per-source/per-language volumes into a "
+        "TARGET mixture (DoReMi/Pile-style static weights): here each "
+        "language's budget is half the smallest language's token "
+        "count (downsample-only balancing — no upsampling, the "
+        "floor language sets the scale), documents are admitted in "
+        "deterministic md5(doc_id) order (a seedless shuffle both "
+        "engines reproduce byte-for-byte), and a document is kept "
+        "iff it STARTS before the budget boundary, so the cut is a "
+        "pure function of the corpus. Shape: one token-count "
+        "projection, one per-lang hash agg, a single-row broadcast "
+        "scalar (the budget), and a cumulative-sum window "
+        "PARTITIONED by lang — per-language frames, never a global "
+        "order; admission then aggregates with map-side partials.",
+)
+def t_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tc = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    lt = tc.groupBy("lang").agg(
+        F.sum("n_tokens").alias("lang_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs_total"),
+    )
+    sc = lt.agg(
+        F.floor(F.min("lang_tokens") / 2.0).cast("long").alias("budget")
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = tc.crossJoin(F.broadcast(sc)).withColumn(
+        "cum", F.sum("n_tokens").over(wcum)
+    )
+    keep = F.col("cum") - F.col("n_tokens") < F.col("budget")
+    return (
+        o.groupBy("lang")
+        .agg(
+            F.sum(keep.cast("int")).cast("long").alias("n_docs_kept"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens_kept"),
+            F.max("budget").alias("budget"),
+        )
+        .join(lt.select("lang", "n_docs_total"), "lang")
+        .select(
+            "lang", "n_docs_kept", "n_tokens_kept", "budget", "n_docs_total"
+        )
+    )
+
+
+_ZIPF_TOP = 1000  # rank window for the log-log fit
+
+
+@register(
+    "t_zipf_fit",
+    sql=f"""
+    WITH tf AS (
+        SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+        GROUP BY t),
+    top AS (SELECT token, freq,
+                   ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+            FROM tf
+            ORDER BY freq DESC, token LIMIT {_ZIPF_TOP}),
+    pts AS (SELECT CAST(ROUND(ln(rank) * 1000) AS BIGINT) AS x,
+                   CAST(ROUND(ln(freq) * 1000) AS BIGINT) AS y
+            FROM top),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM pts)
+    SELECT n, sx, sy, sxy, sxx,
+           CAST(n * sxy - sx * sy AS DOUBLE) /
+               CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+    FROM s
+    """,
+    doc="Corpus power-law profiling: fit log(freq) ~ log(rank) by "
+        "closed-form OLS over the TOP-1000 token frequencies — the "
+        "Zipf exponent a curation pipeline tracks to detect boilerplate "
+        "floods (slope drifting toward 0) or over-deduplication (slope "
+        "steepening). The rank window is a TakeOrdered(1000) global "
+        "top-k (no full sort), so the only ordered frame is 1000 rows "
+        "regardless of vocabulary size; log terms are quantized to "
+        "integer millis BEFORE the sums (milli scale keeps n*Sxy "
+        "within int64), making every aggregate integer-exact and the "
+        "slope one deterministic double division. One token hash-agg "
+        "with map-side partials is the only full-corpus pass.",
+)
+def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    top = tf.orderBy(F.desc("freq"), "token").limit(_ZIPF_TOP)
+    wr = Window.orderBy(F.desc("freq"), "token")  # frame <= 1000 rows
+    pts = top.withColumn("rank", F.row_number().over(wr)).select(
+        F.round(F.log(F.col("rank").cast("double")) * 1000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000)
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    return s.select("n", "sx", "sy", "sxy", "sxx", slope.alias("zipf_slope"))

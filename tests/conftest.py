@@ -8,8 +8,22 @@ import pytest
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+import os
+
 SF_SMALL = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
+# bench-scale fixture for recall-floor tests; same env knob bench.py
+# honors, skip-gated by the tests when the directory is absent
+SF_BENCH = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@pytest.fixture(scope="session")
+def sf_bench():
+    """Bench-scale data dir for recall-floor tests; skips (rather than
+    errors) on machines without the generated sf0.1 fixture set."""
+    if not Path(SF_BENCH, "embeddings.parquet").exists():
+        pytest.skip(f"bench fixture set absent: {SF_BENCH}")
+    return SF_BENCH
 
 
 @pytest.fixture(scope="session")

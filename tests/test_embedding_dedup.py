@@ -149,7 +149,7 @@ def test_cluster_component_join_is_unhinted(spark):
     assert "ResolvedHint" not in analyzed
 
 
-def test_recall_floor_at_bench_scale(spark):
+def test_recall_floor_at_bench_scale(spark, sf_bench):
     """Recall floors at sf0.1, where the adaptive schedules leave the
     4-bit floor (6 bits -> 7 tables via _lsh_tables) and the sf0.001
     recall tests stop being representative. Measured round 5:
@@ -160,7 +160,6 @@ def test_recall_floor_at_bench_scale(spark):
     the same schedule holds ~0.96). Floors are measured-minus-margin;
     a schedule regression (frozen tables, over-wide buckets) trips
     them long before it reaches production scale."""
-    sf_bench = "/root/testdata/sf0.1"
     got = {
         (r.vec_a, r.vec_b)
         for r in dedup_embedding_cosine(spark, sf_bench).collect()
@@ -197,19 +196,22 @@ def test_lsh_tables_scale_schedule():
     assert widths == sorted(widths)
 
 
-def test_semantic_dedup_recall_floor_and_subset(spark):
+def test_semantic_dedup_recall_floor_and_subset(spark, sf_bench):
     """dedup_semantic at bench scale: every LSH-found drop must be a
     TRUE drop (the exact twin agrees — subset by construction, since
     every candidate pair is exact-verified), and drop recall vs the
     exact within-cluster pairwise twin holds a measured floor
     (round 6: 0.642 at sf0.1's weak 0.35 gate; ~0.96 at a real
-    cos>=0.9 design point per the sign-LSH model)."""
+    cos>=0.9 design point per the sign-LSH model). The 0.55 floor is
+    measured-minus-margin against the DRIVER-generated fixture (seed
+    fixed by the driver, TESTDATA.md); if that fixture is ever
+    regenerated under a different seed, re-measure and re-pin — the
+    sf_bench fixture skip-gates the test where the data is absent."""
     from mwa_uvdata_pipeline_spark.plans.text import (
         dedup_semantic,
         dedup_semantic_exact,
     )
 
-    sf_bench = "/root/testdata/sf0.1"
     got = {
         r.vec_id for r in dedup_semantic(spark, sf_bench).collect()
         if not r.keep

@@ -122,3 +122,96 @@ def test_distributed_pushdown_prunes_across_files(mwab_dist_dir):
         for t in batch.to_pandas()["time_idx"].unique()
     }
     assert got == {8, 9}  # global indices survive the time0 shift
+
+
+# ---------------------------------------------------------------- writer
+# Commit-protocol regressions (round-7 ADVICE): the manifest is the read
+# path's source of truth, orphans from failed attempts are invisible,
+# append merges, overwrite defers deletion to commit().
+
+
+@pytest.fixture(scope="module")
+def mwab_sink_dir(spark, vis, tmp_path_factory):
+    register_mwa_source(spark)
+    out = tmp_path_factory.mktemp("mwab_sink") / "committed"
+    (
+        vis.repartition(4, "time_idx")
+        .write.format("mwa_vis")
+        .mode("overwrite")
+        .save(str(out))
+    )
+    return str(out)
+
+
+def _manifest(d):
+    import json
+    import os
+
+    with open(os.path.join(d, "_MANIFEST.json")) as f:
+        return json.load(f)
+
+
+def test_writer_commit_manifest_and_no_temps(vis, mwab_sink_dir):
+    import glob
+
+    man = _manifest(mwab_sink_dir)
+    assert man["n_rows"] == vis.count()
+    assert sorted(glob.glob(f"{mwab_sink_dir}/part-*.mwab")) == man["files"]
+    assert not glob.glob(f"{mwab_sink_dir}/.*inprogress")
+
+
+def test_reader_ignores_orphan_files(spark, vis, mwab_sink_dir):
+    """An uncommitted file (failed/retried task attempt, or stale
+    generation) matching the glob must NOT be read back as a duplicate
+    dense slab: the reader takes its listing from _MANIFEST.json."""
+    import os
+    import shutil
+
+    man = _manifest(mwab_sink_dir)
+    orphan = os.path.join(mwab_sink_dir, "part-deadbeef-000099-t000000.mwab")
+    shutil.copy(man["files"][0], orphan)
+    try:
+        got = (
+            spark.read.format("mwa_vis")
+            .option("path", f"{mwab_sink_dir}/*.mwab")
+            .load()
+            .count()
+        )
+        assert got == vis.count()
+    finally:
+        os.remove(orphan)
+
+
+def test_append_merges_manifest(spark, vis, tmp_path_factory):
+    register_mwa_source(spark)
+    d = str(tmp_path_factory.mktemp("mwab_sink") / "app")
+    w = vis.repartition(2, "time_idx").write.format("mwa_vis")
+    w.mode("overwrite").save(d)
+    one = _manifest(d)
+    w.mode("append").save(d)
+    two = _manifest(d)
+    assert two["n_rows"] == 2 * one["n_rows"]
+    assert set(one["files"]) < set(two["files"])
+    got = (
+        spark.read.format("mwa_vis").option("path", f"{d}/*.mwab").load().count()
+    )
+    assert got == 2 * vis.count()
+
+
+def test_overwrite_retires_previous_generation(spark, vis, tmp_path_factory):
+    import glob
+
+    register_mwa_source(spark)
+    d = str(tmp_path_factory.mktemp("mwab_sink") / "ow")
+    w = vis.repartition(2, "time_idx").write.format("mwa_vis")
+    w.mode("overwrite").save(d)
+    old_files = set(_manifest(d)["files"])
+    w.mode("overwrite").save(d)
+    man = _manifest(d)
+    ondisk = sorted(glob.glob(f"{d}/part-*.mwab"))
+    assert ondisk == man["files"]  # old generation fully retired
+    assert not old_files & set(man["files"])  # job token => fresh names
+    got = (
+        spark.read.format("mwa_vis").option("path", f"{d}/*.mwab").load().count()
+    )
+    assert got == vis.count()

@@ -44,6 +44,12 @@ BNLJ_ALLOWED = {
     "t_bpe_train": "broadcast single-row top merge pair per round",
     "t_bpe_apply": "broadcast single-row top merge pair per round "
                    "(training sub-plan) + vocab-sized segmentation",
+    "t_importance_resample": "broadcast DSIR corpus scalars — a "
+                             "SINGLE 1-row aggregate (vocab size + "
+                             "target/ref token totals), bounded at "
+                             "any corpus size",
+    "t_mixture_sample": "broadcast token budget (single-row MIN over "
+                        "per-lang totals), bounded at any corpus size",
 }
 
 
