@@ -367,3 +367,64 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         batches, "doc_id long, payload binary"
     )
+
+
+VAD_SCHEMA = (
+    "doc_id long, n_frames int, n_active int, max_run int, "
+    "energy_active long"
+)
+
+#: frame size in samples and the per-frame energy gate for vad_wav.
+#: 349525 ~ E[v^2] of a uniform +/-1024 signal (1024^2 / 3), so a
+#: frame is "active" when its mean square exceeds the uniform-noise
+#: expectation — a deterministic integer threshold both the decoder
+#: and the SQL oracle can apply exactly.
+VAD_FRAME = 16
+VAD_THRESHOLD = VAD_FRAME * 349525
+
+
+def vad_wav(df: DataFrame, payload_col: str = "payload",
+            id_col: str = "doc_id") -> DataFrame:
+    """Energy-based voice-activity detection over decoded WAV audio:
+    the RIFF payload is parsed (stdlib ``wave``), samples are cut into
+    ``VAD_FRAME``-sample frames (tail remainder dropped — both sides
+    of the oracle gate agree on full frames only), each frame's
+    integer energy sum is compared against ``VAD_THRESHOLD``, and the
+    per-document outputs are frame counts, active-frame counts, the
+    longest consecutive active run, and the total energy inside
+    active frames. Integer-exact end to end; Arrow-batched
+    mapInPandas, payload bytes never touch the driver."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: [] for k in ("doc_id", "n_frames", "n_active",
+                                "max_run", "energy_active")
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                with wave.open(io.BytesIO(bytes(b)), "rb") as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError(f"doc {doc_id}: only 16-bit PCM")
+                    s = np.frombuffer(
+                        w.readframes(w.getnframes()), dtype="<i2"
+                    ).astype("i8")
+                nf = len(s) // VAD_FRAME
+                fr = s[: nf * VAD_FRAME].reshape(nf, VAD_FRAME)
+                energy = (fr * fr).sum(axis=1)
+                active = energy > VAD_THRESHOLD
+                run = best = 0
+                for a in active:
+                    run = run + 1 if a else 0
+                    best = max(best, run)
+                rows["doc_id"].append(doc_id)
+                rows["n_frames"].append(nf)
+                rows["n_active"].append(int(active.sum()))
+                rows["max_run"].append(best)
+                rows["energy_active"].append(int(energy[active].sum()))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, VAD_SCHEMA)

@@ -2691,3 +2691,150 @@ def ev_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(late).cast("long").alias("max_lateness_us"),
         )
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    sql="""
+    WITH b AS (
+        SELECT DISTINCT event_type,
+               user_id // 32 AS word, user_id % 32 AS bit
+        FROM events),
+    m AS (SELECT event_type, word,
+                 CAST(bit_or(CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                      AS BIGINT) AS mask
+          FROM b GROUP BY event_type, word),
+    per AS (SELECT event_type AS scope,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(bit_count(mask)) AS BIGINT) AS n_distinct
+            FROM m GROUP BY event_type),
+    gm AS (SELECT word, CAST(bit_or(mask) AS BIGINT) AS mask
+           FROM m GROUP BY word),
+    mrg AS (SELECT '(merged)' AS scope,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(bit_count(mask)) AS BIGINT) AS n_distinct
+            FROM gm)
+    SELECT * FROM per UNION ALL SELECT * FROM mrg
+    """,
+    doc="Bitmap-index distinct counting with its OR-merge algebra — "
+        "the EXACT counterpart to the HLL estimate, and the layout "
+        "roaring-bitmap engines (Druid, ClickHouse, Pinot) use for "
+        "COUNT(DISTINCT) and segment intersection: user ids are "
+        "packed as (word = id div 32, bit = id mod 32), each "
+        "(event_type, word) group bit_or-aggregates its 32-bit "
+        "chunk mask, and the distinct count is the popcount sum over "
+        "words. bit_or is associative/commutative, so per-shard masks "
+        "merge to the global bitmap by word-wise OR — the '(merged)' "
+        "scope is built ONLY from the per-scope mask table, and "
+        "equals the direct global count exactly (no estimate). "
+        "Shape: one hash-distinct, one (type,word) bit_or agg with "
+        "map-side partials, then aggs over the mask table — whose "
+        "size is distinct-ids/32 rows, the compression that makes "
+        "bitmap rollups cheap at 100 TB.",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.expr("user_id div 32").alias("word"),
+        (F.col("user_id") % 32).cast("int").alias("bit"),
+    ).distinct()
+    m = b.groupBy("event_type", "word").agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("mask")
+    ).persist()  # two consumers: per-scope counts + the OR-merge
+    per = m.groupBy(F.col("event_type").alias("scope")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.bit_count("mask")).cast("long").alias("n_distinct"),
+    )
+    mrg = (
+        m.groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+        .agg(
+            F.lit("(merged)").alias("scope"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.bit_count("mask")).cast("long").alias("n_distinct"),
+        )
+    )
+    return per.unionByName(mrg)
+
+
+@register(
+    "agg_kmv_intersect",
+    sql=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(list_sum(list_transform(
+                   generate_series(1, 8),
+                   i -> (strpos('0123456789abcdef',
+                                substr(md5(CAST(user_id AS VARCHAR)), i, 1))
+                         - 1) * 16 ** (8 - i))) AS BIGINT) AS hv
+        FROM events WHERE event_type IN ('click', 'purchase')),
+    g AS (SELECT event_type, hv,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY hv) AS rn
+          FROM h),
+    sk AS (SELECT event_type, hv FROM g WHERE rn <= {_KMV_K}),
+    th AS (SELECT MIN(kth) AS theta FROM (
+               SELECT event_type, MAX(hv) AS kth FROM sk
+               GROUP BY event_type)),
+    common AS (SELECT a.hv FROM sk a JOIN sk b ON a.hv = b.hv, th
+               WHERE a.event_type = 'click'
+                 AND b.event_type = 'purchase'
+                 AND a.hv < th.theta)
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           CAST(MAX(th.theta) AS BIGINT) AS theta,
+           CAST(COUNT(common.hv) AS BIGINT) AS n_common,
+           COUNT(common.hv) * 4294967296.0 / MAX(th.theta)
+               AS est_intersection
+    FROM th LEFT JOIN common ON TRUE
+    """,
+    doc="Theta-sketch set INTERSECTION — the estimate KMV/theta "
+        "sketches exist for beyond plain distinct counts (Apache "
+        "DataSketches' core use: audience overlap without touching "
+        "raw ids): sketch the 'click' and 'purchase' user sets with "
+        "k-minimum-values, set theta to the smaller sketch's kth "
+        "hash, and count common hashes below theta; the overlap "
+        "estimate is n_common / (theta / 2^32). Everything after the "
+        "two k-row sketches is sketch-sized — the candidate join is "
+        "k x k at most, and the only full-data pass is the initial "
+        "hash-distinct. Integer-exact up to the single estimating "
+        "division, so the oracle gate is exact-value.",
+)
+def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    wg = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(wg))
+        .where(F.col("rn") <= _KMV_K)
+        .select("event_type", "hv")
+        .persist()  # consumers: theta + both intersection legs
+    )
+    th = sk.groupBy("event_type").agg(F.max("hv").alias("kth")).agg(
+        F.min("kth").alias("theta")
+    )
+    a = sk.where(F.col("event_type") == "click").select("hv")
+    b = sk.where(F.col("event_type") == "purchase").select("hv")
+    common = (
+        a.join(b, "hv")  # k x k sketch join at most
+        .crossJoin(F.broadcast(th))
+        .where(F.col("hv") < F.col("theta"))
+        .select("hv")
+    )
+    n_common = common.agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    return (
+        th.crossJoin(F.broadcast(n_common))
+        .select(
+            F.lit(_KMV_K).cast("long").alias("k"),
+            F.col("theta").cast("long").alias("theta"),
+            "n_common",
+            (
+                F.col("n_common") * F.lit(4294967296.0) / F.col("theta")
+            ).alias("est_intersection"),
+        )
+    )

@@ -4728,3 +4728,133 @@ def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.select("n", "sx", "sy", "sxy", "sxx", slope.alias("zipf_slope"))
+
+
+@register(
+    "m_audio_vad",
+    sql="""
+    WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+    s AS (SELECT doc_id, n, i, (doc_id * 7 + i * 13) % 2048 - 1024 AS v
+          FROM d, UNNEST(range(0, n)) u(i)),
+    fr AS (SELECT doc_id, i // 16 AS f,
+                  CAST(SUM(v * v) AS BIGINT) AS e
+           FROM s WHERE i < (n // 16) * 16
+           GROUP BY doc_id, i // 16),
+    a AS (SELECT doc_id, f, e,
+                 CASE WHEN e > 5592400 THEN 1 ELSE 0 END AS act
+          FROM fr),
+    isl AS (SELECT doc_id, f,
+                   f - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY f) AS g
+            FROM a WHERE act = 1),
+    runs AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS run
+             FROM isl GROUP BY doc_id, g),
+    mr AS (SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id)
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_frames,
+           CAST(SUM(a.act) AS INTEGER) AS n_active,
+           CAST(COALESCE(MAX(mr.max_run), 0) AS INTEGER) AS max_run,
+           CAST(SUM(CASE WHEN a.act = 1 THEN a.e ELSE 0 END) AS BIGINT)
+               AS energy_active
+    FROM a LEFT JOIN mr ON a.doc_id = mr.doc_id
+    GROUP BY a.doc_id
+    """,
+    doc="Energy-based voice-activity detection over REAL decoded WAV "
+        "audio (operators.multimodal.vad_wav): deterministic 16-bit "
+        "PCM payloads are synthesized executor-side, RIFF-parsed with "
+        "the stdlib decoder, cut into 16-sample frames, and gated on "
+        "an integer energy threshold (frame mean square above the "
+        "uniform-noise expectation 1024^2/3); outputs are frame/"
+        "active counts, the LONGEST consecutive active run (the "
+        "speech-segment statistic VAD pipelines extract), and total "
+        "active energy. The oracle recomputes everything — including "
+        "the run structure, via gaps-and-islands — from the generator "
+        "formula, so a decode or framing error breaks the gate. "
+        "Integer-exact; per-doc frame counts are bounded (samples/16), "
+        "so the Python stage is a streaming Arrow map, no shuffle.",
+)
+def m_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        synth_payloads,
+        vad_wav,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return vad_wav(synth_payloads(docs, "wav"))
+
+
+@register(
+    "t_char_entropy",
+    sql="""
+    WITH tri AS (
+        SELECT doc_id, lang, substr(text, i, 3) AS t
+        FROM documents, UNNEST(range(1, len(text) - 1)) u(i)
+        WHERE len(text) >= 3),
+    cnt AS (SELECT doc_id, lang, t, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tri GROUP BY doc_id, lang, t),
+    per AS (SELECT doc_id, lang,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(c * CAST(ROUND(ln(c) * 1000000) AS BIGINT))
+                        AS BIGINT) AS clnc_micro
+            FROM cnt GROUP BY doc_id, lang),
+    h AS (SELECT doc_id, lang,
+                 CAST(ROUND(ln(n) * 1000000 - clnc_micro / n) AS BIGINT)
+                     AS h_micro
+          FROM per)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(h_micro) AS BIGINT) AS sum_h_micro,
+           CAST(MIN(h_micro) AS BIGINT) AS min_h_micro,
+           CAST(MAX(h_micro) AS BIGINT) AS max_h_micro
+    FROM h GROUP BY lang
+    """,
+    doc="Character-trigram Shannon entropy per document, rolled up per "
+        "language — the gibberish/boilerplate detector quality "
+        "pipelines pair with token-level scores (low entropy = "
+        "repeated boilerplate, suspiciously high = random noise). "
+        "H = ln n - (1/n) sum c*ln c over trigram counts; per-term "
+        "ln c is quantized to integer micro-nats BEFORE the sum "
+        "(ml_naive_bayes discipline), so the only float steps are "
+        "one division and one subtraction per document — "
+        "deterministic in both engines. Shape: one trigram explode "
+        "into a (doc, trigram) hash agg with map-side partials, then "
+        "a per-doc agg and a per-lang agg; no windows, no joins.",
+)
+def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    tri = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.substring(F.col("text"), i, 3),
+            )
+        ).alias("t"),
+    )
+    cnt = tri.groupBy("doc_id", "lang", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per = cnt.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(
+            F.col("c")
+            * F.round(F.log(F.col("c").cast("double")) * 1000000).cast("long")
+        )
+        .cast("long")
+        .alias("clnc_micro"),
+    )
+    h_micro = F.round(
+        F.log(F.col("n").cast("double")) * 1000000
+        - F.col("clnc_micro") / F.col("n")
+    ).cast("long")
+    return (
+        per.select("lang", h_micro.alias("h_micro"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("h_micro").cast("long").alias("sum_h_micro"),
+            F.min("h_micro").cast("long").alias("min_h_micro"),
+            F.max("h_micro").cast("long").alias("max_h_micro"),
+        )
+    )

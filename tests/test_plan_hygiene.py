@@ -50,6 +50,8 @@ BNLJ_ALLOWED = {
                              "any corpus size",
     "t_mixture_sample": "broadcast token budget (single-row MIN over "
                         "per-lang totals), bounded at any corpus size",
+    "agg_kmv_intersect": "broadcast theta + n_common (two single-row "
+                         "sketch aggregates, k-bounded by construction)",
 }
 
 
