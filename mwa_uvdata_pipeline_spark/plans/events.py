@@ -2240,6 +2240,28 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_pergroup(h, k: int):
+    """Per-group bottom-k of a distinct (event_type, hv) hash table,
+    built in TWO levels so no window ever ranks a group's full distinct
+    set: the k smallest of a group are necessarily the k smallest of
+    their own hash shard, so per-(group, hv mod 64) bottom-k runs 64-way
+    parallel and the second rank sees <= 64*k pooled rows per group.
+    Result identical to a direct per-group rank (hv is distinct within
+    a group), but the frame a single task sorts is bounded by
+    max(shard population, 64*k), not the group's cardinality."""
+    w1 = Window.partitionBy("event_type", "shard").orderBy("hv")
+    w2 = Window.partitionBy("event_type").orderBy("hv")
+    return (
+        h.withColumn("shard", F.col("hv") % 64)
+        .withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= k)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("event_type", "hv")
+    )
+
+
+
 @register(
     "agg_kmv_merge",
     sql=f"""
@@ -2287,13 +2309,8 @@ def agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
     h = ev.select("event_type", hv.alias("hv")).distinct()
-    wg = Window.partitionBy("event_type").orderBy("hv")
-    sk = (
-        h.withColumn("rn", F.row_number().over(wg))
-        .where(F.col("rn") <= _KMV_K)
-        .select("event_type", "hv")
-        .persist()  # two consumers: per-group estimates + the merge
-    )
+    # two-level bottom-k: no task ever sorts a group's full hash set
+    sk = _kmv_pergroup(h, _KMV_K).persist()
     per_group = sk.groupBy(F.col("event_type").alias("scope")).agg(
         F.lit(_KMV_K).cast("long").alias("k"),
         F.max("hv").alias("kth_hash"),
@@ -2808,13 +2825,8 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
     h = ev.select("event_type", hv.alias("hv")).distinct()
-    wg = Window.partitionBy("event_type").orderBy("hv")
-    sk = (
-        h.withColumn("rn", F.row_number().over(wg))
-        .where(F.col("rn") <= _KMV_K)
-        .select("event_type", "hv")
-        .persist()  # consumers: theta + both intersection legs
-    )
+    # two-level bottom-k: no task ever sorts a group's full hash set
+    sk = _kmv_pergroup(h, _KMV_K).persist()
     th = sk.groupBy("event_type").agg(F.max("hv").alias("kth")).agg(
         F.min("kth").alias("theta")
     )

@@ -2232,20 +2232,38 @@ _STRATUM_N = 20
     """,
     doc=f"Stratified sampling for data mixing: {_STRATUM_N} documents "
         "per language, chosen by md5-of-id order — a deterministic "
-        "'random' draw reproducible across engines and runs. One "
-        "shuffle partitioned by the stratum key; per-stratum "
-        "row_number never sorts the corpus globally. The building "
-        "block for language-balanced training mixtures (upsample rare "
-        "strata by raising their cap).",
+        "'random' draw reproducible across engines and runs. The draw "
+        "is TWO-level: per-(lang, md5-prefix) ranks run 256-way "
+        "parallel and the final per-lang rank pools <= 256*N rows, so "
+        "no task ever sorts a stratum's full population — the frame "
+        "stays bounded even when one language holds most of the "
+        "corpus. The building block for language-balanced training "
+        "mixtures (upsample rare strata by raising their cap).",
 )
 def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
+    # two-level draw: the md5 order is also the order of its own 2-hex
+    # prefix, so the stratum's first N rows are each within their own
+    # prefix shard's first N — per-(lang, prefix) ranks run 256-way
+    # parallel and the final rank sees <= 256*N pooled rows per lang,
+    # never the stratum's full population in one task.
+    md5_full = F.md5(F.col("doc_id").cast("string"))
+    w1 = Window.partitionBy("lang", "sh").orderBy("m", "doc_id")
+    w2 = Window.partitionBy("lang").orderBy("m", "doc_id")
     return (
         table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .select(
+            "doc_id",
+            "lang",
+            md5_full.alias("m"),
+            F.substring(md5_full, 1, 2).alias("sh"),
+        )
+        .withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= _STRATUM_N)
+        .select(
+            "doc_id", "lang", "m", F.row_number().over(w2).alias("rn")
+        )
         .where(F.col("rn") <= _STRATUM_N)
+        .select("doc_id", "lang", "rn")
     )
 
 
@@ -4617,13 +4635,22 @@ def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iff it STARTS before the budget boundary, so the cut is a "
         "pure function of the corpus. Shape: one token-count "
         "projection, one per-lang hash agg, a single-row broadcast "
-        "scalar (the budget), and a cumulative-sum window "
-        "PARTITIONED by lang — per-language frames, never a global "
-        "order; admission then aggregates with map-side partials.",
+        "scalar (the budget), and a SHARDED cumulative sum: the md5 "
+        "admission order is also the order of its own 2-hex-char "
+        "prefix, so each (lang, prefix) shard cumsums independently "
+        "(256-way parallel frames even for a language holding most "
+        "of the corpus — a lang-partitioned window would put all of "
+        "English in ONE task at 100 TB) and a 256-row-per-lang "
+        "shard-offset window stitches the global running total back "
+        "together via a broadcast join.",
 )
 def t_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    md5_full = F.md5(F.col("doc_id").cast("string"))
     tc = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.size(_tokens()).cast("long").alias("n_tokens")
+        "doc_id",
+        "lang",
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.substring(md5_full, 1, 2).alias("sh"),
     )
     lt = tc.groupBy("lang").agg(
         F.sum("n_tokens").alias("lang_tokens"),
@@ -4632,13 +4659,28 @@ def t_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = lt.agg(
         F.floor(F.min("lang_tokens") / 2.0).cast("long").alias("budget")
     )
-    wcum = (
-        Window.partitionBy("lang")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    wsh = (
+        Window.partitionBy("lang", "sh")
+        .orderBy(md5_full, "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    o = tc.crossJoin(F.broadcast(sc)).withColumn(
-        "cum", F.sum("n_tokens").over(wcum)
+    woff = Window.partitionBy("lang").orderBy("sh").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # frame <= 256 shard-total rows per lang
+    offsets = (
+        tc.groupBy("lang", "sh")
+        .agg(F.sum("n_tokens").alias("sh_tokens"))
+        .select(
+            "lang",
+            "sh",
+            F.coalesce(F.sum("sh_tokens").over(woff), F.lit(0)).alias("off"),
+        )
+    )
+    o = (
+        tc.withColumn("cum_sh", F.sum("n_tokens").over(wsh))
+        .join(F.broadcast(offsets), ["lang", "sh"])
+        .crossJoin(F.broadcast(sc))
+        .withColumn("cum", F.col("off") + F.col("cum_sh"))
     )
     keep = F.col("cum") - F.col("n_tokens") < F.col("budget")
     return (
