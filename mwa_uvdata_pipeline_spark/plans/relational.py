@@ -689,20 +689,59 @@ def o7_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Distribution-rank windows (percent_rank / cume_dist), "
         "completing the W5 ranking family: per-priority price "
-        "percentile position of every order. Ordering carries the "
-        "unique orderkey tiebreak so frame boundaries are "
-        "deterministic; one shuffle on the partition key, single "
-        "sorted pass per partition. Rounded to 9 dp because both are "
-        "ratios of integers and the engines' division must agree "
+        "percentile position of every order. The ordering key "
+        "(o_totalprice, o_orderkey) is UNIQUE, so percent_rank = "
+        "(rank-1)/(n-1) and cume_dist = rank/n, and the rank itself "
+        "is computed in TWO levels: orders rank within their own "
+        "price BAND (floor(price/1000) — band order is price order, "
+        "so per-(priority, band) rank windows run hundreds-way "
+        "parallel) and a per-priority band-offset window over the "
+        "band-count table (one row per band) stitches the global "
+        "rank — a naive per-priority window would sort 1/5 of ALL "
+        "orders in one task at 100 TB. Rounded to 9 dp because both "
+        "are ratios of integers and the engines' division must agree "
         "after rounding.",
 )
 def w7_dist_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return table(spark, sf_dir, "orders").select(
+    o = table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(F.percent_rank().over(w), 9).alias("pr"),
-        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("band"),
+    )
+    wband = Window.partitionBy("o_orderpriority", "band").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    counts = o.groupBy("o_orderpriority", "band").agg(
+        F.count(F.lit(1)).alias("bc")
+    )
+    woff = Window.partitionBy("o_orderpriority").orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # frame = one row per price band, bounded by the price domain
+    offsets = counts.select(
+        "o_orderpriority",
+        "band",
+        F.coalesce(F.sum("bc").over(woff), F.lit(0)).alias("off"),
+    )
+    ntab = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rank = F.col("off") + F.row_number().over(wband)
+    return (
+        o.join(F.broadcast(offsets), ["o_orderpriority", "band"])
+        .join(F.broadcast(ntab), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                F.when(
+                    F.col("n") > 1,
+                    (rank - 1).cast("double") / (F.col("n") - 1),
+                ).otherwise(0.0),
+                9,
+            ).alias("pr"),
+            F.round(rank.cast("double") / F.col("n"), 9).alias("cd"),
+        )
     )
 
 
