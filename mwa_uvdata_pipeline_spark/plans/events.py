@@ -2422,6 +2422,7 @@ _HLL_RHO_CASE = (
 
 @register(
     "ev_hll_merge",
+    bench=True,
     sql=f"""
     WITH h AS (
         SELECT DISTINCT event_type,

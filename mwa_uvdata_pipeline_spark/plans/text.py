@@ -4596,6 +4596,7 @@ def dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_mixture_sample",
+    bench=True,
     sql="""
     WITH tc AS (SELECT doc_id, lang,
                        CAST(len(string_split(text, ' ')) AS BIGINT)
@@ -4827,6 +4828,7 @@ def m_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_char_entropy",
+    bench=True,
     sql="""
     WITH tri AS (
         SELECT doc_id, lang, substr(text, i, 3) AS t
