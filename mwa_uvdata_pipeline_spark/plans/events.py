@@ -2453,7 +2453,13 @@ _HLL_RHO_CASE = (
            s_present + ({_HLL_M} - n_present) * 134217728 AS s_scaled,
            0.709 * 4096.0 * 134217728.0 /
                (s_present + ({_HLL_M} - n_present) * 134217728)
-               AS est_distinct
+               AS est_distinct,
+           ROUND(CASE WHEN n_present < {_HLL_M}
+                 THEN {_HLL_M} * ln({_HLL_M} /
+                          CAST({_HLL_M} - n_present AS DOUBLE))
+                 ELSE 0.709 * 4096.0 * 134217728.0 /
+                      (s_present + ({_HLL_M} - n_present) * 134217728)
+                 END, 6) AS est_corrected
     FROM u
     """,
     doc="HyperLogLog register sketch with its EXACT merge algebra — "
@@ -2469,7 +2475,9 @@ _HLL_RHO_CASE = (
         "needs (64-long registers per shard, tiny merge at the top). "
         "The harmonic-mean denominator sum(2^-rho) is kept in exact "
         "integer form S/2^27 (S = sum 2^(27-rho), absent registers "
-        "contribute 2^27), so est_distinct is one deterministic "
+        "contribute 2^27); the small-range regime applies the "
+        "standard linear-counting correction m*ln(m/V) when empty "
+        "registers remain. est_distinct is one deterministic "
         "double division, not an order-dependent float sum. Shape: "
         "one hash-distinct, one (type,bucket) hash agg with map-side "
         "partials, then aggs over register-table frames (<= "
@@ -2513,14 +2521,22 @@ def ev_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_scaled = F.col("s_present") + (_HLL_M - F.col("n_present")) * F.lit(
         134217728
     )
+    raw = F.lit(0.709) * F.lit(4096.0) * F.lit(134217728.0) / s_scaled
+    # standard small-range (linear counting) correction: with empty
+    # registers present, m * ln(m / V) is the right estimator for
+    # n << m; rounded to 6 dp so both engines' ln agree post-round
+    lc = F.lit(_HLL_M) * F.log(
+        F.lit(_HLL_M) / (_HLL_M - F.col("n_present")).cast("double")
+    )
     return u.select(
         "scope",
         F.lit(_HLL_M).cast("long").alias("m"),
         "n_present",
         s_scaled.alias("s_scaled"),
-        (F.lit(0.709) * F.lit(4096.0) * F.lit(134217728.0) / s_scaled).alias(
-            "est_distinct"
-        ),
+        raw.alias("est_distinct"),
+        F.round(
+            F.when(F.col("n_present") < _HLL_M, lc).otherwise(raw), 6
+        ).alias("est_corrected"),
     )
 
 

@@ -4902,3 +4902,98 @@ def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("h_micro").cast("long").alias("max_h_micro"),
         )
     )
+
+
+@register(
+    "ml_pca_power",
+    sql="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+        FROM embeddings),
+    cells AS (
+        SELECT i, j, CAST(SUM(qv[i + 1] * qv[j + 1]) AS BIGINT) AS c
+        FROM q, UNNEST(range(0, 64)) ui(i), UNNEST(range(0, 64)) uj(j)
+        GROUP BY i, j),
+    v1r AS (SELECT i, CAST(SUM(c) AS BIGINT) AS v1_raw
+            FROM cells GROUP BY i),
+    s1 AS (SELECT MAX(ABS(v1_raw)) AS s FROM v1r),
+    v1 AS (SELECT i,
+                  CASE WHEN v1_raw >= 0 THEN (v1_raw * 1000) // s1.s
+                       ELSE -((-v1_raw * 1000) // s1.s) END AS v1
+           FROM v1r, s1),
+    v2 AS (SELECT cells.i, CAST(SUM(cells.c * v1.v1) AS BIGINT) AS v2_raw
+           FROM cells JOIN v1 ON cells.j = v1.i
+           GROUP BY cells.i)
+    SELECT v1.i AS dim,
+           CAST(v1.v1 AS BIGINT) AS v1,
+           v2.v2_raw,
+           ROUND(SUM(CAST(v2.v2_raw AS DOUBLE) * v1.v1) OVER () /
+                 SUM(CAST(v1.v1 AS DOUBLE) * v1.v1) OVER (), 6)
+               AS rayleigh
+    FROM v1 JOIN v2 ON v1.i = v2.i
+    """,
+    doc="Distributed PCA by power iteration — the decomposition step "
+        "of an embedding-curation pipeline (dominant-direction "
+        "removal, whitening diagnostics): components are quantized "
+        "to integer millis, the 64x64 Gram matrix is ONE hash "
+        "aggregate over a per-row flattened outer product (4096 "
+        "cells — a mergeable sufficient statistic, the only "
+        "full-data pass; map-side partials make the shuffle carry "
+        "4096 keys regardless of corpus size), and two power-method "
+        "steps v1 = C*1, v2 = C*v1 run entirely on the bounded cell "
+        "table with integer arithmetic (normalization is a "
+        "truncating integer division shared semantically with the "
+        "oracle). The Rayleigh quotient v2.v1/v1.v1 — the dominant "
+        "eigenvalue estimate — is two 64-term window sums and one "
+        "rounded division. At production scale the Gram cells would "
+        "be rescaled by N before iterating (documented; int64 "
+        "headroom here is ~1e8 rows at milli quantization).",
+)
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.round(x * 1000).cast("long")
+    )
+    flat = F.flatten(
+        F.transform(qv, lambda qi: F.transform(qv, lambda qj: qi * qj))
+    )
+    cells = (
+        emb.select(F.posexplode(flat).alias("pos", "p"))
+        .groupBy(
+            F.expr("pos div 64").alias("i"), (F.col("pos") % 64).alias("j")
+        )
+        .agg(F.sum("p").cast("long").alias("c"))
+        .persist()  # two consumers: v1 = C*1 and v2 = C*v1
+    )
+    v1r = cells.groupBy("i").agg(F.sum("c").cast("long").alias("v1_raw"))
+    ws = Window.partitionBy()  # frame = 64 rows, dimension-bounded
+    v1 = v1r.select(
+        "i",
+        F.col("v1_raw"),
+        F.max(F.abs("v1_raw")).over(ws).alias("s"),
+    ).select(
+        "i",
+        F.when(
+            F.col("v1_raw") >= 0,
+            F.expr("(v1_raw * 1000) div s"),
+        )
+        .otherwise(-F.expr("(-v1_raw * 1000) div s"))
+        .cast("long")
+        .alias("v1"),
+    )
+    v2 = (
+        cells.join(v1.select(F.col("i").alias("j"), "v1"), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("v1")).cast("long").alias("v2_raw"))
+    )
+    joined = v1.join(v2, "i")
+    ray = F.round(
+        F.sum(F.col("v2_raw").cast("double") * F.col("v1")).over(ws)
+        / F.sum(F.col("v1").cast("double") * F.col("v1")).over(ws),
+        6,
+    )
+    return joined.select(
+        F.col("i").alias("dim"), "v1", "v2_raw", ray.alias("rayleigh")
+    )
