@@ -2867,3 +2867,56 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_intersection"),
         )
     )
+
+
+@register(
+    "stream_hll_exec",
+    sql=f"""
+    WITH h AS (
+        SELECT DISTINCT CAST(list_sum(list_transform(
+                   generate_series(1, 8),
+                   i -> (strpos('0123456789abcdef',
+                                substr(md5(CAST(user_id AS VARCHAR)), i, 1))
+                         - 1) * 16 ** (8 - i))) AS BIGINT) AS hv
+        FROM events),
+    b AS (SELECT hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS rem FROM h)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(MAX({_HLL_RHO_CASE}) AS INTEGER) AS rho
+    FROM b GROUP BY bucket
+    """,
+    doc="Streaming HLL register build EXECUTED as a query: the events "
+        "replay is consumed one file per trigger and each trigger "
+        "folds its batch into the 64-register MAX state; the "
+        "complete-mode memory sink after the drain must equal the "
+        "batch-computed register table BIT-FOR-BIT (register MAX is "
+        "monotone/commutative — the reason sketches are the right "
+        "streaming aggregation state: 64 longs regardless of volume, "
+        "no watermark needed, arrival order provably irrelevant). "
+        "This is the streaming half of ev_hll_merge's rollup story: "
+        "shards in space (executors) and shards in time (triggers) "
+        "merge through the same algebra.",
+)
+def stream_hll_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        run_to_memory,
+        stream_hll_registers,
+    )
+
+    out = _replay_fixture(spark, sf_dir)
+    sink = f"hll_sink_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            stream_hll_registers(spark, f"{out}/part*"),
+            sink,
+            output_mode="complete",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(
+        f"SELECT CAST(bucket AS BIGINT) AS bucket, "
+        f"CAST(rho AS INT) AS rho FROM {sink}"
+    )

@@ -596,3 +596,36 @@ def stream_tws_totals(spark: SparkSession, src_glob: str) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# rho = 1 + leading-zero count of the 26 post-bucket hash bits — the
+# same generated integer CASE the batch ev_hll_merge entry shares with
+# its oracle (regenerated here to keep the streaming module free of a
+# plans import).
+_HLL_RHO_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN rem >= {1 << k} THEN {26 - k}" for k in range(25, -1, -1)
+    )
+    + " ELSE 27 END"
+)
+
+
+def stream_hll_registers(spark: SparkSession, src_glob: str) -> DataFrame:
+    """Streaming HyperLogLog register build: hash each user_id as it
+    arrives, groupBy the 6-bit bucket, MAX(rho). Register MAX is
+    monotone and commutative — exactly why sketches suit incremental
+    execution: every trigger folds its batch into 64 longs of state,
+    and the final complete-mode table must equal the batch-computed
+    register table bit-for-bit regardless of file arrival order."""
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        _read_stream(spark, src_glob)
+        .select((hv % 64).alias("bucket"), hv.alias("hv"))
+        .select("bucket", F.expr("hv div 64").alias("rem"))
+        .withColumn("rho", F.expr(_HLL_RHO_CASE))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )

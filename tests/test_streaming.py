@@ -294,3 +294,55 @@ def test_tws_totals_parity_when_protobuf_available(spark):
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, prev)
+
+
+def test_stream_hll_registers_match_batch_any_order(spark, tmp_path):
+    """The streaming HLL register table must equal the batch one even
+    when the replay files arrive in a scrambled (non-time) order —
+    the MAX merge algebra makes arrival order irrelevant."""
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.plans import table
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        _HLL_RHO_CASE,
+        _set_tree_mtime,
+        run_to_memory,
+        stream_hll_registers,
+    )
+    from tests.conftest import SF_SMALL
+
+    ev = table(spark, SF_SMALL, "events")
+    # scrambled replay: slice by user hash, not time, with inverted
+    # mtimes so the file source reads "newest" data first
+    import time
+
+    base = time.time()
+    for i in range(3):
+        p = str(tmp_path / f"part{i:03d}")
+        ev.where(F.col("user_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        _set_tree_mtime(p, base + (3 - i))
+    sink = f"hllr_{uuid.uuid4().hex[:6]}"
+    run_to_memory(
+        stream_hll_registers(spark, f"{tmp_path}/part*"),
+        sink,
+        output_mode="complete",
+    )
+    got = {
+        (r.bucket, r.rho) for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    exp = {
+        (r.bucket, r.rho)
+        for r in ev.select(hv.alias("hv"))
+        .distinct()
+        .select((F.col("hv") % 64).alias("bucket"), F.expr("hv div 64").alias("rem"))
+        .selectExpr("bucket", f"{_HLL_RHO_CASE} AS rho")
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .collect()
+    }
+    assert got == exp
