@@ -13,9 +13,10 @@ production path; ``uvfits`` and ``metafits`` are NATIVE readers
 (sources_fits.py — FITS parsed from the standard, no astropy) built
 exactly as the scale design prescribes: ``binaryFile`` scan +
 Arrow-batched per-file converter, one executor task per file. The
-remaining container formats (ms / uvh5) stay import-gated stubs —
-their container layouts (casacore tables, HDF5) need their parser
-libraries, which this container does not ship.
+``uvh5`` is NATIVE too (sources_hdf5.py — a minimal HDF5 v0 codec
+written to the public file-format spec, no h5py). Only ``ms`` remains
+an import-gated stub: the casacore table container has no public
+byte-level spec concise enough to reimplement safely.
 
 X8 batch arithmetic (reference utils.py:20-47) is kept as advisory
 planning math — Spark's executor memory model (partitioning + spill +
@@ -111,10 +112,20 @@ def _stub_reader(fmt: str, libs: tuple[str, ...]) -> Reader:
 
 
 for _fmt, _libs in {
-    "uvh5": ("h5py",),
     "ms": ("casacore",),
 }.items():
     register_reader(_fmt)(_stub_reader(_fmt, _libs))
+
+
+@register_reader("uvh5")
+def read_uvh5_vis(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """NATIVE UVH5 reader (sources_hdf5.py — HDF5 v0 container parsed
+    from the file-format spec, no h5py): /Header axes + /Data cubes
+    with the compound (r, i) complex convention; binaryFile +
+    mapInPandas, one executor task per file."""
+    from mwa_uvdata_pipeline_spark.sources_hdf5 import read_uvh5
+
+    return read_uvh5(spark, paths)
 
 
 @register_reader("fits")
