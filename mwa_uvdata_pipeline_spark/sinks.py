@@ -168,3 +168,41 @@ def write_uvfits_grouped(
         write_group,
         "group long, path string, n_rows long, n_bytes long",
     )
+
+
+def write_uvh5_grouped(
+    vis: DataFrame,
+    out_dir: str,
+    group_col: str = "obsid",
+) -> DataFrame:
+    """Distributed UVH5 EXPORT — the write half of the native HDF5
+    story (sources_hdf5.py reads): one UVH5 file per ``group_col``
+    value, packed and written executor-side via applyInPandas, one
+    observation per task, driver sees only the manifest. Same
+    contract as :func:`write_uvfits_grouped`."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from mwa_uvdata_pipeline_spark.sources_hdf5 import write_uvh5
+
+        path = os.path.join(out_dir, f"obs_{key[0]}.uvh5")
+        write_uvh5(pdf, path)
+        return pd.DataFrame(
+            [
+                {
+                    "group": key[0],
+                    "path": path,
+                    "n_rows": len(pdf),
+                    "n_bytes": os.path.getsize(path),
+                }
+            ]
+        )
+
+    return vis.groupBy(group_col).applyInPandas(
+        write_group,
+        "group long, path string, n_rows long, n_bytes long",
+    )

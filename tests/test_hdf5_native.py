@@ -194,3 +194,34 @@ def test_registry_dispatch_reads_uvh5(spark, vis, vis_pdf, tmp_path):
 
 
 from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_distributed_uvh5_export_roundtrip(spark, vis, tmp_path):
+    """write_uvh5_grouped packs one UVH5 file per obsid executor-side;
+    reading the exported file back through the registry must reproduce
+    the source rows exactly."""
+    from mwa_uvdata_pipeline_spark.sinks import write_uvh5_grouped
+    from mwa_uvdata_pipeline_spark.sources import read_visibilities
+
+    flat = vis.select(
+        "obsid",
+        "time_jd",
+        "ant1",
+        "ant2",
+        "chan",
+        "pol",
+        "freq_hz",
+        F.col("vis")["re"].alias("re"),
+        F.col("vis")["im"].alias("im"),
+        F.col("nsample").cast("double").alias("nsample"),
+        "flag",
+        (0.25 * F.col("ant1")).alias("uu"),
+        (0.5 * F.col("ant2")).alias("vv"),
+        (0.125 * (F.col("ant1") + F.col("ant2"))).alias("ww"),
+    )
+    manifest = write_uvh5_grouped(flat, str(tmp_path)).collect()
+    assert len(manifest) == 1 and manifest[0]["n_rows"] == vis.count()
+    back = read_visibilities(spark, [manifest[0]["path"]])
+    key = ["time_jd", "ant1", "ant2", "chan", "pol", "re", "im", "flag"]
+    assert back.select(*key).exceptAll(flat.select(*key)).isEmpty()
+    assert flat.select(*key).exceptAll(back.select(*key)).isEmpty()
