@@ -238,18 +238,31 @@ def _parse_dtype(body: bytes) -> np.dtype:
 
 
 def _parse_object_header(buf: bytes, addr: int) -> dict[int, bytes]:
+    """Parse a v1 object header into {message type: body}. Handles the
+    continuation message (0x0010) libhdf5 emits when a header outgrows
+    its first block — the remaining messages live in a separate block
+    whose (address, length) the continuation body carries. NIL
+    messages are skipped; unknown types are collected and ignored by
+    the callers, which keeps the reader tolerant of fill-value /
+    modification-time messages real writers add."""
     ver, nmsgs, _refs, _size = struct.unpack_from("<BxHII", buf, addr)
     if ver != 1:
         raise ValueError(f"unsupported object header version {ver}")
-    pos = addr + 16
     out: dict[int, bytes] = {}
-    for _ in range(nmsgs):
+    pos, end = addr + 16, addr + 16 + _size
+    seen = 0
+    while seen < nmsgs:
+        if pos >= end:
+            raise ValueError("object header overran its block")
         mtype, msize, _flags = struct.unpack_from("<HHB3x", buf, pos)
         body = buf[pos + 8 : pos + 8 + msize]
-        if mtype == 0x0010:
-            raise ValueError("object header continuation not supported")
+        seen += 1
+        if mtype == 0x0010:  # continuation: jump to the next block
+            cont_addr, cont_len = struct.unpack_from("<QQ", body)
+            pos, end = cont_addr, cont_addr + cont_len
+            continue
         if mtype != 0x0000:
-            out[mtype] = body
+            out.setdefault(mtype, body)
         pos += 8 + msize
     return out
 

@@ -225,3 +225,55 @@ def test_distributed_uvh5_export_roundtrip(spark, vis, tmp_path):
     key = ["time_jd", "ant1", "ant2", "chan", "pol", "re", "im", "flag"]
     assert back.select(*key).exceptAll(flat.select(*key)).isEmpty()
     assert flat.select(*key).exceptAll(back.select(*key)).isEmpty()
+
+
+def test_object_header_continuation(tmp_path):
+    """A header split across a continuation block (what libhdf5 emits
+    for large headers) must still parse: rewrite a dataset's header so
+    its last message lives in a separate block reached via 0x0010."""
+    import struct as _s
+
+    from mwa_uvdata_pipeline_spark.sources_hdf5 import _Buf, _message
+
+    path = str(tmp_path / "c.h5")
+    write_hdf5(path, {"G": {"d": np.arange(4, dtype="<i8")}})
+    buf = bytearray(open(path, "rb").read())
+    # locate the dataset object header: the only v1 OH with 3 messages
+    # (dataspace, datatype, layout) — walk through the public reader
+    # first to confirm the file parses, then surgically split it
+    base = read_hdf5_bytes(bytes(buf))
+    assert np.array_equal(base["/G/d"], np.arange(4))
+    # find the OH whose first message is dataspace (0x0001)
+    oh_addr = None
+    for a in range(0, len(buf) - 16, 8):
+        try:
+            ver, nm, refs, size = _s.unpack_from("<BxHII", buf, a)
+        except _s.error:
+            break
+        if ver == 1 and nm == 3 and refs == 1:
+            t0 = _s.unpack_from("<H", buf, a + 16)[0]
+            if t0 == 0x0001:
+                oh_addr = a
+                break
+    assert oh_addr is not None
+    # split: move the LAST message (layout) to a continuation block
+    pos = oh_addr + 16
+    sizes = []
+    for _ in range(3):
+        mt, ms = _s.unpack_from("<HH", buf, pos)
+        sizes.append((pos, mt, ms))
+        pos += 8 + ms
+    last_pos, last_t, last_s = sizes[-1]
+    moved = bytes(buf[last_pos : last_pos + 8 + last_s])
+    cont_addr = len(buf) + (-len(buf) % 8)
+    buf.extend(b"\x00" * (cont_addr - len(buf)))
+    buf.extend(moved)
+    cont = _message(0x0010, _s.pack("<QQ", cont_addr, len(moved)))
+    assert len(cont) <= 8 + last_s  # continuation fits in the old slot
+    buf[last_pos : last_pos + len(cont)] = cont
+    # v1 headers count the continuation AND the continued messages
+    _s.pack_into("<H", buf, oh_addr + 2, 4)
+    # grow the eof in the superblock so the header-size bound holds
+    _s.pack_into("<Q", buf, 40, len(buf))
+    out = read_hdf5_bytes(bytes(buf))
+    assert np.array_equal(out["/G/d"], np.arange(4))
