@@ -120,21 +120,77 @@ def _object_header(messages: list[bytes]) -> bytes:
     )
 
 
-def _dataset_oh(buf: _Buf, arr: np.ndarray) -> int:
-    data = np.ascontiguousarray(arr).tobytes()
-    daddr = buf.alloc(len(data))
-    buf.put(daddr, data)
+def _chunk_btree(buf: _Buf, arr: np.ndarray,
+                 chunk: tuple[int, ...]) -> int:
+    """Write gzip-compressed chunks + a single-level v1 chunk B-tree
+    (node type 1) and return the tree address. Chunks are emitted in
+    row-major order of their grid coordinates, matching the key order
+    libhdf5 requires."""
+    import itertools
+    import zlib
+
+    rank = arr.ndim
+    grids = [range(0, arr.shape[d], chunk[d]) for d in range(rank)]
+    entries = []
+    for origin in itertools.product(*grids):
+        sl = tuple(
+            slice(o, min(o + chunk[d], arr.shape[d]))
+            for d, o in enumerate(origin)
+        )
+        block = np.zeros(chunk, dtype=arr.dtype)
+        block[tuple(slice(0, s.stop - s.start) for s in sl)] = arr[sl]
+        raw = zlib.compress(np.ascontiguousarray(block).tobytes())
+        caddr = buf.alloc(len(raw))
+        buf.put(caddr, raw)
+        entries.append((origin, len(raw), caddr))
+    node = bytearray(
+        b"TREE" + struct.pack("<BBHQQ", 1, 0, len(entries), UNDEF, UNDEF)
+    )
+    # keys: chunk byte size, filter mask, rank+1 chunk offsets
+    for origin, csize, caddr in entries:
+        node += struct.pack("<II", csize, 0)
+        node += b"".join(struct.pack("<Q", o) for o in origin)
+        node += struct.pack("<Q", 0)  # element-offset dimension
+        node += struct.pack("<Q", caddr)
+    # final key: one past the last chunk in every dimension
+    node += struct.pack("<II", 0, 0)
+    node += b"".join(struct.pack("<Q", d) for d in arr.shape)
+    node += struct.pack("<Q", 0)
+    addr = buf.alloc(len(node))
+    buf.put(addr, bytes(node))
+    return addr
+
+
+def _dataset_oh(
+    buf: _Buf, arr: np.ndarray, chunk: tuple[int, ...] | None = None
+) -> int:
     space = struct.pack("<BBBx4x", 1, arr.ndim, 0) + b"".join(
         struct.pack("<Q", d) for d in arr.shape
     )
-    layout = struct.pack("<BBQQ", 3, 1, daddr, len(data))
-    oh = _object_header(
-        [
-            _message(0x0001, space),
-            _message(0x0003, _dtype_message(arr.dtype)),
-            _message(0x0008, layout),
-        ]
-    )
+    messages = [
+        _message(0x0001, space),
+        _message(0x0003, _dtype_message(arr.dtype)),
+    ]
+    if chunk is None:
+        data = np.ascontiguousarray(arr).tobytes()
+        daddr = buf.alloc(len(data))
+        buf.put(daddr, data)
+        layout = struct.pack("<BBQQ", 3, 1, daddr, len(data))
+    else:
+        # filter pipeline v1: one mandatory filter, deflate (id 1),
+        # one client value (aggression 6) + pad to even value count
+        pl = struct.pack("<BB2x4x", 1, 1) + struct.pack(
+            "<HHHH", 1, 0, 0, 1
+        ) + struct.pack("<II", 6, 0)
+        messages.append(_message(0x000B, pl))
+        btree = _chunk_btree(buf, arr, chunk)
+        layout = struct.pack(
+            "<BBQB", 3, 2, btree, arr.ndim + 1
+        ) + b"".join(
+            struct.pack("<I", c) for c in chunk
+        ) + struct.pack("<I", arr.dtype.itemsize)
+    messages.append(_message(0x0008, layout))
+    oh = _object_header(messages)
     addr = buf.alloc(len(oh))
     buf.put(addr, oh)
     return addr
@@ -191,15 +247,25 @@ def _group(buf: _Buf, entries: dict[str, int]) -> tuple[int, int, int]:
     return oh_addr, btree_addr, heap_addr
 
 
-def write_hdf5(path: str, tree: dict[str, dict[str, np.ndarray]]) -> None:
+def write_hdf5(
+    path: str,
+    tree: dict[str, dict[str, np.ndarray]],
+    chunks: dict[str, tuple[int, ...]] | None = None,
+) -> None:
     """Write ``{group_name: {dataset_name: array}}`` as an HDF5 file
-    (one level of groups under the root, the UVH5 shape)."""
+    (one level of groups under the root, the UVH5 shape). Datasets
+    named in ``chunks`` ("Group/name" -> chunk shape) are written
+    CHUNKED with the gzip (deflate) filter — the layout real h5py
+    archives use for large cubes; everything else is contiguous."""
     buf = _Buf()
     buf.alloc(96)  # superblock placeholder at address 0
+    chunks = chunks or {}
     root_entries: dict[str, int] = {}
     for gname in sorted(tree):
         children = {
-            dname: _dataset_oh(buf, np.asarray(arr))
+            dname: _dataset_oh(
+                buf, np.asarray(arr), chunks.get(f"{gname}/{dname}")
+            )
             for dname, arr in tree[gname].items()
         }
         root_entries[gname], _, _ = _group(buf, children)
@@ -298,6 +364,73 @@ def _group_links(buf: bytes, oh: dict[int, bytes]) -> dict[str, int]:
     return links
 
 
+def _pipeline_has_deflate(body: bytes) -> bool:
+    """Parse a v1 filter pipeline message; True if deflate (id 1) is
+    present. Raises on filters this codec cannot undo."""
+    nfilters = body[1]
+    pos = 8
+    deflate = False
+    for _ in range(nfilters):
+        fid, namelen, _flags, nclient = struct.unpack_from(
+            "<HHHH", body, pos
+        )
+        pos += 8 + namelen + (-namelen % 8 if namelen else 0)
+        pos += 4 * nclient + (4 if nclient % 2 else 0)
+        if fid == 1:
+            deflate = True
+        elif fid == 2:
+            raise ValueError("shuffle filter not supported")
+        else:
+            raise ValueError(f"unsupported filter id {fid}")
+    return deflate
+
+
+def _read_chunked(
+    buf: bytes,
+    btree_addr: int,
+    dims: tuple[int, ...],
+    chunk: tuple[int, ...],
+    dt: np.dtype,
+    deflate: bool,
+) -> np.ndarray:
+    """Assemble a chunked dataset by walking the v1 chunk B-tree
+    (node type 1, any level) and pasting each (optionally deflated)
+    chunk into place, clipping edge chunks."""
+    import zlib
+
+    rank = len(dims)
+    out = np.zeros(dims, dtype=dt)
+    key_size = 8 + 8 * (rank + 1)
+
+    def walk_node(addr: int) -> None:
+        if buf[addr : addr + 4] != b"TREE" or buf[addr + 4] != 1:
+            raise ValueError("bad chunk B-tree node")
+        level = buf[addr + 5]
+        nentries = struct.unpack_from("<H", buf, addr + 6)[0]
+        pos = addr + 24
+        for _ in range(nentries):
+            csize, _mask = struct.unpack_from("<II", buf, pos)
+            origin = struct.unpack_from(f"<{rank}Q", buf, pos + 8)
+            child = struct.unpack_from("<Q", buf, pos + key_size)[0]
+            if level > 0:
+                walk_node(child)
+            else:
+                raw = bytes(buf[child : child + csize])
+                if deflate:
+                    raw = zlib.decompress(raw)
+                block = np.frombuffer(raw, dtype=dt).reshape(chunk)
+                sl = tuple(
+                    slice(o, min(o + chunk[d], dims[d]))
+                    for d, o in enumerate(origin)
+                )
+                out[sl] = block[
+                    tuple(slice(0, s.stop - s.start) for s in sl)
+                ]
+            pos += key_size + 8
+    walk_node(btree_addr)
+    return out
+
+
 def read_hdf5_bytes(buf: bytes) -> dict[str, np.ndarray]:
     """Parse an HDF5 byte image → flat {"/Group/dataset": ndarray}."""
     if buf[:8] != SIGNATURE:
@@ -321,11 +454,24 @@ def read_hdf5_bytes(buf: bytes) -> dict[str, np.ndarray]:
         dims = struct.unpack_from(f"<{rank}Q", space, 8) if rank else ()
         dt = _parse_dtype(oh[0x0003])
         layout = oh[0x0008]
-        if layout[0] != 3 or layout[1] != 1:
-            raise ValueError("only contiguous layout v3 supported")
-        daddr, dsize = struct.unpack_from("<QQ", layout, 2)
-        arr = np.frombuffer(buf, dtype=dt, count=dsize // dt.itemsize,
-                            offset=daddr).reshape(dims)
+        if layout[0] != 3:
+            raise ValueError("only layout message v3 supported")
+        if layout[1] == 1:  # contiguous
+            daddr, dsize = struct.unpack_from("<QQ", layout, 2)
+            arr = np.frombuffer(buf, dtype=dt, count=dsize // dt.itemsize,
+                                offset=daddr).reshape(dims)
+        elif layout[1] == 2:  # chunked (v1 chunk B-tree, filters)
+            btree_addr = struct.unpack_from("<Q", layout, 2)[0]
+            crank = layout[10]  # rank + 1 (element-size dimension)
+            chunk = struct.unpack_from(f"<{crank - 1}I", layout, 11)
+            deflate = False
+            if 0x000B in oh:
+                deflate = _pipeline_has_deflate(oh[0x000B])
+            arr = _read_chunked(
+                buf, btree_addr, dims, chunk, dt, deflate
+            )
+        else:
+            raise ValueError(f"unsupported layout class {layout[1]}")
         out[prefix] = arr
 
     walk(root_oh_addr, "")
