@@ -364,25 +364,23 @@ def _group_links(buf: bytes, oh: dict[int, bytes]) -> dict[str, int]:
     return links
 
 
-def _pipeline_has_deflate(body: bytes) -> bool:
-    """Parse a v1 filter pipeline message; True if deflate (id 1) is
-    present. Raises on filters this codec cannot undo."""
+def _pipeline_filters(body: bytes) -> list[int]:
+    """Parse a v1 filter pipeline message into the ordered filter id
+    list (1 = deflate, 2 = shuffle). Raises on filters this codec
+    cannot undo."""
     nfilters = body[1]
     pos = 8
-    deflate = False
+    filters = []
     for _ in range(nfilters):
         fid, namelen, _flags, nclient = struct.unpack_from(
             "<HHHH", body, pos
         )
         pos += 8 + namelen + (-namelen % 8 if namelen else 0)
         pos += 4 * nclient + (4 if nclient % 2 else 0)
-        if fid == 1:
-            deflate = True
-        elif fid == 2:
-            raise ValueError("shuffle filter not supported")
-        else:
+        if fid not in (1, 2):  # deflate, shuffle
             raise ValueError(f"unsupported filter id {fid}")
-    return deflate
+        filters.append(fid)
+    return filters
 
 
 def _read_chunked(
@@ -391,11 +389,13 @@ def _read_chunked(
     dims: tuple[int, ...],
     chunk: tuple[int, ...],
     dt: np.dtype,
-    deflate: bool,
+    filters: list[int],
 ) -> np.ndarray:
     """Assemble a chunked dataset by walking the v1 chunk B-tree
-    (node type 1, any level) and pasting each (optionally deflated)
-    chunk into place, clipping edge chunks."""
+    (node type 1, any level) and pasting each chunk into place,
+    clipping edge chunks. The filter pipeline is undone in reverse
+    order: deflate (zlib), then the byte-shuffle de-interleave h5py
+    pairs with it."""
     import zlib
 
     rank = len(dims)
@@ -416,8 +416,15 @@ def _read_chunked(
                 walk_node(child)
             else:
                 raw = bytes(buf[child : child + csize])
-                if deflate:
-                    raw = zlib.decompress(raw)
+                for fid in reversed(filters):
+                    if fid == 1:
+                        raw = zlib.decompress(raw)
+                    else:  # shuffle: bytes stored plane-per-byte-lane
+                        raw = (
+                            np.frombuffer(raw, dtype="u1")
+                            .reshape(dt.itemsize, -1)
+                            .T.tobytes()
+                        )
                 block = np.frombuffer(raw, dtype=dt).reshape(chunk)
                 sl = tuple(
                     slice(o, min(o + chunk[d], dims[d]))
@@ -464,11 +471,11 @@ def read_hdf5_bytes(buf: bytes) -> dict[str, np.ndarray]:
             btree_addr = struct.unpack_from("<Q", layout, 2)[0]
             crank = layout[10]  # rank + 1 (element-size dimension)
             chunk = struct.unpack_from(f"<{crank - 1}I", layout, 11)
-            deflate = False
-            if 0x000B in oh:
-                deflate = _pipeline_has_deflate(oh[0x000B])
+            filters = (
+                _pipeline_filters(oh[0x000B]) if 0x000B in oh else []
+            )
             arr = _read_chunked(
-                buf, btree_addr, dims, chunk, dt, deflate
+                buf, btree_addr, dims, chunk, dt, filters
             )
         else:
             raise ValueError(f"unsupported layout class {layout[1]}")

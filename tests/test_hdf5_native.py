@@ -342,3 +342,75 @@ def test_chunked_uvh5_data_cubes(vis_pdf, tmp_path):
     r = ref.sort_values(key).reset_index(drop=True)
     for c in b.columns:
         assert np.array_equal(b[c].to_numpy(), r[c].to_numpy()), c
+
+
+def test_shuffle_deflate_filter_chain(tmp_path):
+    """A shuffle+deflate pipeline (h5py's default compression combo)
+    must be undone in reverse order on read. The writer only emits
+    deflate, so build the shuffled chunk by hand: re-encode one
+    chunked dataset with filter ids [2, 1] and shuffled bytes."""
+    import struct as _s
+    import zlib
+
+    from mwa_uvdata_pipeline_spark.sources_hdf5 import (
+        _Buf,
+        _chunk_btree,
+        _dtype_message,
+        _group,
+        _message,
+        _object_header,
+    )
+
+    a = np.arange(64, dtype="<f8").reshape(8, 8)
+    buf = _Buf()
+    buf.alloc(96)
+    # one chunk, shuffled then deflated
+    shuffled = (
+        np.ascontiguousarray(a).tobytes()
+    )
+    lanes = (
+        np.frombuffer(shuffled, dtype="u1").reshape(-1, 8).T.tobytes()
+    )
+    raw = zlib.compress(lanes)
+    caddr = buf.alloc(len(raw))
+    buf.put(caddr, raw)
+    node = bytearray(
+        b"TREE" + _s.pack("<BBHQQ", 1, 0, 1, 0xFFFFFFFFFFFFFFFF,
+                          0xFFFFFFFFFFFFFFFF)
+    )
+    node += _s.pack("<II", len(raw), 0) + _s.pack("<QQQ", 0, 0, 0)
+    node += _s.pack("<Q", caddr)
+    node += _s.pack("<II", 0, 0) + _s.pack("<QQQ", 8, 8, 0)
+    node += _s.pack("<Q", 0)
+    baddr = buf.alloc(len(node))
+    buf.put(baddr, bytes(node))
+    pl = _s.pack("<BB2x4x", 1, 2)
+    pl += _s.pack("<HHHH", 2, 0, 0, 0)  # shuffle first
+    pl += _s.pack("<HHHH", 1, 0, 0, 1) + _s.pack("<II", 6, 0)  # deflate
+    space = _s.pack("<BBBx4x", 1, 2, 0) + _s.pack("<QQ", 8, 8)
+    layout = _s.pack("<BBQB", 3, 2, baddr, 3) + _s.pack(
+        "<III", 8, 8, 8
+    )
+    oh = _object_header(
+        [
+            _message(0x0001, space),
+            _message(0x0003, _dtype_message(np.dtype("<f8"))),
+            _message(0x000B, pl),
+            _message(0x0008, layout),
+        ]
+    )
+    oaddr = buf.alloc(len(oh))
+    buf.put(oaddr, oh)
+    gaddr, _, _ = _group(buf, {"d": oaddr})
+    root, rb, rh = _group(buf, {"G": gaddr})
+    sb = bytearray()
+    from mwa_uvdata_pipeline_spark.sources_hdf5 import SIGNATURE, UNDEF
+
+    sb += SIGNATURE
+    sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])
+    sb += _s.pack("<HHI", 16, 16, 0)
+    sb += _s.pack("<QQQQ", 0, UNDEF, len(buf.b), UNDEF)
+    sb += _s.pack("<QQI4xQQ", 0, root, 1, rb, rh)
+    buf.put(0, bytes(sb))
+    out = read_hdf5_bytes(bytes(buf.b))
+    assert np.array_equal(out["/G/d"], a)
