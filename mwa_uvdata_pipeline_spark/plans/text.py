@@ -4997,3 +4997,113 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         F.col("i").alias("dim"), "v1", "v2_raw", ray.alias("rayleigh")
     )
+
+
+@register(
+    "t_perplexity_buckets",
+    sql="""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                  FROM documents),
+    bg AS (SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS b
+           FROM toks, UNNEST(range(1, len(t))) AS u(i)
+           WHERE len(t) >= 2),
+    cf AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS crc FROM bg GROUP BY b),
+    sc AS (SELECT bg.doc_id, bg.lang,
+                  CAST(SUM(CAST(ROUND(ln(cf.crc) * 1000000) AS BIGINT))
+                       // COUNT(*) AS BIGINT) AS score_micro
+           FROM bg JOIN cf ON bg.b = cf.b
+           GROUP BY bg.doc_id, bg.lang),
+    binned AS (SELECT lang, score_micro // 500000 AS bin FROM sc),
+    hist AS (SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS c
+             FROM binned GROUP BY lang, bin),
+    cum AS (SELECT lang, bin, c,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cumc,
+                   SUM(c) OVER (PARTITION BY lang) AS n
+            FROM hist),
+    th AS (SELECT lang,
+                  MIN(CASE WHEN cumc * 3 >= n THEN bin END) AS t1,
+                  MIN(CASE WHEN cumc * 3 >= 2 * n THEN bin END) AS t2
+           FROM cum GROUP BY lang)
+    SELECT binned.lang,
+           CASE WHEN binned.bin <= th.t1 THEN 'tail'
+                WHEN binned.bin <= th.t2 THEN 'middle'
+                ELSE 'head' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(binned.bin) AS BIGINT) AS min_bin,
+           CAST(MAX(binned.bin) AS BIGINT) AS max_bin
+    FROM binned JOIN th ON binned.lang = th.lang
+    GROUP BY binned.lang, bucket
+    """,
+    doc="CCNet-style perplexity bucketing — split each language's "
+        "corpus into head/middle/tail thirds by language-model score "
+        "(here the mean bigram log-frequency in integer micro-nats, "
+        "high = familiar = head) the way the CommonCrawl curation "
+        "pipelines do, but WITHOUT the per-lang rank window that "
+        "would sort a whole language in one task: scores land in "
+        "0.5-nat histogram bins, the tercile thresholds come from a "
+        "cumulative sum over the BIN table (frames bounded by the "
+        "score domain, ~200 rows per lang), and docs join the tiny "
+        "per-lang threshold table to get their bucket. Terciles are "
+        "bin-granular (documents sharing a bin share a bucket) — the "
+        "deterministic, shuffle-bounded design; exact doc-level "
+        "terciles would reintroduce the full-partition sort.",
+)
+def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    bg = docs.select("doc_id", "lang", F.explode(bigrams).alias("b"))
+    cf = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("crc"))
+    sc = (
+        bg.join(cf, "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(ln(crc) * 1000000) AS BIGINT)) "
+                "div COUNT(*) AS BIGINT)"
+            ).alias("score_micro")
+        )
+    )
+    binned = sc.select("lang", F.expr("score_micro div 500000").alias("bin"))
+    hist = binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )  # frame = one row per 0.5-nat score bin, domain-bounded
+    cum = hist.select(
+        "lang",
+        "bin",
+        F.sum("c").over(wcum).alias("cumc"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
+    )
+    th = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cumc") * 3 >= F.col("n"), F.col("bin"))).alias(
+            "t1"
+        ),
+        F.min(
+            F.when(F.col("cumc") * 3 >= 2 * F.col("n"), F.col("bin"))
+        ).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("bin") <= F.col("t1"), "tail")
+        .when(F.col("bin") <= F.col("t2"), "middle")
+        .otherwise("head")
+    )
+    return (
+        binned.join(F.broadcast(th), "lang")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("bin").cast("long").alias("min_bin"),
+            F.max("bin").cast("long").alias("max_bin"),
+        )
+    )
