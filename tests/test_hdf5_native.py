@@ -414,3 +414,59 @@ def test_shuffle_deflate_filter_chain(tmp_path):
     buf.put(0, bytes(sb))
     out = read_hdf5_bytes(bytes(buf.b))
     assert np.array_equal(out["/G/d"], a)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    _dtypes = st.sampled_from(["<i1", "<i4", "<i8", "<f4", "<f8", "<c16"])
+
+    @st.composite
+    def _arrays(draw):
+        dt = np.dtype(draw(_dtypes))
+        rank = draw(st.integers(0, 3))
+        shape = tuple(draw(st.integers(1, 6)) for _ in range(rank))
+        n = int(np.prod(shape)) if shape else 1
+        ints = draw(
+            st.lists(
+                st.integers(-(2 ** 24), 2 ** 24), min_size=n, max_size=n
+            )
+        )
+        a = np.array(ints, dtype="<i8")
+        if dt.kind == "c":
+            a = (a + 1j * a[::-1]).astype(dt)
+        else:
+            a = a.astype(dt)
+        return a.reshape(shape)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(
+                alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8
+            ),
+            _arrays(),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_hdf5_roundtrip_property(tmp_path_factory, datasets):
+        """Any mix of supported dtypes/ranks/names round-trips exactly
+        through the codec (values drawn within each dtype's exact
+        range)."""
+        path = str(tmp_path_factory.mktemp("hyp") / "p.h5")
+        write_hdf5(path, {"G": datasets})
+        out = read_hdf5(path)
+        assert set(out) == {f"/G/{k}" for k in datasets}
+        for k, a in datasets.items():
+            got = out[f"/G/{k}"]
+            assert got.dtype == a.dtype and got.shape == a.shape
+            assert np.array_equal(got, a)
