@@ -7,6 +7,13 @@ it promises). Usage:
     python -m mwa_uvdata_pipeline_spark list [substring]
     python -m mwa_uvdata_pipeline_spark run <entry> [--sf-dir DIR]
         [--limit N] [--explain]
+    python -m mwa_uvdata_pipeline_spark ingest <file>... [--summary]
+
+``ingest`` reads visibility files through the multi-format registry
+(fits/metafits/uvfits/uvf/gpubox/uvh5/mwab/parquet dispatch by
+extension — the reference's read loop, processors.py:47-76, as one
+registry call) and prints rows, or a per-(chan, pol) summary with
+``--summary``.
 
 ``run`` prints the result as tab-separated rows (the reference's TSV
 convention); ``--explain`` prints the formatted physical plan instead
@@ -29,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_run.add_argument("--limit", type=int, default=20)
     p_run.add_argument("--explain", action="store_true")
+    p_ing = sub.add_parser("ingest", help="read visibility files")
+    p_ing.add_argument("files", nargs="+")
+    p_ing.add_argument("--summary", action="store_true")
+    p_ing.add_argument("--limit", type=int, default=20)
     args = ap.parse_args(argv)
 
     from mwa_uvdata_pipeline_spark.plans import load_all
@@ -40,6 +51,29 @@ def main(argv: list[str] | None = None) -> int:
             if args.filter in name:
                 doc = (p.doc or "").split(". ")[0][:70]
                 print(f"{name}\t{doc}")
+        return 0
+
+    if args.cmd == "ingest":
+        from mwa_uvdata_pipeline_spark.session import get_spark
+        from mwa_uvdata_pipeline_spark.sources import read_visibilities
+
+        spark = get_spark("cli")
+        df = read_visibilities(spark, args.files)
+        if args.summary:
+            from pyspark.sql import functions as F
+
+            df = (
+                df.groupBy("chan", "pol")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("flag").cast("int")).alias("n_flag"),
+                )
+                .orderBy("chan", "pol")
+            )
+        rows = df.limit(args.limit).collect()
+        print("\t".join(df.columns))
+        for r in rows:
+            print("\t".join(str(v) for v in r))
         return 0
 
     if args.entry not in plans:

@@ -22,3 +22,39 @@ def test_cli_run_prints_rows(spark, capsys):
 
 def test_cli_unknown_entry(capsys):
     assert main(["run", "nope"]) == 2
+
+
+def test_cli_ingest_uvh5_summary(spark, vis, tmp_path, capsys):
+    """ingest dispatches by extension through the format registry —
+    a native-codec uvh5 file summarizes to the fixture's cell counts."""
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from mwa_uvdata_pipeline_spark.__main__ import main
+    from mwa_uvdata_pipeline_spark.sources_hdf5 import write_uvh5
+
+    raw = pq.read_table("fixtures/visibilities.parquet").to_pandas()
+    pdf = pd.DataFrame(
+        {
+            "time_jd": raw["time_jd"],
+            "ant1": raw["ant1"],
+            "ant2": raw["ant2"],
+            "chan": raw["chan"],
+            "pol": raw["pol"],
+            "freq_hz": raw["freq_hz"],
+            "re": raw["vis"].map(lambda v: v["re"]),
+            "im": raw["vis"].map(lambda v: v["im"]),
+            "nsample": raw["nsample"].astype("f8"),
+            "flag": raw["flag"],
+            "uu": 0.25 * raw["ant1"],
+            "vv": 0.5 * raw["ant2"],
+            "ww": 0.125 * (raw["ant1"] + raw["ant2"]),
+        }
+    )
+    path = str(tmp_path / "obs.uvh5")
+    write_uvh5(pdf, path)
+    assert main(["ingest", path, "--summary", "--limit", "5"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["chan", "pol", "n", "n_flag"]
+    # 10 times x 36 baselines = 360 rows per (chan, pol) cell
+    assert out[1].split("\t")[:3] == ["0", "XX", "360"]
