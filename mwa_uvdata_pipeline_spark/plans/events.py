@@ -2920,3 +2920,103 @@ def stream_hll_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT CAST(bucket AS BIGINT) AS bucket, "
         f"CAST(rho AS INT) AS rho FROM {sink}"
     )
+
+
+@register(
+    "j11_interval_overlap",
+    sql="""
+    WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                      LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS pus
+               FROM events),
+    marked AS (SELECT user_id, us,
+                      CASE WHEN pus IS NULL OR us - pus > 1800000000
+                           THEN 1 ELSE 0 END AS new_s
+               FROM o),
+    sess AS (SELECT user_id, us,
+                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS sid
+             FROM marked),
+    iv AS (SELECT user_id, sid, MIN(us) AS s_lo, MAX(us) AS s_hi
+           FROM sess GROUP BY user_id, sid),
+    hours AS (SELECT DISTINCT (epoch_us(ts) // 3600000000) AS h
+              FROM events),
+    win AS (SELECT h * 3600000000 AS w_lo,
+                   h * 3600000000 + 1800000000 AS w_hi
+            FROM hours WHERE h % 4 = 0)
+    SELECT win.w_lo AS window_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT iv.user_id) AS BIGINT) AS n_users
+    FROM win JOIN iv
+      ON iv.s_lo < win.w_hi AND win.w_lo <= iv.s_hi
+    GROUP BY win.w_lo
+    """,
+    doc="Interval-overlap join (interval x interval, distinct from "
+        "j8's point-in-range): 30-minute-gap user sessions against "
+        "half-hour maintenance windows on every 4th hour. The oracle "
+        "states the raw inequality join; the Spark plan replicates "
+        "each session to the HOUR BINS it covers (sequence over the "
+        "bin range — bounded, a session spans few hours by the gap "
+        "rule), keys windows by their bin, equi-joins on the bin and "
+        "refines the exact overlap, then dedups (session, window) "
+        "pairs that matched in several bins. Shuffle volume is "
+        "O(sessions x avg bins) — independent of the time span — "
+        "where a theta join would cross every session with every "
+        "window. Session construction itself is the per-user "
+        "gaps-and-islands cumsum (user-keyed frames).",
+)
+def j11_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = epoch_us(ev)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select("user_id", us.alias("us"), F.lag(us).over(w).alias("pus"))
+    marked = o.select(
+        "user_id",
+        "us",
+        F.when(
+            F.col("pus").isNull() | (F.col("us") - F.col("pus") > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("sid", F.sum("new_s").over(wcum))
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s_lo"), F.max("us").alias("s_hi")
+    )
+    hours = ev.select(
+        F.floor(us / 3_600_000_000).cast("long").alias("h")
+    ).distinct()
+    win = hours.where(F.col("h") % 4 == 0).select(
+        (F.col("h") * 3_600_000_000).alias("w_lo"),
+        (F.col("h") * 3_600_000_000 + 1_800_000_000).alias("w_hi"),
+        F.col("h").alias("bin"),
+    )
+    # replicate each session to the hour bins it covers
+    ivb = iv.select(
+        "user_id",
+        "sid",
+        "s_lo",
+        "s_hi",
+        F.explode(
+            F.sequence(
+                F.expr("s_lo div 3600000000"), F.expr("s_hi div 3600000000")
+            )
+        ).alias("bin"),
+    )
+    pairs = (
+        ivb.join(win, "bin")
+        .where((F.col("s_lo") < F.col("w_hi")) & (F.col("w_lo") <= F.col("s_hi")))
+        .select("user_id", "sid", "w_lo")
+        .distinct()
+    )
+    return pairs.groupBy(F.col("w_lo").alias("window_start_us")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

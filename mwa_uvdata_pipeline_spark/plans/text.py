@@ -5107,3 +5107,66 @@ def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("bin").cast("long").alias("max_bin"),
         )
     )
+
+
+@register(
+    "t_ngram_novelty",
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+           FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+           WHERE len(t) >= 3),
+    fo AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+    per AS (SELECT sh.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            FROM sh JOIN fo ON sh.s = fo.s
+            GROUP BY sh.doc_id)
+    SELECT doc_id // 100 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_total) AS BIGINT) AS n_total,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+           CAST(SUM(n_novel) * 1000000 // SUM(n_total) AS BIGINT)
+               AS novelty_ppm
+    FROM per GROUP BY doc_id // 100
+    """,
+    doc="N-gram novelty curve — the dataset-redundancy growth metric "
+        "curation pipelines watch while accumulating a corpus: for "
+        "each document, the fraction of its distinct word 3-grams "
+        "seen for the FIRST time (first occurrence = min doc_id over "
+        "the corpus, one hash agg on the shingle key), rolled up into "
+        "100-doc buckets in ingestion order. A falling novelty_ppm "
+        "tail says new data is increasingly redundant — the signal to "
+        "stop crawling a source. Shape: distinct-shingle explode "
+        "(persisted — two consumers), one (s)-keyed MIN agg, and the "
+        "join-free trick: a document's novel count is just the "
+        "first-occurrence table grouped by first_doc, so the shingle "
+        "STRING never travels through a join — the only join is "
+        "doc-keyed between two doc-count-sized aggregates; integer "
+        "ppm division, no windows.",
+)
+def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_rows(table(spark, sf_dir, "documents"), k=3).persist()
+    fo = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    totals = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    novels = fo.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    per = totals.join(novels, "doc_id", "left").select(
+        "doc_id",
+        "n_total",
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+    )
+    return per.groupBy(F.expr("doc_id div 100").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_total").cast("long").alias("n_total"),
+        F.sum("n_novel").cast("long").alias("n_novel"),
+        F.expr(
+            "CAST(SUM(n_novel) * 1000000 div SUM(n_total) AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )
