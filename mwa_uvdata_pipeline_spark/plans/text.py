@@ -5170,3 +5170,122 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(n_novel) * 1000000 div SUM(n_total) AS BIGINT)"
         ).alias("novelty_ppm"),
     )
+
+
+@register(
+    "e_hard_negatives",
+    sql=f"""
+    WITH n AS (
+        SELECT vec_id, label, embedding,
+               sqrt({_SQL_DOT.format(a="embedding", b="embedding")}) AS nrm
+        FROM embeddings),
+    anchors AS (SELECT vec_id AS a_id, label AS a_label,
+                       embedding AS ae, nrm AS an
+                FROM n
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20),
+    scored AS (
+        SELECT anchors.a_id, n.vec_id AS neg_id,
+               ROUND({_SQL_DOT.format(a="anchors.ae", b="n.embedding")}
+                     / (anchors.an * n.nrm), 6) AS cos_sim
+        FROM anchors JOIN n ON anchors.a_label <> n.label),
+    rk AS (SELECT a_id, neg_id, cos_sim,
+                  ROW_NUMBER() OVER (PARTITION BY a_id
+                                     ORDER BY cos_sim DESC, neg_id) AS rk
+           FROM scored)
+    SELECT a_id, neg_id, cos_sim, CAST(rk AS INTEGER) AS rk
+    FROM rk WHERE rk <= 3
+    """,
+    doc="Hard-negative mining — the contrastive-training counterpart "
+        "of e_knn_within_label: for a BOUNDED anchor set (20 vectors "
+        "in deterministic md5 order — the per-batch anchor draw of a "
+        "training loop, constant regardless of corpus size) find the "
+        "3 most-similar vectors with a DIFFERENT label. The exact "
+        "scan mirrors sim_cosine_topk's accepted baseline design "
+        "(broadcast fixed anchor set, one pass over the vectors, "
+        "per-anchor top-k); at corpus scale the candidate leg swaps "
+        "to the LSH/IVF path exactly as the kNN family documents. "
+        "Scores rounded to 6 dp for cross-engine equality.",
+)
+def e_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    anchors = (
+        n.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(20)
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("label").alias("a_label"),
+            F.col("embedding").alias("ae"),
+            F.col("nrm").alias("an"),
+        )
+    )
+    scored = (
+        n.crossJoin(F.broadcast(anchors))
+        .where(F.col("a_label") != F.col("label"))
+        .select(
+            "a_id",
+            F.col("vec_id").alias("neg_id"),
+            F.round(
+                _dot(F.col("ae"), F.col("embedding"))
+                / (F.col("an") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cos_sim").desc(), "neg_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+        .select("a_id", "neg_id", "cos_sim", "rk")
+    )
+
+
+@register(
+    "e_embedding_audit",
+    sql=f"""
+    WITH n AS (
+        SELECT vec_id, label,
+               CAST(ROUND(sqrt({_SQL_DOT.format(a="embedding",
+                                                b="embedding")})
+                          * 1000000) AS BIGINT) AS nrm_micro
+        FROM embeddings)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN nrm_micro = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+           CAST(MIN(nrm_micro) AS BIGINT) AS min_norm_micro,
+           CAST(MAX(nrm_micro) AS BIGINT) AS max_norm_micro,
+           CAST(SUM(nrm_micro) // COUNT(*) AS BIGINT) AS avg_norm_micro
+    FROM n GROUP BY label
+    """,
+    doc="Embedding-table QA audit — the validation pass an ANN "
+        "pipeline runs before building indexes: per-label vector "
+        "counts, zero-norm (dead) vectors, and the norm distribution "
+        "envelope. Norms are quantized to integer micros after the "
+        "sqrt (both engines' IEEE sqrt is correctly rounded, and the "
+        "sum is then exact), so the gate is exact-value. One "
+        "projection + one label-keyed hash agg with map-side "
+        "partials; no joins, no windows.",
+)
+def e_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    nrm = F.round(
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * 1_000_000
+    ).cast("long")
+    n = emb.select("label", nrm.alias("nrm_micro"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum((F.col("nrm_micro") == 0).cast("int"))
+        .cast("long")
+        .alias("n_zero"),
+        F.min("nrm_micro").cast("long").alias("min_norm_micro"),
+        F.max("nrm_micro").cast("long").alias("max_norm_micro"),
+        F.expr("CAST(SUM(nrm_micro) div COUNT(*) AS BIGINT)").alias(
+            "avg_norm_micro"
+        ),
+    )

@@ -52,6 +52,8 @@ BNLJ_ALLOWED = {
                         "per-lang totals), bounded at any corpus size",
     "agg_kmv_intersect": "broadcast theta + n_common (two single-row "
                          "sketch aggregates, k-bounded by construction)",
+    "e_hard_negatives": "broadcast fixed 20-anchor set (TakeOrdered "
+                        "limit, constant at any corpus size)",
 }
 
 
