@@ -43,15 +43,17 @@ def test_read_visibilities_unsupported(spark):
 
 
 def test_stub_readers_raise(spark):
-    # only the genuinely library-bound formats remain stubs now that
-    # the FITS family (fits/metafits/uvfits) has native readers
-    with pytest.raises(NotImplementedError, match="uvh5 ingest needs"):
-        READERS["uvh5"](spark, ["/data/a.uvh5"])
+    # only casacore ms remains a stub: the FITS family AND uvh5 (via
+    # the native HDF5 codec) have real readers
     with pytest.raises(NotImplementedError, match="ms ingest needs"):
         READERS["ms"](spark, ["/data/a.ms"])
-    from mwa_uvdata_pipeline_spark.sources import read_gpubox_vis
+    from mwa_uvdata_pipeline_spark.sources import (
+        read_gpubox_vis,
+        read_uvh5_vis,
+    )
 
     assert READERS["fits"] is read_gpubox_vis
+    assert READERS["uvh5"] is read_uvh5_vis
 
 
 def test_batch_arithmetic_matches_reference_intent():
