@@ -3020,3 +3020,100 @@ def j11_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@register(
+    "ev_hll_rolling",
+    sql=f"""
+    WITH h AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day,
+               CAST(list_sum(list_transform(
+                   generate_series(1, 8),
+                   i -> (strpos('0123456789abcdef',
+                                substr(md5(CAST(user_id AS VARCHAR)), i, 1))
+                         - 1) * 16 ** (8 - i))) AS BIGINT) AS hv
+        FROM events),
+    b AS (SELECT day, hv % {_HLL_M} AS bucket,
+                 hv // {_HLL_M} AS rem FROM h),
+    reg AS (SELECT day, bucket, MAX({_HLL_RHO_CASE}) AS rho
+            FROM b GROUP BY day, bucket),
+    days AS (SELECT DISTINCT day FROM reg),
+    grid AS (SELECT days.day, g.bucket
+             FROM days, (SELECT DISTINCT bucket FROM reg) g),
+    dense AS (SELECT grid.day, grid.bucket,
+                     COALESCE(reg.rho, 0) AS rho
+              FROM grid LEFT JOIN reg
+                ON grid.day = reg.day AND grid.bucket = reg.bucket),
+    rolled AS (SELECT day, bucket,
+                      MAX(rho) OVER (PARTITION BY bucket ORDER BY day
+                                     ROWS BETWEEN 2 PRECEDING
+                                     AND CURRENT ROW) AS rho
+               FROM dense)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_present,
+           CAST(SUM(CAST(2 AS BIGINT) ** (27 - rho)) AS BIGINT)
+               + ({_HLL_M} - CAST(COUNT(*) AS BIGINT)) * 134217728
+               AS s_scaled,
+           0.709 * 4096.0 * 134217728.0 /
+               (CAST(SUM(CAST(2 AS BIGINT) ** (27 - rho)) AS BIGINT)
+                + ({_HLL_M} - CAST(COUNT(*) AS BIGINT)) * 134217728)
+               AS est_distinct
+    FROM rolled GROUP BY day
+    """,
+    doc="Rolling windowed distinct via sketch merge — the OLAP "
+        "pattern that makes 'distinct users, trailing 3 days, every "
+        "day' tractable at 100 TB: raw events fold ONCE into daily "
+        "64-register HLL tables, and the trailing window is a MAX "
+        "over each register's 3-day frame — the window never sees an "
+        "event, only registers (64 parallel per-bucket frames of "
+        "#days rows). rho = 0 marks an empty register (2^27 term), "
+        "so the merged S stays integer-exact. The same daily sketch "
+        "table serves any trailing width without re-reading raw "
+        "data — the reason engines store sketches, not counts.",
+)
+def ev_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    h = ev.select(
+        F.col("ts").cast("date").alias("day"), hv.alias("hv")
+    ).distinct()
+    b = h.select(
+        "day",
+        (F.col("hv") % _HLL_M).alias("bucket"),
+        F.expr(f"hv div {_HLL_M}").alias("rem"),
+    )
+    reg = (
+        b.withColumn("rho", F.expr(_HLL_RHO_CASE))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .persist()  # consumers: day grid + bucket grid + dense join
+    )
+    days = reg.select("day").distinct()
+    buckets = reg.select("bucket").distinct()
+    grid = days.crossJoin(F.broadcast(buckets))
+    dense = grid.join(reg, ["day", "bucket"], "left").select(
+        "day", "bucket", F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+    wroll = (
+        Window.partitionBy("bucket")
+        .orderBy("day")
+        .rowsBetween(-2, Window.currentRow)
+    )  # frame: one row per day per register — sketch-sized
+    rolled = dense.withColumn("rho", F.max("rho").over(wroll))
+    pow_term = F.expr("shiftleft(CAST(1 AS BIGINT), 27 - rho)")
+    s_scaled = (
+        F.sum(pow_term).cast("long")
+        + (_HLL_M - F.count(F.lit(1)).cast("long")) * 134217728
+    ).cast("long")
+    return rolled.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum((F.col("rho") > 0).cast("int")).cast("long").alias("n_present"),
+        s_scaled.alias("s_scaled"),
+        (F.lit(0.709) * F.lit(4096.0) * F.lit(134217728.0) / s_scaled).alias(
+            "est_distinct"
+        ),
+    )
