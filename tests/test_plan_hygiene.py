@@ -54,6 +54,8 @@ BNLJ_ALLOWED = {
                          "sketch aggregates, k-bounded by construction)",
     "e_hard_negatives": "broadcast fixed 20-anchor set (TakeOrdered "
                         "limit, constant at any corpus size)",
+    "ev_hll_rolling": "broadcast register-bucket set (<= 64 rows, the "
+                      "sketch width) against the day grid",
 }
 
 
