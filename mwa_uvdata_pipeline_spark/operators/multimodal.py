@@ -299,35 +299,40 @@ def synth_ppm_bytes(doc_id: int) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode("ascii") + img.tobytes()
 
 
+def _parse_ppm(data: bytes):
+    """Parse one PPM P6 byte image -> (w, h, int64 pixel array):
+    ASCII header (width/height/maxval, comment-aware), raw RGB plane."""
+    import numpy as np
+
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to EOL
+            pos = data.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not data[end : end + 1].isspace():
+            end += 1
+        fields.append(data[pos:end])
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM")
+    img = np.frombuffer(data, dtype="u1", count=w * h * 3, offset=pos)
+    return w, h, img.reshape(h, w, 3).astype("i8")
+
+
 def decode_ppm(df: DataFrame, payload_col: str = "payload",
                id_col: str = "doc_id") -> DataFrame:
     """REAL PPM P6 decode (pure numpy): parses the ASCII header
     (width/height/maxval with comment support), reshapes the raw RGB
     plane, and emits per-channel integer sums."""
-    import numpy as np
-
-    def parse_one(data: bytes):
-        if not data.startswith(b"P6"):
-            raise ValueError("not a P6 PPM")
-        fields: list[bytes] = []
-        pos = 2
-        while len(fields) < 3:
-            while pos < len(data) and data[pos : pos + 1].isspace():
-                pos += 1
-            if data[pos : pos + 1] == b"#":  # comment to EOL
-                pos = data.index(b"\n", pos) + 1
-                continue
-            end = pos
-            while not data[end : end + 1].isspace():
-                end += 1
-            fields.append(data[pos:end])
-            pos = end
-        pos += 1  # single whitespace after maxval
-        w, h, maxval = (int(f) for f in fields)
-        if maxval != 255:
-            raise ValueError("only 8-bit PPM")
-        img = np.frombuffer(data, dtype="u1", count=w * h * 3, offset=pos)
-        return w, h, img.reshape(h, w, 3).astype("i8")
+    parse_one = _parse_ppm
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -428,3 +433,36 @@ def vad_wav(df: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(batches, VAD_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id long, ahash int"
+
+
+def ahash_ppm(df: DataFrame, payload_col: str = "payload",
+              id_col: str = "doc_id") -> DataFrame:
+    """Average-hash over REAL decoded PPM pixels: nearest-neighbor
+    sample a 4x4 luminance grid (lum = r+g+b, integer), set bit (j,i)
+    iff 16*lum > sum of the 16 sampled luminances (strict integer
+    compare — no float mean, so the cross-engine decision is exact),
+    pack 16 bits row-major. The actual perceptual-hash shape
+    (downsample -> threshold-at-mean -> bit pack) on actual decoded
+    bytes; Arrow-batched mapInPandas."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, img = _parse_ppm(bytes(b))
+                lum = img.sum(axis=2)  # (h, w) integer luminance
+                xs = (np.arange(4) * w) // 4
+                ys = (np.arange(4) * h) // 4
+                grid = lum[np.ix_(ys, xs)]  # (j, i)
+                total = int(grid.sum())
+                bits = (16 * grid > total).astype("i8")
+                ah = int((bits.ravel() << np.arange(16)).sum())
+                ids.append(doc_id)
+                hashes.append(ah)
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AHASH_SCHEMA)

@@ -5289,3 +5289,63 @@ def e_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_norm_micro"
         ),
     )
+
+
+@register(
+    "m_phash_decoded",
+    sql="""
+    WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+               FROM documents),
+    g AS (SELECT doc_id, w, h, i, j,
+                 (i * w) // 4 AS x, (j * h) // 4 AS y
+          FROM d, UNNEST(range(0, 4)) ui(i), UNNEST(range(0, 4)) uj(j)),
+    lum AS (SELECT doc_id, i, j,
+                   (doc_id + x * 3 + y * 5) % 256
+                   + (doc_id * 2 + x) % 256
+                   + (x * y + doc_id) % 256 AS l
+            FROM g),
+    tot AS (SELECT doc_id, CAST(SUM(l) AS BIGINT) AS total FROM lum
+            GROUP BY doc_id),
+    ph AS (SELECT lum.doc_id,
+                  CAST(SUM(CASE WHEN 16 * lum.l > tot.total
+                           THEN 1 << (lum.j * 4 + lum.i)
+                           ELSE 0 END) AS INTEGER) AS ahash
+           FROM lum JOIN tot ON lum.doc_id = tot.doc_id
+           GROUP BY lum.doc_id)
+    SELECT ahash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM ph GROUP BY ahash HAVING COUNT(*) > 1
+    """,
+    doc="Perceptual hashing on REAL decoded pixels — upgrades "
+        "m_phash_dedup's stub-feature hash to the actual aHash shape "
+        "on actual bytes (operators.multimodal.ahash_ppm): each PPM "
+        "payload is parsed, a 4x4 luminance grid nearest-neighbor "
+        "sampled, each cell thresholded against the grid sum by "
+        "STRICT integer cross-multiplication (16*lum > total — no "
+        "float mean, no tie ambiguity), and the 16 bits packed "
+        "row-major. Buckets with more than one document are the "
+        "near-dup candidate sets; grouping by the hash bounds the "
+        "output to bucket summaries (the candidate-join discipline "
+        "the stub entry measured at 10x). The oracle recomputes the "
+        "hash from the pixel generator formula, so a decode, "
+        "sampling, or packing error anywhere breaks the gate.",
+)
+def m_phash_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        ahash_ppm,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    ph = ahash_ppm(synth_payloads(docs, "ppm"))
+    return (
+        ph.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
