@@ -3117,3 +3117,55 @@ def ev_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_distinct"
         ),
     )
+
+
+@register(
+    "s_compaction_roundtrip",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+    doc="Small-files compaction GATED end-to-end (sinks."
+        "compact_parquet): the events table is deliberately shattered "
+        "into 64 tiny parquet files (the streaming-append failure "
+        "mode whose footer/open overhead dominates scans at 100 TB), "
+        "compacted back into right-sized files via one round-robin "
+        "repartition rewrite, and the compacted copy must aggregate "
+        "identically to the original table — content preservation "
+        "proven through the oracle, file-count collapse asserted in "
+        "the builder. The scan after compaction reads a handful of "
+        "files instead of 64; at production scale this is the "
+        "difference between a listing-bound driver and a scan-bound "
+        "cluster.",
+)
+def s_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+
+    from mwa_uvdata_pipeline_spark.plans import fixture_dir
+    from mwa_uvdata_pipeline_spark.sinks import compact_parquet
+
+    def _build(d: str) -> None:
+        frag = os.path.join(d, "frag")
+        ev = table(spark, sf_dir, "events")
+        ev.repartition(64).write.mode("overwrite").parquet(frag)
+        n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+        assert n_frag >= 32, f"fixture not fragmented: {n_frag}"
+        stats = compact_parquet(
+            spark, frag, os.path.join(d, "compact"), target_files=4
+        )
+        assert stats["files_after"] < stats["files_before"]
+
+    out = fixture_dir("compaction", sf_dir, _build)
+    ev = spark.read.parquet(os.path.join(out, "compact"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
