@@ -19,9 +19,11 @@ implemented from its PUBLIC specifications instead of stubbed:
   polarization codes (xx=-5, yy=-6, xy=-7, yx=-8).
 
 Deviations from a full implementation, documented: datasets only (no
-attributes), contiguous layout only (no chunking/compression), string
-header items (telescope_name, history, ...) omitted, and boolean flags
-stored as int8 0/1 rather than libhdf5's TRUE/FALSE enum-of-int8.
+attributes) and boolean flags stored as int8 0/1 rather than
+libhdf5's TRUE/FALSE enum-of-int8. Contiguous AND chunked layouts are
+supported (gzip + byte-shuffle filters undone on read, gzip written),
+object-header continuations are followed, and the UVH5 memo's string
+header items are written as class-3 fixed-length ASCII datasets.
 Files are written strictly to the v0 spec so a libhdf5 build should
 read them; that cross-check needs h5py, which this container lacks —
 the codec is instead gated byte-level (golden layout tests) and
@@ -86,6 +88,13 @@ def _dtype_message(dt: np.dtype) -> bytes:
         else:
             raise ValueError(f"unsupported float size {size}")
         return head + props
+    if dt.kind == "S":
+        # fixed-length ASCII string, null-padded (h5py's convention
+        # for numpy 'S' arrays)
+        head = bytes([0x10 | 3, 0x01, 0, 0]) + struct.pack(
+            "<I", dt.itemsize
+        )
+        return head
     if dt.kind == "c":
         # h5py convention: compound {r, i} of the element float type
         half = np.dtype(f"<f{dt.itemsize // 2}")
@@ -295,6 +304,8 @@ def _parse_dtype(body: bytes) -> np.dtype:
         return np.dtype(f"<{'i' if signed else 'u'}{size}")
     if cls == 1:
         return np.dtype(f"<f{size}")
+    if cls == 3:
+        return np.dtype(f"S{size}")
     if cls == 6:
         nmembers = body[1] | (body[2] << 8)
         if nmembers == 2:
@@ -565,6 +576,14 @@ def write_uvh5(pdf: pd.DataFrame, path: str) -> None:
         ),
         "spw_array": np.array([0], dtype="<i8"),
         "uvw_array": blts[["uu", "vv", "ww"]].to_numpy("<f8"),
+        # the UVH5 memo's required string items (fixed-length ASCII
+        # datasets, class-3 null-padded — the h5py layout)
+        "telescope_name": np.array(b"MWA", dtype="S8"),
+        "instrument": np.array(b"MWA", dtype="S8"),
+        "object_name": np.array(b"zenith", dtype="S8"),
+        "phase_type": np.array(b"drift", dtype="S8"),
+        "version": np.array(b"1.0", dtype="S4"),
+        "history": np.array(b"mwa_uvdata_pipeline_spark", dtype="S32"),
     }
     write_hdf5(
         path,

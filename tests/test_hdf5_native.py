@@ -470,3 +470,27 @@ if _HYP:
             got = out[f"/G/{k}"]
             assert got.dtype == a.dtype and got.shape == a.shape
             assert np.array_equal(got, a)
+
+
+def test_string_datasets_and_uvh5_header_strings(vis_pdf, tmp_path):
+    """Class-3 fixed-length ASCII datasets round-trip, and write_uvh5
+    emits the UVH5 memo's string header items."""
+    path = str(tmp_path / "s.h5")
+    write_hdf5(
+        path,
+        {
+            "H": {
+                "name": np.array(b"MWA", dtype="S8"),
+                "list": np.array([b"aa", b"bb"], dtype="S4"),
+            }
+        },
+    )
+    out = read_hdf5(path)
+    assert out["/H/name"][()] == b"MWA"
+    assert list(out["/H/list"]) == [b"aa", b"bb"]
+    uv = str(tmp_path / "obs.uvh5")
+    write_uvh5(vis_pdf, uv)
+    t = read_hdf5(uv)
+    assert t["/Header/telescope_name"][()] == b"MWA"
+    assert t["/Header/phase_type"][()] == b"drift"
+    assert t["/Header/history"][()].startswith(b"mwa_uvdata")
