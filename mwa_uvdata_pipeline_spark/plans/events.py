@@ -3169,3 +3169,85 @@ def s_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_cents"),
     )
+
+
+@register(
+    "ev_anomaly_mad",
+    sql="""
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    r1 AS (SELECT event_type, n,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY n, hr) AS rk,
+                  COUNT(*) OVER (PARTITION BY event_type) AS cnt
+           FROM h),
+    med AS (SELECT event_type, n AS med FROM r1
+            WHERE rk = (cnt + 1) // 2),
+    dev AS (SELECT h.event_type, h.hr, h.n,
+                   ABS(h.n - med.med) AS d, med.med
+            FROM h JOIN med ON h.event_type = med.event_type),
+    r2 AS (SELECT event_type, d,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY d, hr) AS rk,
+                  COUNT(*) OVER (PARTITION BY event_type) AS cnt
+           FROM dev),
+    mad AS (SELECT event_type, d AS mad FROM r2
+            WHERE rk = (cnt + 1) // 2)
+    SELECT dev.event_type,
+           CAST(MAX(dev.med) AS BIGINT) AS med,
+           CAST(MAX(mad.mad) AS BIGINT) AS mad,
+           CAST(SUM(CASE WHEN dev.d > 5 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalous,
+           CAST(MAX(dev.d) AS BIGINT) AS max_dev
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY dev.event_type
+    """,
+    doc="Robust anomaly detection by median absolute deviation — the "
+        "outlier gate ev_rate_anomaly's trailing MEAN cannot provide "
+        "(a single spike drags a mean; the double median shrugs it "
+        "off): hourly counts per type, the LOWER median ((n+1) div 2 "
+        "rank with an hr tiebreak — integer-exact and "
+        "order-deterministic in both engines, no interpolation), "
+        "deviations, the median of those, and hours beyond 5 MADs "
+        "flagged. Every window runs on the HOURLY aggregate table "
+        "(calendar-bounded frames, one row per hour per type); raw "
+        "events are touched once by the (type, hour) hash agg.",
+)
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wtype = Window.partitionBy("event_type")
+
+    def lower_median(df, val, out):
+        w = Window.partitionBy("event_type").orderBy(val, "hr")
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .withColumn("cnt", F.count(F.lit(1)).over(wtype))
+            .where(F.col("rk") == F.expr("(cnt + 1) div 2"))
+            .select("event_type", F.col(val).alias(out))
+        )
+
+    med = lower_median(h, "n", "med")
+    dev = h.join(med, "event_type").select(
+        "event_type",
+        "hr",
+        "n",
+        F.abs(F.col("n") - F.col("med")).alias("d"),
+        "med",
+    )
+    mad = lower_median(dev, "d", "mad")
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").cast("long").alias("med"),
+            F.max("mad").cast("long").alias("mad"),
+            F.sum((F.col("d") > 5 * F.col("mad")).cast("int"))
+            .cast("long")
+            .alias("n_anomalous"),
+            F.max("d").cast("long").alias("max_dev"),
+        )
+    )
