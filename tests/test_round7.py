@@ -172,11 +172,22 @@ def test_mixture_sample_budget_invariants(spark):
     assert rows
     budgets = {r.budget for r in rows}
     assert len(budgets) == 1  # one global budget
+    budget = budgets.pop()
+    # overshoot bound: the last admitted doc STARTS inside the budget,
+    # so kept tokens < budget + that language's largest document
+    max_doc = {
+        r.lang: r.m
+        for r in table(spark, SF_SMALL, "documents")
+        .groupBy("lang")
+        .agg(F.max(F.size(F.split("text", " "))).alias("m"))
+        .collect()
+    }
     for r in rows:
-        assert r.n_docs_kept >= 1
-        assert r.n_docs_kept <= r.n_docs_total
-        # the admitted prefix overshoots by at most one document
-        assert r.n_tokens_kept <= r.budget or r.n_docs_kept >= 1
+        assert 1 <= r.n_docs_kept <= r.n_docs_total
+        assert r.n_tokens_kept < budget + max_doc[r.lang]
+        # the budget is binding: dropping the overshoot doc (at most
+        # one) would leave the kept mass under budget
+        assert r.n_tokens_kept - max_doc[r.lang] < budget
 
 
 def test_vad_known_doc(spark):
