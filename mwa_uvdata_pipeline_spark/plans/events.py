@@ -3251,3 +3251,53 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").cast("long").alias("max_dev"),
         )
     )
+
+
+@register(
+    "ev_ewma_dyadic",
+    sql="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    w AS (SELECT day, n,
+                 CAST(COALESCE(LAG(n, 0) OVER (ORDER BY day), 0) * 128 + COALESCE(LAG(n, 1) OVER (ORDER BY day), 0) * 64 + COALESCE(LAG(n, 2) OVER (ORDER BY day), 0) * 32 + COALESCE(LAG(n, 3) OVER (ORDER BY day), 0) * 16 + COALESCE(LAG(n, 4) OVER (ORDER BY day), 0) * 8 + COALESCE(LAG(n, 5) OVER (ORDER BY day), 0) * 4 + COALESCE(LAG(n, 6) OVER (ORDER BY day), 0) * 2 + COALESCE(LAG(n, 7) OVER (ORDER BY day), 0) * 1
+                      AS BIGINT) AS acc
+          FROM d)
+    SELECT strftime(day, '%Y-%m-%d') AS day, n,
+           acc // 255 AS ewma_floor,
+           acc AS acc_scaled
+    FROM w
+    """,
+    doc="Dyadic-exact exponential smoothing — time-series smoothing "
+        "whose weights are powers of 1/2 over a trailing 8-row frame "
+        "(weight 2^(7-i) for lag i, normalizer 255 = 2^8 - 1), so the "
+        "accumulator is a plain integer sum and the smoothed level is "
+        "one floor division: no float recurrence, no order-dependent "
+        "rounding, exactly reproducible across engines and across "
+        "partial/merge recomputation — the property that lets a "
+        "1000-executor backfill and an incremental daily job agree "
+        "bit-for-bit. The window runs on the DAILY aggregate table "
+        "(calendar-bounded, gapless for this event stream); raw "
+        "events are touched once.",
+)
+def ev_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wlag = Window.orderBy("day")  # frame: one row per calendar day
+    acc = None
+    for i in range(8):
+        term = F.coalesce(F.lag("n", i).over(wlag), F.lit(0)) * F.lit(
+            1 << (7 - i)
+        ).cast("long")
+        acc = term if acc is None else acc + term
+    return (
+        d.withColumn("acc", acc.cast("long"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.expr("CAST(acc div 255 AS BIGINT)").alias("ewma_floor"),
+            F.col("acc").alias("acc_scaled"),
+        )
+    )
