@@ -3301,3 +3301,79 @@ def ev_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("acc").alias("acc_scaled"),
         )
     )
+
+
+@register(
+    "agg_exact_median_2pass",
+    sql="""
+    WITH v AS (SELECT event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events),
+    r AS (SELECT event_type, cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          FROM v)
+    SELECT event_type,
+           CAST(cnt AS BIGINT) AS n,
+           CAST(cents AS BIGINT) AS median_cents
+    FROM r WHERE rk = (cnt + 1) // 2
+    """,
+    doc="EXACT median without a full sort — the two-pass technique "
+        "that scales where percentile_approx is inexact and a global "
+        "rank is a single-task sort: pass 1 histograms values into "
+        "fixed-width bins per group (one hash agg), the cumulative "
+        "bin counts locate the bin CONTAINING the lower median and "
+        "the number of rows preceding it; pass 2 re-reads ONLY rows "
+        "inside that bin (a pushed predicate — ~n/bins rows), ranks "
+        "that small subset per group, and picks the (n+1)/2-th "
+        "element exactly. The oracle computes the same lower median "
+        "by direct rank, proving the two-pass answer EXACT, not "
+        "approximate. Per-group second-pass frames are bin-population "
+        "sized; the cumulative window runs on the bin table.",
+)
+def agg_exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).persist()  # two passes by design: histogram, then one-bin rank
+    binw = 100  # one-dollar bins over integer cents
+    hist = v.groupBy(
+        "event_type", F.expr(f"cents div {binw}").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )  # frame: one row per occupied bin (value-domain bounded)
+    cum = hist.select(
+        "event_type",
+        "bin",
+        "c",
+        F.sum("c").over(wcum).alias("cumc"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    target = cum.where(
+        (F.col("cumc") >= F.expr("(n + 1) div 2"))
+        & (F.col("cumc") - F.col("c") < F.expr("(n + 1) div 2"))
+    ).select(
+        "event_type",
+        "bin",
+        (F.col("cumc") - F.col("c")).alias("before"),
+        "n",
+    )
+    # pass 2: rank ONLY the rows inside each group's median bin
+    wbin = Window.partitionBy("event_type").orderBy("cents")
+    inbin = v.join(F.broadcast(target), "event_type").where(
+        F.expr(f"cents div {binw}") == F.col("bin")
+    )
+    return (
+        inbin.withColumn("rk", F.row_number().over(wbin))
+        .where(F.col("rk") + F.col("before") == F.expr("(n + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("cents").alias("median_cents"),
+        )
+    )

@@ -2117,3 +2117,56 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_ppm"), "a", "b")
         .limit(50)
     )
+
+
+@register(
+    "x_content_hash",
+    sql="""
+    WITH h AS (
+        SELECT CAST(strftime(l_shipdate, '%Y') AS BIGINT) AS ship_year,
+               CAST(list_sum(list_transform(
+                   generate_series(1, 8),
+                   i -> (strpos('0123456789abcdef',
+                         substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                                    CAST(l_linenumber AS VARCHAR) || '|' ||
+                                    CAST(CAST(ROUND(l_quantity * 100)
+                                         AS BIGINT) AS VARCHAR)), i, 1))
+                         - 1) * 16 ** (8 - i))) AS BIGINT) AS hv
+        FROM lineitem)
+    SELECT ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(hv) AS BIGINT) AS content_hash
+    FROM h GROUP BY ship_year
+    """,
+    doc="Orderless table content checksum — the anti-entropy primitive "
+        "replica/migration audits run (same idea as Iceberg snapshot "
+        "summaries or pg_comparator): each row canonicalizes its key "
+        "columns to a '|'-joined string (floats pre-quantized to "
+        "integer cents so both engines render identical text), hashes "
+        "to a 32-bit md5 prefix, and the per-partition checksum is "
+        "the plain SUM — commutative and mergeable, so shard "
+        "checksums roll up to the table checksum in any order, and "
+        "two tables differ iff some partition's sum differs (up to "
+        "hash collisions). One projection + one hash agg; the "
+        "cheapest possible cross-cluster table comparison.",
+)
+def x_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.round(F.col("l_quantity") * 100).cast("long").cast("string"),
+    )
+    hv = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return (
+        li.select(
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            hv.alias("hv"),
+        )
+        .groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("hv").cast("long").alias("content_hash"),
+        )
+    )
