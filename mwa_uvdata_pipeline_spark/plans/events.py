@@ -3377,3 +3377,87 @@ def agg_exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").alias("median_cents"),
         )
     )
+
+
+@register(
+    "x_variant_extract",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Spark 4 VARIANT ingestion of semi-structured payloads: the "
+        "JSON props column is parsed ONCE into the binary VARIANT "
+        "encoding (parse_json) and fields are extracted with typed "
+        "variant_get paths — the open-table-format answer to "
+        "schema-on-read JSON that avoids per-expression re-parsing "
+        "(x_json_extract's get_json_object re-tokenizes the string "
+        "for every path; VARIANT amortizes one parse across all "
+        "extractions and keeps comparisons/aggregations on typed "
+        "values). Oracle extracts the same field with DuckDB's JSON "
+        "path functions; integer field, exact.",
+)
+def x_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "x_observe_metrics",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+    FROM events
+    """,
+    doc="Pipeline observability via df.observe(): named metrics "
+        "(row count, value mass, negative-value violations) are "
+        "accumulated DURING the action by the Observation API — the "
+        "zero-extra-pass instrumentation a production job attaches to "
+        "every stage for data-quality circuit breakers, instead of "
+        "re-scanning the input to audit it. The observed values are "
+        "returned as a 1-row frame and must equal the oracle's "
+        "direct aggregation — proving the instrumented metrics "
+        "faithfully reflect the data that flowed through. The extra "
+        "action is a count on the observed frame (metrics become "
+        "available only after an action completes).",
+)
+def x_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    ev = table(spark, sf_dir, "events")
+    obs = Observation("dq")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.sum((F.col("value") < 0).cast("int")).cast("long").alias(
+            "n_negative"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["sum_cents"]), int(m["n_negative"]))],
+        "n_rows long, sum_cents long, n_negative long",
+    )
