@@ -3461,3 +3461,72 @@ def x_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_rows"]), int(m["sum_cents"]), int(m["n_negative"]))],
         "n_rows long, sum_cents long, n_negative long",
     )
+
+
+@register(
+    "x_pipe_sql",
+    sql="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id HAVING COUNT(*) >= 3
+    """,
+    doc="Spark 4 SQL pipe syntax (|>): the same logical plan as the "
+        "classic SELECT, written as a linear FROM |> WHERE |> "
+        "AGGREGATE |> WHERE flow — the composable form Spark 4.0 "
+        "added for pipeline-style SQL. Catalyst compiles both "
+        "spellings to one plan (filter pushed to the scan, partial "
+        "aggregation map-side), so this gates that the new surface "
+        "produces the standard plan, not a different engine path. "
+        "Oracle is the classic spelling in DuckDB.",
+)
+def x_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "events").createOrReplaceTempView("pipe_events")
+    return spark.sql(
+        """
+        FROM pipe_events
+        |> WHERE event_type = 'click'
+        |> AGGREGATE COUNT(*) AS n_clicks,
+                     CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+           GROUP BY user_id
+        |> WHERE n_clicks >= 3
+        |> SELECT user_id, CAST(n_clicks AS BIGINT) AS n_clicks, cents
+        """
+    )
+
+
+@register(
+    "x_lateral_topn",
+    sql="""
+    WITH u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id, t.event_id, t.event_type
+    FROM u, LATERAL (
+        SELECT event_id, event_type FROM events e
+        WHERE e.user_id = u.user_id
+        ORDER BY e.ts DESC, e.event_id DESC LIMIT 2
+    ) t
+    """,
+    doc="Correlated LATERAL subquery — 'each user's 2 most recent "
+        "events' written as the correlated form analysts reach for; "
+        "Catalyst DECORRELATES it (no per-user re-execution — the "
+        "rewritten plan is the same shuffle-once ranked-window shape "
+        "a hand-written row_number query produces), which is the "
+        "property that makes the convenient spelling safe at scale. "
+        "DuckDB runs the identical LATERAL text as the oracle.",
+)
+def x_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "events").createOrReplaceTempView("lat_events")
+    return spark.sql(
+        """
+        WITH u AS (SELECT DISTINCT user_id FROM lat_events)
+        SELECT u.user_id, t.event_id, t.event_type
+        FROM u, LATERAL (
+            SELECT event_id, event_type FROM lat_events e
+            WHERE e.user_id = u.user_id
+            ORDER BY e.ts DESC, e.event_id DESC LIMIT 2
+        ) t
+        """
+    )
