@@ -3530,3 +3530,110 @@ def x_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "ev_peak_concurrency",
+    sql="""
+    WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+                      LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS pus
+               FROM events),
+    marked AS (SELECT user_id, us,
+                      CASE WHEN pus IS NULL OR us - pus > 1800000000
+                           THEN 1 ELSE 0 END AS new_s
+               FROM o),
+    sess AS (SELECT user_id, us,
+                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS sid
+             FROM marked),
+    iv AS (SELECT user_id, sid, MIN(us) AS s_lo, MAX(us) + 1 AS s_hi
+           FROM sess GROUP BY user_id, sid),
+    delta AS (SELECT s_lo AS us, 1 AS d FROM iv
+              UNION ALL SELECT s_hi AS us, -1 AS d FROM iv),
+    dd AS (SELECT us, d, us // 86400000000 AS day FROM delta),
+    incum AS (SELECT day, us, d,
+                     SUM(d) OVER (PARTITION BY day ORDER BY us, d
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS c
+              FROM dd),
+    dtot AS (SELECT day, CAST(SUM(d) AS BIGINT) AS net FROM dd
+             GROUP BY day),
+    doff AS (SELECT day,
+                    COALESCE(SUM(net) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS off
+             FROM dtot)
+    SELECT CAST(incum.day AS BIGINT) AS day_idx,
+           CAST(MAX(doff.off + incum.c) AS BIGINT) AS peak_concurrent,
+           CAST(COUNT(*) AS BIGINT) AS n_deltas
+    FROM incum JOIN doff ON incum.day = doff.day
+    GROUP BY incum.day
+    """,
+    doc="Peak concurrent sessions per day — the sweep line (+1 at "
+        "session start, -1 past its end, running sum = concurrency) "
+        "with the cumsum STITCHED in two levels so no task ever sorts "
+        "the whole timeline: deltas cumsum within their own DAY "
+        "(parallel per-day frames; ties ordered ends-before-starts by "
+        "the d ascending tiebreak, the half-open interval convention) "
+        "and a per-day net-delta offset table (one row per day, "
+        "calendar-bounded window) carries the running level across "
+        "day boundaries — sessions spanning midnight place their -1 "
+        "on the later day and the stitch accounts them exactly. "
+        "Session construction is the same per-user gaps-and-islands "
+        "as ev_sessionize/j11.",
+)
+def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = epoch_us(ev)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select("user_id", us.alias("us"), F.lag(us).over(w).alias("pus"))
+    marked = o.select(
+        "user_id",
+        "us",
+        F.when(
+            F.col("pus").isNull()
+            | (F.col("us") - F.col("pus") > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    iv = (
+        marked.withColumn("sid", F.sum("new_s").over(wcum))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_lo"), (F.max("us") + 1).alias("s_hi"))
+    )
+    delta = iv.select(F.col("s_lo").alias("us"), F.lit(1).alias("d")).unionByName(
+        iv.select(F.col("s_hi").alias("us"), F.lit(-1).alias("d"))
+    )
+    dd = delta.withColumn("day", F.expr("us div 86400000000"))
+    win_day = (
+        Window.partitionBy("day")
+        .orderBy("us", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    incum = dd.withColumn("c", F.sum("d").over(win_day))
+    dtot = dd.groupBy("day").agg(F.sum("d").cast("long").alias("net"))
+    woff = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # frame: one row per calendar day
+    doff = dtot.select(
+        "day", F.coalesce(F.sum("net").over(woff), F.lit(0)).alias("off")
+    )
+    return (
+        incum.join(F.broadcast(doff), "day")
+        .groupBy(F.col("day").cast("long").alias("day_idx"))
+        .agg(
+            F.max(F.col("off") + F.col("c")).cast("long").alias(
+                "peak_concurrent"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_deltas"),
+        )
+    )
