@@ -3637,3 +3637,139 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_deltas"),
         )
     )
+
+
+@register(
+    "agg_kmv_anotb",
+    sql=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(list_sum(list_transform(
+                   generate_series(1, 8),
+                   i -> (strpos('0123456789abcdef',
+                                substr(md5(CAST(user_id AS VARCHAR)), i, 1))
+                         - 1) * 16 ** (8 - i))) AS BIGINT) AS hv
+        FROM events WHERE event_type IN ('view', 'purchase')),
+    g AS (SELECT event_type, hv,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY hv) AS rn
+          FROM h),
+    sk AS (SELECT event_type, hv FROM g WHERE rn <= {_KMV_K}),
+    th AS (SELECT MIN(kth) AS theta FROM (
+               SELECT event_type, MAX(hv) AS kth FROM sk
+               GROUP BY event_type)),
+    a AS (SELECT hv FROM sk, th
+          WHERE event_type = 'view' AND hv < th.theta),
+    b AS (SELECT hv FROM sk WHERE event_type = 'purchase'),
+    anotb AS (SELECT a.hv FROM a LEFT JOIN b ON a.hv = b.hv
+              WHERE b.hv IS NULL)
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           CAST(MAX(th.theta) AS BIGINT) AS theta,
+           CAST(COUNT(anotb.hv) AS BIGINT) AS n_anotb,
+           COUNT(anotb.hv) * 4294967296.0 / MAX(th.theta)
+               AS est_a_not_b
+    FROM th LEFT JOIN anotb ON TRUE
+    """,
+    doc="Theta-sketch set DIFFERENCE (A-not-B) — with agg_kmv_merge "
+        "(union) and agg_kmv_intersect this completes the sketch set "
+        "algebra DataSketches ships: viewers-who-never-purchased "
+        "estimated from two k-row sketches by counting A's sub-theta "
+        "hashes absent from B's sketch; est = n / (theta / 2^32). "
+        "Everything after the two-level sketch build is k x k; the "
+        "only full pass is the hash-distinct. Exact-value gated up "
+        "to the single estimating division.",
+)
+def agg_kmv_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    sk = _kmv_pergroup(h, _KMV_K).persist()
+    th = sk.groupBy("event_type").agg(F.max("hv").alias("kth")).agg(
+        F.min("kth").alias("theta")
+    )
+    a = (
+        sk.where(F.col("event_type") == "view")
+        .crossJoin(F.broadcast(th))
+        .where(F.col("hv") < F.col("theta"))
+        .select("hv")
+    )
+    b = sk.where(F.col("event_type") == "purchase").select("hv")
+    anotb = a.join(b, "hv", "left_anti")
+    n = anotb.agg(F.count(F.lit(1)).cast("long").alias("n_anotb"))
+    return th.crossJoin(F.broadcast(n)).select(
+        F.lit(_KMV_K).cast("long").alias("k"),
+        F.col("theta").cast("long").alias("theta"),
+        "n_anotb",
+        (F.col("n_anotb") * F.lit(4294967296.0) / F.col("theta")).alias(
+            "est_a_not_b"
+        ),
+    )
+
+
+@register(
+    "ev_entropy_rate",
+    sql="""
+    WITH s AS (SELECT user_id, event_type,
+                      LEAD(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          AS to_type
+               FROM events),
+    n AS (SELECT event_type AS from_type, to_type,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM s WHERE to_type IS NOT NULL
+          GROUP BY event_type, to_type),
+    t AS (SELECT from_type,
+                 CAST(SUM(c) AS BIGINT) AS tot,
+                 CAST(SUM(c * CAST(ROUND(ln(c) * 1000000) AS BIGINT))
+                      AS BIGINT) AS clnc
+          FROM n GROUP BY from_type)
+    SELECT from_type, tot,
+           CAST(ROUND(ln(tot) * 1000000 - clnc / tot) AS BIGINT)
+               AS h_micro
+    FROM t
+    """,
+    doc="Behavioral entropy rate — the Shannon entropy of each "
+        "state's outgoing Markov transition distribution (how "
+        "predictable the next action is given the current one), the "
+        "complement of ev_markov_transitions' probability table. "
+        "H = ln(tot) - (1/tot) sum c*ln c with per-term integer "
+        "micro-nat quantization (the t_char_entropy discipline), so "
+        "the only float steps are one division and one subtraction "
+        "per state. Windows are per-user lead frames; the entropy "
+        "itself runs on the state-pair table (n_types^2 rows).",
+)
+def ev_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    n = s.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    t = n.groupBy("from_type").agg(
+        F.sum("c").cast("long").alias("tot"),
+        F.sum(
+            F.col("c")
+            * F.round(F.log(F.col("c").cast("double")) * 1000000).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("clnc"),
+    )
+    return t.select(
+        "from_type",
+        "tot",
+        F.round(
+            F.log(F.col("tot").cast("double")) * 1000000
+            - F.col("clnc") / F.col("tot")
+        )
+        .cast("long")
+        .alias("h_micro"),
+    )

@@ -56,6 +56,8 @@ BNLJ_ALLOWED = {
                         "limit, constant at any corpus size)",
     "ev_hll_rolling": "broadcast register-bucket set (<= 64 rows, the "
                       "sketch width) against the day grid",
+    "agg_kmv_anotb": "broadcast theta + n_anotb (two single-row "
+                     "sketch aggregates, k-bounded by construction)",
 }
 
 
