@@ -5349,3 +5349,94 @@ def m_phash_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "t_corpus_drift",
+    sql="""
+    WITH half AS (SELECT doc_id,
+                         CASE WHEN doc_id < (SELECT MAX(doc_id) + 1
+                                             FROM documents) / 2
+                              THEN 'old' ELSE 'new' END AS era,
+                         string_split(text, ' ') AS t
+                  FROM documents),
+    tok AS (SELECT era, u.tk FROM half, UNNEST(t) AS u(tk)),
+    cnt AS (SELECT tk, 
+                   CAST(SUM(CASE WHEN era = 'old' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_old,
+                   CAST(SUM(CASE WHEN era = 'new' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_new
+            FROM tok GROUP BY tk),
+    tot AS (SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+                   CAST(SUM(c_new) AS BIGINT) AS n_new,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM cnt),
+    terms AS (SELECT cnt.tk,
+                     (cnt.c_new + 1) AS a, (cnt.c_old + 1) AS b,
+                     tot.n_new + tot.v AS na, tot.n_old + tot.v AS nb,
+                     CAST(ROUND(ln((cnt.c_new + 1.0) * (tot.n_old + tot.v)
+                                   / ((cnt.c_old + 1.0)
+                                      * (tot.n_new + tot.v))) * 1000000)
+                          AS BIGINT) AS lr_micro
+              FROM cnt, tot)
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(a * lr_micro) AS BIGINT) AS kl_num_micro,
+           CAST(MAX(na) AS BIGINT) AS kl_den
+    FROM terms
+    """,
+    doc="Corpus drift monitor — the data-distribution check a "
+        "training pipeline runs before mixing a new crawl into an "
+        "old corpus: add-one-smoothed token distributions for the "
+        "old half (doc_id below the midpoint) and the new half, and "
+        "the KL(new || old) numerator as an integer micro-nat sum "
+        "(per-token log-ratio quantized BEFORE the weighted sum, the "
+        "ml_naive_bayes discipline; divide kl_num_micro by kl_den "
+        "for nats/token). Two hash aggs over tokens and a "
+        "vocab-sized term table; the smoothed ratio needs no join — "
+        "both eras live on one (token) row.",
+)
+def t_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    mid = docs.agg(
+        ((F.max("doc_id") + 1) / 2).alias("mid")
+    )
+    half = docs.crossJoin(F.broadcast(mid)).select(
+        F.when(F.col("doc_id") < F.col("mid"), "old")
+        .otherwise("new")
+        .alias("era"),
+        F.explode(_tokens()).alias("tk"),
+    )
+    cnt = half.groupBy("tk").agg(
+        F.sum(F.when(F.col("era") == "old", 1).otherwise(0))
+        .cast("long")
+        .alias("c_old"),
+        F.sum(F.when(F.col("era") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("c_new"),
+    )
+    tot = cnt.agg(
+        F.sum("c_old").cast("long").alias("n_old"),
+        F.sum("c_new").cast("long").alias("n_new"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        (F.col("c_new") + 1).alias("a"),
+        (F.col("n_new") + F.col("v")).alias("na"),
+        F.round(
+            F.log(
+                (F.col("c_new") + 1.0)
+                * (F.col("n_old") + F.col("v"))
+                / ((F.col("c_old") + 1.0) * (F.col("n_new") + F.col("v")))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("a") * F.col("lr_micro"))
+        .cast("long")
+        .alias("kl_num_micro"),
+        F.max("na").cast("long").alias("kl_den"),
+    )

@@ -58,6 +58,8 @@ BNLJ_ALLOWED = {
                       "sketch width) against the day grid",
     "agg_kmv_anotb": "broadcast theta + n_anotb (two single-row "
                      "sketch aggregates, k-bounded by construction)",
+    "t_corpus_drift": "broadcast corpus midpoint + era totals (two "
+                      "single-row aggregates)",
 }
 
 
