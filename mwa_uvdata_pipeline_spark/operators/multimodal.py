@@ -466,3 +466,33 @@ def ahash_ppm(df: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
     return df.select(id_col, payload_col).mapInPandas(batches, AHASH_SCHEMA)
+
+
+PPM_STATS_SCHEMA = (
+    "doc_id long, n_px int, sum_r long, sum_g long, sum_b long, "
+    "ssq_r long, ssq_g long, ssq_b long"
+)
+
+
+def ppm_channel_stats(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-channel integer first and second moments over REAL decoded
+    PPM pixels — the sufficient statistics for exact variance
+    (n*ssq - sum^2), used by flat/broken-image detection."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "n_px", "sum_r", "sum_g",
+                                    "sum_b", "ssq_r", "ssq_g", "ssq_b")}
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, img = _parse_ppm(bytes(b))
+                rows["doc_id"].append(doc_id)
+                rows["n_px"].append(w * h)
+                for ci, name in enumerate("rgb"):
+                    ch = img[:, :, ci]
+                    rows[f"sum_{name}"].append(int(ch.sum()))
+                    rows[f"ssq_{name}"].append(int((ch * ch).sum()))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, PPM_STATS_SCHEMA
+    )

@@ -5440,3 +5440,69 @@ def t_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kl_num_micro"),
         F.max("na").cast("long").alias("kl_den"),
     )
+
+
+@register(
+    "m_image_qa",
+    sql="""
+    WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+               FROM documents),
+    px AS (SELECT doc_id, w * h AS n_px,
+                  (doc_id + x * 3 + y * 5) % 256 AS r,
+                  (doc_id * 2 + x) % 256 AS g,
+                  (x * y + doc_id) % 256 AS b
+           FROM d, UNNEST(range(0, w)) ux(x), UNNEST(range(0, h)) uy(y)),
+    st AS (SELECT doc_id, MAX(n_px) AS n_px,
+                  CAST(MAX(n_px) * SUM(r * r) - SUM(r) * SUM(r) AS BIGINT)
+                      AS vr,
+                  CAST(MAX(n_px) * SUM(g * g) - SUM(g) * SUM(g) AS BIGINT)
+                      AS vg,
+                  CAST(MAX(n_px) * SUM(b * b) - SUM(b) * SUM(b) AS BIGINT)
+                      AS vb
+           FROM px GROUP BY doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(CASE WHEN vr = 0 OR vg = 0 OR vb = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flat_channel,
+           CAST(MIN(vr + vg + vb) AS BIGINT) AS min_varnum,
+           CAST(MAX(vr + vg + vb) AS BIGINT) AS max_varnum
+    FROM st
+    """,
+    doc="Image-corpus QA on REAL decoded pixels (operators."
+        "multimodal.ppm_channel_stats): per-channel exact variance "
+        "numerators n*sum(x^2) - sum(x)^2 — all integer, no float "
+        "mean — flag images with a FLAT channel (the broken-render / "
+        "solid-color detector multimodal curation runs before "
+        "training). The decode emits only 8 integers per image, so "
+        "the rollup shuffles sufficient statistics, never pixels; "
+        "the oracle recomputes the same moments from the pixel "
+        "generator formula, gating decode + moment math end-to-end.",
+)
+def m_image_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        ppm_channel_stats,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    st = ppm_channel_stats(synth_payloads(docs, "ppm"))
+    v = lambda c: (
+        F.col("n_px").cast("long") * F.col(f"ssq_{c}")
+        - F.col(f"sum_{c}") * F.col(f"sum_{c}")
+    )
+    per = st.select(
+        "doc_id",
+        v("r").alias("vr"),
+        v("g").alias("vg"),
+        v("b").alias("vb"),
+    )
+    flat = (F.col("vr") == 0) | (F.col("vg") == 0) | (F.col("vb") == 0)
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.sum(flat.cast("int")).cast("long").alias("n_flat_channel"),
+        F.min(F.col("vr") + F.col("vg") + F.col("vb"))
+        .cast("long")
+        .alias("min_varnum"),
+        F.max(F.col("vr") + F.col("vg") + F.col("vb"))
+        .cast("long")
+        .alias("max_varnum"),
+    )
