@@ -2233,3 +2233,99 @@ def graph_bfs_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY hop
         """
     )
+
+
+@register(
+    "graph_modularity",
+    sql="""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_quantity >= 30 AND b.l_quantity >= 30),
+    bu AS (SELECT e0.u, e0.v, pu.p_brand AS bu, pv.p_brand AS bv
+           FROM e0 JOIN part pu ON e0.u = pu.p_partkey
+                   JOIN part pv ON e0.v = pv.p_partkey),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+    ein AS (SELECT bu AS brand, CAST(COUNT(*) AS BIGINT) AS e_in
+            FROM bu WHERE bu = bv GROUP BY bu),
+    deg AS (SELECT brand, CAST(SUM(c) AS BIGINT) AS d FROM (
+                SELECT bu AS brand, COUNT(*) AS c FROM bu GROUP BY bu
+                UNION ALL
+                SELECT bv AS brand, COUNT(*) AS c FROM bu GROUP BY bv)
+            GROUP BY brand)
+    SELECT deg.brand,
+           CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+           deg.d,
+           CAST(4 * m.m * COALESCE(ein.e_in, 0) - deg.d * deg.d
+                AS BIGINT) AS q_num,
+           CAST(4 * m.m * m.m AS BIGINT) AS q_den
+    FROM deg LEFT JOIN ein ON deg.brand = ein.brand, m
+    """,
+    doc="Graph modularity of an attribute partition — does the brand "
+        "dimension explain co-purchase structure? Newman's Q for the "
+        "partition induced by p_brand, kept as an exact rational: "
+        "per-community q_num = 4m*E_in - d_c^2 over the common "
+        "denominator 4m^2 (sum q_num/q_den over rows = Q; no float "
+        "division inside the plan at all). The edge list joins the "
+        "broadcastable part dimension twice; within-community edges "
+        "and community degrees are two hash aggs over brand-count-"
+        "sized tables. The pattern generalizes to ANY dimension "
+        "column (category, supplier nation) as a partition-quality "
+        "score.",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fwd = _g_fwd(spark, sf_dir).persist()
+    brands = table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_brand")
+    )
+    bu = (
+        fwd.join(
+            F.broadcast(
+                brands.select(
+                    F.col("p_partkey").alias("u"),
+                    F.col("p_brand").alias("bu"),
+                )
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                brands.select(
+                    F.col("p_partkey").alias("v"),
+                    F.col("p_brand").alias("bv"),
+                )
+            ),
+            "v",
+        )
+        .persist()
+    )
+    m = fwd.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ein = (
+        bu.where(F.col("bu") == F.col("bv"))
+        .groupBy(F.col("bu").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    deg = (
+        bu.select(F.col("bu").alias("brand"))
+        .unionByName(bu.select(F.col("bv").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    return (
+        deg.join(ein, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+            "d",
+            (
+                4 * F.col("m") * F.coalesce("e_in", F.lit(0))
+                - F.col("d") * F.col("d")
+            )
+            .cast("long")
+            .alias("q_num"),
+            (4 * F.col("m") * F.col("m")).cast("long").alias("q_den"),
+        )
+    )

@@ -60,6 +60,7 @@ BNLJ_ALLOWED = {
                      "sketch aggregates, k-bounded by construction)",
     "t_corpus_drift": "broadcast corpus midpoint + era totals (two "
                       "single-row aggregates)",
+    "graph_modularity": "broadcast edge-count scalar (single-row agg)",
 }
 
 
