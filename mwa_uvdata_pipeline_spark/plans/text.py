@@ -5506,3 +5506,78 @@ def m_image_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_varnum"),
     )
+
+
+def _cov_round_sql(n: int, prev_chosen: str) -> str:
+    """One unrolled greedy max-coverage round: count each doc's
+    shingles not covered by the chosen set, pick the max (doc_id
+    tiebreak)."""
+    return f"""
+    gain{n} AS (
+        SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+        FROM sh LEFT JOIN cov{n} ON sh.s = cov{n}.s
+        WHERE cov{n}.s IS NULL
+        GROUP BY sh.doc_id),
+    pick{n} AS (
+        SELECT doc_id, gain FROM gain{n}
+        ORDER BY gain DESC, doc_id LIMIT 1),
+    chosen{n} AS (SELECT * FROM {prev_chosen}
+                  UNION ALL SELECT doc_id, {n} AS rnd, gain FROM pick{n}),
+    cov{n + 1} AS (SELECT DISTINCT sh.s FROM sh
+                   JOIN chosen{n} ON sh.doc_id = chosen{n}.doc_id)
+    """
+
+
+@register(
+    "t_coverage_select",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+           FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+           WHERE len(t) >= 3),
+    chosen0(doc_id, rnd, gain) AS (SELECT NULL::BIGINT, NULL::INT,
+                                          NULL::BIGINT WHERE FALSE),
+    cov1 AS (SELECT DISTINCT s FROM sh WHERE FALSE),
+    {_cov_round_sql(1, "chosen0")},
+    {_cov_round_sql(2, "chosen1")},
+    {_cov_round_sql(3, "chosen2")}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rnd AS INTEGER) AS rnd,
+           gain FROM chosen3
+    """,
+    doc="Submodular data selection — greedy facility-location / "
+        "max-coverage over 3-gram shingles (the coreset-selection "
+        "method curation papers use to pick maximally-diverse "
+        "training subsets): three unrolled greedy rounds, each "
+        "counting every document's UNCOVERED shingles (anti join "
+        "against the covered set), picking the argmax with a doc_id "
+        "tiebreak, and folding the winner's shingles into coverage. "
+        "The covered set is always the union of <= k chosen docs' "
+        "shingles — bounded by k x max-doc-size, broadcastable at "
+        "any corpus scale — so each round is one anti join + one "
+        "hash agg + a TakeOrdered(1). The oracle unrolls the same "
+        "three rounds in SQL; greedy's deterministic tiebreak makes "
+        "the trajectory exactly reproducible.",
+)
+def t_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_rows(table(spark, sf_dir, "documents"), k=3).persist()
+    chosen: list[tuple[int, int, int]] = []
+    covered = None  # DataFrame of covered shingles (bounded: k docs)
+    for rnd in range(1, 4):
+        uncov = sh if covered is None else sh.join(
+            F.broadcast(covered), "s", "left_anti"
+        )
+        top = (
+            uncov.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .orderBy(F.desc("gain"), "doc_id")
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((int(top["doc_id"]), rnd, int(top["gain"])))
+        ids = [c[0] for c in chosen]
+        covered = sh.where(F.col("doc_id").isin(ids)).select("s").distinct()
+    return spark.createDataFrame(
+        chosen, "doc_id long, rnd int, gain long"
+    )
