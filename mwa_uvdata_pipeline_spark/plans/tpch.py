@@ -2329,3 +2329,112 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (4 * F.col("m") * F.col("m")).cast("long").alias("q_den"),
         )
     )
+
+
+@register(
+    "ml_ridge_2d",
+    sql="""
+    WITH q AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+                      CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+                      CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+               FROM lineitem),
+    mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x1) AS BIGINT) AS sx1,
+                  CAST(SUM(x2) AS BIGINT) AS sx2,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(x1 * x1) AS BIGINT) AS sx1x1,
+                  CAST(SUM(x2 * x2) AS BIGINT) AS sx2x2,
+                  CAST(SUM(x1 * x2) AS BIGINT) AS sx1x2,
+                  CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+                  CAST(SUM(x2 * y) AS BIGINT) AS sx2y
+           FROM q),
+    c AS (SELECT n,
+                 n * sx1x1 - sx1 * sx1 AS s11,
+                 n * sx2x2 - sx2 * sx2 AS s22,
+                 n * sx1x2 - sx1 * sx2 AS s12,
+                 n * sx1y - sx1 * sy AS s1y,
+                 n * sx2y - sx2 * sy AS s2y
+          FROM mo)
+    SELECT n, s11, s22, s12, s1y, s2y,
+           ROUND((CAST(s22 + 1000000 AS DOUBLE) * s1y
+                  - CAST(s12 AS DOUBLE) * s2y)
+                 / (CAST(s11 + 1000000 AS DOUBLE) * (s22 + 1000000)
+                    - CAST(s12 AS DOUBLE) * s12), 9) AS beta_qty,
+           ROUND((CAST(s11 + 1000000 AS DOUBLE) * s2y
+                  - CAST(s12 AS DOUBLE) * s1y)
+                 / (CAST(s11 + 1000000 AS DOUBLE) * (s22 + 1000000)
+                    - CAST(s12 AS DOUBLE) * s12), 9) AS beta_disc
+    FROM c
+    """,
+    doc="Multivariate ridge regression via mergeable co-moments — "
+        "price ~ (quantity, discount) with an L2 regularizer: the "
+        "NINE integer sufficient statistics (n, first and second "
+        "cross moments, inputs pre-quantized to exact integers) are "
+        "the only thing the shuffle carries at any fact volume, "
+        "merge by addition across shards, and the 2x2 normal-"
+        "equation system (n-scaled centered moments + ridge constant "
+        "on the diagonal) is solved in closed form — the determinant "
+        "and numerators as fixed-order double expression trees "
+        "shared with the oracle, rounded to 9 dp. The multivariate "
+        "step beyond ml_linreg's single-feature OLS; the same "
+        "pattern extends to any small feature count (d^2 moments).",
+)
+def ml_ridge_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    mo = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
+    )
+    c = mo.select(
+        "n",
+        (F.col("n") * F.col("sx1x1") - F.col("sx1") * F.col("sx1")).alias(
+            "s11"
+        ),
+        (F.col("n") * F.col("sx2x2") - F.col("sx2") * F.col("sx2")).alias(
+            "s22"
+        ),
+        (F.col("n") * F.col("sx1x2") - F.col("sx1") * F.col("sx2")).alias(
+            "s12"
+        ),
+        (F.col("n") * F.col("sx1y") - F.col("sx1") * F.col("sy")).alias(
+            "s1y"
+        ),
+        (F.col("n") * F.col("sx2y") - F.col("sx2") * F.col("sy")).alias(
+            "s2y"
+        ),
+    )
+    det = (
+        (F.col("s11") + 1000000).cast("double")
+        * (F.col("s22") + 1000000)
+        - F.col("s12").cast("double") * F.col("s12")
+    )
+    b1 = (
+        (F.col("s22") + 1000000).cast("double") * F.col("s1y")
+        - F.col("s12").cast("double") * F.col("s2y")
+    ) / det
+    b2 = (
+        (F.col("s11") + 1000000).cast("double") * F.col("s2y")
+        - F.col("s12").cast("double") * F.col("s1y")
+    ) / det
+    return c.select(
+        "n",
+        "s11",
+        "s22",
+        "s12",
+        "s1y",
+        "s2y",
+        F.round(b1, 9).alias("beta_qty"),
+        F.round(b2, 9).alias("beta_disc"),
+    )
