@@ -5581,3 +5581,133 @@ def t_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         chosen, "doc_id long, rnd int, gain long"
     )
+
+
+@register(
+    "pipeline_multimodal_attrition",
+    sql="""
+    WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+                      64 + doc_id % 64 AS ns
+               FROM documents),
+    px AS (SELECT doc_id, w * h AS n_px,
+                  (doc_id + x * 3 + y * 5) % 256 AS r,
+                  (doc_id * 2 + x) % 256 AS g,
+                  (x * y + doc_id) % 256 AS b,
+                  (i * w) // 4 AS gx, (j * h) // 4 AS gy, i, j, x, y
+           FROM d, UNNEST(range(0, w)) ux(x), UNNEST(range(0, h)) uy(y),
+                UNNEST(range(0, 4)) ui(i), UNNEST(range(0, 4)) uj(j)
+           WHERE x = (i * w) // 4 AND y = (j * h) // 4),
+    -- image variance from the FULL pixel grid (separate expansion)
+    fullpx AS (SELECT doc_id, w * h AS n_px,
+                      (doc_id + x * 3 + y * 5) % 256 AS r,
+                      (doc_id * 2 + x) % 256 AS g,
+                      (x * y + doc_id) % 256 AS b
+               FROM d, UNNEST(range(0, w)) ux(x), UNNEST(range(0, h)) uy(y)),
+    imgst AS (SELECT doc_id, MAX(n_px) AS n_px,
+                     MAX(n_px) * SUM(r * r) - SUM(r) * SUM(r) AS vr,
+                     MAX(n_px) * SUM(g * g) - SUM(g) * SUM(g) AS vg,
+                     MAX(n_px) * SUM(b * b) - SUM(b) * SUM(b) AS vb
+              FROM fullpx GROUP BY doc_id),
+    s1 AS (SELECT doc_id FROM imgst
+           WHERE vr > 0 AND vg > 0 AND vb > 0),
+    -- audio activity over 16-sample frames
+    au AS (SELECT d.doc_id, i // 16 AS f,
+                  CAST(SUM(((d.doc_id * 7 + i * 13) % 2048 - 1024)
+                           * ((d.doc_id * 7 + i * 13) % 2048 - 1024))
+                       AS BIGINT) AS e
+           FROM d, UNNEST(range(0, (ns // 16) * 16)) u(i)
+           GROUP BY d.doc_id, i // 16),
+    act AS (SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS nf,
+                   CAST(SUM(CASE WHEN e > 5592400 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS na
+            FROM au GROUP BY doc_id),
+    s2 AS (SELECT s1.doc_id FROM s1 JOIN act ON s1.doc_id = act.doc_id
+           WHERE act.na * 4 >= act.nf),
+    -- perceptual-hash keep-first within survivors
+    lum AS (SELECT doc_id, i, j,
+                   r + g + b AS l
+            FROM px),
+    tot AS (SELECT doc_id, CAST(SUM(l) AS BIGINT) AS total FROM lum
+            GROUP BY doc_id),
+    ph AS (SELECT lum.doc_id,
+                  CAST(SUM(CASE WHEN 16 * lum.l > tot.total
+                           THEN 1 << (lum.j * 4 + lum.i)
+                           ELSE 0 END) AS INTEGER) AS ahash
+           FROM lum JOIN tot ON lum.doc_id = tot.doc_id
+           GROUP BY lum.doc_id),
+    s3 AS (SELECT s2.doc_id FROM s2 JOIN ph ON s2.doc_id = ph.doc_id
+           JOIN (SELECT ahash, MIN(s2b.doc_id) AS keeper
+                 FROM ph JOIN s2 s2b ON ph.doc_id = s2b.doc_id
+                 GROUP BY ahash) k
+             ON ph.ahash = k.ahash AND s2.doc_id = k.keeper)
+    SELECT stage, n_remaining FROM (
+        SELECT 0 AS stage, CAST(COUNT(*) AS BIGINT) AS n_remaining
+        FROM documents
+        UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT) FROM s1
+        UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM s3)
+    """,
+    doc="The composed MULTIMODAL curation pipeline with its attrition "
+        "waterfall — pipeline_prep_attrition's counterpart for "
+        "image/audio payloads, every stage on REAL decoded bytes: "
+        "(1) drop images with a flat channel (exact integer variance "
+        "numerators from ppm_channel_stats), (2) drop clips with "
+        "under 25% voice activity (vad_wav frame energies), (3) "
+        "perceptual-hash dedup keeping the smallest doc_id per aHash "
+        "bucket among survivors. Spark runs the three decode "
+        "operators ONCE each (Arrow maps emitting per-doc integers), "
+        "composes the filters as joins on doc-count-sized frames, "
+        "and the oracle recomputes all three stages from the "
+        "generator formulas — decode, framing, thresholding, "
+        "hashing, and the keep-first rule all gated at once.",
+)
+def pipeline_multimodal_attrition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        ahash_ppm,
+        ppm_channel_stats,
+        synth_payloads,
+        vad_wav,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    n0 = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    img = ppm_channel_stats(synth_payloads(docs, "ppm"))
+    v = lambda c: (
+        F.col("n_px").cast("long") * F.col(f"ssq_{c}")
+        - F.col(f"sum_{c}") * F.col(f"sum_{c}")
+    )
+    s1 = img.where(
+        (v("r") > 0) & (v("g") > 0) & (v("b") > 0)
+    ).select("doc_id")
+    act = vad_wav(synth_payloads(docs, "wav")).select(
+        "doc_id", "n_frames", "n_active"
+    )
+    s2 = s1.join(
+        act.where(F.col("n_active") * 4 >= F.col("n_frames")), "doc_id"
+    ).select("doc_id").persist()  # consumers: keeper table + stage 3
+    ph = ahash_ppm(synth_payloads(docs, "ppm"))
+    keepers = (
+        ph.join(s2, "doc_id")
+        .groupBy("ahash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    s3 = s2.join(keepers, "doc_id")
+    rows = [
+        n0.select(F.lit(0).alias("stage"), F.col("n").alias("n_remaining")),
+        s1.agg(F.count(F.lit(1)).cast("long").alias("n_remaining")).select(
+            F.lit(1).alias("stage"), "n_remaining"
+        ),
+        s2.agg(F.count(F.lit(1)).cast("long").alias("n_remaining")).select(
+            F.lit(2).alias("stage"), "n_remaining"
+        ),
+        s3.agg(F.count(F.lit(1)).cast("long").alias("n_remaining")).select(
+            F.lit(3).alias("stage"), "n_remaining"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
