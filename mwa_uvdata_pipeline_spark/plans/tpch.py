@@ -2349,21 +2349,24 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(SUM(x2 * y) AS BIGINT) AS sx2y
            FROM q),
     c AS (SELECT n,
-                 n * sx1x1 - sx1 * sx1 AS s11,
-                 n * sx2x2 - sx2 * sx2 AS s22,
-                 n * sx1x2 - sx1 * sx2 AS s12,
-                 n * sx1y - sx1 * sy AS s1y,
-                 n * sx2y - sx2 * sy AS s2y
+                 CAST(n AS DOUBLE) * sx1x1 - CAST(sx1 AS DOUBLE) * sx1
+                     AS s11,
+                 CAST(n AS DOUBLE) * sx2x2 - CAST(sx2 AS DOUBLE) * sx2
+                     AS s22,
+                 CAST(n AS DOUBLE) * sx1x2 - CAST(sx1 AS DOUBLE) * sx2
+                     AS s12,
+                 CAST(n AS DOUBLE) * sx1y - CAST(sx1 AS DOUBLE) * sy
+                     AS s1y,
+                 CAST(n AS DOUBLE) * sx2y - CAST(sx2 AS DOUBLE) * sy
+                     AS s2y
           FROM mo)
     SELECT n, s11, s22, s12, s1y, s2y,
-           ROUND((CAST(s22 + 1000000 AS DOUBLE) * s1y
-                  - CAST(s12 AS DOUBLE) * s2y)
-                 / (CAST(s11 + 1000000 AS DOUBLE) * (s22 + 1000000)
-                    - CAST(s12 AS DOUBLE) * s12), 9) AS beta_qty,
-           ROUND((CAST(s11 + 1000000 AS DOUBLE) * s2y
-                  - CAST(s12 AS DOUBLE) * s1y)
-                 / (CAST(s11 + 1000000 AS DOUBLE) * (s22 + 1000000)
-                    - CAST(s12 AS DOUBLE) * s12), 9) AS beta_disc
+           ROUND(((s22 + 1000000) * s1y - s12 * s2y)
+                 / ((s11 + 1000000) * (s22 + 1000000) - s12 * s12), 9)
+               AS beta_qty,
+           ROUND(((s11 + 1000000) * s2y - s12 * s1y)
+                 / ((s11 + 1000000) * (s22 + 1000000) - s12 * s12), 9)
+               AS beta_disc
     FROM c
     """,
     doc="Multivariate ridge regression via mergeable co-moments — "
@@ -2397,36 +2400,35 @@ def ml_ridge_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
         F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
     )
+    # centering products would overflow int64 at scale (n * sum(x*y)
+    # crosses 2^63 around 10x sf0.1) — the probe caught this — so the
+    # RAW sums stay integer-exact through the shuffle and only the
+    # centering step runs in double, one fixed-order product each
+    nD = F.col("n").cast("double")
     c = mo.select(
         "n",
-        (F.col("n") * F.col("sx1x1") - F.col("sx1") * F.col("sx1")).alias(
-            "s11"
-        ),
-        (F.col("n") * F.col("sx2x2") - F.col("sx2") * F.col("sx2")).alias(
-            "s22"
-        ),
-        (F.col("n") * F.col("sx1x2") - F.col("sx1") * F.col("sx2")).alias(
-            "s12"
-        ),
-        (F.col("n") * F.col("sx1y") - F.col("sx1") * F.col("sy")).alias(
-            "s1y"
-        ),
-        (F.col("n") * F.col("sx2y") - F.col("sx2") * F.col("sy")).alias(
-            "s2y"
-        ),
+        (nD * F.col("sx1x1") - F.col("sx1").cast("double") * F.col("sx1"))
+        .alias("s11"),
+        (nD * F.col("sx2x2") - F.col("sx2").cast("double") * F.col("sx2"))
+        .alias("s22"),
+        (nD * F.col("sx1x2") - F.col("sx1").cast("double") * F.col("sx2"))
+        .alias("s12"),
+        (nD * F.col("sx1y") - F.col("sx1").cast("double") * F.col("sy"))
+        .alias("s1y"),
+        (nD * F.col("sx2y") - F.col("sx2").cast("double") * F.col("sy"))
+        .alias("s2y"),
     )
     det = (
-        (F.col("s11") + 1000000).cast("double")
-        * (F.col("s22") + 1000000)
-        - F.col("s12").cast("double") * F.col("s12")
+        (F.col("s11") + 1000000) * (F.col("s22") + 1000000)
+        - F.col("s12") * F.col("s12")
     )
     b1 = (
-        (F.col("s22") + 1000000).cast("double") * F.col("s1y")
-        - F.col("s12").cast("double") * F.col("s2y")
+        (F.col("s22") + 1000000) * F.col("s1y")
+        - F.col("s12") * F.col("s2y")
     ) / det
     b2 = (
-        (F.col("s11") + 1000000).cast("double") * F.col("s2y")
-        - F.col("s12").cast("double") * F.col("s1y")
+        (F.col("s11") + 1000000) * F.col("s2y")
+        - F.col("s12") * F.col("s1y")
     ) / det
     return c.select(
         "n",
