@@ -5711,3 +5711,70 @@ def pipeline_multimodal_attrition(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "dedup_cross_source_matrix",
+    sql=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sig AS ({_sql_minhash_sig()}),
+    b AS (SELECT sig.doc_id, d.source, h0 || h1 AS band
+          FROM sig JOIN documents d ON sig.doc_id = d.doc_id),
+    pairs AS (
+        SELECT LEAST(x.source, y.source) AS source_a,
+               GREATEST(x.source, y.source) AS source_b,
+               x.doc_id AS da, y.doc_id AS db
+        FROM b x JOIN b y
+          ON x.band = y.band AND x.doc_id < y.doc_id),
+    dist AS (SELECT DISTINCT source_a, source_b, da, db FROM pairs)
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT da) AS BIGINT) AS n_docs_a
+    FROM dist GROUP BY source_a, source_b
+    """,
+    doc="Cross-source contamination matrix — WHERE near-duplicate "
+        "mass comes from: MinHash band-bucket candidate pairs "
+        "(dedup_minhash_buckets' one-permutation signatures, never a "
+        "pairwise scan) attributed to their unordered (source, "
+        "source) pair. Off-diagonal cells are cross-corpus leakage — "
+        "the 'is the benchmark inside the crawl' / 'did corpus A get "
+        "repackaged into B' audit run before mixing sources; "
+        "diagonal cells are within-source redundancy. Shape: the "
+        "band self-join inherits the LSH bucket-size discipline, the "
+        "source dimension rides along as one column, and the matrix "
+        "is at most n_sources^2 rows.",
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs)
+    lanes = sh.select(
+        "doc_id",
+        *[
+            F.substring(F.md5("s"), 8 * i + 1, 8).alias(f"l{i}")
+            for i in range(_N_MINHASH)
+        ],
+    )
+    sig = lanes.groupBy("doc_id").agg(
+        *[F.min(f"l{i}").alias(f"h{i}") for i in range(_N_MINHASH)]
+    )
+    b = sig.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        F.concat("h0", "h1").alias("band"),
+    )
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), F.col("x.band") == F.col("y.band"))
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.least("x.source", "y.source").alias("source_a"),
+            F.greatest("x.source", "y.source").alias("source_b"),
+            F.col("x.doc_id").alias("da"),
+            F.col("y.doc_id").alias("db"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("da").cast("long").alias("n_docs_a"),
+    )
