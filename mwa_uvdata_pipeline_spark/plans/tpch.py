@@ -2440,3 +2440,80 @@ def ml_ridge_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b1, 9).alias("beta_qty"),
         F.round(b2, 9).alias("beta_disc"),
     )
+
+
+@register(
+    "graph_assortativity",
+    sql="""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_quantity >= 30 AND b.l_quantity >= 30),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY u),
+    ends AS (SELECT du.d AS x, dv.d AS y
+             FROM e JOIN deg du ON e.u = du.node
+                    JOIN deg dv ON e.v = dv.node),
+    mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                  CAST(SUM(x) AS BIGINT) AS sx,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(x * y) AS BIGINT) AS sxy,
+                  CAST(SUM(x * x) AS BIGINT) AS sxx,
+                  CAST(SUM(y * y) AS BIGINT) AS syy
+           FROM ends)
+    SELECT m, sx, sy, sxy, sxx, syy,
+           ROUND((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(m AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(m AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 9)
+               AS assortativity
+    FROM mo
+    """,
+    doc="Degree assortativity — do bulk-order parts co-purchase with "
+        "similarly-connected parts? Newman's r = Pearson correlation "
+        "of endpoint degrees over the directed edge list, reduced to "
+        "SIX integer co-moments (both edge directions included, so "
+        "the coefficient is symmetric): the shuffle carries six longs "
+        "at any graph size, centering runs as fixed-order doubles "
+        "(the ml_ridge_2d overflow lesson applied from the start), "
+        "and the coefficient is one rounded expression. Degree "
+        "lookups are two joins against the node-count-sized degree "
+        "table.",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fwd = _g_fwd(spark, sf_dir).persist()
+    e = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ends = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v")
+        .select("x", "y")
+    )
+    mo = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    mD = F.col("m").cast("double")
+    r = (
+        (mD * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / F.sqrt(
+            (mD * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+            * (mD * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+        )
+    )
+    return mo.select(
+        "m", "sx", "sy", "sxy", "sxx", "syy",
+        F.round(r, 9).alias("assortativity"),
+    )
