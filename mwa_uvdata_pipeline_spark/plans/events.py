@@ -3773,3 +3773,61 @@ def ev_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h_micro"),
     )
+
+
+@register(
+    "w8_session_window",
+    sql="""
+    WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+                      LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS pus
+               FROM events),
+    marked AS (SELECT user_id, us,
+                      CASE WHEN pus IS NULL OR us - pus >= 1800000000
+                           THEN 1 ELSE 0 END AS new_s
+               FROM o),
+    sess AS (SELECT user_id, us,
+                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS sid
+             FROM marked)
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(MAX(us) + 1800000000 AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Native batch session_window — Spark's built-in session "
+        "operator run as an ordinary GROUP BY (the same "
+        "SessionWindowing expression the streaming family uses, here "
+        "in batch mode): sessions close after a 30-minute gap, the "
+        "window end is last-event + gap by the operator's contract, "
+        "and the oracle re-derives identical sessions via "
+        "gaps-and-islands — gating that the ENGINE's sessionizer "
+        "agrees with the hand-rolled cumsum formulation "
+        "(ev_sessionize) event-for-event, boundary-for-boundary "
+        "(note the >= gap edge: session_window treats an exactly-gap "
+        "arrival as a NEW session). One shuffle on the session key; "
+        "Spark merges adjacent windows internally without a per-user "
+        "global sort surfaced in the plan.",
+)
+def w8_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    sw = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"), "n_events",
+        )
+    )
+    ws_us = epoch_us(sw, "ws")
+    we_us = epoch_us(sw, "we")
+    return sw.select(
+        "user_id",
+        ws_us.cast("long").alias("session_start_us"),
+        we_us.cast("long").alias("session_end_us"),
+        "n_events",
+    )
