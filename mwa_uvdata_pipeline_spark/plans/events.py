@@ -3831,3 +3831,47 @@ def w8_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         we_us.cast("long").alias("session_end_us"),
         "n_events",
     )
+
+
+@register(
+    "ev_user_trajectories",
+    sql="""
+    WITH r AS (SELECT user_id, event_type,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rk
+               FROM events),
+    tr AS (SELECT user_id,
+                  string_agg(event_type, '>' ORDER BY rk) AS trajectory
+           FROM r WHERE rk <= 5 GROUP BY user_id)
+    SELECT trajectory,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM tr GROUP BY trajectory
+    ORDER BY n_users DESC, trajectory LIMIT 10
+    """,
+    doc="Behavioral trajectory fingerprints — each user's first five "
+        "actions as an ordered path, the onboarding-funnel shape "
+        "product analytics clusters on: per-user rank (user-keyed "
+        "frames), an ORDERED string_agg over at most five rows, and "
+        "a global top-10 TakeOrdered with a lexicographic tiebreak. "
+        "The trajectory alphabet is event_type^5 at most, so the "
+        "final aggregate is domain-bounded regardless of user count.",
+)
+def ev_user_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= 5)
+    tr = r.groupBy("user_id").agg(
+        F.concat_ws(
+            ">", F.array_sort(
+                F.collect_list(F.struct("rk", "event_type"))
+            ).getField("event_type")
+        ).alias("trajectory")
+    )
+    return (
+        tr.groupBy("trajectory")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), "trajectory")
+        .limit(10)
+    )
