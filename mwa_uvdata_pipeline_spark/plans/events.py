@@ -3875,3 +3875,79 @@ def ev_user_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "trajectory")
         .limit(10)
     )
+
+
+@register(
+    "ev_time_to_convert",
+    sql="""
+    WITH su AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    pu AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id),
+    d AS (SELECT su.user_id, pu.t1 - su.t0 AS dt_us
+          FROM su JOIN pu ON su.user_id = pu.user_id
+          WHERE pu.t1 >= su.t0),
+    r AS (SELECT user_id, dt_us,
+                 ROW_NUMBER() OVER (ORDER BY dt_us, user_id) AS rk,
+                 COUNT(*) OVER () AS cnt
+          FROM d)
+    SELECT CAST((SELECT COUNT(*) FROM su) AS BIGINT) AS n_signups,
+           CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_converted,
+           CAST((SELECT dt_us FROM r WHERE rk = (cnt + 1) // 2) AS BIGINT)
+               AS median_dt_us,
+           CAST((SELECT MIN(dt_us) FROM d) AS BIGINT) AS min_dt_us,
+           CAST((SELECT MAX(dt_us) FROM d) AS BIGINT) AS max_dt_us
+    """,
+    doc="Time-to-convert analysis — signup-to-first-purchase latency, "
+        "the survival statistic growth teams track: first signup and "
+        "first purchase per user (two filtered min-aggs), the delta "
+        "for converters, and the exact lower median over the "
+        "CONVERTER table (one row per converted user — population-"
+        "bounded, orders of magnitude below event volume, so the "
+        "median rank runs on a frame that is already the size a "
+        "2-pass histogram refinement would produce). Integer "
+        "microseconds throughout.",
+)
+def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = epoch_us(ev)
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t0"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1"))
+    )
+    d = (
+        su.join(pu, "user_id")
+        .where(F.col("t1") >= F.col("t0"))
+        .select("user_id", (F.col("t1") - F.col("t0")).alias("dt_us"))
+        .persist()  # consumers: count, median rank, min/max
+    )
+    w = Window.orderBy("dt_us", "user_id")  # frame: converters only
+    med = (
+        d.withColumn("rk", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy()))
+        .where(F.col("rk") == F.expr("(cnt + 1) div 2"))
+        .select(F.col("dt_us").alias("median_dt_us"))
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.min("dt_us").cast("long").alias("min_dt_us"),
+        F.max("dt_us").cast("long").alias("max_dt_us"),
+    )
+    n_su = su.agg(F.count(F.lit(1)).cast("long").alias("n_signups"))
+    return (
+        n_su.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_signups",
+            "n_converted",
+            F.col("median_dt_us").cast("long").alias("median_dt_us"),
+            "min_dt_us",
+            "max_dt_us",
+        )
+    )

@@ -5778,3 +5778,86 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.countDistinct("da").cast("long").alias("n_docs_a"),
     )
+
+
+@register(
+    "dedup_candidate_precision",
+    sql=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sig AS ({_sql_minhash_sig()}),
+    b AS (SELECT doc_id, h0 || h1 AS band FROM sig),
+    cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+             FROM b x JOIN b y
+               ON x.band = y.band AND x.doc_id < y.doc_id),
+    inter AS (SELECT cand.da, cand.db,
+                     CAST(COUNT(*) AS BIGINT) AS n_inter
+              FROM cand JOIN sh a ON cand.da = a.doc_id
+                        JOIN sh b2 ON cand.db = b2.doc_id
+                                  AND a.s = b2.s
+              GROUP BY cand.da, cand.db),
+    size AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh
+             GROUP BY doc_id),
+    j AS (SELECT i.da, i.db,
+                 CAST(i.n_inter * 1000000 //
+                      (sa.n + sb.n - i.n_inter) AS BIGINT) AS j_ppm
+          FROM inter i JOIN size sa ON i.da = sa.doc_id
+                       JOIN size sb ON i.db = sb.doc_id)
+    SELECT CAST(j_ppm // 100000 AS BIGINT) AS jaccard_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY j_ppm // 100000
+    """,
+    doc="LSH candidate PRECISION audit as a first-class query — how "
+        "many band-bucket candidate pairs are actually similar? "
+        "Every MinHash candidate pair gets its EXACT shingle Jaccard "
+        "(posting join restricted to the candidate pairs — the "
+        "verify-only-candidates discipline, never all pairs), "
+        "bucketed into similarity deciles. A left-heavy histogram "
+        "means the banding is too permissive (wasted verification "
+        "compute), a right-heavy one means it could be loosened for "
+        "recall — the tuning dial for the band/row trade-off, "
+        "computed on the production path itself. Integer-ppm "
+        "division; candidate volume inherits the LSH bucket "
+        "discipline.",
+)
+def dedup_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs).persist()
+    lanes = sh.select(
+        "doc_id",
+        *[
+            F.substring(F.md5("s"), 8 * i + 1, 8).alias(f"l{i}")
+            for i in range(_N_MINHASH)
+        ],
+    )
+    sig = lanes.groupBy("doc_id").agg(
+        *[F.min(f"l{i}").alias(f"h{i}") for i in range(_N_MINHASH)]
+    )
+    b = sig.select("doc_id", F.concat("h0", "h1").alias("band"))
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), F.col("x.band") == F.col("y.band"))
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("da"), "s"), "da")
+        .join(sh.select(F.col("doc_id").alias("db"), "s"), ["db", "s"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    size = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = (
+        inter.join(size.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(size.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .select(
+            F.expr(
+                "CAST(n_inter * 1000000 div (na + nb - n_inter) AS BIGINT)"
+            ).alias("j_ppm")
+        )
+    )
+    return j.groupBy(
+        F.expr("j_ppm div 100000").alias("jaccard_decile")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
