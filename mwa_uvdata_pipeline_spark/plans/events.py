@@ -3951,3 +3951,70 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_dt_us",
         )
     )
+
+
+@register(
+    "ev_stickiness",
+    sql="""
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+               FROM events),
+    w AS (SELECT day, user_id,
+                 (epoch_us(CAST(day AS TIMESTAMP)) // 86400000000 + 3) // 7
+                     AS wk
+          FROM d),
+    dau AS (SELECT wk, day, CAST(COUNT(*) AS BIGINT) AS dau
+            FROM w GROUP BY wk, day),
+    wau AS (SELECT wk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+            FROM w GROUP BY wk)
+    SELECT dau.wk AS week_idx,
+           CAST(SUM(dau.dau) AS BIGINT) AS sum_dau,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(wau.wau) AS BIGINT) AS wau,
+           CAST(SUM(dau.dau) * 1000000 // (COUNT(*) * MAX(wau.wau))
+                AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN wau ON dau.wk = wau.wk
+    GROUP BY dau.wk
+    """,
+    doc="Engagement stickiness — average DAU over WAU per ISO-ish "
+        "week (the DAU/MAU-style habit metric): one distinct "
+        "(day, user) projection feeds BOTH the daily and weekly "
+        "distinct counts, the week index is integer day arithmetic "
+        "(epoch-day + 3 div 7 aligns weeks to Monday), and the "
+        "ratio is one integer ppm division. Exactly the metric "
+        "shape that motivates the sketch family at 100 TB — here "
+        "exact, with the distinct projection as the only wide "
+        "shuffle.",
+)
+def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    w = d.select(
+        "day",
+        "user_id",
+        F.expr(
+            "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+            "00:00:00', CAST(day AS TIMESTAMP_NTZ)) div 86400000000 + 3) "
+            "div 7"
+        ).alias("wk"),
+    )
+    dau = w.groupBy("wk", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    wau = w.groupBy("wk").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "wk")
+        .groupBy(F.col("wk").alias("week_idx"))
+        .agg(
+            F.sum("dau").cast("long").alias("sum_dau"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("wau").cast("long").alias("wau"),
+            F.expr(
+                "CAST(SUM(dau) * 1000000 div (COUNT(*) * MAX(wau)) "
+                "AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+    )

@@ -5861,3 +5861,47 @@ def dedup_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         F.expr("j_ppm div 100000").alias("jaccard_decile")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+@register(
+    "t_template_openings",
+    sql="""
+    WITH p AS (SELECT doc_id, lang,
+                      array_to_string(string_split(text, ' ')[1:5], ' ')
+                          AS prefix
+               FROM documents
+               WHERE len(string_split(text, ' ')) >= 5)
+    SELECT prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM p GROUP BY prefix HAVING COUNT(*) >= 3
+    ORDER BY n_docs DESC, prefix LIMIT 20
+    """,
+    doc="Template-opening detection — documents sharing an identical "
+        "5-token prefix are usually form letters, scraped boilerplate "
+        "or mirrored pages (the cheap high-precision sibling of "
+        "near-dup: exact match on a tiny projection, one hash agg, "
+        "no shingling). Cross-language prefix groups (n_langs > 1) "
+        "flag template families that survive machine translation. "
+        "Top-20 via TakeOrdered with lexicographic tiebreak.",
+)
+def t_template_openings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    p = docs.where(F.size(toks) >= 5).select(
+        "doc_id",
+        "lang",
+        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("prefix"),
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), "prefix")
+        .limit(20)
+    )
