@@ -4018,3 +4018,65 @@ def ev_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness_ppm"),
         )
     )
+
+
+@register(
+    "s_dynamic_partition_overwrite",
+    sql="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) * 2
+                    ELSE CAST(ROUND(value * 100) AS BIGINT) END)
+                AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1
+    """,
+    doc="Dynamic partition overwrite — the lakehouse backfill write "
+        "mode (partitionOverwriteMode=dynamic): events land "
+        "partitioned by event_date, then ONE day is re-written with "
+        "corrected values (cents doubled) through a plain "
+        "mode('overwrite') save that — in dynamic mode — replaces "
+        "ONLY the partitions present in the incoming frame instead "
+        "of truncating the table (static mode's notorious data-loss "
+        "footgun). The read-back aggregate must equal the original "
+        "table with exactly that day's values doubled — proving the "
+        "other 29 partitions were untouched. This is how a 100-TB "
+        "fact table takes late-arriving corrections: rewrite one "
+        "day's files, never the table.",
+)
+def s_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from mwa_uvdata_pipeline_spark.plans import fixture_dir
+
+    def _build(d: str) -> None:
+        out = os.path.join(d, "t")
+        ev = table(spark, sf_dir, "events").select(
+            F.col("ts").cast("date").cast("string").alias("event_date"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        ev.write.partitionBy("event_date").mode("overwrite").parquet(out)
+        patch = ev.where(F.col("event_date") == "2024-01-05").select(
+            (F.col("cents") * 2).alias("cents"), "event_date"
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            patch.write.partitionBy("event_date").mode(
+                "overwrite"
+            ).parquet(out)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    out = fixture_dir("dyn_overwrite", sf_dir, _build)
+    t = spark.read.parquet(os.path.join(out, "t"))
+    return t.groupBy(F.col("event_date").cast("string").alias("event_date")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
