@@ -4080,3 +4080,59 @@ def s_dynamic_partition_overwrite(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+@register(
+    "ev_error_wilson",
+    sql="""
+    WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(CASE WHEN event_type = 'error'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS e
+               FROM events GROUP BY 1)
+    SELECT strftime(hr, '%Y-%m-%d %H') AS hour,
+           n, e,
+           ROUND((CAST(e AS DOUBLE) / n + 2.0 / n
+                  - 2.0 * sqrt(CAST(e AS DOUBLE) / n
+                               * (1.0 - CAST(e AS DOUBLE) / n) / n
+                               + 1.0 / (n * CAST(n AS DOUBLE))))
+                 / (1.0 + 4.0 / n), 6) AS wilson_lower
+    FROM h
+    ORDER BY wilson_lower DESC, hour LIMIT 10
+    """,
+    doc="Error-rate alerting with Wilson lower bounds — ranking hours "
+        "by the LOWER confidence bound of their error proportion "
+        "(z = 2), the estimator that stops low-traffic hours with "
+        "one unlucky error from outranking sustained failures (the "
+        "same reason ranking UIs use Wilson instead of raw "
+        "ratios). The bound is a fixed-order double expression over "
+        "two integers per hour, rounded to 6 dp for cross-engine "
+        "equality; the hourly table is calendar-bounded and the "
+        "alert list is a TakeOrdered(10).",
+)
+def ev_error_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("long")
+        .alias("e"),
+    )
+    p = F.col("e").cast("double") / F.col("n")
+    nD = F.col("n").cast("double")
+    wilson = (
+        p
+        + 2.0 / F.col("n")
+        - 2.0
+        * F.sqrt(p * (1.0 - p) / F.col("n") + 1.0 / (F.col("n") * nD))
+    ) / (1.0 + 4.0 / F.col("n"))
+    return (
+        h.select(
+            F.date_format("hr", "yyyy-MM-dd HH").alias("hour"),
+            "n",
+            "e",
+            F.round(wilson, 6).alias("wilson_lower"),
+        )
+        .orderBy(F.desc("wilson_lower"), "hour")
+        .limit(10)
+    )
