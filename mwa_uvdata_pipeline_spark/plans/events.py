@@ -4136,3 +4136,127 @@ def ev_error_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("wilson_lower"), "hour")
         .limit(10)
     )
+
+
+@register(
+    "ev_velocity_flags",
+    sql="""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    c AS (SELECT a.user_id, a.event_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_in_window
+          FROM e a JOIN e b
+            ON a.user_id = b.user_id
+           AND b.us >= a.us - 300000000 AND b.us <= a.us
+          GROUP BY a.user_id, a.event_id),
+    m AS (SELECT user_id, MAX(n_in_window) AS peak_5min
+          FROM c GROUP BY user_id)
+    SELECT user_id, CAST(peak_5min AS BIGINT) AS peak_5min
+    FROM m WHERE peak_5min >= 2 ORDER BY user_id
+    """,
+    doc="Velocity checks — the fraud-ops primitive 'too many actions "
+        "in any trailing 5 minutes': each event counts same-user "
+        "events in its trailing window, users peak-aggregated, "
+        "threshold-flagged. The oracle states the inequality "
+        "self-join; the Spark plan banded-buckets time (bucket = "
+        "300 s) so each event probes exactly TWO (user, bucket) "
+        "cells as an equi-join and refines the exact range — "
+        "shuffle O(rows), independent of window width vs data span "
+        "(the j8_range_join discipline applied to self-velocity).",
+)
+def ev_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = epoch_us(ev)
+    win = 300_000_000
+    e = ev.select("user_id", "event_id", us.alias("us")).persist()
+    probe = e.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.explode(
+            F.array(
+                F.expr(f"us div {win}"), F.expr(f"us div {win}") - 1
+            )
+        ).alias("bucket"),
+    )
+    build = e.select(
+        "user_id",
+        F.col("us").alias("bus"),
+        F.expr(f"us div {win}").alias("bucket"),
+    )
+    c = (
+        probe.join(build, ["user_id", "bucket"])
+        .where(
+            (F.col("bus") >= F.col("us") - win) & (F.col("bus") <= F.col("us"))
+        )
+        .groupBy("user_id", "event_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in_window"))
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(F.max("n_in_window").cast("long").alias("peak_5min"))
+        .where(F.col("peak_5min") >= 2)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "agg_higher_moments",
+    sql="""
+    WITH v AS (SELECT event_type,
+                      CAST(ROUND(value) AS BIGINT) AS x
+               FROM events),
+    mo AS (SELECT event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS s1,
+                  CAST(SUM(x * x) AS BIGINT) AS s2,
+                  CAST(SUM(x * x * x) AS BIGINT) AS s3,
+                  CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+           FROM v GROUP BY event_type)
+    SELECT event_type, n, s1, s2, s3, s4,
+           ROUND((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * s3
+                  - 3.0 * n * s1 * s2
+                  + 2.0 * s1 * s1 * s1)
+                 / pow(CAST(n AS DOUBLE) * s2
+                       - CAST(s1 AS DOUBLE) * s1, 1.5)
+                 * sqrt(CAST(n AS DOUBLE)), 6) AS skewness
+    FROM mo
+    """,
+    doc="Higher-moment statistics over mergeable integer power sums — "
+        "skewness from the first four raw moments (values quantized "
+        "to integer dollars so s4 stays inside int64 headroom to "
+        "~1e10 rows; the shuffle carries five longs per group at any "
+        "volume, merging by addition). The skewness expression is "
+        "one fixed-order double tree over the integer sums, rounded "
+        "to 6 dp — the ml_linreg/ridge determinism discipline "
+        "extended to third moments. Distribution-shape monitoring "
+        "(sudden skew shifts flag pipeline regressions) without a "
+        "second pass over the data.",
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round("value").cast("long").alias("x")
+    )
+    mo = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).cast("long").alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("s4"),
+    )
+    nD = F.col("n").cast("double")
+    skew = (
+        (
+            nD * nD * F.col("s3")
+            - 3.0 * F.col("n") * F.col("s1") * F.col("s2")
+            + 2.0 * F.col("s1") * F.col("s1") * F.col("s1")
+        )
+        / F.pow(nD * F.col("s2") - F.col("s1").cast("double") * F.col("s1"), 1.5)
+        * F.sqrt(nD)
+    )
+    return mo.select(
+        "event_type", "n", "s1", "s2", "s3", "s4",
+        F.round(skew, 6).alias("skewness"),
+    )
