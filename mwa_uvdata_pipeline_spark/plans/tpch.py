@@ -2544,30 +2544,44 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weak ties whose removal disconnects neighborhoods (the "
         "structural-importance audit community detection pairs with "
         "modularity). An edge is closed iff its endpoints share a "
-        "neighbor: each edge probes one endpoint's adjacency and "
-        "filters by the other's — the intermediate is edge x N(u), "
-        "i.e. wedge volume sum(d^2), the same posture as "
-        "graph_jaccard_linkpred (degree-bounded in this generator; "
-        "on a scale-free graph the same degree-cap filter applies "
-        "and an oriented probe from the smaller-degree endpoint "
-        "halves the constant). Output is the bridge census, the "
-        "summary a 100-TB graph job would emit.",
+        "neighbor: each edge probes its SMALLER-degree endpoint's "
+        "adjacency and semi-joins the (neighbor, other-endpoint) "
+        "pair against the edge list — candidate volume is "
+        "sum(min(du, dv)) over edges, the E^1.5 triangle-counting "
+        "bound, with no approximation. Output is the bridge census, "
+        "the summary a 100-TB graph job would emit.",
 )
 def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = _g_fwd(spark, sf_dir).persist()
     e = fwd.unionByName(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()  # consumers: degree agg, probe adjacency, membership
+    deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
     )
-    # closed edges: (u, v) sharing any neighbor w — enumerate wedges
-    # from each endpoint over the bidirectional list, dedup
-    w1 = e.select(F.col("u").alias("a"), F.col("v").alias("w"))
-    w2 = e.select(F.col("u").alias("b"), F.col("v").alias("w"))
-    closed = (
-        fwd.join(w1, fwd["u"] == w1["a"])
-        .join(w2, (fwd["v"] == w2["b"]) & (w1["w"] == w2["w"]))
-        .select(fwd["u"], fwd["v"])
-        .distinct()
+    with_deg = fwd.join(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
+    ).join(
+        deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v"
     )
+    # probe the SMALLER-degree endpoint's adjacency: candidate volume
+    # is sum over edges of min(d(u), d(v)) <= E^1.5 — the exact
+    # closure test at the triangle-counting cost bound, no hub cap
+    p_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    probes = with_deg.select(
+        "u",
+        "v",
+        F.when(p_first, F.col("u")).otherwise(F.col("v")).alias("p"),
+        F.when(p_first, F.col("v")).otherwise(F.col("u")).alias("o"),
+    )
+    adj = e.select(F.col("u").alias("p"), F.col("v").alias("w"))
+    cand = probes.join(adj, "p").where(F.col("w") != F.col("o"))
+    member = e.select(F.col("u").alias("w"), F.col("v").alias("o"))
+    closed = cand.join(member, ["w", "o"], "left_semi").select(
+        "u", "v"
+    ).distinct()
     n_e = fwd.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     n_c = closed.agg(
         F.count(F.lit(1)).cast("long").alias("n_in_triangle")

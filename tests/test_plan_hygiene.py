@@ -61,6 +61,8 @@ BNLJ_ALLOWED = {
     "t_corpus_drift": "broadcast corpus midpoint + era totals (two "
                       "single-row aggregates)",
     "graph_modularity": "broadcast edge-count scalar (single-row agg)",
+    "graph_local_bridges": "broadcast closed-edge count (single-row "
+                           "agg) against the edge-count scalar",
     "ev_time_to_convert": "broadcast converter stats + median (both "
                           "single-row aggregates)",
 }
