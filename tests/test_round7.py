@@ -213,3 +213,49 @@ def test_vad_known_doc(spark):
     assert row.n_active == int(active.sum())
     assert row.max_run == best
     assert row.energy_active == int(energy[active].sum())
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from("abc"), st.integers(0, 10_000)),
+            min_size=1,
+            max_size=120,
+            unique=True,
+        ),
+        st.integers(1, 9),
+    )
+    def test_kmv_two_level_equivalence_property(spark, rows, k):
+        """Property: for ANY distinct (group, hash) table and any k,
+        per-shard bottom-k pooled and re-ranked equals the direct
+        per-group bottom-k — the algebra behind every two-level rank
+        in the repo."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from mwa_uvdata_pipeline_spark.plans.events import _kmv_pergroup
+
+        h = spark.createDataFrame(rows, "event_type string, hv long")
+        got = {
+            (r.event_type, r.hv) for r in _kmv_pergroup(h, k).collect()
+        }
+        w = Window.partitionBy("event_type").orderBy("hv")
+        naive = {
+            (r.event_type, r.hv)
+            for r in h.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("event_type", "hv")
+            .collect()
+        }
+        assert got == naive
