@@ -4260,3 +4260,84 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", "s1", "s2", "s3", "s4",
         F.round(skew, 6).alias("skewness"),
     )
+
+
+@register(
+    "ev_rfm_segments",
+    sql="""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+    u AS (SELECT user_id,
+                 CAST((mx.tmax - MAX(epoch_us(ts))) // 86400000000
+                      AS BIGINT) AS r_days,
+                 CAST(COUNT(*) AS BIGINT) AS f,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                     AS m_cents
+          FROM events, mx
+          WHERE event_type = 'purchase'
+          GROUP BY user_id, mx.tmax),
+    s AS (SELECT user_id,
+                 CASE WHEN r_days <= 3 THEN 3
+                      WHEN r_days <= 10 THEN 2 ELSE 1 END AS r_score,
+                 CASE WHEN f >= 40 THEN 3
+                      WHEN f >= 20 THEN 2 ELSE 1 END AS f_score,
+                 CASE WHEN m_cents >= 150000 THEN 3
+                      WHEN m_cents >= 50000 THEN 2 ELSE 1 END AS m_score
+          FROM u)
+    SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+               AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM s GROUP BY 1
+    """,
+    doc="RFM customer segmentation — recency / frequency / monetary "
+        "scores on fixed thresholds (deterministic cutoffs, the "
+        "production choice when segment definitions must be stable "
+        "across runs; quantile cutoffs would use the "
+        "t_perplexity_buckets histogram pattern), rolled into the "
+        "classic 27-cell segment code. One purchase-filtered "
+        "per-user agg with a broadcast corpus-max scalar; the "
+        "segment rollup is domain-bounded.",
+)
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = epoch_us(ev)
+    mx = ev.agg(F.max(us).alias("tmax"))
+    u = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "tmax")
+        .agg(
+            F.max(us).alias("tlast"),
+            F.count(F.lit(1)).cast("long").alias("f"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("m_cents"),
+        )
+        .select(
+            "user_id",
+            F.expr("(tmax - tlast) div 86400000000").alias("r_days"),
+            "f",
+            "m_cents",
+        )
+    )
+    r_score = (
+        F.when(F.col("r_days") <= 3, 3)
+        .when(F.col("r_days") <= 10, 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("f") >= 40, 3).when(F.col("f") >= 20, 2).otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("m_cents") >= 150000, 3)
+        .when(F.col("m_cents") >= 50000, 2)
+        .otherwise(1)
+    )
+    return (
+        u.select(
+            (r_score * 100 + f_score * 10 + m_score)
+            .cast("long")
+            .alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

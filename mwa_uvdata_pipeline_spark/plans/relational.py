@@ -1466,3 +1466,71 @@ def s_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.countDistinct(F.md5("text")).alias("n_unique_texts"),
     )
+
+
+@register(
+    "x_skyline_2d",
+    sql="""
+    WITH o AS (SELECT o_orderkey, o_totalprice,
+                      CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT)
+                          AS dkey
+               FROM orders),
+    r AS (SELECT o_orderkey, o_totalprice, dkey,
+                 MIN(dkey) OVER (ORDER BY o_totalprice, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS best_prior
+          FROM o)
+    SELECT o_orderkey, o_totalprice, dkey
+    FROM r WHERE best_prior IS NULL OR dkey < best_prior
+    ORDER BY o_totalprice, o_orderkey
+    """,
+    doc="Skyline (Pareto frontier) — orders where no other order is "
+        "BOTH cheaper and earlier, the classic multi-criteria "
+        "operator relational engines lack natively. The oracle "
+        "states the textbook form (sorted sweep keeping rows that "
+        "improve the running date minimum); the Spark plan computes "
+        "the SAME sweep with the banded two-level trick (w7 "
+        "discipline): orders cummin their date within their own "
+        "price BAND in parallel, a per-band best-date offset table "
+        "(one row per band, price-domain bounded) carries the "
+        "running minimum across bands, and a row survives iff it "
+        "beats the stitched prior minimum — no single task ever "
+        "sorts the full table. Tie policy: equal-price orders "
+        "compare by orderkey order, matching the oracle's unique "
+        "sort.",
+)
+def x_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyyMMdd").cast("long").alias("dkey"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("band"),
+    )
+    wband = (
+        Window.partitionBy("band")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    in_band = o.withColumn("prior_in_band", F.min("dkey").over(wband))
+    band_best = o.groupBy("band").agg(F.min("dkey").alias("band_min"))
+    woff = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # frame: one row per price band
+    offsets = band_best.select(
+        "band", F.min("band_min").over(woff).alias("prior_bands_min")
+    )
+    r = in_band.join(F.broadcast(offsets), "band").withColumn(
+        "best_prior",
+        F.least(
+            F.coalesce("prior_in_band", F.lit(1 << 62)),
+            F.coalesce("prior_bands_min", F.lit(1 << 62)),
+        ),
+    )
+    return (
+        r.where(
+            (F.col("best_prior") == (1 << 62))
+            | (F.col("dkey") < F.col("best_prior"))
+        )
+        .select("o_orderkey", "o_totalprice", "dkey")
+        .orderBy("o_totalprice", "o_orderkey")
+    )

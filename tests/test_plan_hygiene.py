@@ -65,6 +65,8 @@ BNLJ_ALLOWED = {
                            "agg) against the edge-count scalar",
     "ev_time_to_convert": "broadcast converter stats + median (both "
                           "single-row aggregates)",
+    "ev_rfm_segments": "broadcast corpus-max timestamp (single-row "
+                       "agg)",
 }
 
 
