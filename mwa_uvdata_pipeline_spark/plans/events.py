@@ -4341,3 +4341,45 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+@register(
+    "ev_new_vs_returning",
+    sql="""
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+               FROM events),
+    f AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM d JOIN f ON d.user_id = f.user_id
+    GROUP BY d.day
+    """,
+    doc="New-vs-returning daily split — the growth-accounting "
+        "identity every activity dashboard opens with: each user's "
+        "first-seen day (one min-agg over the distinct (day, user) "
+        "projection) classifies every later active day as returning. "
+        "One distinct projection feeds both sides; the join is "
+        "user-keyed and the rollup calendar-bounded — the 100-TB "
+        "shape is two hash aggs and one equi-join, no windows.",
+)
+def ev_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct().persist()  # consumers: first-day agg + daily classify
+    f = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        d.join(f, "user_id")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("int"))
+            .cast("long")
+            .alias("new_users"),
+            F.sum((F.col("day") > F.col("first_day")).cast("int"))
+            .cast("long")
+            .alias("returning_users"),
+        )
+    )
