@@ -4383,3 +4383,55 @@ def ev_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("returning_users"),
         )
     )
+
+
+@register(
+    "ev_dow_profile",
+    sql="""
+    WITH d AS (SELECT event_type,
+                      CAST(dayofweek(ts) AS BIGINT) AS dow,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events),
+    c AS (SELECT event_type, dow,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS cents
+          FROM d GROUP BY event_type, dow),
+    t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+          FROM c GROUP BY event_type)
+    SELECT c.event_type, c.dow, c.n, c.cents,
+           CAST(c.n * 1000000 // t.tot AS BIGINT) AS share_ppm
+    FROM c JOIN t ON c.event_type = t.event_type
+    """,
+    doc="Day-of-week activity profile per event type with integer-ppm "
+        "shares — the seasonality cube behind staffing and anomaly "
+        "baselines (ev_anomaly_mad's MAD gate assumes a stationary "
+        "profile; this is the table that checks it). Two hash aggs "
+        "over the bounded (type, dow) grid; DuckDB's dayofweek is "
+        "0-based Sunday like Spark's dayofweek is 1-based — the "
+        "oracle uses DuckDB's dayofweek directly and Spark matches "
+        "its convention below.",
+)
+def ev_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    c = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    t = c.groupBy("event_type").agg(F.sum("n").cast("long").alias("tot"))
+    return (
+        c.join(t, "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            "cents",
+            F.expr("CAST(n * 1000000 div tot AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
