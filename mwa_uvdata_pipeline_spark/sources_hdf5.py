@@ -193,8 +193,10 @@ def _dataset_oh(
         ) + struct.pack("<II", 6, 0)
         messages.append(_message(0x000B, pl))
         btree = _chunk_btree(buf, arr, chunk)
+        # spec byte order (HDF5 File Format Spec IV.A.2.i, v3 chunked):
+        # version, class, dimensionality, THEN the B-tree address
         layout = struct.pack(
-            "<BBQB", 3, 2, btree, arr.ndim + 1
+            "<BBBQ", 3, 2, arr.ndim + 1, btree
         ) + b"".join(
             struct.pack("<I", c) for c in chunk
         ) + struct.pack("<I", arr.dtype.itemsize)
@@ -479,8 +481,8 @@ def read_hdf5_bytes(buf: bytes) -> dict[str, np.ndarray]:
             arr = np.frombuffer(buf, dtype=dt, count=dsize // dt.itemsize,
                                 offset=daddr).reshape(dims)
         elif layout[1] == 2:  # chunked (v1 chunk B-tree, filters)
-            btree_addr = struct.unpack_from("<Q", layout, 2)[0]
-            crank = layout[10]  # rank + 1 (element-size dimension)
+            crank = layout[2]  # rank + 1 (element-size dimension)
+            btree_addr = struct.unpack_from("<Q", layout, 3)[0]
             chunk = struct.unpack_from(f"<{crank - 1}I", layout, 11)
             filters = (
                 _pipeline_filters(oh[0x000B]) if 0x000B in oh else []
