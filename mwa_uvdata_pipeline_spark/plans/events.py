@@ -3901,12 +3901,14 @@ def ev_user_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Time-to-convert analysis — signup-to-first-purchase latency, "
         "the survival statistic growth teams track: first signup and "
         "first purchase per user (two filtered min-aggs), the delta "
-        "for converters, and the exact lower median over the "
-        "CONVERTER table (one row per converted user — population-"
-        "bounded, orders of magnitude below event volume, so the "
-        "median rank runs on a frame that is already the size a "
-        "2-pass histogram refinement would produce). Integer "
-        "microseconds throughout.",
+        "for converters, and the exact lower median via the same "
+        "two-pass histogram refinement as agg_exact_median_2pass: "
+        "pass 1 histograms converter deltas into one-hour bins (one "
+        "hash agg; the bin table is delta-range/1h sized, not "
+        "population sized), the cumulative bin counts locate the bin "
+        "containing the (n+1)/2-th delta, pass 2 ranks ONLY that "
+        "bin's rows. No unpartitioned ordered window ever sees an "
+        "O(users) frame. Integer microseconds throughout.",
 )
 def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -3925,13 +3927,34 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         su.join(pu, "user_id")
         .where(F.col("t1") >= F.col("t0"))
         .select("user_id", (F.col("t1") - F.col("t0")).alias("dt_us"))
-        .persist()  # consumers: count, median rank, min/max
+        .persist()  # consumers: histogram, one-bin rank, min/max
     )
-    w = Window.orderBy("dt_us", "user_id")  # frame: converters only
+    binw = 3_600_000_000  # one-hour bins over integer microseconds
+    hist = d.groupBy(F.expr(f"dt_us div {binw}").alias("bin")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # frame: one row per occupied hour bin (delta-range bounded)
+    cum = hist.select(
+        "bin",
+        "c",
+        F.sum("c").over(wcum).alias("cumc"),
+        F.sum("c").over(Window.partitionBy()).alias("cnt"),
+    )
+    tgt = cum.where(
+        (F.col("cumc") >= F.expr("(cnt + 1) div 2"))
+        & (F.col("cumc") - F.col("c") < F.expr("(cnt + 1) div 2"))
+    ).select("bin", (F.col("cumc") - F.col("c")).alias("before"), "cnt")
+    # pass 2: rank ONLY the deltas inside the median bin
+    wbin = Window.orderBy("dt_us")  # frame: one bin's population
     med = (
-        d.withColumn("rk", F.row_number().over(w))
-        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy()))
-        .where(F.col("rk") == F.expr("(cnt + 1) div 2"))
+        d.join(
+            F.broadcast(tgt),
+            F.expr(f"dt_us div {binw}") == F.col("bin"),
+        )
+        .withColumn("rk", F.row_number().over(wbin))
+        .where(F.col("rk") + F.col("before") == F.expr("(cnt + 1) div 2"))
         .select(F.col("dt_us").alias("median_dt_us"))
     )
     stats = d.agg(
