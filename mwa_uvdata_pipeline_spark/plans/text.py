@@ -2915,10 +2915,29 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# k-means seeds: the 4 smallest vec_ids (deterministic — kmeans++ needs
-# randomness, which the cross-engine gate cannot admit)
+# k-means seeds: the k smallest vec_ids (deterministic — kmeans++ needs
+# randomness, which the cross-engine gate cannot admit). _KM_K is the
+# FLOOR the static SQL twins instantiate; the live plan grows k with
+# corpus size via _km_k (the round-6/7 adaptive-k ask).
 _KM_K = 4
 _KM_SCALE = 1000000
+_KM_TARGET_BLOCK = 512  # desired average cluster population
+
+
+def _km_k(n_rows: int) -> int:
+    """Adaptive cluster count: k ∝ N / _KM_TARGET_BLOCK so the average
+    within-cluster block stays ~constant as the corpus grows (SemDeDup
+    uses k ~ sqrt(N)-to-N/const schedules for the same reason; fixed k
+    makes every cluster O(N/k)=O(N) and pushes all the scaling burden
+    onto the LSH sub-buckets). Capped at 4096: the broadcast centroid
+    table is k x 64 int64 rows (~2 MB at the cap) and each extra
+    centroid adds one term to every point's argmin. At oracle scale
+    (sf<=0.01: 500 vectors) and bench scale (sf0.1: 2000) this sits at
+    the 4-cluster floor the static SQL twins instantiate, exactly as
+    _sem_lsh_bits sits at its 4-bit floor."""
+    import math
+
+    return max(_KM_K, min(4096, math.ceil(n_rows / _KM_TARGET_BLOCK)))
 
 _SQL_KM_PTS = f"""
     SELECT vec_id,
@@ -2964,7 +2983,8 @@ def _sql_km_round(prev: str, n: int) -> str:
     FROM c2 JOIN sz USING (cid)
     ORDER BY c2.cid, c2.dim
     """,
-    doc="k-means (2 unrolled Lloyd iterations, k=4, deterministic "
+    doc="k-means (2 unrolled Lloyd iterations, corpus-adaptive k via "
+        "_km_k with the k=4 floor at oracle scale, deterministic "
         "smallest-id seeding) as relational dataflow in EXACT integer "
         "arithmetic — like graph_pagerank, quantizing to micro-units "
         "is what makes an iterative numeric fixpoint oracle-checkable "
@@ -2995,8 +3015,11 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _km_fit(spark: SparkSession, sf_dir: str):
     """Two unrolled Lloyd rounds in exact integer arithmetic (the
     ml_kmeans dataflow, factored so dedup_semantic reuses the fitted
-    assignment). Returns (pts, assign, cents): quantized exploded
-    points, final vec_id->cid assignment, final centroid table."""
+    assignment). k is corpus-adaptive via _km_k (floor 4 at oracle and
+    bench scale — the static SQL twins instantiate that floor).
+    Returns (pts, assign, cents): quantized exploded points, final
+    vec_id->cid assignment, final centroid table."""
+    k = _km_k(_emb_stats(spark, sf_dir)[0])
     pts = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", F.posexplode("embedding").alias("dim", "x"))
@@ -3009,7 +3032,7 @@ def _km_fit(spark: SparkSession, sf_dir: str):
         .persist()
     )
     cents = (
-        pts.where(F.col("vec_id") < _KM_K)
+        pts.where(F.col("vec_id") < k)
         .select(F.col("vec_id").cast("int").alias("cid"), "dim", "q")
     )
 
@@ -3040,12 +3063,14 @@ def _km_fit(spark: SparkSession, sf_dir: str):
 
 def _sem_lsh_bits(n_rows: int) -> int:
     """Adaptive sub-bucket width INSIDE a kmeans cluster: average block
-    is n/k, held to ~_EMB_BUCKET_TARGET rows per (cid, table, bucket)
-    as N grows. At oracle scale (sf<=0.01: 500/4-row blocks) this sits
-    at the 4-bit floor the static SQL twin instantiates."""
+    is n/k (k itself adaptive via _km_k, so the block tops out at
+    ~_KM_TARGET_BLOCK), held to ~_EMB_BUCKET_TARGET rows per
+    (cid, table, bucket) as N grows. At oracle scale (sf<=0.01:
+    500/4-row blocks) this sits at the 4-bit floor the static SQL twin
+    instantiates."""
     import math
 
-    block = n_rows / _KM_K
+    block = n_rows / _km_k(n_rows)
     return max(
         _EMB_LSH_BITS,
         min(16, math.ceil(math.log2(max(block / _EMB_BUCKET_TARGET, 2.0)))),
@@ -3118,8 +3143,10 @@ def _sql_sem_keyed() -> str:
         "(lowest centroid-cosine — the paper's diversity-preserving "
         "keep rule; ties break to the smallest vec_id). Output is a "
         "per-vector verdict (vec_id, cid, cent_cos, keep). Scale "
-        "design: clustering bounds candidate scope, and within a "
-        "cluster pairs come from adaptive sign-LSH sub-buckets "
+        "design: clustering bounds candidate scope with a cluster "
+        "count that GROWS with the corpus (_km_k: k ∝ N/512, so the "
+        "average cluster stays ~512 rows instead of O(N/4)), and "
+        "within a cluster pairs come from adaptive sign-LSH sub-buckets "
         "(_sem_lsh_bits holds rows per (cid, t, k) cell ~constant as N "
         "grows, table count grows via _lsh_tables to hold recall), so "
         "pair volume stays ~linear in N — never the cluster-size "

@@ -181,6 +181,28 @@ def test_recall_floor_at_bench_scale(spark, sf_bench):
     assert len(got_nn & exact_nn) / len(exact_nn) >= 0.24
 
 
+def test_km_k_scale_schedule():
+    """Adaptive kmeans cluster count (the round-6/7 ask): floor 4 at
+    oracle (500 rows) AND bench (2000 rows) scale — where the static
+    SQL twins instantiate vec_id < 4 — growing ∝ N/512 beyond, capped
+    at 4096 so the broadcast centroid table stays ~2 MB."""
+    from mwa_uvdata_pipeline_spark.plans.text import _km_k, _sem_lsh_bits
+
+    assert _km_k(500) == 4  # oracle floor (sf<=0.01)
+    assert _km_k(2000) == 4  # bench scale (sf0.1)
+    assert _km_k(20_000) == 40  # 10x probe: adaptive k engaged
+    assert _km_k(200_000) == 391  # 100x probe
+    assert _km_k(10**9) == 4096  # cap
+    ks = [_km_k(n) for n in (500, 2000, 20_000, 200_000, 10**7, 10**9)]
+    assert ks == sorted(ks)
+    # composed schedule: while k grows (N <= cap*512 ~ 2M) the average
+    # block stays ~512 and bits hold the 4-bit floor; past the k cap
+    # the block grows again and bits resume absorbing it
+    assert _sem_lsh_bits(500) == 4
+    assert _sem_lsh_bits(2_000_000) == 4  # k still absorbing growth
+    assert 4 < _sem_lsh_bits(10**7) <= _sem_lsh_bits(10**9) <= 16
+
+
 def test_lsh_tables_scale_schedule():
     from mwa_uvdata_pipeline_spark.plans.text import _lsh_tables
 
