@@ -96,8 +96,15 @@ def _committed_files(pattern: str) -> list[str]:
     target directory carries a writer ``_MANIFEST.json``, the listing
     comes from it (filtered by the glob's basename pattern), so orphan
     files from failed or retried write attempts are never read back as
-    duplicate dense slabs; directories without a manifest (fixture
-    packers, hand-placed files) fall back to a plain glob."""
+    duplicate dense slabs. Manifest entries are BASENAMES rejoined
+    against the reader's resolved directory (older manifests stored
+    writer-relative paths, so any directory part is stripped), so the
+    same directory reached via a different spelling — relative vs
+    absolute, different cwd — still resolves. Directories without a
+    manifest (fixture packers, hand-placed files) fall back to a plain
+    glob, UNLESS in-progress write temps are present: that is a
+    crashed first-ever commit, where the glob could see a partial or
+    duplicate file set the manifest protocol exists to mask."""
     import fnmatch
     import os
 
@@ -107,7 +114,19 @@ def _committed_files(pattern: str) -> list[str]:
         with open(manifest_path) as f:
             files = json.load(f).get("files", [])
         base = os.path.basename(pattern)
-        return sorted(p for p in files if fnmatch.fnmatch(os.path.basename(p), base))
+        return sorted(
+            os.path.join(d, os.path.basename(p))
+            for p in files
+            if fnmatch.fnmatch(os.path.basename(p), base)
+        )
+    if not _glob.has_magic(d) and _glob.glob(
+        os.path.join(d, ".*.inprogress")
+    ):
+        raise ValueError(
+            f"{d}: in-progress write attempts present and no "
+            "_MANIFEST.json — refusing to glob a partially committed "
+            "directory"
+        )
     return sorted(_glob.glob(pattern))
 
 
@@ -384,17 +403,21 @@ class MWABWriter(DataSourceWriter):
             with open(manifest_path) as f:
                 prior = json.load(f)
         # 1. make the winners visible
-        new_files: list[str] = []
-        for m in messages:
-            for tmp, final in m.renames:
-                os.replace(tmp, final)
-                new_files.append(final)
+        new_files: list[str] = []  # manifest entries are BASENAMES:
+        for m in messages:  # the reader rejoins them against ITS
+            for tmp, final in m.renames:  # resolved directory, so a
+                os.replace(tmp, final)  # later read naming the same
+                new_files.append(os.path.basename(final))  # dir via a
+        # different spelling (relative vs absolute) still resolves
         # 2. publish the manifest atomically (merge prior on append)
         if self.overwrite:
             files = sorted(new_files)
             n_rows = int(sum(m.n_rows for m in messages))
         else:
-            files = sorted(set(prior.get("files", [])) | set(new_files))
+            prior_files = {
+                os.path.basename(p) for p in prior.get("files", [])
+            }  # basename() also migrates pre-basename manifests
+            files = sorted(prior_files | set(new_files))
             n_rows = int(prior.get("n_rows", 0)) + int(
                 sum(m.n_rows for m in messages)
             )
@@ -409,7 +432,7 @@ class MWABWriter(DataSourceWriter):
         if self.overwrite:
             keep = set(new_files)
             for p in _glob.glob(os.path.join(self.dir, "part-*.mwab")):
-                if p not in keep:
+                if os.path.basename(p) not in keep:
                     os.remove(p)
 
     def abort(self, messages) -> None:

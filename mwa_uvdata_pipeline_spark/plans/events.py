@@ -2929,12 +2929,13 @@ def stream_hll_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
                                               ORDER BY ts, event_id) AS pus
                FROM events),
-    marked AS (SELECT user_id, us,
+    marked AS (SELECT user_id, event_id, us,
                       CASE WHEN pus IS NULL OR us - pus > 1800000000
                            THEN 1 ELSE 0 END AS new_s
                FROM o),
     sess AS (SELECT user_id, us,
-                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                    SUM(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND CURRENT ROW) AS sid
              FROM marked),
@@ -2970,9 +2971,13 @@ def j11_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     us = epoch_us(ev)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    o = ev.select("user_id", us.alias("us"), F.lag(us).over(w).alias("pus"))
+    o = ev.select(
+        "user_id", "event_id", us.alias("us"),
+        F.lag(us).over(w).alias("pus"),
+    )
     marked = o.select(
         "user_id",
+        "event_id",
         "us",
         F.when(
             F.col("pus").isNull() | (F.col("us") - F.col("pus") > 1_800_000_000),
@@ -2981,9 +2986,12 @@ def j11_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_s"),
     )
+    # event_id tiebreak: new_s was derived under (ts, event_id) order,
+    # so the cumsum must replay the SAME order when timestamps tie
+    # (the ev_sessionize convention) or engines may split differently
     wcum = (
         Window.partitionBy("user_id")
-        .orderBy("us")
+        .orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = marked.withColumn("sid", F.sum("new_s").over(wcum))
@@ -3535,16 +3543,17 @@ def x_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ev_peak_concurrency",
     sql="""
-    WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+    WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
                                               ORDER BY ts, event_id) AS pus
                FROM events),
-    marked AS (SELECT user_id, us,
+    marked AS (SELECT user_id, event_id, us,
                       CASE WHEN pus IS NULL OR us - pus > 1800000000
                            THEN 1 ELSE 0 END AS new_s
                FROM o),
     sess AS (SELECT user_id, us,
-                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                    SUM(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND CURRENT ROW) AS sid
              FROM marked),
@@ -3588,9 +3597,13 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     us = epoch_us(ev)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    o = ev.select("user_id", us.alias("us"), F.lag(us).over(w).alias("pus"))
+    o = ev.select(
+        "user_id", "event_id", us.alias("us"),
+        F.lag(us).over(w).alias("pus"),
+    )
     marked = o.select(
         "user_id",
+        "event_id",
         "us",
         F.when(
             F.col("pus").isNull()
@@ -3600,9 +3613,11 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_s"),
     )
+    # event_id tiebreak matches the lag pass's order (the ev_sessionize
+    # convention) so tied timestamps split identically in both engines
     wcum = (
         Window.partitionBy("user_id")
-        .orderBy("us")
+        .orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     iv = (

@@ -5595,13 +5595,16 @@ def t_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         uncov = sh if covered is None else sh.join(
             F.broadcast(covered), "s", "left_anti"
         )
-        top = (
+        rows = (
             uncov.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("gain"))
             .orderBy(F.desc("gain"), "doc_id")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:  # everything already covered: degrade like the
+            break  # oracle, which just emits fewer chosen rows
+        top = rows[0]
         chosen.append((int(top["doc_id"]), rnd, int(top["gain"])))
         ids = [c[0] for c in chosen]
         covered = sh.where(F.col("doc_id").isin(ids)).select("s").distinct()

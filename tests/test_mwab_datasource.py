@@ -153,11 +153,49 @@ def _manifest(d):
 
 def test_writer_commit_manifest_and_no_temps(vis, mwab_sink_dir):
     import glob
+    import os
 
     man = _manifest(mwab_sink_dir)
     assert man["n_rows"] == vis.count()
-    assert sorted(glob.glob(f"{mwab_sink_dir}/part-*.mwab")) == man["files"]
+    # manifest entries are basenames, rejoined by the reader
+    assert all(os.sep not in p for p in man["files"])
+    assert sorted(
+        os.path.basename(p)
+        for p in glob.glob(f"{mwab_sink_dir}/part-*.mwab")
+    ) == man["files"]
     assert not glob.glob(f"{mwab_sink_dir}/.*inprogress")
+
+
+def test_reader_resolves_manifest_from_any_path_spelling(
+    spark, vis, mwab_sink_dir
+):
+    """The same directory reached via a different spelling (here a
+    relative path from the test cwd) must resolve the manifest's
+    basenames against the READER's directory."""
+    import os
+
+    rel = os.path.relpath(mwab_sink_dir)
+    got = (
+        spark.read.format("mwa_vis")
+        .option("path", f"{rel}/*.mwab")
+        .load()
+        .count()
+    )
+    assert got == vis.count()
+
+
+def test_glob_fallback_refused_on_crashed_first_commit(tmp_path):
+    """A directory with final-named parts, leftover .inprogress temps
+    and NO manifest is a crashed first-ever commit: the glob fallback
+    must refuse it rather than risk partial/duplicate visibility."""
+    import pytest
+
+    from mwa_uvdata_pipeline_spark.mwab import _committed_files
+
+    (tmp_path / "part-aa-000000-t000000.mwab").write_bytes(b"x")
+    (tmp_path / ".part-aa-000001-t000001.mwab.inprogress").write_bytes(b"x")
+    with pytest.raises(ValueError, match="in-progress"):
+        _committed_files(str(tmp_path / "*.mwab"))
 
 
 def test_reader_ignores_orphan_files(spark, vis, mwab_sink_dir):
@@ -169,7 +207,7 @@ def test_reader_ignores_orphan_files(spark, vis, mwab_sink_dir):
 
     man = _manifest(mwab_sink_dir)
     orphan = os.path.join(mwab_sink_dir, "part-deadbeef-000099-t000000.mwab")
-    shutil.copy(man["files"][0], orphan)
+    shutil.copy(os.path.join(mwab_sink_dir, man["files"][0]), orphan)
     try:
         got = (
             spark.read.format("mwa_vis")
@@ -208,7 +246,11 @@ def test_overwrite_retires_previous_generation(spark, vis, tmp_path_factory):
     old_files = set(_manifest(d)["files"])
     w.mode("overwrite").save(d)
     man = _manifest(d)
-    ondisk = sorted(glob.glob(f"{d}/part-*.mwab"))
+    import os
+
+    ondisk = sorted(
+        os.path.basename(p) for p in glob.glob(f"{d}/part-*.mwab")
+    )
     assert ondisk == man["files"]  # old generation fully retired
     assert not old_files & set(man["files"])  # job token => fresh names
     got = (

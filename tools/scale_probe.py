@@ -133,6 +133,24 @@ SKEW_QUERIES = [
     "dedup_exact",
 ]
 
+# Round-8 skew flavor (``--skew2``): a SEPARATE hot-key shape per the
+# round-7 verdict's unfinished probe list. Kept out of _skew because a
+# hot l_orderkey would, by construction, make the per-order basket
+# expansions (x_assoc_rules, graph_triangles) quadratic in DATA, which
+# probes the dataset, not the plan. The three targets touch disjoint
+# tables, so one build carries all three:
+# - embeddings: 30% of vectors get a dominant shared component in dim
+#   63 (outside every LSH key window), so kmeans lumps them into ONE
+#   giant cluster while their bucket keys stay diverse — exactly the
+#   case fixed k=4 used to make likely and the adaptive-k + sub-bucket
+#   design must absorb;
+# - lineitem: 30% of lineitems point at orderkey 1, so one bucket of
+#   the j10 merge join holds 30% of the fact table;
+# - events: users with user_id % 3 == 1 have every event's DATE pinned
+#   to the corpus start (time-of-day kept), so ~1/3 of all users share
+#   one cohort_date — the giant cohort.
+SKEW2_QUERIES = ["dedup_semantic", "j10_bucketed_join", "ev_cohort_ltv"]
+
 KEY_OFFSETS = {
     "lineitem": {
         "l_orderkey": 1_000_000_000,
@@ -208,7 +226,53 @@ def _skew(df, t: str):
     return df
 
 
-def build(spark, n_copies: int, dst: str = DST, skew: bool = False) -> None:
+def _skew2(df, t: str):
+    """Round-8 hot-key shapes (see SKEW2_QUERIES comment). All
+    predicates are mod-based on keys whose copy offsets are multiples
+    of 10/3, so 1x and Nx builds carry the same hot fraction."""
+    from pyspark.sql import functions as F
+
+    if t == "embeddings":
+        # one giant kmeans cluster: dominant shared component in dim 63
+        # (outside every LSH key window: tables*bits <= 16 dims), so
+        # cluster assignment lumps 30% of vectors while their sub-bucket
+        # keys stay diverse
+        return df.withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 10 < 3,
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, j: F.when(j == 63, F.lit(5.0))
+                    .otherwise(x)
+                    .cast("float"),
+                ),
+            ).otherwise(F.col("embedding")),
+        )
+    if t == "lineitem":
+        # hot join key for the bucketed merge join: one bucket holds 30%
+        return df.withColumn(
+            "l_orderkey",
+            F.when(F.col("l_orderkey") % 10 < 3, F.lit(1).cast("long"))
+            .otherwise(F.col("l_orderkey")),
+        )
+    if t == "events":
+        # giant cohort: ~1/3 of users first appear on the corpus start
+        # date (every event's DATE pinned, time-of-day kept)
+        pin = F.expr(
+            "ts - make_interval(0, 0, 0, "
+            "datediff(to_date(ts), to_date('2024-01-01')), 0, 0, 0)"
+        )
+        return df.withColumn(
+            "ts", F.when(F.col("user_id") % 3 == 1, pin).otherwise(F.col("ts"))
+        )
+    return df
+
+
+def build(
+    spark, n_copies: int, dst: str = DST, skew: bool = False,
+    skew2: bool = False,
+) -> None:
     from pyspark.sql import functions as F
 
     from mwa_uvdata_pipeline_spark.plans import table
@@ -231,6 +295,8 @@ def build(spark, n_copies: int, dst: str = DST, skew: bool = False) -> None:
             out = df
         if skew:
             out = _skew(out, t)
+        if skew2:
+            out = _skew2(out, t)
         out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
 
 
@@ -253,18 +319,27 @@ def main() -> None:
     args = sys.argv[1:]
     skip_build = "--nobuild" in args
     skew = "--skew" in args
-    args = [a for a in args if a not in ("--nobuild", "--skew")]
+    skew2 = "--skew2" in args
+    args = [a for a in args if a not in ("--nobuild", "--skew", "--skew2")]
     n_copies = int(args[0]) if args and args[0].isdigit() else 10
     if args and args[0].isdigit():
         args = args[1:]
-    queries = args or (SKEW_QUERIES if skew else QUERIES)
+    queries = args or (
+        SKEW2_QUERIES if skew2 else SKEW_QUERIES if skew else QUERIES
+    )
 
     from mwa_uvdata_pipeline_spark.plans import load_all
     from mwa_uvdata_pipeline_spark.session import get_spark
 
     spark = get_spark("scale-probe")
     plans = load_all()
-    if skew:
+    if skew2:
+        base_dir, big_dir = "/tmp/scale_probe_sk2_1", "/tmp/scale_probe_sk2_N"
+        if not skip_build:
+            print(f"building skew2 1x + {n_copies}x facts ...", flush=True)
+            build(spark, 1, base_dir, skew2=True)
+            build(spark, n_copies, big_dir, skew2=True)
+    elif skew:
         base_dir, big_dir = "/tmp/scale_probe_skew1", "/tmp/scale_probe_skewN"
         if not skip_build:
             print(f"building skewed 1x + {n_copies}x facts ...", flush=True)
@@ -277,7 +352,7 @@ def main() -> None:
             build(spark, n_copies)
     base = run(spark, plans, queries, base_dir)
     big = run(spark, plans, queries, big_dir)
-    label = "skew1x" if skew else "sf0.1"
+    label = "skew1x" if (skew or skew2) else "sf0.1"
     print(f"\n{'query':<24}{label:>9}{'Nx':>9}{'ratio':>8}")
     ratios = {}
     for name in queries:
@@ -285,7 +360,7 @@ def main() -> None:
         print(f"{name:<24}{base[name]:>9.2f}{big[name]:>9.2f}{ratios[name]:>8.1f}")
     print(json.dumps({
         "n_copies": n_copies,
-        "skew": skew,
+        "skew": skew or skew2,
         "base_sec": {k: round(v, 3) for k, v in base.items()},
         "big_sec": {k: round(v, 3) for k, v in big.items()},
         "ratio": ratios,
