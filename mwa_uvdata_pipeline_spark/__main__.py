@@ -74,6 +74,7 @@ def main(argv: list[str] | None = None) -> int:
         print("\t".join(df.columns))
         for r in rows:
             print("\t".join(str(v) for v in r))
+        _print_residues()
         return 0
 
     if args.entry not in plans:
@@ -91,7 +92,18 @@ def main(argv: list[str] | None = None) -> int:
     print("\t".join(df.columns))
     for r in rows:
         print("\t".join(str(v) for v in r))
+    _print_residues()
     return 0
+
+
+def _print_residues() -> None:
+    """After execution, surface any session confs a table loader had
+    to leave set (e.g. parquet nanos-as-long), so the behavior change
+    is visible at the CLI instead of only in tools/plan_report.py."""
+    from mwa_uvdata_pipeline_spark.plans import session_conf_residues
+
+    for conf, reason in sorted(session_conf_residues().items()):
+        print(f"# session conf residue: {conf} — {reason}", file=sys.stderr)
 
 
 if __name__ == "__main__":

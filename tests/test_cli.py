@@ -24,6 +24,37 @@ def test_cli_unknown_entry(capsys):
     assert main(["run", "nope"]) == 2
 
 
+def test_cli_run_prints_conf_residues(spark, capsys, monkeypatch):
+    """run surfaces session confs a loader left set (nanos-as-long)
+    on stderr after execution, instead of leaving the behavior change
+    silent (round-7 verdict item 8)."""
+    from mwa_uvdata_pipeline_spark import plans
+
+    monkeypatch.setitem(
+        plans._SESSION_CONF_RESIDUES,
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "events footer carries TIMESTAMP(NANOS)",
+    )
+    assert main(["run", "q6_forecast_revenue", "--sf-dir", SF_SMALL]) == 0
+    err = capsys.readouterr().err
+    assert "session conf residue" in err
+    assert "nanosAsLong" in err
+
+
+def test_cli_run_no_residue_line_when_clean(spark, capsys):
+    from mwa_uvdata_pipeline_spark import plans
+
+    saved = dict(plans._SESSION_CONF_RESIDUES)
+    plans._SESSION_CONF_RESIDUES.clear()
+    try:
+        assert main(
+            ["run", "q6_forecast_revenue", "--sf-dir", SF_SMALL]
+        ) == 0
+        assert "session conf residue" not in capsys.readouterr().err
+    finally:
+        plans._SESSION_CONF_RESIDUES.update(saved)
+
+
 def test_cli_ingest_uvh5_summary(spark, vis, tmp_path, capsys):
     """ingest dispatches by extension through the format registry —
     a native-codec uvh5 file summarizes to the fixture's cell counts."""
