@@ -4473,3 +4473,320 @@ def ev_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_exact_quantiles_2pass",
+    sql="""
+    WITH v AS (SELECT event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events),
+    r AS (SELECT event_type, cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          FROM v)
+    SELECT event_type,
+           CAST(MAX(cnt) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rk = CAST(CEIL(0.25 * cnt) AS BIGINT)
+                         THEN cents END) AS BIGINT) AS p25_cents,
+           CAST(MAX(CASE WHEN rk = CAST(CEIL(0.50 * cnt) AS BIGINT)
+                         THEN cents END) AS BIGINT) AS p50_cents,
+           CAST(MAX(CASE WHEN rk = CAST(CEIL(0.75 * cnt) AS BIGINT)
+                         THEN cents END) AS BIGINT) AS p75_cents
+    FROM r GROUP BY event_type
+    """,
+    doc="EXACT p25/p50/p75 per group via the two-pass histogram — the "
+        "agg_exact_median_2pass pattern generalized to a quantile SET "
+        "in the same two passes: pass 1 histograms cents into "
+        "one-dollar bins (one hash agg), the cumulative bin table "
+        "locates the bin containing EACH target rank (lower quantile, "
+        "rank ceil(p*n)), pass 2 ranks only rows inside target bins "
+        "(per-(group, bin) windows — one bin's population each, never "
+        "the group) and emits the three order statistics. The "
+        "map-reduce answer to 'exact quantiles without a sort': at "
+        "100 TB the second pass touches ~3 bins per group regardless "
+        "of group size. Oracle ranks directly — proving the histogram "
+        "refinement EXACT, not percentile_approx-approximate.",
+)
+def agg_exact_quantiles_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).persist()  # two passes by design: histogram, then in-bin ranks
+    binw = 100
+    hist = v.groupBy(
+        "event_type", F.expr(f"cents div {binw}").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )  # frame: occupied bins only (value-domain bounded)
+    cum = hist.select(
+        "event_type",
+        "bin",
+        "c",
+        F.sum("c").over(wcum).alias("cumc"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    # one target row per (group, quantile): rank k_p = ceil(p * n)
+    ps = F.explode(F.array(F.lit(25), F.lit(50), F.lit(75))).alias("p")
+    tgt = (
+        cum.select("event_type", "bin", "c", "cumc", "n", ps)
+        .withColumn("k", F.expr("CAST((p * n + 99) div 100 AS BIGINT)"))
+        .where((F.col("cumc") >= F.col("k"))
+               & (F.col("cumc") - F.col("c") < F.col("k")))
+        .select("event_type", "p", "bin",
+                (F.col("cumc") - F.col("c")).alias("before"), "k", "n")
+    )
+    # pass 2: rank ONLY rows inside each group's target bins (a bin may
+    # serve several quantiles; rank once per (group, bin))
+    wbin = Window.partitionBy("event_type", "bin").orderBy("cents")
+    inbin = (
+        v.withColumn("bin", F.expr(f"cents div {binw}"))
+        .join(F.broadcast(tgt.select("event_type", "bin").distinct()),
+              ["event_type", "bin"])
+        .withColumn("rk", F.row_number().over(wbin))
+    )
+    hits = inbin.join(F.broadcast(tgt), ["event_type", "bin"]).where(
+        F.col("rk") + F.col("before") == F.col("k")
+    )
+    return (
+        hits.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max(F.when(F.col("p") == 25, F.col("cents"))).cast("long")
+                .alias("p25_cents"),
+            F.max(F.when(F.col("p") == 50, F.col("cents"))).cast("long")
+                .alias("p50_cents"),
+            F.max(F.when(F.col("p") == 75, F.col("cents"))).cast("long")
+                .alias("p75_cents"),
+        )
+    )
+
+
+@register(
+    "ev_pareto_concentration",
+    sql="""
+    WITH u AS (SELECT user_id, COUNT(*) AS c FROM events
+               GROUP BY user_id),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(c) AS BIGINT) AS total_events,
+                 CAST(CEIL(0.1 * COUNT(*)) AS BIGINT) AS k FROM u),
+    r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rk
+          FROM u)
+    SELECT s.n_users, s.k AS k_top, s.total_events,
+           CAST(SUM(CASE WHEN r.rk <= s.k THEN r.c ELSE 0 END)
+                AS BIGINT) AS top_events,
+           CAST(SUM(CASE WHEN r.rk <= s.k THEN r.c ELSE 0 END)
+                * 1000000 // s.total_events AS BIGINT) AS share_ppm
+    FROM r, s
+    GROUP BY s.n_users, s.k, s.total_events
+    """,
+    doc="Activity concentration — what share of all events the top "
+        "10% most-active users produce (the Pareto statistic behind "
+        "power-user dashboards and abuse triage). Computed WITHOUT "
+        "ranking the user table: per-user counts hash-agg into a "
+        "count-of-counts histogram (one row per distinct activity "
+        "level — value-domain bounded), the cumulative histogram from "
+        "the most-active level down locates the top-decile threshold, "
+        "and the top-k event mass is the full levels above the "
+        "threshold plus (k - users_above) * threshold_level for the "
+        "tied boundary level — exact because tied users are "
+        "interchangeable by count. The oracle ranks users directly; "
+        "equality proves the histogram shortcut. At 100 TB the only "
+        "per-user pass is the first hash agg.",
+)
+def ev_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    # count-of-counts histogram: one row per distinct activity level
+    h = u.groupBy("c").agg(
+        F.count(F.lit(1)).alias("nu"), F.sum("c").alias("se")
+    )
+    wdesc = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # frame: distinct activity levels only
+    cum = h.select(
+        "c",
+        "nu",
+        "se",
+        F.sum("nu").over(wdesc).alias("cum_u"),
+        F.sum("se").over(wdesc).alias("cum_e"),
+        F.sum("nu").over(Window.partitionBy()).alias("n_users"),
+        F.sum("se").over(Window.partitionBy()).alias("total_events"),
+    ).withColumn("k", F.expr("CAST((n_users + 9) div 10 AS BIGINT)"))
+    thr = cum.where(
+        (F.col("cum_u") >= F.col("k"))
+        & (F.col("cum_u") - F.col("nu") < F.col("k"))
+    )
+    return thr.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("k").cast("long").alias("k_top"),
+        F.col("total_events").cast("long").alias("total_events"),
+        (
+            F.col("cum_e") - F.col("se")
+            + (F.col("k") - (F.col("cum_u") - F.col("nu"))) * F.col("c")
+        ).cast("long").alias("top_events"),
+        F.expr(
+            "CAST((cum_e - se + (k - (cum_u - nu)) * c) * 1000000"
+            " div total_events AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+@register(
+    "ev_cadence_cv",
+    sql="""
+    WITH g AS (SELECT user_id,
+                      (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id))
+                          // 1000000 AS gap_s
+               FROM events),
+    m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(gap_s) AS BIGINT) AS s1,
+                 CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+          FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+          HAVING COUNT(*) >= 5 AND SUM(gap_s) > 0),
+    cv AS (SELECT user_id, n,
+                  ROUND((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                        / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 6)
+                      AS cv2
+           FROM m)
+    SELECT CASE WHEN cv2 < 0.01 THEN 'metronomic'
+                WHEN cv2 < 1.0 THEN 'regular'
+                ELSE 'bursty' END AS cadence,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_gaps,
+           MIN(cv2) AS min_cv2,
+           MAX(cv2) AS max_cv2
+    FROM cv GROUP BY cadence
+    """,
+    doc="Inter-event cadence regularity per user — the bot/script "
+        "signal behind rate-limit triage: the squared coefficient of "
+        "variation of a user's inter-event gaps (integer seconds), "
+        "computed from the three mergeable moments (n, sum, "
+        "sum-of-squares) so the per-user state is three longs "
+        "regardless of event count, then bucketed (metronomic < 0.01, "
+        "regular < 1, bursty) and aggregated to a bounded cadence "
+        "profile. The moments accumulate as EXACT integers; only the "
+        "final per-user scalar (n*s2 - s1^2)/s1^2 is evaluated in "
+        "double — a fixed sequence of IEEE ops on identical integers, "
+        "so both engines produce the identical rounded value (an "
+        "integer-ppm formulation overflows int64 at n*s2*1e6). One "
+        "per-user window for the gaps, one hash agg for the moments.",
+)
+def ev_cadence_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = epoch_us(ev)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        F.floor((us - F.lag(us).over(w)) / 1_000_000).alias("gap_s"),
+    )
+    m = (
+        g.where(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("gap_s").cast("long").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("s2"),
+        )
+        .where((F.col("n") >= 5) & (F.col("s1") > 0))
+    )
+    cv = m.select(
+        "n",
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+            )
+            / (F.col("s1").cast("double") * F.col("s1").cast("double")),
+            6,
+        ).alias("cv2"),
+    )
+    cadence = (
+        F.when(F.col("cv2") < 0.01, "metronomic")
+        .when(F.col("cv2") < 1.0, "regular")
+        .otherwise("bursty")
+    )
+    return (
+        cv.groupBy(cadence.alias("cadence"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("n_gaps"),
+            F.min("cv2").alias("min_cv2"),
+            F.max("cv2").alias("max_cv2"),
+        )
+    )
+
+
+@register(
+    "ev_pattern_vshape",
+    sql="""
+    WITH s AS (SELECT user_id, event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                      LAG(CAST(ROUND(value * 100) AS BIGINT), 1) OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS p1,
+                      LAG(CAST(ROUND(value * 100) AS BIGINT), 2) OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS p2
+               FROM events),
+    v AS (SELECT user_id, event_type,
+                 CASE WHEN p2 > p1 AND p1 < cents THEN 1 ELSE 0 END AS hit
+          FROM s WHERE p2 IS NOT NULL),
+    pu AS (SELECT event_type, user_id, CAST(SUM(hit) AS BIGINT) AS nv
+           FROM v GROUP BY event_type, user_id)
+    SELECT event_type,
+           CAST(SUM(nv) AS BIGINT) AS n_vshapes,
+           CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_users_with_pattern,
+           CAST(MAX(nv) AS BIGINT) AS max_per_user
+    FROM pu GROUP BY event_type
+    """,
+    doc="Row-pattern matching (the MATCH_RECOGNIZE family, which "
+        "Spark lacks natively) compiled to windows: a V-shape "
+        "(down-then-up) in each user's per-type value series — two "
+        "LAGs over the (user, type) ordered stream, a three-point "
+        "predicate, then two hash aggs for the per-type pattern "
+        "census. The window frame is one user's one-type stream "
+        "(the same per-user key every sessionize plan shuffles on); "
+        "pattern evaluation itself is stateless row logic, so the "
+        "whole match pipeline is one shuffle regardless of pattern "
+        "length — the standard relational compilation of sequence "
+        "patterns. Tiebreak (ts, event_id) everywhere.",
+)
+def ev_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        cents.alias("cents"),
+        F.lag(cents, 1).over(w).alias("p1"),
+        F.lag(cents, 2).over(w).alias("p2"),
+    )
+    v = s.where(F.col("p2").isNotNull()).select(
+        "user_id",
+        "event_type",
+        F.when(
+            (F.col("p2") > F.col("p1")) & (F.col("p1") < F.col("cents")), 1
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    pu = v.groupBy("event_type", "user_id").agg(
+        F.sum("hit").cast("long").alias("nv")
+    )
+    return pu.groupBy("event_type").agg(
+        F.sum("nv").cast("long").alias("n_vshapes"),
+        F.sum(F.when(F.col("nv") > 0, 1).otherwise(0)).cast("long").alias(
+            "n_users_with_pattern"
+        ),
+        F.max("nv").cast("long").alias("max_per_user"),
+    )
