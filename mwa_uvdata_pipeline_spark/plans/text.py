@@ -5935,3 +5935,273 @@ def t_template_openings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "prefix")
         .limit(20)
     )
+
+
+@register(
+    "sim_centroid_classify",
+    sql=f"""
+    WITH pts AS (
+        SELECT e.vec_id, e.label,
+               CAST(generate_subscripts(e.embedding, 1) - 1 AS INTEGER)
+                   AS dim,
+               CAST(ROUND(CAST(unnest(e.embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings e),
+    c AS (SELECT label AS cl, dim,
+                 CAST(SUM(q) // COUNT(*) AS BIGINT) AS cq
+          FROM pts GROUP BY label, dim),
+    d AS (SELECT p.vec_id, p.label, c.cl,
+                 CAST(SUM((p.q - c.cq) * (p.q - c.cq)) AS BIGINT) AS dist
+          FROM pts p JOIN c USING (dim)
+          GROUP BY p.vec_id, p.label, c.cl),
+    a AS (SELECT vec_id, label, cl AS pred FROM
+              (SELECT vec_id, label, cl,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cl) AS rn
+               FROM d) WHERE rn = 1)
+    SELECT label, pred,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           label = pred AS correct
+    FROM a GROUP BY label, pred
+    """,
+    doc="Nearest-centroid classification with its confusion matrix — "
+        "the evaluate step of the centroid 'train' op "
+        "(e_centroid_stats): per-label centroids in exact micro-int "
+        "arithmetic (truncating integer mean, the ml_kmeans "
+        "convention), every vector assigned to its nearest centroid "
+        "by exact int64 squared-L2 with a (dist, label) tiebreak, "
+        "then one hash agg for the (true, predicted) matrix. Shape "
+        "is the Lloyd assign step: points join a BROADCAST "
+        "labels x dims centroid table — the shuffle never carries "
+        "vectors, and the argmin window frame is n_labels rows per "
+        "vector. The standard label-quality audit for embedding "
+        "training data (mislabeled clusters show as off-diagonal "
+        "mass).",
+)
+def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * 1_000_000).cast("long")
+            .alias("q"),
+    )
+    c = pts.groupBy(F.col("label").alias("cl"), "dim").agg(
+        F.expr("CAST(sum(q) div count(1) AS BIGINT)").alias("cq")
+    )
+    d = (
+        pts.join(F.broadcast(c), "dim")
+        .groupBy("vec_id", "label", "cl")
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .alias("dist")
+        )
+    )
+    rn = Window.partitionBy("vec_id").orderBy("dist", "cl")
+    a = (
+        d.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("cl").alias("pred"))
+    )
+    return a.groupBy("label", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).withColumn("correct", F.col("label") == F.col("pred"))
+
+
+@register(
+    "e_outlier_distance",
+    sql="""
+    WITH pts AS (
+        SELECT e.vec_id, e.label,
+               CAST(generate_subscripts(e.embedding, 1) - 1 AS INTEGER)
+                   AS dim,
+               CAST(ROUND(CAST(unnest(e.embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings e),
+    c AS (SELECT label, dim, CAST(SUM(q) // COUNT(*) AS BIGINT) AS cq
+          FROM pts GROUP BY label, dim),
+    d AS (SELECT p.vec_id, p.label,
+                 CAST(SUM((p.q - c.cq) * (p.q - c.cq)) // 10000000
+                      AS BIGINT) AS dk
+          FROM pts p JOIN c USING (label, dim)
+          GROUP BY p.vec_id, p.label),
+    m AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dk) AS BIGINT) AS s1,
+                 CAST(SUM(dk * dk) AS BIGINT) AS s2
+          FROM d GROUP BY label),
+    z AS (SELECT d.vec_id, d.label, m.n,
+                 CAST(m.n AS DOUBLE) * CAST(d.dk AS DOUBLE)
+                     - CAST(m.s1 AS DOUBLE) AS a,
+                 CAST(m.n AS DOUBLE) * CAST(m.s2 AS DOUBLE)
+                     - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) AS b
+          FROM d JOIN m USING (label))
+    SELECT label, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN a > 0 AND a * a > 4 * b
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           MAX(CASE WHEN a > 0 AND a * a > 4 * b
+                    THEN ROUND(a * a / b, 6) END) AS max_z2
+    FROM z GROUP BY label
+    """,
+    doc="Embedding outlier audit — vectors far from their own label's "
+        "centroid (the mislabeled/garbage-vector filter a curation "
+        "pipeline runs before contrastive training): per-label "
+        "centroid in exact micro-ints, per-vector squared-L2 distance "
+        "quantized to 1e7 units (int64-safe sum-of-squares to ~1e5 "
+        "vectors/label; the scale path widens to decimal), per-label "
+        "mergeable moments (n, sum, sum-of-squares — three longs), "
+        "and the z>2 flag evaluated as a fixed IEEE-double sequence "
+        "over those exact integers — a*a > 4*b is z^2 > 4 without "
+        "ever materializing a non-deterministic sqrt or a per-label "
+        "sort. Two hash aggs and one broadcast join; no window "
+        "touches the vector table.",
+)
+def e_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * 1_000_000).cast("long")
+            .alias("q"),
+    )
+    c = pts.groupBy("label", "dim").agg(
+        F.expr("CAST(sum(q) div count(1) AS BIGINT)").alias("cq")
+    )
+    d = (
+        pts.join(F.broadcast(c), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.expr(
+                "CAST(sum((q - cq) * (q - cq)) div 10000000 AS BIGINT)"
+            ).alias("dk")
+        )
+    )
+    m = d.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dk").cast("long").alias("s1"),
+        F.sum(F.col("dk") * F.col("dk")).cast("long").alias("s2"),
+    )
+    z = d.join(F.broadcast(m), "label").select(
+        "label",
+        "n",
+        (
+            F.col("n").cast("double") * F.col("dk").cast("double")
+            - F.col("s1").cast("double")
+        ).alias("a"),
+        (
+            F.col("n").cast("double") * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        ).alias("b"),
+    )
+    out = (F.col("a") > 0) & (F.col("a") * F.col("a") > 4 * F.col("b"))
+    return z.groupBy("label").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.when(out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.max(
+            F.when(out, F.round(F.col("a") * F.col("a") / F.col("b"), 6))
+        ).alias("max_z2"),
+    )
+
+
+@register(
+    "t_ngram_pmi",
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w),
+    nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cu),
+    bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+           FROM toks, UNNEST(range(1, len(t))) AS u(i)
+           WHERE len(t) >= 2),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bg GROUP BY w1, w2),
+    nb AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cb),
+    scored AS (
+        SELECT cb.w1, cb.w2, cb.c AS c_bigram,
+               a.c AS c_w1, b.c AS c_w2,
+               ROUND(((CAST(cb.c AS DOUBLE) * CAST(nu.n AS DOUBLE))
+                      * CAST(nu.n AS DOUBLE))
+                     / ((CAST(nb.n AS DOUBLE) * CAST(a.c AS DOUBLE))
+                        * CAST(b.c AS DOUBLE)), 6) AS lift
+        FROM cb
+        JOIN cu a ON a.w = cb.w1
+        JOIN cu b ON b.w = cb.w2
+        CROSS JOIN nu CROSS JOIN nb
+        WHERE cb.c >= 5)
+    SELECT w1, w2, c_bigram, c_w1, c_w2, lift
+    FROM scored
+    ORDER BY lift DESC, w1, w2 LIMIT 20
+    """,
+    doc="Collocation extraction by PMI lift — the association measure "
+        "behind multi-word-expression mining and tokenizer-merge "
+        "audits: p(ab)/(p(a)p(b)) = c_ab*N_uni^2/(N_bi*c_a*c_b), kept "
+        "as an exact-integer ratio evaluated once in a FIXED "
+        "IEEE-double multiplication order (ln is not "
+        "correctly-rounded across engines — t_bigram_familiarity's "
+        "lesson — but the lift ranks identically to log-PMI, so the "
+        "log is never needed). Shape: one explode for bigrams, two "
+        "hash aggs for the count tables, a posting-shaped join of "
+        "bigram counts to the two unigram counts, two 1-row total "
+        "broadcasts, TakeOrdered(20). The c>=5 floor prunes the "
+        "hapax tail before the join — at 100 TB that is most of the "
+        "bigram table.",
+)
+def t_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    uni = docs.select(F.explode(toks).alias("w"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nu = cu.agg(F.sum("c").cast("long").alias("nu"))
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    bg = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    cb = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_bigram"))
+        .where(F.col("c_bigram") >= 5)
+    )
+    nb = bg.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    a = cu.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))
+    b = cu.select(F.col("w").alias("w2"), F.col("c").alias("c_w2"))
+    lift = F.round(
+        (
+            (
+                F.col("c_bigram").cast("double")
+                * F.col("nu").cast("double")
+            )
+            * F.col("nu").cast("double")
+        )
+        / (
+            (F.col("nb").cast("double") * F.col("c_w1").cast("double"))
+            * F.col("c_w2").cast("double")
+        ),
+        6,
+    )
+    return (
+        cb.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select("w1", "w2", "c_bigram", "c_w1", "c_w2", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(20)
+    )

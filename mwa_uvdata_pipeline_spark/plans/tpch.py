@@ -2594,3 +2594,178 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_edges") - F.col("n_in_triangle")).alias("n_bridges"),
         )
     )
+
+
+@register(
+    "graph_degree_hist",
+    sql=f"""
+    WITH {_G_EDGES_SQL},
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY u),
+    b AS (SELECT node, d,
+                 CAST(FLOOR(LOG2(CAST(d AS DOUBLE))) AS BIGINT) AS bucket
+          FROM deg)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(d) AS BIGINT) AS sum_degree,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM b GROUP BY bucket
+    """,
+    doc="Log2-binned degree distribution of the co-purchase graph — "
+        "the first diagnostic run on any production graph (the "
+        "power-law tail this histogram exposes is exactly what makes "
+        "naive wedge joins blow up; graph_triangles' degree "
+        "orientation and graph_jaccard_linkpred's hub filter exist "
+        "because of it). One hash agg for degrees, one for the "
+        "histogram — output is log(max-degree) rows regardless of "
+        "graph size. floor(log2(d)) on an exact integer degree is "
+        "deterministic in double for d < 2^53 in both engines "
+        "(log2 of a long is exact-input; floor collapses any "
+        "sub-ulp disagreement except at exact powers of two, where "
+        "log2 IS exact).",
+)
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deg = (
+        _g_edges(spark, sf_dir)
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    bucket = F.floor(F.log2(F.col("d").cast("double"))).cast("long")
+    return deg.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("d").cast("long").alias("sum_degree"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+
+
+@register(
+    "ml_decision_stump",
+    sql="""
+    WITH f AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS pos FROM f),
+    vals AS (
+        SELECT 'qty' AS feature, qty AS v, COUNT(*) AS c,
+               CAST(SUM(y) AS BIGINT) AS p
+        FROM f GROUP BY qty
+        UNION ALL
+        SELECT 'disc', disc, COUNT(*), CAST(SUM(y) AS BIGINT)
+        FROM f GROUP BY disc),
+    cum AS (
+        SELECT feature, v, tot.n, tot.pos,
+               SUM(c) OVER (PARTITION BY feature ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS nl,
+               SUM(p) OVER (PARTITION BY feature ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pl
+        FROM vals CROSS JOIN tot),
+    splits AS (
+        SELECT feature, v AS threshold, nl, pl, n, pos,
+               (CAST(pl AS DOUBLE) * CAST(nl - pl AS DOUBLE)
+                    / CAST(nl AS DOUBLE)
+                + CAST(pos - pl AS DOUBLE)
+                      * CAST((n - nl) - (pos - pl) AS DOUBLE)
+                      / CAST(n - nl AS DOUBLE)) AS gini_num
+        FROM cum WHERE nl > 0 AND nl < n),
+    best AS (
+        SELECT feature, threshold, nl AS n_left, pl AS pos_left,
+               n, pos, ROUND(gini_num / n, 9) AS gini,
+               ROW_NUMBER() OVER (ORDER BY gini_num, feature, threshold)
+                   AS rn
+        FROM splits)
+    SELECT feature, CAST(threshold AS BIGINT) AS threshold,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(pos_left AS BIGINT) AS pos_left,
+           CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos, gini
+    FROM best WHERE rn = 1
+    """,
+    doc="Decision-stump training as relational dataflow — the best "
+        "(feature, threshold <= v) split predicting returned items by "
+        "weighted Gini impurity, the base learner of boosted trees "
+        "and THE standard feature-quality probe on tabular training "
+        "data. Per-feature per-value class counts come from one hash "
+        "agg each (the candidate set is the feature's VALUE DOMAIN — "
+        "50 quantities, 11 discounts — not the row count), the "
+        "left/right class totals for every candidate threshold come "
+        "from a cumulative window over that bounded value table, and "
+        "the weighted impurity n_l*g_l + n_r*g_r is minimized with a "
+        "deterministic (impurity, feature, threshold) tiebreak. "
+        "Impurity is evaluated as a fixed IEEE-double sequence over "
+        "exact integer counts (p*(n-p)/n per side), so both engines "
+        "rank splits identically. At 100 TB: two scans (class counts, "
+        "nothing else touches rows), windows over <=61 rows.",
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    ).persist()  # two per-feature count aggs over the same frame
+    tot = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+
+    def counts(col: str) -> DataFrame:
+        return f.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c"), F.sum("y").cast("long").alias("p")
+        ).select(F.lit(col).alias("feature"), "v", "c", "p")
+
+    vals = counts("qty").unionByName(counts("disc"))
+    wc = (
+        Window.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )  # frame: one feature's value domain (<= 50 rows)
+    cum = (
+        vals.crossJoin(F.broadcast(tot))
+        .select(
+            "feature",
+            "v",
+            "n",
+            "pos",
+            F.sum("c").over(wc).alias("nl"),
+            F.sum("p").over(wc).alias("pl"),
+        )
+        .where((F.col("nl") > 0) & (F.col("nl") < F.col("n")))
+    )
+    gini_num = (
+        F.col("pl").cast("double")
+        * (F.col("nl") - F.col("pl")).cast("double")
+        / F.col("nl").cast("double")
+        + (F.col("pos") - F.col("pl")).cast("double")
+        * ((F.col("n") - F.col("nl")) - (F.col("pos") - F.col("pl")))
+            .cast("double")
+        / (F.col("n") - F.col("nl")).cast("double")
+    )
+    splits = cum.select(
+        "feature",
+        F.col("v").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        F.col("pl").alias("pos_left"),
+        "n",
+        "pos",
+        gini_num.alias("gini_num"),
+    )
+    wbest = Window.orderBy("gini_num", "feature", "threshold")
+    return (
+        splits.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            "feature",
+            F.col("threshold").cast("long").alias("threshold"),
+            F.col("n_left").cast("long").alias("n_left"),
+            F.col("pos_left").cast("long").alias("pos_left"),
+            F.col("n").cast("long").alias("n"),
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("gini_num") / F.col("n"), 9).alias("gini"),
+        )
+    )

@@ -67,6 +67,10 @@ BNLJ_ALLOWED = {
                           "single-row aggregates)",
     "ev_rfm_segments": "broadcast corpus-max timestamp (single-row "
                        "agg)",
+    "t_ngram_pmi": "broadcast unigram + bigram totals (two single-row "
+                   "aggregates)",
+    "ml_decision_stump": "broadcast class totals (single-row agg) "
+                         "against the bounded value-domain table",
 }
 
 
