@@ -217,6 +217,11 @@ PPM_SCHEMA = (
     "sum_b long"
 )
 
+CLIP_SCHEMA = (
+    "doc_id long, n_samples int, n_clipped long, clip_ppm long, "
+    "peak_abs int"
+)
+
 
 def synth_wav_bytes(doc_id: int) -> bytes:
     """Deterministic 16-bit mono PCM WAV for ``doc_id``: n = 64 +
@@ -276,6 +281,46 @@ def decode_wav(df: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(batches, WAV_SCHEMA)
+
+
+def decode_wav_clipping(df: DataFrame, payload_col: str = "payload",
+                        id_col: str = "doc_id",
+                        threshold: int = 1000) -> DataFrame:
+    """Clipped-sample detection over REAL WAV decode (same stdlib
+    ``wave`` + numpy parse as :func:`decode_wav`): per file, the count
+    and ppm fraction of samples at or above ``threshold`` absolute
+    amplitude, plus the peak — the saturation/quality gate an audio
+    curation pipeline runs before transcription."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "n_samples", "n_clipped", "clip_ppm",
+                          "peak_abs")
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                with wave.open(io.BytesIO(bytes(b)), "rb") as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError(f"doc {doc_id}: only 16-bit PCM")
+                    nfr = w.getnframes()
+                    s = np.frombuffer(
+                        w.readframes(nfr), dtype="<i2"
+                    ).astype("i8")
+                a = np.abs(s)
+                nc = int((a >= threshold).sum())
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(nfr)
+                rows["n_clipped"].append(nc)
+                rows["clip_ppm"].append(nc * 1_000_000 // nfr if nfr else 0)
+                rows["peak_abs"].append(int(a.max()) if len(s) else 0)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, CLIP_SCHEMA)
 
 
 def synth_ppm_bytes(doc_id: int) -> bytes:

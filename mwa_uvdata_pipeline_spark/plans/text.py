@@ -6205,3 +6205,180 @@ def t_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(20)
     )
+
+
+@register(
+    "m_audio_clipping",
+    sql="""
+    WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+    s AS (SELECT doc_id, n, (doc_id * 7 + i * 13) % 2048 - 1024 AS v
+          FROM d, UNNEST(range(0, n)) u(i))
+    SELECT doc_id,
+           CAST(MAX(n) AS INTEGER) AS n_samples,
+           CAST(SUM(CASE WHEN ABS(v) >= 1000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped,
+           CAST(SUM(CASE WHEN ABS(v) >= 1000 THEN 1 ELSE 0 END)
+                * 1000000 // MAX(n) AS BIGINT) AS clip_ppm,
+           CAST(MAX(ABS(v)) AS INTEGER) AS peak_abs
+    FROM s GROUP BY doc_id
+    """,
+    doc="Clipped-sample audio QA over REAL WAV decode "
+        "(operators.multimodal.decode_wav_clipping — the stdlib "
+        "wave/numpy parse of m_wav_native emitting a saturation "
+        "profile instead of energy): per file, the count and exact "
+        "integer-ppm fraction of samples at |v| >= 1000 plus the "
+        "peak — the gate an audio curation pipeline runs before "
+        "paying for transcription (saturated clips transcribe "
+        "badly). The oracle recomputes from the synth generator "
+        "formula, so any decode drift — header fields, sample "
+        "width, signedness — breaks the gate. Payload bytes live "
+        "only inside executor Arrow batches.",
+)
+def m_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_wav_clipping,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_wav_clipping(synth_payloads(docs, "wav"))
+
+
+_MMR_K = 8  # candidate pool (TakeOrdered — bounded at any corpus size)
+_MMR_ROUNDS = 3
+_MMR_SQL_CAND = f"""
+    n AS ({_SQL_NORMS}),
+    q AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = 0),
+    rel AS (SELECT n.vec_id, n.embedding, n.nrm,
+                   ROUND({_SQL_DOT.format(a="n.embedding", b="q.qe")}
+                         / (n.nrm * q.qn), 6) AS rel
+            FROM n, q WHERE n.vec_id <> 0),
+    cand AS (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {_MMR_K}),
+    sims AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                    ROUND({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+                          / (a.nrm * b.nrm), 6) AS sim
+             FROM cand a JOIN cand b ON a.vec_id <> b.vec_id)
+"""
+
+
+@register(
+    "sim_mmr_rerank",
+    sql=f"""
+    WITH {_MMR_SQL_CAND},
+    p1 AS (SELECT vec_id, 1 AS rnd,
+                  ROUND(CAST(0.7 AS DOUBLE) * rel, 6) AS score
+           FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+    p2 AS (SELECT c.vec_id, 2 AS rnd,
+                  ROUND(CAST(0.7 AS DOUBLE) * c.rel
+                        - CAST(0.3 AS DOUBLE) * s.ms, 6) AS score
+           FROM cand c
+           JOIN (SELECT va, MAX(sim) AS ms FROM sims
+                 WHERE vb IN (SELECT vec_id FROM p1) GROUP BY va) s
+             ON s.va = c.vec_id
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
+           ORDER BY score DESC, c.vec_id LIMIT 1),
+    p3 AS (SELECT c.vec_id, 3 AS rnd,
+                  ROUND(CAST(0.7 AS DOUBLE) * c.rel
+                        - CAST(0.3 AS DOUBLE) * s.ms, 6) AS score
+           FROM cand c
+           JOIN (SELECT va, MAX(sim) AS ms FROM sims
+                 WHERE vb IN (SELECT vec_id FROM p1
+                              UNION ALL SELECT vec_id FROM p2)
+                 GROUP BY va) s
+             ON s.va = c.vec_id
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM p1
+                                  UNION ALL SELECT vec_id FROM p2)
+           ORDER BY score DESC, c.vec_id LIMIT 1)
+    SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+    """,
+    doc="Maximal-marginal-relevance reranking (Carbonell & Goldstein "
+        "1998) — the diversity-aware final stage of a retrieval "
+        "pipeline: from the top-8 cosine candidates for a query "
+        "(vec_id 0), greedily pick 3 results maximizing "
+        "0.7*relevance - 0.3*max-similarity-to-already-chosen, "
+        "(score, vec_id) tiebreak. Scale design: relevance is ONE "
+        "broadcast-query scan + TakeOrdered(8) — the only pass over "
+        "the corpus; everything after (the 8x8 candidate similarity "
+        "matrix, three greedy argmax rounds collecting one row each) "
+        "operates on a frame BOUNDED at k=8 by construction, the "
+        "t_coverage_select greedy discipline. All cosines and scores "
+        "rounded to 6dp so both engines rank identically.",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    q = norms.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    cand = (
+        norms.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.round(
+                _dot(F.col("embedding"), F.col("qe"))
+                / (F.col("nrm") * F.col("qn")),
+                6,
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_K)
+        .persist()  # bounded at k rows; consumed by sims + every round
+    )
+    a = cand.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = cand.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sims = (
+        a.crossJoin(b)
+        .where(F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("sim"),
+        )
+        .persist()  # k*(k-1) rows by construction
+    )
+    chosen: list[tuple[int, int, float]] = []
+    for rnd in range(1, _MMR_ROUNDS + 1):
+        ids = [c[0] for c in chosen]
+        rem = cand.where(~F.col("vec_id").isin(ids)) if ids else cand
+        if ids:
+            ms = (
+                sims.where(F.col("vb").isin(ids))
+                .groupBy("va")
+                .agg(F.max("sim").alias("ms"))
+            )
+            scored = rem.join(
+                ms, rem.vec_id == ms.va
+            ).select(
+                "vec_id",
+                F.round(
+                    F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("ms"), 6
+                ).alias("score"),
+            )
+        else:
+            scored = rem.select(
+                "vec_id",
+                F.round(F.lit(0.7) * F.col("rel"), 6).alias("score"),
+            )
+        rows = scored.orderBy(F.desc("score"), "vec_id").limit(1).collect()
+        if not rows:
+            break
+        chosen.append((int(rows[0]["vec_id"]), rnd, float(rows[0]["score"])))
+    return spark.createDataFrame(chosen, "vec_id long, rnd int, score double")
