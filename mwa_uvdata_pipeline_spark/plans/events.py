@@ -4496,6 +4496,7 @@ def ev_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN cents END) AS BIGINT) AS p75_cents
     FROM r GROUP BY event_type
     """,
+    bench=True,
     doc="EXACT p25/p50/p75 per group via the two-pass histogram — the "
         "agg_exact_median_2pass pattern generalized to a quantile SET "
         "in the same two passes: pass 1 histograms cents into "
@@ -4789,4 +4790,79 @@ def ev_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users_with_pattern"
         ),
         F.max("nv").cast("long").alias("max_per_user"),
+    )
+
+
+@register(
+    "stream_pattern_exec",
+    sql="""
+    WITH s AS (SELECT user_id, event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                      LAG(CAST(ROUND(value * 100) AS BIGINT), 1) OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS p1,
+                      LAG(CAST(ROUND(value * 100) AS BIGINT), 2) OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS p2
+               FROM events),
+    v AS (SELECT user_id, event_type,
+                 CASE WHEN p2 > p1 AND p1 < cents THEN 1 ELSE 0 END AS hit
+          FROM s WHERE p2 IS NOT NULL),
+    pu AS (SELECT event_type, user_id, CAST(SUM(hit) AS BIGINT) AS nv
+           FROM v GROUP BY event_type, user_id)
+    SELECT event_type,
+           CAST(SUM(nv) AS BIGINT) AS n_vshapes,
+           CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_users_with_pattern,
+           CAST(MAX(nv) AS BIGINT) AS max_per_user
+    FROM pu GROUP BY event_type
+    """,
+    doc="Streaming CEP / row-pattern matching EXECUTED as a query "
+        "(SURVEY §2.12 + the ev_pattern_vshape batch twin): the "
+        "V-shape detector runs as a custom stateful operator "
+        "(applyInPandasWithState, four longs of state per "
+        "(user, type) key — pattern length bounds state, not stream "
+        "length) over the 4-slice time-ordered replay in update "
+        "mode; the final state per key is recovered from the memory "
+        "sink via max_by on the strictly-increasing n_seen sequence, "
+        "keys with fewer than 3 events are dropped (they have no "
+        "3-point window in the batch formulation), and the per-type "
+        "pattern census must hash-match the batch LAG-window oracle "
+        "exactly — proving the incremental fold across micro-batch "
+        "boundaries equals the ordered batch computation.",
+)
+def stream_pattern_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        run_to_memory,
+        stream_pattern_vshapes,
+    )
+
+    out = _replay_fixture(spark, sf_dir)
+    sink = f"vp_sink_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            stream_pattern_vshapes(spark, f"{out}/part*"),
+            sink,
+            output_mode="update",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(
+        f"""
+        WITH latest AS (
+            SELECT user_id, event_type,
+                   MAX(n_seen) AS n_seen,
+                   max_by(n_vshapes, n_seen) AS nv
+            FROM {sink} GROUP BY user_id, event_type)
+        SELECT event_type,
+               CAST(SUM(nv) AS BIGINT) AS n_vshapes,
+               CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_users_with_pattern,
+               CAST(MAX(nv) AS BIGINT) AS max_per_user
+        FROM latest WHERE n_seen >= 3 GROUP BY event_type
+        """
     )

@@ -6142,6 +6142,7 @@ def e_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     ORDER BY lift DESC, w1, w2 LIMIT 20
     """,
+    bench=True,
     doc="Collocation extraction by PMI lift — the association measure "
         "behind multi-word-expression mining and tokenizer-merge "
         "audits: p(ab)/(p(a)p(b)) = c_ab*N_uni^2/(N_bi*c_a*c_b), kept "

@@ -324,6 +324,67 @@ def stream_user_running_totals(
     )
 
 
+def stream_pattern_vshapes(
+    spark: SparkSession, src_glob: str
+) -> DataFrame:
+    """Streaming row-pattern matching (the CEP / MATCH_RECOGNIZE
+    family) via ``applyInPandasWithState``: a V-shape (down-then-up)
+    detector over each (user, event_type) value stream. State per key
+    is four longs — events seen, the last two cents values, and the
+    running V-shape count — so pattern length bounds state, not
+    stream length. Each batch's rows are folded in (ts, event_id)
+    order; the time-sliced replay delivers batches in event-time
+    order (slice boundaries are ``ts <= b`` / ``ts > b``, so tied
+    timestamps never straddle a batch), which makes the incremental
+    fold equal the batch-ordered fold exactly. Values accumulate as
+    integer cents (the stream_user_running_totals discipline) so the
+    fixpoint is micro-batch-boundary independent and the final state
+    gates bit-for-bit against the batch twin (ev_pattern_vshape)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, p2, p1, nv = state.get if state.exists else (0, 0, 0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            # SQL ROUND half-up on non-negative values (pandas .round
+            # is banker's); matches CAST(ROUND(value * 100) AS BIGINT)
+            cents = (
+                pdf["value"].mul(100).add(0.5).pipe(np.floor).astype("int64")
+            )
+            for c in cents:
+                c = int(c)
+                if n >= 2 and p2 > p1 and p1 < c:
+                    nv += 1
+                n += 1
+                p2, p1 = p1, c
+        state.update((n, p2, p1, nv))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "n_seen": [n],
+                "n_vshapes": [nv],
+            }
+        )
+
+    return (
+        _read_stream(spark, src_glob)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, event_type string, n_seen long, "
+                "n_vshapes long"
+            ),
+            stateStructType="n long, p2 long, p1 long, nv long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_tumbling_to_parquet(
     spark: SparkSession,
     src_glob: str,

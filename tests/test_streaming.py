@@ -5,6 +5,7 @@ streaming-equals-batch for finalized windows."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mwa_uvdata_pipeline_spark.plans import load_events
@@ -133,6 +134,59 @@ def test_stream_stateful_running_totals(spark, replay_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_pattern_vshapes_matches_batch(spark, replay_dir):
+    """The stateful V-shape CEP operator's final per-key state must
+    equal the batch LAG-window formulation key-for-key — proving the
+    incremental fold across micro-batch boundaries replays the
+    (ts, event_id) order exactly."""
+    from mwa_uvdata_pipeline_spark.plans.events import ev_pattern_vshape
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        stream_pattern_vshapes,
+    )
+
+    run_to_memory(
+        stream_pattern_vshapes(spark, f"{replay_dir}/part*"),
+        "vshape_sink",
+        output_mode="update",
+    )
+    got = {
+        (r["user_id"], r["event_type"]): r["nv"]
+        for r in spark.sql(
+            "SELECT user_id, event_type, max_by(n_vshapes, n_seen) AS nv "
+            "FROM vshape_sink GROUP BY user_id, event_type "
+            "HAVING MAX(n_seen) >= 3"
+        ).collect()
+    }
+    ev = load_events(spark, SF_SMALL)
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    want = {
+        (r["user_id"], r["event_type"]): r["nv"]
+        for r in ev.select(
+            "user_id",
+            "event_type",
+            cents.alias("c"),
+            F.lag(cents, 1).over(w).alias("p1"),
+            F.lag(cents, 2).over(w).alias("p2"),
+        )
+        .where(F.col("p2").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("p2") > F.col("p1"))
+                    & (F.col("p1") < F.col("c")),
+                    1,
+                ).otherwise(0)
+            ).alias("nv")
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
 
 
 def test_stream_sessionize_runs(spark, replay_dir):
