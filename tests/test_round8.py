@@ -1,0 +1,167 @@
+"""Round-8 operator properties: the two-pass histogram quantile
+machinery equals direct ranking for arbitrary value distributions, the
+Pareto histogram shortcut equals direct top-k, and the V-shape pattern
+fold is order-exact."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from mwa_uvdata_pipeline_spark.plans import load_all
+
+
+def _quantiles_direct(vals: list[int], ps=(25, 50, 75)) -> dict[int, int]:
+    """Lower quantile by direct rank: k = ceil(p*n/100)-th smallest."""
+    s = sorted(vals)
+    n = len(s)
+    return {p: s[(p * n + 99) // 100 - 1] for p in ps}
+
+
+def test_two_pass_quantiles_equal_direct_rank(spark):
+    """agg_exact_quantiles_2pass vs per-group python direct rank on
+    the live table — including groups whose quantiles collide in one
+    bin and groups spanning many bins."""
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    by_group: dict[str, list[int]] = {}
+    for r in rows:
+        by_group.setdefault(r["event_type"], []).append(r["cents"])
+    got = {
+        r["event_type"]: (r["p25_cents"], r["p50_cents"], r["p75_cents"])
+        for r in load_all()["agg_exact_quantiles_2pass"]
+        .spark(spark, SF_SMALL)
+        .collect()
+    }
+    for g, vals in by_group.items():
+        want = _quantiles_direct(vals)
+        assert got[g] == (want[25], want[50], want[75]), g
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(-(10**6), 10**6), min_size=1, max_size=300
+        ),
+        binw=st.sampled_from([1, 7, 100, 10**5]),
+    )
+    def test_two_pass_quantile_algebra_property(spark, vals, binw):
+        """The bin-locate + in-bin-rank algebra (the heart of both
+        2-pass entries) equals direct ranking for ANY values and ANY
+        bin width — negative values included. (Both floor division
+        and Spark's truncating `div` produce MONOTONE bins on signed
+        values — truncation just makes bin 0 twice as wide — so
+        either binning is valid; this property pins the floor-division
+        variant.)"""
+        df = spark.createDataFrame(
+            [(int(v),) for v in vals], "cents long"
+        )
+        # monotone binning for signed values: floor division
+        binc = F.floor(F.col("cents") / binw).cast("long")
+        hist = df.groupBy(binc.alias("bin")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        wcum = Window.orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = hist.select(
+            "bin",
+            "c",
+            F.sum("c").over(wcum).alias("cumc"),
+            F.sum("c").over(Window.partitionBy()).alias("n"),
+        )
+        n = len(vals)
+        for p in (25, 50, 75):
+            k = (p * n + 99) // 100
+            tgt = cum.where(
+                (F.col("cumc") >= k) & (F.col("cumc") - F.col("c") < k)
+            ).collect()
+            assert len(tgt) == 1
+            row = tgt[0]
+            before = row["cumc"] - row["c"]
+            wbin = Window.orderBy("cents")
+            inbin = (
+                df.where(binc == row["bin"])
+                .withColumn("rk", F.row_number().over(wbin))
+                .where(F.col("rk") + F.lit(before) == k)
+                .collect()
+            )
+            assert len(inbin) == 1
+            assert inbin[0]["cents"] == sorted(vals)[k - 1], (p, binw)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        counts=st.lists(st.integers(1, 50), min_size=1, max_size=120),
+    )
+    def test_pareto_histogram_equals_direct_topk(spark, counts):
+        """The count-of-counts top-decile mass (ev_pareto_concentration
+        algebra) equals summing the actual top-k per-user counts for
+        any activity distribution — ties at the threshold included."""
+        n_users = len(counts)
+        k = (n_users + 9) // 10
+        want = sum(sorted(counts, reverse=True)[:k])
+        df = spark.createDataFrame(
+            [(i, int(c)) for i, c in enumerate(counts)], "u long, c long"
+        )
+        h = df.groupBy("c").agg(
+            F.count(F.lit(1)).alias("nu"), F.sum("c").alias("se")
+        )
+        wdesc = Window.orderBy(F.desc("c")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = h.select(
+            "c",
+            "nu",
+            "se",
+            F.sum("nu").over(wdesc).alias("cum_u"),
+            F.sum("se").over(wdesc).alias("cum_e"),
+        )
+        thr = cum.where(
+            (F.col("cum_u") >= k) & (F.col("cum_u") - F.col("nu") < k)
+        ).collect()
+        assert len(thr) == 1
+        r = thr[0]
+        got = r["cum_e"] - r["se"] + (k - (r["cum_u"] - r["nu"])) * r["c"]
+        assert got == want
+
+    @settings(max_examples=20, deadline=None)
+    @given(series=st.lists(st.integers(0, 9), min_size=0, max_size=40))
+    def test_vshape_fold_equals_window_formulation(series):
+        """The streaming state fold (stream_pattern_vshapes) equals the
+        three-point window predicate for any value series, at every
+        batch split point."""
+        want = sum(
+            1
+            for i in range(2, len(series))
+            if series[i - 2] > series[i - 1] and series[i - 1] < series[i]
+        )
+        for split in range(len(series) + 1):
+            n, p2, p1, nv = 0, 0, 0, 0
+            for chunk in (series[:split], series[split:]):
+                for c in chunk:
+                    if n >= 2 and p2 > p1 and p1 < c:
+                        nv += 1
+                    n += 1
+                    p2, p1 = p1, c
+            assert nv == want, split
