@@ -6383,3 +6383,63 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         chosen.append((int(rows[0]["vec_id"]), rnd, float(rows[0]["score"])))
     return spark.createDataFrame(chosen, "vec_id long, rnd int, score double")
+
+
+@register(
+    "e_dim_variance_audit",
+    sql="""
+    WITH pts AS (
+        SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                   AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings),
+    m AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(q) AS BIGINT) AS s1,
+                 CAST(SUM(q * q) AS BIGINT) AS s2
+          FROM pts GROUP BY dim)
+    SELECT dim, n,
+           CAST(s1 // n AS BIGINT) AS mean_micro,
+           ROUND((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 3) AS var_q,
+           (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               < 1000000000.0 AS is_dead
+    FROM m
+    """,
+    doc="Per-dimension embedding health audit — dead/collapsed "
+        "dimension detection (variance below 0.001 in original units, "
+        "i.e. 1e9 in squared micro-units), the representation-"
+        "collapse check run before trusting an embedding table for "
+        "retrieval or dedup: three mergeable integer moments per "
+        "dimension (the shuffle carries 64 x 3 longs regardless of "
+        "corpus size), variance evaluated once per dim as a fixed "
+        "IEEE-double sequence over exact integers (the ev_cadence_cv "
+        "discipline). One posexplode + one hash agg; output is the "
+        "dimension count, not the row count.",
+)
+def e_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim",
+        F.round(F.col("x").cast("double") * 1_000_000).cast("long")
+            .alias("q"),
+    )
+    m = pts.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("s2"),
+    )
+    var_q = (
+        F.col("n").cast("double") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (F.col("n").cast("double") * F.col("n").cast("double"))
+    return m.select(
+        "dim",
+        "n",
+        F.expr("CAST(s1 div n AS BIGINT)").alias("mean_micro"),
+        F.round(var_q, 3).alias("var_q"),
+        (var_q < 1e9).alias("is_dead"),
+    )

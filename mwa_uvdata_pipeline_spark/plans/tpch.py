@@ -2769,3 +2769,115 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("gini_num") / F.col("n"), 9).alias("gini"),
         )
     )
+
+
+@register(
+    "agg_weighted_median",
+    sql="""
+    WITH v AS (SELECT l_returnflag AS flag,
+                      CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          AS cents,
+                      CAST(l_quantity AS BIGINT) AS w
+               FROM lineitem),
+    g AS (SELECT flag, cents, CAST(SUM(w) AS BIGINT) AS w
+          FROM v GROUP BY flag, cents),
+    t AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS tw,
+                 CAST((SUM(w) + 1) // 2 AS BIGINT) AS k
+          FROM g GROUP BY flag),
+    c AS (SELECT g.flag, g.cents, t.tw, t.k,
+                 SUM(g.w) OVER (PARTITION BY g.flag ORDER BY g.cents
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+          FROM g JOIN t USING (flag))
+    SELECT flag, CAST(MAX(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN cum >= k THEN cents END) AS BIGINT)
+               AS wmedian_cents
+    FROM c GROUP BY flag
+    """,
+    doc="EXACT weighted median per group — the robust-aggregation "
+        "primitive (median price per UNIT sold, each price weighted "
+        "by its quantity): the smallest value whose cumulative weight "
+        "reaches ceil(W/2), in exact integer cents and integer "
+        "weights. Shape: one (group, value) hash agg collapses the "
+        "fact table to its value domain, a single-row-per-group total "
+        "join, and the cumulative window runs over the VALUE DOMAIN "
+        "(distinct prices per flag), never the fact rows — the same "
+        "never-sort-the-group discipline as the two-pass quantile "
+        "family, with weights replacing counts. At 100 TB only the "
+        "first hash agg touches rows.",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    g = v.groupBy("flag", "cents").agg(F.sum("w").cast("long").alias("w"))
+    t = g.groupBy("flag").agg(
+        F.sum("w").cast("long").alias("tw"),
+        F.expr("CAST((sum(w) + 1) div 2 AS BIGINT)").alias("k"),
+    )
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )  # frame: one group's distinct values (value-domain bounded)
+    c = g.join(F.broadcast(t), "flag").withColumn(
+        "cum", F.sum("w").over(wcum)
+    )
+    return c.groupBy("flag").agg(
+        F.max("tw").cast("long").alias("total_weight"),
+        F.min(F.when(F.col("cum") >= F.col("k"), F.col("cents")))
+            .cast("long").alias("wmedian_cents"),
+    )
+
+
+@register(
+    "x_table_checksum",
+    sql="""
+    WITH h AS (
+        SELECT o_orderpriority,
+               CAST(CAST('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|'
+                   || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR) || '|'
+                   || strftime(o_orderdate, '%Y-%m-%d')
+               ), 1, 15) AS BIGINT) AS BIGINT) AS hv
+        FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(hv) AS BIGINT) AS xor_check,
+           CAST(SUM(hv % 1000003) AS BIGINT) AS sum_check
+    FROM h GROUP BY o_orderpriority
+    """,
+    doc="Order-independent table checksum — the migration/replication "
+        "validation primitive (row-set equality across engines or "
+        "copies without sorting either side): a cross-engine row hash "
+        "(md5 of a canonical field rendering, 15 hex chars -> 60-bit "
+        "int, the established conv/md5 bridge) folded with the two "
+        "classic commutative accumulators, XOR (detects any single "
+        "row flip) and a modular sum (detects XOR-cancelling pair "
+        "swaps), per partition-sized group. One scan, one hash agg, "
+        "zero windows; the checksum table is as small as the group "
+        "domain, so two 100-TB copies compare by exchanging a few "
+        "rows.",
+)
+def x_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    hv = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    return (
+        o.select("o_orderpriority", hv.alias("hv"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("CAST(bit_xor(hv) AS BIGINT)").alias("xor_check"),
+            F.sum(F.col("hv") % 1000003).cast("long").alias("sum_check"),
+        )
+    )
