@@ -4866,3 +4866,100 @@ def stream_pattern_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM latest WHERE n_seen >= 3 GROUP BY event_type
         """
     )
+
+
+@register(
+    "ev_survival_table",
+    sql="""
+    WITH su AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    pu AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id),
+    horizon AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+    subj AS (
+        SELECT su.user_id,
+               CASE WHEN pu.t1 IS NOT NULL AND pu.t1 >= su.t0
+                    THEN (pu.t1 - su.t0) // 86400000000 END AS conv_d,
+               (horizon.tmax - su.t0) // 86400000000 AS cens_d
+        FROM su LEFT JOIN pu USING (user_id) CROSS JOIN horizon),
+    ev AS (SELECT COALESCE(conv_d, cens_d) AS d,
+                  CASE WHEN conv_d IS NOT NULL THEN 1 ELSE 0 END AS conv
+           FROM subj),
+    hist AS (SELECT d, CAST(SUM(conv) AS BIGINT) AS n_conv,
+                    CAST(SUM(1 - conv) AS BIGINT) AS n_cens
+             FROM ev GROUP BY d),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev)
+    SELECT hist.d AS day_offset,
+           CAST(tot.n - COALESCE(SUM(hist.n_conv + hist.n_cens) OVER (
+               ORDER BY hist.d ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk,
+           hist.n_conv AS n_converted,
+           hist.n_cens AS n_censored
+    FROM hist CROSS JOIN tot
+    """,
+    doc="Kaplan-Meier survival table for signup-to-purchase — the "
+        "censoring-aware time-to-event analysis ev_time_to_convert's "
+        "converters-only median cannot express (never-converting "
+        "users are CENSORED at the observation horizon, not dropped): "
+        "per day offset, the at-risk count, conversions, and "
+        "censorings — the exact integer ingredients of the KM "
+        "estimator, emitted as a table so the survival curve's "
+        "product terms (1 - d_i/n_i) stay exact rationals instead of "
+        "an order-dependent float product. Shape: two filtered "
+        "per-user min-aggs, one single-row horizon broadcast, one "
+        "day-offset hash agg, and the at-risk cumulative window runs "
+        "over the DAY table (calendar-bounded), never users. The "
+        "oracle states the same algebra directly.",
+)
+def ev_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = epoch_us(ev)
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t0"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1"))
+    )
+    horizon = ev.agg(F.max(us).alias("tmax"))
+    subj = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0")),
+                F.expr("(t1 - t0) div 86400000000"),
+            ).alias("conv_d"),
+            F.expr("(tmax - t0) div 86400000000").alias("cens_d"),
+        )
+    )
+    evd = subj.select(
+        F.coalesce("conv_d", "cens_d").alias("d"),
+        F.when(F.col("conv_d").isNotNull(), 1).otherwise(0).alias("conv"),
+    )
+    hist = evd.groupBy("d").agg(
+        F.sum("conv").cast("long").alias("n_conv"),
+        F.sum(1 - F.col("conv")).cast("long").alias("n_cens"),
+    )
+    tot = evd.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wprev = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # frame: one row per day offset (calendar-bounded)
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("day_offset"),
+            (
+                F.col("n")
+                - F.coalesce(
+                    F.sum(F.col("n_conv") + F.col("n_cens")).over(wprev),
+                    F.lit(0),
+                )
+            ).cast("long").alias("n_at_risk"),
+            F.col("n_conv").alias("n_converted"),
+            F.col("n_cens").alias("n_censored"),
+        )
+    )

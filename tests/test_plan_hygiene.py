@@ -71,6 +71,8 @@ BNLJ_ALLOWED = {
                    "aggregates)",
     "ml_decision_stump": "broadcast class totals (single-row agg) "
                          "against the bounded value-domain table",
+    "ev_survival_table": "broadcast observation horizon + subject "
+                         "total (two single-row aggregates)",
 }
 
 
