@@ -4963,3 +4963,90 @@ def ev_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_cens").alias("n_censored"),
         )
     )
+
+
+@register(
+    "stream_cadence_exec",
+    sql="""
+    WITH g AS (SELECT user_id,
+                      (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id))
+                          // 1000000 AS gap_s
+               FROM events),
+    m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(gap_s) AS BIGINT) AS s1,
+                 CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+          FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+          HAVING COUNT(*) >= 5 AND SUM(gap_s) > 0),
+    cv AS (SELECT user_id, n,
+                  ROUND((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                        / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 6)
+                      AS cv2
+           FROM m)
+    SELECT CASE WHEN cv2 < 0.01 THEN 'metronomic'
+                WHEN cv2 < 1.0 THEN 'regular'
+                ELSE 'bursty' END AS cadence,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_gaps,
+           MIN(cv2) AS min_cv2,
+           MAX(cv2) AS max_cv2
+    FROM cv GROUP BY cadence
+    """,
+    doc="Streaming bot-cadence detection EXECUTED as a query (the "
+        "stateful twin of ev_cadence_cv): per-user gap moments "
+        "accumulate in four longs of state (stream_cadence_moments, "
+        "applyInPandasWithState) over the time-ordered replay; the "
+        "final state per user is recovered via max_by on the "
+        "strictly-increasing n_seen sequence, the cv^2 scalar is "
+        "evaluated in the same fixed IEEE-double sequence as the "
+        "batch plan, and the bucketed cadence profile must "
+        "hash-match the batch LAG-window oracle — proving the "
+        "incremental integer fold equals the ordered batch "
+        "computation across micro-batch boundaries.",
+)
+def stream_cadence_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        run_to_memory,
+        stream_cadence_moments,
+    )
+
+    out = _replay_fixture(spark, sf_dir)
+    sink = f"cad_sink_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            stream_cadence_moments(spark, f"{out}/part*"),
+            sink,
+            output_mode="update",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(
+        f"""
+        WITH latest AS (
+            SELECT user_id,
+                   max_by(n_gaps, n_seen) AS n,
+                   max_by(s1, n_seen) AS s1,
+                   max_by(s2, n_seen) AS s2
+            FROM {sink} GROUP BY user_id),
+        m AS (SELECT * FROM latest WHERE n >= 5 AND s1 > 0),
+        cv AS (SELECT n,
+                      ROUND((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                            / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)),
+                            6) AS cv2
+               FROM m)
+        SELECT CASE WHEN cv2 < 0.01 THEN 'metronomic'
+                    WHEN cv2 < 1.0 THEN 'regular'
+                    ELSE 'bursty' END AS cadence,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(n) AS BIGINT) AS n_gaps,
+               MIN(cv2) AS min_cv2,
+               MAX(cv2) AS max_cv2
+        FROM cv GROUP BY cadence
+        """
+    )

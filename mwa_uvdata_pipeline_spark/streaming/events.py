@@ -385,6 +385,67 @@ def stream_pattern_vshapes(
     )
 
 
+def stream_cadence_moments(
+    spark: SparkSession, src_glob: str
+) -> DataFrame:
+    """Streaming inter-event cadence moments per user — the stateful
+    twin of the ev_cadence_cv batch entry: state per user is four
+    longs (last event-time in micros + the three mergeable gap
+    moments n/sum/sum-of-squares), each batch folded in
+    (ts, event_id) order over the time-sliced replay. Gap seconds are
+    integer floor division of non-negative micro deltas, so the
+    moments are EXACT and the fixpoint is micro-batch-boundary
+    independent — what lets stream_cadence_exec gate the bucketed
+    cadence profile bit-for-bit against the batch oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        last, n_seen, ng, s1, s2 = (
+            state.get if state.exists else (-1, 0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = (
+                pdf["ts"].astype("datetime64[us]").astype("int64")
+            )
+            for t in ts_us:
+                t = int(t)
+                if last >= 0:
+                    g = (t - last) // 1_000_000
+                    ng += 1
+                    s1 += g
+                    s2 += g * g
+                last = t
+                n_seen += 1
+        state.update((last, n_seen, ng, s1, s2))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n_seen],
+                "n_gaps": [ng],
+                "s1": [s1],
+                "s2": [s2],
+            }
+        )
+
+    return (
+        _read_stream(spark, src_glob)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, n_seen long, n_gaps long, s1 long, s2 long"
+            ),
+            stateStructType=(
+                "last long, n_seen long, ng long, s1 long, s2 long"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_tumbling_to_parquet(
     spark: SparkSession,
     src_glob: str,
