@@ -145,6 +145,61 @@ if _HYP:
         got = r["cum_e"] - r["se"] + (k - (r["cum_u"] - r["nu"])) * r["c"]
         assert got == want
 
+    @settings(max_examples=12, deadline=None)
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(-1000, 1000), st.integers(1, 50)),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    def test_weighted_median_value_domain_algebra(spark, pairs):
+        """The value-domain cumulative-weight formulation
+        (agg_weighted_median) equals the expanded-multiset lower
+        median for any (value, weight) list."""
+        expanded = sorted(v for v, w in pairs for _ in range(w))
+        k = (len(expanded) + 1) // 2
+        want = expanded[k - 1]
+        df = spark.createDataFrame(
+            [(int(v), int(w)) for v, w in pairs], "cents long, w long"
+        )
+        g = df.groupBy("cents").agg(F.sum("w").alias("w"))
+        wcum = Window.orderBy("cents").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        got = (
+            g.withColumn("cum", F.sum("w").over(wcum))
+            .where(F.col("cum") >= k)
+            .agg(F.min("cents"))
+            .first()[0]
+        )
+        assert got == want
+
+
+def test_survival_table_invariants(spark):
+    """The KM table's accounting must close: at-risk starts at the
+    subject total, decreases by exactly the prior day's exits, and the
+    exits sum to the subject count."""
+    from mwa_uvdata_pipeline_spark.plans import load_all
+
+    rows = sorted(
+        load_all()["ev_survival_table"].spark(spark, SF_SMALL).collect(),
+        key=lambda r: r["day_offset"],
+    )
+    assert rows
+    total = rows[0]["n_at_risk"]
+    at_risk = total
+    exits = 0
+    for r in rows:
+        assert r["n_at_risk"] == at_risk
+        assert r["n_converted"] >= 0 and r["n_censored"] >= 0
+        at_risk -= r["n_converted"] + r["n_censored"]
+        exits += r["n_converted"] + r["n_censored"]
+    assert at_risk == 0 and exits == total
+
+
+if _HYP:
+
     @settings(max_examples=20, deadline=None)
     @given(series=st.lists(st.integers(0, 9), min_size=0, max_size=40))
     def test_vshape_fold_equals_window_formulation(series):
