@@ -5050,3 +5050,53 @@ def stream_cadence_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cv GROUP BY cadence
         """
     )
+
+
+@register(
+    "ev_streaks",
+    sql="""
+    WITH d AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS day
+               FROM events),
+    r AS (SELECT user_id, day,
+                 day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS grp
+          FROM d),
+    s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+          FROM r GROUP BY user_id, grp),
+    m AS (SELECT user_id, CAST(MAX(len) AS BIGINT) AS best
+          FROM s GROUP BY user_id)
+    SELECT best AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM m GROUP BY best
+    """,
+    doc="Longest consecutive-day activity streak per user, rolled to "
+        "a streak-length histogram — the engagement metric behind "
+        "every 'N-day streak' product surface, and the day-grain "
+        "sibling of second-grain sessionization: the classic "
+        "day - row_number() gaps-and-islands trick turns consecutive "
+        "days into a constant group key with ONE per-user window over "
+        "the user's DISTINCT-day set (bounded by the calendar, not "
+        "event volume — the distinct collapses first), then two hash "
+        "aggs. Output is one row per distinct streak length.",
+)
+def ev_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = epoch_us(ev)
+    d = ev.select(
+        "user_id",
+        F.floor(us / F.lit(86_400_000_000)).cast("long").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(w)).alias("grp"),
+    )
+    s = r.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    m = s.groupBy("user_id").agg(F.max("len").cast("long").alias("best"))
+    return m.groupBy(F.col("best").alias("streak_days")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
