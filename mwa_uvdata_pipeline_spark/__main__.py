@@ -87,6 +87,9 @@ def main(argv: list[str] | None = None) -> int:
     df = plans[args.entry].spark(spark, args.sf_dir)
     if args.explain:
         df.explain("formatted")
+        # plan CONSTRUCTION already ran the table loaders, which can
+        # leave session-conf residues — surface them here too
+        _print_residues()
         return 0
     rows = df.limit(args.limit).collect()
     print("\t".join(df.columns))

@@ -3961,7 +3961,10 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cumc") >= F.expr("(cnt + 1) div 2"))
         & (F.col("cumc") - F.col("c") < F.expr("(cnt + 1) div 2"))
     ).select("bin", (F.col("cumc") - F.col("c")).alias("before"), "cnt")
-    # pass 2: rank ONLY the deltas inside the median bin
+    # pass 2: rank ONLY the deltas inside the median bin. The final
+    # agg guarantees exactly ONE row even with zero converters (agg
+    # over an empty frame yields a NULL row), matching the oracle's
+    # scalar subquery — a raw 0-row med would collapse the crossJoin.
     wbin = Window.orderBy("dt_us")  # frame: one bin's population
     med = (
         d.join(
@@ -3970,7 +3973,7 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rk", F.row_number().over(wbin))
         .where(F.col("rk") + F.col("before") == F.expr("(cnt + 1) div 2"))
-        .select(F.col("dt_us").alias("median_dt_us"))
+        .agg(F.max("dt_us").alias("median_dt_us"))
     )
     stats = d.agg(
         F.count(F.lit(1)).cast("long").alias("n_converted"),
@@ -4638,9 +4641,9 @@ def ev_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ev_cadence_cv",
-    sql="""
+# cadence profile, shared VERBATIM by the batch entry and its
+# streaming exec twin (same single-copy rationale as _SQL_VSHAPE_CENSUS)
+_SQL_CADENCE_PROFILE = """
     WITH g AS (SELECT user_id,
                       (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                            PARTITION BY user_id ORDER BY ts, event_id))
@@ -4665,7 +4668,12 @@ def ev_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(cv2) AS min_cv2,
            MAX(cv2) AS max_cv2
     FROM cv GROUP BY cadence
-    """,
+    """
+
+
+@register(
+    "ev_cadence_cv",
+    sql=_SQL_CADENCE_PROFILE,
     doc="Inter-event cadence regularity per user — the bot/script "
         "signal behind rate-limit triage: the squared coefficient of "
         "variation of a user's inter-event gaps (integer seconds), "
@@ -4725,9 +4733,11 @@ def ev_cadence_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ev_pattern_vshape",
-    sql="""
+# V-shape pattern census, shared VERBATIM by the batch entry and its
+# streaming exec twin — one copy so an oracle fix can never gate one
+# of the pair against a stale formulation (the sessionize-tiebreak
+# lesson: three hand-copies each needed the same fix)
+_SQL_VSHAPE_CENSUS = """
     WITH s AS (SELECT user_id, event_type,
                       CAST(ROUND(value * 100) AS BIGINT) AS cents,
                       LAG(CAST(ROUND(value * 100) AS BIGINT), 1) OVER (
@@ -4748,7 +4758,12 @@ def ev_cadence_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_users_with_pattern,
            CAST(MAX(nv) AS BIGINT) AS max_per_user
     FROM pu GROUP BY event_type
-    """,
+    """
+
+
+@register(
+    "ev_pattern_vshape",
+    sql=_SQL_VSHAPE_CENSUS,
     doc="Row-pattern matching (the MATCH_RECOGNIZE family, which "
         "Spark lacks natively) compiled to windows: a V-shape "
         "(down-then-up) in each user's per-type value series — two "
@@ -4795,28 +4810,7 @@ def ev_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_pattern_exec",
-    sql="""
-    WITH s AS (SELECT user_id, event_type,
-                      CAST(ROUND(value * 100) AS BIGINT) AS cents,
-                      LAG(CAST(ROUND(value * 100) AS BIGINT), 1) OVER (
-                          PARTITION BY user_id, event_type
-                          ORDER BY ts, event_id) AS p1,
-                      LAG(CAST(ROUND(value * 100) AS BIGINT), 2) OVER (
-                          PARTITION BY user_id, event_type
-                          ORDER BY ts, event_id) AS p2
-               FROM events),
-    v AS (SELECT user_id, event_type,
-                 CASE WHEN p2 > p1 AND p1 < cents THEN 1 ELSE 0 END AS hit
-          FROM s WHERE p2 IS NOT NULL),
-    pu AS (SELECT event_type, user_id, CAST(SUM(hit) AS BIGINT) AS nv
-           FROM v GROUP BY event_type, user_id)
-    SELECT event_type,
-           CAST(SUM(nv) AS BIGINT) AS n_vshapes,
-           CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_users_with_pattern,
-           CAST(MAX(nv) AS BIGINT) AS max_per_user
-    FROM pu GROUP BY event_type
-    """,
+    sql=_SQL_VSHAPE_CENSUS,
     doc="Streaming CEP / row-pattern matching EXECUTED as a query "
         "(SURVEY §2.12 + the ev_pattern_vshape batch twin): the "
         "V-shape detector runs as a custom stateful operator "
@@ -4967,32 +4961,7 @@ def ev_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_cadence_exec",
-    sql="""
-    WITH g AS (SELECT user_id,
-                      (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id))
-                          // 1000000 AS gap_s
-               FROM events),
-    m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
-                 CAST(SUM(gap_s) AS BIGINT) AS s1,
-                 CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
-          FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
-          HAVING COUNT(*) >= 5 AND SUM(gap_s) > 0),
-    cv AS (SELECT user_id, n,
-                  ROUND((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-                        / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 6)
-                      AS cv2
-           FROM m)
-    SELECT CASE WHEN cv2 < 0.01 THEN 'metronomic'
-                WHEN cv2 < 1.0 THEN 'regular'
-                ELSE 'bursty' END AS cadence,
-           CAST(COUNT(*) AS BIGINT) AS n_users,
-           CAST(SUM(n) AS BIGINT) AS n_gaps,
-           MIN(cv2) AS min_cv2,
-           MAX(cv2) AS max_cv2
-    FROM cv GROUP BY cadence
-    """,
+    sql=_SQL_CADENCE_PROFILE,
     doc="Streaming bot-cadence detection EXECUTED as a query (the "
         "stateful twin of ev_cadence_cv): per-user gap moments "
         "accumulate in four longs of state (stream_cadence_moments, "

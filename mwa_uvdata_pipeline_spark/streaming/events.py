@@ -300,11 +300,14 @@ def stream_user_running_totals(
         n, sc = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # floor(x*100 + 0.5): SQL ROUND half-up for the non-negative
-            # values here; pandas .round() is banker's and would differ
-            # on exact .5 cents
+            # SQL ROUND: half away from zero, sign-aware (pandas
+            # .round() is banker's and would differ on exact .5 cents;
+            # floor(x+0.5) alone would mis-round negative halves)
+            v = pdf["value"].mul(100)
             sc += int(
-                pdf["value"].mul(100).add(0.5).pipe(np.floor).astype("int64").sum()
+                np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+                .astype("int64")
+                .sum()
             )
         state.update((n, sc))
         yield pd.DataFrame(
@@ -348,10 +351,14 @@ def stream_pattern_vshapes(
         n, p2, p1, nv = state.get if state.exists else (0, 0, 0, 0)
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            # SQL ROUND half-up on non-negative values (pandas .round
-            # is banker's); matches CAST(ROUND(value * 100) AS BIGINT)
+            # SQL ROUND: half away from zero, sign-aware (pandas
+            # .round is banker's; plain floor(x+0.5) would round
+            # -2.5 to -2 where F.round gives -3); matches
+            # CAST(ROUND(value * 100) AS BIGINT) for any sign
+            v = pdf["value"].mul(100)
             cents = (
-                pdf["value"].mul(100).add(0.5).pipe(np.floor).astype("int64")
+                np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+                .astype("int64")
             )
             for c in cents:
                 c = int(c)

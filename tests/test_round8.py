@@ -220,3 +220,29 @@ if _HYP:
                     n += 1
                     p2, p1 = p1, c
             assert nv == want, split
+
+
+def test_time_to_convert_zero_converters(spark, tmp_path):
+    """With signups but NO purchases the plan must still emit one row
+    (n_signups, 0, NULL median/min/max) like the oracle's scalar
+    subqueries — a raw 0-row median frame would collapse the
+    crossJoin to zero rows and silently lose n_signups."""
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i), i, "signup", 1.0, "{}")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "noconv")
+    df.write.parquet(f"{d}/events.parquet")
+    out = load_all()["ev_time_to_convert"].spark(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_signups"] == 4 and r["n_converted"] == 0
+    assert r["median_dt_us"] is None
+    assert r["min_dt_us"] is None and r["max_dt_us"] is None

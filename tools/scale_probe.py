@@ -352,7 +352,8 @@ def main() -> None:
             build(spark, n_copies)
     base = run(spark, plans, queries, base_dir)
     big = run(spark, plans, queries, big_dir)
-    label = "skew1x" if (skew or skew2) else "sf0.1"
+    mode = "skew2" if skew2 else "skew" if skew else "uniform"
+    label = {"skew2": "sk2-1x", "skew": "skew1x", "uniform": "sf0.1"}[mode]
     print(f"\n{'query':<24}{label:>9}{'Nx':>9}{'ratio':>8}")
     ratios = {}
     for name in queries:
@@ -360,6 +361,7 @@ def main() -> None:
         print(f"{name:<24}{base[name]:>9.2f}{big[name]:>9.2f}{ratios[name]:>8.1f}")
     print(json.dumps({
         "n_copies": n_copies,
+        "mode": mode,
         "skew": skew or skew2,
         "base_sec": {k: round(v, 3) for k, v in base.items()},
         "big_sec": {k: round(v, 3) for k, v in big.items()},
