@@ -1534,3 +1534,51 @@ def x_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "dkey")
         .orderBy("o_totalprice", "o_orderkey")
     )
+
+
+@register(
+    "x_sql_udf",
+    sql="""
+    SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+                WHEN l_discount < 0.07 THEN 'mid'
+                ELSE 'high' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount)
+                               * 100) AS BIGINT)) AS BIGINT)
+               AS net_cents
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Spark 4 SQL scalar UDFs (CREATE FUNCTION ... RETURN expr — "
+        "SQL-defined, catalog-registered, and INLINED by Catalyst "
+        "into the calling plan, so unlike Python/Java UDFs they cost "
+        "nothing and never block predicate pushdown or codegen): a "
+        "discount-tier classifier and a net-revenue-cents function "
+        "defined in SQL and used from a spark.sql aggregation. The "
+        "oracle states the same expressions inline; exact-cents "
+        "equality proves the UDF bodies are substituted verbatim. "
+        "This is the §2.11 extension surface at its cheapest — logic "
+        "shared across queries with zero execution overhead.",
+)
+def x_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "li_for_sql_udf"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_tier(d DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN d < 0.03 THEN 'low' "
+        "WHEN d < 0.07 THEN 'mid' ELSE 'high' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_cents(p DOUBLE, "
+        "d DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(ROUND(p * (1.0 - d) * 100) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT disc_tier(l_discount) AS tier,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(net_cents(l_extendedprice, l_discount))
+                    AS BIGINT) AS net_cents
+        FROM li_for_sql_udf GROUP BY 1
+        """
+    )
