@@ -73,6 +73,9 @@ BNLJ_ALLOWED = {
                          "against the bounded value-domain table",
     "ev_survival_table": "broadcast observation horizon + subject "
                          "total (two single-row aggregates)",
+    "pipeline_train_eval": "broadcast per-label totals (n_langs rows, "
+                           "fixed label domain) + single-row train "
+                           "vocab size (the ml_naive_bayes shape)",
 }
 
 
