@@ -1582,3 +1582,31 @@ def x_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM li_for_sql_udf GROUP BY 1
         """
     )
+
+
+@register(
+    "o8_except_all",
+    sql="""
+    SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity >= 25
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="Bag-semantics set difference (EXCEPT ALL — each occurrence "
+        "cancels ONE occurrence from the other side), completing the "
+        "O-family beyond o6's set-semantics EXCEPT: multiplicity-"
+        "preserving difference is what dedup accounting needs when "
+        "the same key legitimately appears k times (k copies minus j "
+        "matched copies must leave k-j, not zero). Spark compiles "
+        "exceptAll to a count-tagged aggregate + generator replay — "
+        "one shuffle on the value, no join — the same plan a manual "
+        "count-and-replicate would build.",
+)
+def o8_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") >= 25).select(
+        F.col("l_partkey").alias("partkey")
+    )
+    b = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("partkey")
+    )
+    return a.exceptAll(b)

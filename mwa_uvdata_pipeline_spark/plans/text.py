@@ -6558,3 +6558,50 @@ def pipeline_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("actual", "predicted").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+@register(
+    "t_tokenizer_fertility",
+    sql=r"""
+    WITH m AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+               CAST(GREATEST(
+                    len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')),
+                    (n_chars + 3) // 4) AS BIGINT) AS toks
+        FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(toks) AS BIGINT) AS total_est_tokens,
+           CAST(SUM(toks) * 1000000 // SUM(words) AS BIGINT)
+               AS fertility_ppm
+    FROM m GROUP BY lang
+    """,
+    doc="Tokenizer fertility per language — estimated BPE tokens per "
+        "whitespace word (the t_bpe_token_estimate budget estimator "
+        "rolled up by lang), the cost-equity metric multilingual "
+        "pipeline teams track: high-fertility languages pay more "
+        "tokens per word, skewing both training mixture budgets "
+        "(t_mixture_sample allocates by tokens) and serving costs. "
+        "Exact integer ppm ratio of two integer sums; pure map + one "
+        "hash agg over the label domain.",
+)
+def t_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+    n_pre = F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+    toks = F.greatest(n_pre, F.expr("(n_chars + 3) div 4")).cast("long")
+    m = table(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(_tokens()).cast("long").alias("words"),
+        toks.alias("toks"),
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("total_words"),
+        F.sum("toks").cast("long").alias("total_est_tokens"),
+        F.expr(
+            "CAST(sum(toks) * 1000000 div sum(words) AS BIGINT)"
+        ).alias("fertility_ppm"),
+    )
