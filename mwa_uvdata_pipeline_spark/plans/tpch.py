@@ -2881,3 +2881,45 @@ def x_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("hv") % 1000003).cast("long").alias("sum_check"),
         )
     )
+
+
+@register(
+    "j12_runtime_filter",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+    doc="Runtime bloom-filter join pruning (Spark 3.3+ "
+        "InjectRuntimeFilter): a selective dim-side predicate "
+        "(1-URGENT orders) makes the optimizer build a bloom filter "
+        "over the creation side's join keys and push "
+        "BloomFilterMightContain into the FACT scan — rows that "
+        "cannot join are dropped before the shuffle, the row-level "
+        "sibling of partition-level DPP and the optimizer-automated "
+        "version of x_bloom_prune's hand-built filter. The plan is "
+        "declared as a plain join + filter; injection is a pure "
+        "optimizer decision governed by size thresholds (at bench SF "
+        "the application side is below the scan threshold, so the "
+        "filter only appears at scale — tests/test_round8.py asserts "
+        "injection under scale-representative session confs via "
+        "newSession). Correctness is threshold-independent: the "
+        "oracle states the same join.",
+)
+def j12_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long")
+                .alias("total_qty"),
+        )
+    )

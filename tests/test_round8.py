@@ -246,3 +246,31 @@ def test_time_to_convert_zero_converters(spark, tmp_path):
     assert r["n_signups"] == 4 and r["n_converted"] == 0
     assert r["median_dt_us"] is None
     assert r["min_dt_us"] is None and r["max_dt_us"] is None
+
+
+def test_runtime_bloom_filter_injects_at_scale_confs(spark):
+    """j12_runtime_filter's declared plan must attract an
+    optimizer-injected bloom filter on the fact scan under
+    scale-representative confs (tiny local tables sit below the
+    default thresholds, so a fresh session pins them; session confs
+    are newSession-scoped, leaving the shared fixture untouched)."""
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ns.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    df = load_all()["j12_runtime_filter"].spark(ns, SF_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom" in plan.lower()
+    # and the un-tuned shared session still computes the same rows
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(
+        map(
+            tuple,
+            load_all()["j12_runtime_filter"].spark(spark, SF_SMALL)
+            .collect(),
+        )
+    )
+    assert a == b and len(a) > 0
