@@ -399,6 +399,82 @@ def decode_ppm(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(batches, PPM_SCHEMA)
 
 
+CUTS_SCHEMA = (
+    "doc_id long, n_frames int, n_cuts long, first_cut int, "
+    "max_luma_jump long"
+)
+
+
+def synth_frame_ppm_bytes(doc_id: int, f: int) -> bytes:
+    """Deterministic PPM P6 frame ``f`` of a per-doc synthetic video:
+    same grid as :func:`synth_ppm_bytes`, channels mixed with the
+    frame index so luminance drifts frame-to-frame (integer-exact for
+    the oracle)."""
+    import numpy as np
+
+    w = 4 + doc_id % 13
+    h = 3 + doc_id % 7
+    x = np.arange(w, dtype="i8")[None, :]
+    y = np.arange(h, dtype="i8")[:, None]
+    img = np.stack(
+        [
+            (doc_id + x * 3 + y * 5 + f * 11) % 256,
+            np.broadcast_to((doc_id * 2 + x + f * 7) % 256, (h, w)),
+            (x * y + doc_id + f * 13) % 256,
+        ],
+        axis=2,
+    ).astype("u1")
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + img.tobytes()
+
+
+def decode_scene_cuts(docs: DataFrame, threshold: int = 16,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Scene-cut detection over REALLY-DECODED frame sequences: each
+    doc's synthetic video (2 + doc_id % 7 PPM frames) is generated and
+    parsed byte-for-byte executor-side (:func:`_parse_ppm` — the same
+    real decode path as decode_ppm), per-frame integer mean luminance
+    ((sum_r+sum_g+sum_b) // (3*n_px)) is compared to the previous
+    frame, and jumps >= ``threshold`` count as cuts — the shot-
+    boundary pass a video curation pipeline runs before sampling
+    frames for captioning. Frame bytes never leave the executor."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "n_frames", "n_cuts", "first_cut",
+                          "max_luma_jump")
+            }
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                nf = 2 + doc_id % 7
+                prev = None
+                n_cuts = 0
+                first = None
+                max_jump = 0
+                for f in range(nf):
+                    w, h, img = _parse_ppm(
+                        synth_frame_ppm_bytes(doc_id, f)
+                    )
+                    luma = int(img.sum()) // (3 * w * h)
+                    if prev is not None:
+                        jump = abs(luma - prev)
+                        max_jump = max(max_jump, jump)
+                        if jump >= threshold:
+                            n_cuts += 1
+                            if first is None:
+                                first = f
+                    prev = luma
+                rows["doc_id"].append(doc_id)
+                rows["n_frames"].append(nf)
+                rows["n_cuts"].append(n_cuts)
+                rows["first_cut"].append(-1 if first is None else first)
+                rows["max_luma_jump"].append(max_jump)
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(batches, CUTS_SCHEMA)
+
+
 def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
     """Attach deterministic WAV/PPM payload bytes per doc_id — built
     executor-side in mapInPandas so payload bytes never touch the

@@ -6605,3 +6605,59 @@ def t_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(toks) * 1000000 div sum(words) AS BIGINT)"
         ).alias("fertility_ppm"),
     )
+
+
+@register(
+    "m_video_scene_cuts",
+    sql="""
+    WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+                      2 + doc_id % 7 AS nf
+               FROM documents),
+    px AS (SELECT doc_id, w, h, f,
+                  (doc_id + x * 3 + y * 5 + f * 11) % 256 AS r,
+                  (doc_id * 2 + x + f * 7) % 256 AS g,
+                  (x * y + doc_id + f * 13) % 256 AS b
+           FROM d, UNNEST(range(0, nf)) uf(f),
+                UNNEST(range(0, w)) ux(x), UNNEST(range(0, h)) uy(y)),
+    luma AS (SELECT doc_id, f,
+                    CAST((SUM(r) + SUM(g) + SUM(b))
+                         // (3 * MAX(w) * MAX(h)) AS BIGINT) AS l
+             FROM px GROUP BY doc_id, f),
+    j AS (SELECT doc_id, f,
+                 ABS(l - LAG(l) OVER (PARTITION BY doc_id ORDER BY f))
+                     AS jump
+          FROM luma),
+    agg AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN jump >= 16 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cuts,
+                   CAST(MIN(CASE WHEN jump >= 16 THEN f END)
+                        AS INTEGER) AS first_cut,
+                   CAST(MAX(COALESCE(jump, 0)) AS BIGINT)
+                       AS max_luma_jump
+            FROM j GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.nf AS INTEGER) AS n_frames,
+           agg.n_cuts,
+           COALESCE(agg.first_cut, -1) AS first_cut,
+           agg.max_luma_jump
+    FROM d JOIN agg USING (doc_id)
+    """,
+    doc="Video shot-boundary detection over REALLY-DECODED frames "
+        "(operators.multimodal.decode_scene_cuts): each doc's "
+        "synthetic video is generated AND parsed byte-for-byte "
+        "executor-side through the same PPM decode path as "
+        "m_ppm_native, per-frame integer mean luminance is compared "
+        "frame-to-frame, and jumps >= 16 mark cuts — the pass a "
+        "video curation pipeline runs before sampling frames for "
+        "captioning (cut-adjacent frames are redundant; sampling "
+        "per-shot is the budget-efficient policy). The oracle "
+        "recomputes luminance from the pixel formulas with the "
+        "frame-lag stated relationally, so any decode or fold drift "
+        "breaks the gate. Frame bytes never leave executors; state "
+        "per doc is one previous-frame luminance.",
+)
+def m_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_scene_cuts,
+    )
+
+    return decode_scene_cuts(table(spark, sf_dir, "documents"))
