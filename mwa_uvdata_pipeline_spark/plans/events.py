@@ -5069,3 +5069,80 @@ def ev_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy(F.col("best").alias("streak_days")).agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+# events row-set checksum, shared by the batch surface and the
+# streaming exec twin (single-copy, the _SQL_VSHAPE_CENSUS rationale)
+_SQL_EVENTS_CHECKSUM = """
+    WITH h AS (
+        SELECT event_type,
+               CAST(CAST('0x' || substr(md5(
+                   CAST(event_id AS VARCHAR) || '|'
+                   || CAST(user_id AS VARCHAR) || '|'
+                   || event_type || '|'
+                   || CAST(CAST(ROUND(value * 100) AS BIGINT)
+                           AS VARCHAR)
+               ), 1, 15) AS BIGINT) AS BIGINT) AS hv
+        FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(hv) AS BIGINT) AS xor_check,
+           CAST(SUM(hv % 1000003) AS BIGINT) AS sum_check
+    FROM h GROUP BY event_type
+    """
+
+
+def _events_checksum_cols():
+    row = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.round(F.col("value") * 100).cast("long").cast("string"),
+    )
+    return F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+
+
+@register(
+    "stream_checksum_exec",
+    sql=_SQL_EVENTS_CHECKSUM,
+    doc="Continuous ingest-integrity checksum EXECUTED as a streaming "
+        "query: the x_table_checksum accumulators (XOR + modular sum "
+        "over a cross-engine md5 row hash) are COMMUTATIVE and "
+        "ASSOCIATIVE, so they run as a plain streaming aggregate in "
+        "complete mode — no watermark, no custom state, O(groups) "
+        "state total — over the 4-slice replay, and the final sink "
+        "table must hash-match the batch oracle over the same rows. "
+        "This is how a 100-TB continuous pipeline proves the landed "
+        "row set equals the source without ever sorting either side: "
+        "the checksum table is group-domain sized and the stream "
+        "maintains it incrementally for free.",
+)
+def stream_checksum_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        _read_stream,
+        run_to_memory,
+    )
+
+    out = _replay_fixture(spark, sf_dir)
+    sink = f"ck_sink_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = (
+            _read_stream(spark, f"{out}/part*")
+            .select("event_type", _events_checksum_cols().alias("hv"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.expr("CAST(bit_xor(hv) AS BIGINT)").alias("xor_check"),
+                F.sum(F.col("hv") % 1000003).cast("long")
+                    .alias("sum_check"),
+            )
+        )
+        run_to_memory(stream, sink, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
