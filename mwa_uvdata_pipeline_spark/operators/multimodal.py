@@ -324,24 +324,11 @@ def decode_wav_clipping(df: DataFrame, payload_col: str = "payload",
 
 
 def synth_ppm_bytes(doc_id: int) -> bytes:
-    """Deterministic PPM P6 image for ``doc_id``: w = 4 + doc_id % 13,
-    h = 3 + doc_id % 7, pixel (x, y) channels are small modular
-    formulas of (doc_id, x, y) — integer-exact for the oracle."""
-    import numpy as np
-
-    w = 4 + doc_id % 13
-    h = 3 + doc_id % 7
-    x = np.arange(w, dtype="i8")[None, :]
-    y = np.arange(h, dtype="i8")[:, None]
-    img = np.stack(
-        [
-            (doc_id + x * 3 + y * 5) % 256,
-            np.broadcast_to((doc_id * 2 + x) % 256, (h, w)),
-            (x * y + doc_id) % 256,
-        ],
-        axis=2,
-    ).astype("u1")
-    return f"P6\n{w} {h}\n255\n".encode("ascii") + img.tobytes()
+    """Deterministic PPM P6 image for ``doc_id``: frame 0 of the
+    synthetic video (:func:`synth_frame_ppm_bytes` with f = 0 — ONE
+    copy of the load-bearing pixel formulas, which two SQL oracles
+    restate)."""
+    return synth_frame_ppm_bytes(doc_id, 0)
 
 
 def _parse_ppm(data: bytes):

@@ -5093,11 +5093,17 @@ _SQL_EVENTS_CHECKSUM = """
 
 
 def _events_checksum_cols():
-    row = F.concat_ws(
-        "|",
+    # F.concat (NOT concat_ws): a NULL field must NULL the whole row
+    # hash exactly like the oracle's '||', so NULL-bearing rows drop
+    # out of both engines' accumulators identically instead of Spark
+    # silently skipping the field and hashing a shorter rendering
+    row = F.concat(
         F.col("event_id").cast("string"),
+        F.lit("|"),
         F.col("user_id").cast("string"),
+        F.lit("|"),
         F.col("event_type"),
+        F.lit("|"),
         F.round(F.col("value") * 100).cast("long").cast("string"),
     )
     return F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
@@ -5122,8 +5128,8 @@ def stream_checksum_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from mwa_uvdata_pipeline_spark.streaming.events import (
-        _read_stream,
         run_to_memory,
+        stream_checksum_agg,
     )
 
     out = _replay_fixture(spark, sf_dir)
@@ -5131,18 +5137,13 @@ def stream_checksum_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        stream = (
-            _read_stream(spark, f"{out}/part*")
-            .select("event_type", _events_checksum_cols().alias("hv"))
-            .groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.expr("CAST(bit_xor(hv) AS BIGINT)").alias("xor_check"),
-                F.sum(F.col("hv") % 1000003).cast("long")
-                    .alias("sum_check"),
-            )
+        run_to_memory(
+            stream_checksum_agg(
+                spark, f"{out}/part*", _events_checksum_cols()
+            ),
+            sink,
+            output_mode="complete",
         )
-        run_to_memory(stream, sink, output_mode="complete")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)

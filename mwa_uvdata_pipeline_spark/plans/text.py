@@ -2630,19 +2630,35 @@ def e_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer (RE2-portable core) + the ~4-chars/token
+# floor — ONE copy shared by t_bpe_token_estimate and
+# t_tokenizer_fertility in both the Spark bodies and the SQL twins
+_BPE_PRETOKEN_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+_SQL_BPE_EST = (
+    f"GREATEST(len(regexp_extract_all(text, '{_BPE_PRETOKEN_PAT}')), "
+    "(n_chars + 3) // 4)"
+)
+
+
+def _bpe_est_tokens():
+    """max(pre-token count, ceil(chars/4)) as a Column (group 0 pinned:
+    Spark defaults to capture group 1, DuckDB to 0)."""
+    n_pre = F.size(
+        F.expr(f"regexp_extract_all(text, '{_BPE_PRETOKEN_PAT}', 0)")
+    )
+    return n_pre, F.greatest(n_pre, F.expr("(n_chars + 3) div 4"))
+
+
 @register(
     "t_bpe_token_estimate",
-    sql=r"""
+    sql=f"""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text,
-                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS BIGINT)
+                '{_BPE_PRETOKEN_PAT}')) AS BIGINT)
                AS n_pretokens,
            CAST(n_chars AS BIGINT) AS n_chars,
-           CAST(GREATEST(
-                len(regexp_extract_all(text,
-                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')),
-                (n_chars + 3) // 4) AS BIGINT) AS est_bpe_tokens
+           CAST({_SQL_BPE_EST} AS BIGINT) AS est_bpe_tokens
     FROM documents
     """,
     doc="BPE-ish token counting (the north-star's 'whitespace + a "
@@ -2658,18 +2674,13 @@ def e_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         "100 TB for real.",
 )
 def t_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
-    # group 0 = whole match (Spark defaults to capture group 1; DuckDB
-    # defaults to 0 — pin it so both engines count full matches)
-    n_pre = F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+    n_pre, est = _bpe_est_tokens()
     return table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(_tokens()).cast("long").alias("n_ws_tokens"),
         n_pre.cast("long").alias("n_pretokens"),
         F.col("n_chars").cast("long").alias("n_chars"),
-        F.greatest(
-            n_pre, F.expr("(n_chars + 3) div 4")
-        ).cast("long").alias("est_bpe_tokens"),
+        est.cast("long").alias("est_bpe_tokens"),
     )
 
 
@@ -3495,29 +3506,36 @@ def m_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ml_naive_bayes",
-    bench=True,
-    sql="""
-    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-                 FROM documents),
+def _sql_nb_confusion(fit_rel: str, score_rel: str) -> str:
+    """The multinomial-NB train+score+confusion statement, ONE copy
+    parameterized on the fit and score relations — shared by
+    ml_naive_bayes (fit == score == documents) and
+    pipeline_train_eval (md5 train/test splits), so a quantization or
+    smoothing fix can never gate one entry against a stale twin."""
+    return f"""
+    WITH fitdocs AS (SELECT * FROM {fit_rel}),
+    scdocs AS (SELECT * FROM {score_rel}),
+    tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM fitdocs),
+    stok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+             FROM scdocs),
     cnt AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
             FROM tok GROUP BY lang, w),
     tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS t
             FROM tok GROUP BY lang),
     v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tok),
-    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM fitdocs),
     prior AS (SELECT lang AS l,
                      CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) / MAX(nd.nd))
                                 * 1000000) AS BIGINT) AS pmicro
-              FROM documents, nd GROUP BY lang),
-    sc AS (SELECT tok.doc_id, MAX(tok.lang) AS actual, tot.lang AS l,
+              FROM fitdocs, nd GROUP BY lang),
+    sc AS (SELECT stok.doc_id, MAX(stok.lang) AS actual, tot.lang AS l,
                   CAST(SUM(CAST(ROUND(ln((COALESCE(cnt.c, 0) + 1.0)
                                          / (tot.t + v.v)) * 1000000)
                                AS BIGINT)) AS BIGINT) AS s
-           FROM tok CROSS JOIN tot CROSS JOIN v
-           LEFT JOIN cnt ON cnt.lang = tot.lang AND cnt.w = tok.w
-           GROUP BY tok.doc_id, tot.lang, tot.t, v.v),
+           FROM stok CROSS JOIN tot CROSS JOIN v
+           LEFT JOIN cnt ON cnt.lang = tot.lang AND cnt.w = stok.w
+           GROUP BY stok.doc_id, tot.lang, tot.t, v.v),
     pred AS (SELECT doc_id, actual, l AS predicted
              FROM (SELECT sc.doc_id, sc.actual, sc.l,
                           ROW_NUMBER() OVER (
@@ -3528,31 +3546,25 @@ def m_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHERE rn = 1)
     SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
     FROM pred GROUP BY actual, predicted
-    """,
-    doc="Multinomial Naive Bayes language classifier TRAINED AND "
-        "SCORED as relational dataflow (the supervised complement of "
-        "t_lang_id's heuristic): token counts per (lang, token) with "
-        "add-one smoothing are the model; scoring sums per-token log "
-        "likelihoods quantized to INTEGER micro-nats — each token's "
-        "ln((c+1)/(t+V)) is computed on identical exact-integer-"
-        "derived doubles in both engines, rounded to 1e-6 nats, and "
-        "only the INTEGER sums cross the argmax, so the prediction "
-        "(and the emitted confusion grid) is bit-for-bit oracle-"
-        "checkable despite the transcendental — the graph_pagerank/"
-        "ml_kmeans exactness trick applied to log-space. Shapes: "
-        "train = one (lang, token) hash agg; score = tokens x "
-        "n_langs rows through a left join against the count table "
-        "and one (doc, lang) agg — linear in corpus tokens times "
-        "the label count, the same cost structure MLlib's NB fit "
-        "has; the count table join key (lang, token) is the natural "
-        "scale-out dimension (broadcast at small vocab, shuffle "
-        "join at web vocab — AQE picks).",
-)
-def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
+    """
+
+
+def _nb_confusion(fit_docs: DataFrame, score_docs: DataFrame) -> DataFrame:
+    """Spark half of :func:`_sql_nb_confusion`: fit the smoothed
+    counts/priors/vocab on ``fit_docs``, score ``score_docs``, emit
+    the (actual, predicted, n) confusion grid. When the two frames
+    are the SAME object the persisted train token table is reused for
+    scoring (the in-sample ml_naive_bayes fast path)."""
+    tok = fit_docs.select(
         "doc_id", "lang", F.explode(_tokens()).alias("w")
     ).persist()
+    stok = (
+        tok
+        if score_docs is fit_docs
+        else score_docs.select(
+            "doc_id", "lang", F.explode(_tokens()).alias("w")
+        )
+    )
     cnt = tok.groupBy(
         F.col("lang").alias("cl"), F.col("w").alias("cw")
     ).agg(F.count(F.lit(1)).alias("c"))
@@ -3560,8 +3572,8 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("t")
     )
     v = tok.agg(F.countDistinct("w").alias("v"))
-    nd = docs.count()
-    prior = docs.groupBy(F.col("lang").alias("pl")).agg(
+    nd = fit_docs.count()
+    prior = fit_docs.groupBy(F.col("lang").alias("pl")).agg(
         F.round(
             F.log(F.count(F.lit(1)).cast("double") / F.lit(float(nd)))
             * 1000000.0
@@ -3570,7 +3582,7 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pmicro")
     )
     sc = (
-        tok.crossJoin(F.broadcast(tot))
+        stok.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(v))
         .join(
             cnt,
@@ -3579,7 +3591,7 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "l")
         .agg(
-            F.max(tok["lang"]).alias("actual"),
+            F.max(stok["lang"]).alias("actual"),
             F.sum(
                 F.round(
                     F.log(
@@ -3603,6 +3615,34 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("actual", "predicted").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "ml_naive_bayes",
+    bench=True,
+    sql=_sql_nb_confusion("documents", "documents"),
+    doc="Multinomial Naive Bayes language classifier TRAINED AND "
+        "SCORED as relational dataflow (the supervised complement of "
+        "t_lang_id's heuristic): token counts per (lang, token) with "
+        "add-one smoothing are the model; scoring sums per-token log "
+        "likelihoods quantized to INTEGER micro-nats — each token's "
+        "ln((c+1)/(t+V)) is computed on identical exact-integer-"
+        "derived doubles in both engines, rounded to 1e-6 nats, and "
+        "only the INTEGER sums cross the argmax, so the prediction "
+        "(and the emitted confusion grid) is bit-for-bit oracle-"
+        "checkable despite the transcendental — the graph_pagerank/"
+        "ml_kmeans exactness trick applied to log-space. Shapes: "
+        "train = one (lang, token) hash agg; score = tokens x "
+        "n_langs rows through a left join against the count table "
+        "and one (doc, lang) agg — linear in corpus tokens times "
+        "the label count, the same cost structure MLlib's NB fit "
+        "has; the count table join key (lang, token) is the natural "
+        "scale-out dimension (broadcast at small vocab, shuffle "
+        "join at web vocab — AQE picks).",
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return _nb_confusion(docs, docs)
 
 
 @register(
@@ -6450,41 +6490,10 @@ _SQL_SPLIT = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
 
 @register(
     "pipeline_train_eval",
-    sql=f"""
-    WITH tr AS (SELECT * FROM documents WHERE {_SQL_SPLIT} < 'cd'),
-    te AS (SELECT * FROM documents WHERE {_SQL_SPLIT} >= 'e6'),
-    tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-            FROM tr),
-    stok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-             FROM te),
-    cnt AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
-            FROM tok GROUP BY lang, w),
-    tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS t
-            FROM tok GROUP BY lang),
-    v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tok),
-    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM tr),
-    prior AS (SELECT lang AS l,
-                     CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) / MAX(nd.nd))
-                                * 1000000) AS BIGINT) AS pmicro
-              FROM tr, nd GROUP BY lang),
-    sc AS (SELECT stok.doc_id, MAX(stok.lang) AS actual, tot.lang AS l,
-                  CAST(SUM(CAST(ROUND(ln((COALESCE(cnt.c, 0) + 1.0)
-                                         / (tot.t + v.v)) * 1000000)
-                               AS BIGINT)) AS BIGINT) AS s
-           FROM stok CROSS JOIN tot CROSS JOIN v
-           LEFT JOIN cnt ON cnt.lang = tot.lang AND cnt.w = stok.w
-           GROUP BY stok.doc_id, tot.lang, tot.t, v.v),
-    pred AS (SELECT doc_id, actual, l AS predicted
-             FROM (SELECT sc.doc_id, sc.actual, sc.l,
-                          ROW_NUMBER() OVER (
-                              PARTITION BY sc.doc_id
-                              ORDER BY sc.s + prior.pmicro DESC, sc.l
-                          ) AS rn
-                   FROM sc JOIN prior ON prior.l = sc.l)
-             WHERE rn = 1)
-    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
-    FROM pred GROUP BY actual, predicted
-    """,
+    sql=_sql_nb_confusion(
+        f"(SELECT * FROM documents WHERE {_SQL_SPLIT} < 'cd')",
+        f"(SELECT * FROM documents WHERE {_SQL_SPLIT} >= 'e6')",
+    ),
     doc="The composed train/evaluate pipeline — ml_naive_bayes made "
         "HONEST: the model (smoothed per-lang token counts, priors, "
         "train vocabulary) is fit ONLY on the deterministic md5 "
@@ -6502,74 +6511,15 @@ _SQL_SPLIT = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
 def pipeline_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    tr = docs.where(split < "cd")
-    te = docs.where(split >= "e6")
-    tok = tr.select(
-        "doc_id", "lang", F.explode(_tokens()).alias("w")
-    ).persist()  # consumed by cnt, tot, v
-    stok = te.select("doc_id", "lang", F.explode(_tokens()).alias("w"))
-    cnt = tok.groupBy(
-        F.col("lang").alias("cl"), F.col("w").alias("cw")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    tot = tok.groupBy(F.col("lang").alias("l")).agg(
-        F.count(F.lit(1)).alias("t")
-    )
-    v = tok.agg(F.countDistinct("w").alias("v"))
-    nd = tr.count()
-    prior = tr.groupBy(F.col("lang").alias("pl")).agg(
-        F.round(
-            F.log(F.count(F.lit(1)).cast("double") / F.lit(float(nd)))
-            * 1000000.0
-        )
-        .cast("long")
-        .alias("pmicro")
-    )
-    sc = (
-        stok.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(v))
-        .join(
-            cnt,
-            (F.col("cl") == F.col("l")) & (F.col("cw") == F.col("w")),
-            "left",
-        )
-        .groupBy("doc_id", "l")
-        .agg(
-            F.max(stok["lang"]).alias("actual"),
-            F.sum(
-                F.round(
-                    F.log(
-                        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
-                        / (F.col("t") + F.col("v"))
-                    )
-                    * 1000000.0
-                ).cast("long")
-            ).alias("s"),
-        )
-    )
-    rn = Window.partitionBy("doc_id").orderBy(
-        F.desc(F.col("s") + F.col("pmicro")), F.col("l")
-    )
-    pred = (
-        sc.join(F.broadcast(prior), F.col("pl") == F.col("l"))
-        .withColumn("rn", F.row_number().over(rn))
-        .where(F.col("rn") == 1)
-        .select("actual", F.col("l").alias("predicted"))
-    )
-    return pred.groupBy("actual", "predicted").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-
+    return _nb_confusion(docs.where(split < "cd"), docs.where(split >= "e6"))
 
 @register(
     "t_tokenizer_fertility",
-    sql=r"""
+    sql=f"""
     WITH m AS (
         SELECT lang,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
-               CAST(GREATEST(
-                    len(regexp_extract_all(text,
-                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')),
-                    (n_chars + 3) // 4) AS BIGINT) AS toks
+               CAST({_SQL_BPE_EST} AS BIGINT) AS toks
         FROM documents)
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -6589,9 +6539,8 @@ def pipeline_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hash agg over the label domain.",
 )
 def t_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
-    n_pre = F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
-    toks = F.greatest(n_pre, F.expr("(n_chars + 3) div 4")).cast("long")
+    _, est = _bpe_est_tokens()
+    toks = est.cast("long")
     m = table(spark, sf_dir, "documents").select(
         "lang",
         F.size(_tokens()).cast("long").alias("words"),

@@ -2865,10 +2865,14 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    row = F.concat_ws(
-        "|",
+    # F.concat, not concat_ws: a NULL field must NULL the row hash
+    # exactly like the oracle's '||' (concat_ws would skip the field
+    # and checksum a shorter rendering, diverging on NULL-bearing rows)
+    row = F.concat(
         F.col("o_orderkey").cast("string"),
+        F.lit("|"),
         F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("|"),
         F.date_format("o_orderdate", "yyyy-MM-dd"),
     )
     hv = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")

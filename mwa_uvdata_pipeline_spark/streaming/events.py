@@ -453,6 +453,29 @@ def stream_cadence_moments(
     )
 
 
+def stream_checksum_agg(
+    spark: SparkSession, src_glob: str, hv, group_col: str = "event_type"
+) -> DataFrame:
+    """Running row-set checksum as a PLAIN streaming aggregate: the
+    XOR and modular-sum accumulators are commutative and associative,
+    so no watermark or custom state is needed — complete mode, state
+    total O(groups). ``hv`` is the row-hash Column (supplied by the
+    plan layer so the batch oracle and the stream share one hash
+    definition)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _read_stream(spark, src_glob)
+        .select(group_col, hv.alias("hv"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("CAST(bit_xor(hv) AS BIGINT)").alias("xor_check"),
+            F.sum(F.col("hv") % 1000003).cast("long").alias("sum_check"),
+        )
+    )
+
+
 def stream_tumbling_to_parquet(
     spark: SparkSession,
     src_glob: str,

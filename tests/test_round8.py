@@ -256,6 +256,7 @@ def test_runtime_bloom_filter_injects_at_scale_confs(spark):
     are newSession-scoped, leaving the shared fixture untouched)."""
     ns = spark.newSession()
     ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     ns.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter."
         "applicationSideScanSizeThreshold",
