@@ -78,7 +78,16 @@ def _parse_value(raw: str):
     try:
         return float(v)
     except ValueError:
-        return v
+        pass
+    # FITS 4.0 §4.2.4 permits the Fortran 'D' exponent marker for real
+    # values (e.g. 1.23D+05, the double-precision form legacy writers
+    # emit); Python's float() only accepts 'E', so normalize and retry.
+    if "D" in v.upper():
+        try:
+            return float(v.upper().replace("D", "E", 1))
+        except ValueError:
+            pass
+    return v
 
 
 def parse_header(buf: bytes, off: int = 0) -> tuple[dict, int]:

@@ -121,6 +121,23 @@ def test_header_parser_edges():
         sf.parse_header(b" " * sf.BLOCK)  # no END card
 
 
+def test_header_fortran_d_exponent():
+    # FITS 4.0 §4.2.4: real values may use the Fortran 'D' exponent
+    # marker (legacy double-precision writers); Python float() only
+    # accepts 'E', so the parser must normalize. A string value that
+    # merely contains a 'D' must stay a string.
+    card = "OBSFREQ = 1.23D+05".ljust(sf.CARD)
+    card += "SCALE   = -4.5d-02".ljust(sf.CARD)
+    card += "NAME    = 'D5      '".ljust(sf.CARD)
+    card += "END".ljust(sf.CARD)
+    hdr = card.encode("ascii")
+    hdr += b" " * sf._pad(len(hdr))
+    cards, _ = sf.parse_header(hdr)
+    assert cards["OBSFREQ"] == 1.23e5
+    assert cards["SCALE"] == -4.5e-2
+    assert cards["NAME"] == "D5"
+
+
 def test_uvfits_rejects_non_group_files():
     hdr = sf.write_header(
         [("SIMPLE", True), ("BITPIX", 8), ("NAXIS", 0)]
