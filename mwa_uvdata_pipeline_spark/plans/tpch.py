@@ -2442,6 +2442,170 @@ def ml_ridge_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sign-aware truncating integer division, written once so Spark's
+# `div` and DuckDB's `//` agree regardless of either engine's native
+# negative-operand convention (same discipline as ml_pca_power's
+# normalization step)
+def _SDIV(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN {num} >= 0 THEN {num} div ({den}) "
+        f"ELSE -((-{num}) div ({den})) END"
+    )
+
+
+def _SDIV_DUCK(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN {num} >= 0 THEN {num} // ({den}) "
+        f"ELSE -((-{num}) // ({den})) END"
+    )
+
+
+def _logreg_oracle() -> str:
+    """Unrolled 3-iteration GD twin of ml_logreg_gd (same quantized
+    arithmetic: micro-unit weights, per-combo rounded sigmoid,
+    sign-aware truncating update)."""
+    pm = (
+        "CAST(ROUND(1000000.0 / (1.0 + exp(-((w.b0 + w.b1 * st.x1 "
+        "+ w.b2 * st.x2) / 1000000.0)))) AS BIGINT)"
+    )
+    grad = f"""
+        SELECT CAST(SUM(r) AS BIGINT) AS g0,
+               CAST(SUM(r * x1) AS BIGINT) AS g1,
+               CAST(SUM(r * x2) AS BIGINT) AS g2
+        FROM (SELECT st.x1, st.x2,
+                     st.n * {pm} - st.sy * 1000000 AS r
+              FROM st, {{w}} w)"""
+    step = f"""
+        SELECT w.b0 - ({_SDIV_DUCK('g.g0', '256 * tot.nt')}) AS b0,
+               w.b1 - ({_SDIV_DUCK('g.g1', '256 * tot.nt')}) AS b1,
+               w.b2 - ({_SDIV_DUCK('g.g2', '256 * tot.nt')}) AS b2
+        FROM {{w}} w, {{g}} g, tot"""
+    return f"""
+    WITH li AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                       CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+                       CAST(ROUND(l_discount * 100) AS BIGINT) AS x2
+                FROM lineitem),
+    st AS (SELECT x1, x2, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS sy
+           FROM li GROUP BY x1, x2),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM st),
+    it0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
+                   CAST(0 AS BIGINT) AS b2),
+    gr1 AS ({grad.format(w='it0')}),
+    it1 AS ({step.format(w='it0', g='gr1')}),
+    gr2 AS ({grad.format(w='it1')}),
+    it2 AS ({step.format(w='it1', g='gr2')}),
+    gr3 AS ({grad.format(w='it2')}),
+    it3 AS ({step.format(w='it2', g='gr3')}),
+    fin AS (SELECT it3.*, tot.nt FROM it3, tot)
+    SELECT 'b0_intercept' AS term, b0 AS weight_micro, nt AS n_rows
+    FROM fin
+    UNION ALL
+    SELECT 'b1_qty' AS term, b1 AS weight_micro, nt AS n_rows FROM fin
+    UNION ALL
+    SELECT 'b2_disc' AS term, b2 AS weight_micro, nt AS n_rows FROM fin
+    """
+
+
+@register(
+    "ml_logreg_gd",
+    sql=_logreg_oracle(),
+    doc="Distributed logistic regression by batch gradient descent — "
+        "the quality-classifier trainer of an LLM curation pipeline "
+        "(fastText-style keep/drop scoring), expressed as the "
+        "sufficient-statistics compaction: the ONE full-data pass "
+        "hash-aggregates the fact table to its (x1, x2) value-domain "
+        "grid (<= 51 x 11 = 561 combos with per-combo count and "
+        "positive count — mergeable, map-side-combined, shuffle "
+        "volume independent of corpus size), and all three unrolled "
+        "GD iterations run on that bounded grid against a broadcast "
+        "1-row weight vector. Determinism contract: weights live in "
+        "integer micro-units, the logistic p is quantized per combo "
+        "(round(1e6 * sigmoid(z)) with z an exact integer-ratio "
+        "double), gradients are exact integer sums, and the dyadic "
+        "learning-rate update (eta = 2^-8, mean gradient) is a "
+        "sign-aware truncating division shared with the oracle — so "
+        "Spark and DuckDB walk bit-identical weight trajectories. "
+        "At 100 TB only the compaction touches the data; iteration "
+        "cost is O(domain), and more features widen the grid, not "
+        "the shuffle (bin continuous features first, the standard "
+        "large-scale GLM move).",
+)
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_returnflag") == "R", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+    )
+    st = (
+        li.groupBy("x1", "x2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+        .persist()  # one consumer per GD iteration (3 reads)
+    )
+    tot = st.agg(F.sum("n").cast("long").alias("nt"))
+    grid = st.crossJoin(F.broadcast(tot)).persist()
+
+    w = spark.range(1).select(
+        F.lit(0).cast("long").alias("b0"),
+        F.lit(0).cast("long").alias("b1"),
+        F.lit(0).cast("long").alias("b2"),
+    )
+    for _ in range(3):
+        z = (
+            F.col("b0")
+            + F.col("b1") * F.col("x1")
+            + F.col("b2") * F.col("x2")
+        ).cast("double") / 1000000.0
+        pm = F.round(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-z))).cast(
+            "long"
+        )
+        r = F.col("n") * pm - F.col("sy") * F.lit(1000000)
+        g = (
+            grid.crossJoin(F.broadcast(w))
+            .select(
+                r.alias("r"),
+                "x1",
+                "x2",
+                "nt",
+                "b0",
+                "b1",
+                "b2",
+            )
+            .groupBy()
+            .agg(
+                F.sum("r").cast("long").alias("g0"),
+                F.sum(F.col("r") * F.col("x1")).cast("long").alias("g1"),
+                F.sum(F.col("r") * F.col("x2")).cast("long").alias("g2"),
+                F.min("nt").alias("nt"),  # constant across the grid
+                F.min("b0").alias("b0"),
+                F.min("b1").alias("b1"),
+                F.min("b2").alias("b2"),
+            )
+        )
+        w = g.select(
+            (F.col("b0") - F.expr(_SDIV("g0", "256 * nt")))
+            .cast("long")
+            .alias("b0"),
+            (F.col("b1") - F.expr(_SDIV("g1", "256 * nt")))
+            .cast("long")
+            .alias("b1"),
+            (F.col("b2") - F.expr(_SDIV("g2", "256 * nt")))
+            .cast("long")
+            .alias("b2"),
+        )
+    return w.crossJoin(F.broadcast(tot)).selectExpr(
+        "stack(3, 'b0_intercept', b0, 'b1_qty', b1, 'b2_disc', b2) "
+        "AS (term, weight_micro)",
+        "nt AS n_rows",
+    )
+
+
 @register(
     "graph_assortativity",
     sql="""

@@ -76,6 +76,9 @@ BNLJ_ALLOWED = {
     "pipeline_train_eval": "broadcast per-label totals (n_langs rows, "
                            "fixed label domain) + single-row train "
                            "vocab size (the ml_naive_bayes shape)",
+    "ml_logreg_gd": "broadcast 1-row weight vector + corpus-count "
+                    "scalar per GD iteration; the other side is the "
+                    "value-domain stats grid (<= 561 combos)",
 }
 
 

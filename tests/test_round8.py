@@ -275,3 +275,66 @@ def test_runtime_bloom_filter_injects_at_scale_confs(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_logreg_gd_matches_python_trajectory(spark):
+    """ml_logreg_gd's quantized GD must walk the exact weight
+    trajectory a pure-Python re-derivation walks from the same rows
+    (micro-unit weights, rounded sigmoid, sign-aware truncating
+    update), and the training log-loss must not increase across the
+    three unrolled iterations."""
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .select(
+            F.when(F.col("l_returnflag") == "R", 1)
+            .otherwise(0)
+            .alias("y"),
+            F.round("l_quantity").cast("long").alias("x1"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        )
+        .collect()
+    )
+    stats: dict[tuple[int, int], list[int]] = {}
+    for r in rows:
+        c = stats.setdefault((r["x1"], r["x2"]), [0, 0])
+        c[0] += 1
+        c[1] += r["y"]
+    nt = sum(c[0] for c in stats.values())
+
+    def sdiv(a: int, b: int) -> int:
+        return a // b if a >= 0 else -((-a) // b)
+
+    def loss(w) -> float:
+        b0, b1, b2 = w
+        total = 0.0
+        for (x1, x2), (n, sy) in stats.items():
+            z = (b0 + b1 * x1 + b2 * x2) / 1e6
+            p = 1.0 / (1.0 + math.exp(-z))
+            p = min(max(p, 1e-12), 1 - 1e-12)
+            total += -(sy * math.log(p) + (n - sy) * math.log(1 - p))
+        return total / nt
+
+    w = (0, 0, 0)
+    losses = [loss(w)]
+    for _ in range(3):
+        g = [0, 0, 0]
+        for (x1, x2), (n, sy) in stats.items():
+            z = (w[0] + w[1] * x1 + w[2] * x2) / 1e6
+            pm = round(1e6 / (1.0 + math.exp(-z)))
+            r = n * pm - sy * 1000000
+            g[0] += r
+            g[1] += r * x1
+            g[2] += r * x2
+        w = tuple(w[j] - sdiv(g[j], 256 * nt) for j in range(3))
+        losses.append(loss(w))
+
+    got = {
+        r["term"]: (r["weight_micro"], r["n_rows"])
+        for r in load_all()["ml_logreg_gd"].spark(spark, SF_SMALL).collect()
+    }
+    assert got == {
+        "b0_intercept": (w[0], nt),
+        "b1_qty": (w[1], nt),
+        "b2_disc": (w[2], nt),
+    }
+    assert all(b <= a + 1e-12 for a, b in zip(losses, losses[1:])), losses
