@@ -2462,11 +2462,16 @@ def _SDIV_DUCK(num: str, den: str) -> str:
 
 def _logreg_oracle() -> str:
     """Unrolled 3-iteration GD twin of ml_logreg_gd (same quantized
-    arithmetic: micro-unit weights, per-combo rounded sigmoid,
-    sign-aware truncating update)."""
+    arithmetic: micro-unit weights, per-combo rounded rational
+    sigmoid, sign-aware truncating update)."""
+    # rational fast-sigmoid 0.5 + z / (2 (1 + |z|)): every step is an
+    # IEEE exact-rounded op (+ * / abs), so unlike exp() — where the
+    # JVM and libm are each allowed 1-ulp slack — the double is
+    # bit-identical in both engines by construction
+    z = "((w.b0 + w.b1 * st.x1 + w.b2 * st.x2) / 1000000.0)"
     pm = (
-        "CAST(ROUND(1000000.0 / (1.0 + exp(-((w.b0 + w.b1 * st.x1 "
-        "+ w.b2 * st.x2) / 1000000.0)))) AS BIGINT)"
+        f"CAST(ROUND(1000000.0 * (0.5 + {z} "
+        f"/ (2.0 * (1.0 + abs({z}))))) AS BIGINT)"
     )
     grad = f"""
         SELECT CAST(SUM(r) AS BIGINT) AS g0,
@@ -2476,9 +2481,9 @@ def _logreg_oracle() -> str:
                      st.n * {pm} - st.sy * 1000000 AS r
               FROM st, {{w}} w)"""
     step = f"""
-        SELECT w.b0 - ({_SDIV_DUCK('g.g0', '256 * tot.nt')}) AS b0,
-               w.b1 - ({_SDIV_DUCK('g.g1', '256 * tot.nt')}) AS b1,
-               w.b2 - ({_SDIV_DUCK('g.g2', '256 * tot.nt')}) AS b2
+        SELECT w.b0 - ({_SDIV_DUCK('g.g0', '4096 * tot.nt')}) AS b0,
+               w.b1 - ({_SDIV_DUCK('g.g1', '4096 * tot.nt')}) AS b1,
+               w.b2 - ({_SDIV_DUCK('g.g2', '4096 * tot.nt')}) AS b2
         FROM {{w}} w, {{g}} g, tot"""
     return f"""
     WITH li AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
@@ -2520,16 +2525,26 @@ def _logreg_oracle() -> str:
         "volume independent of corpus size), and all three unrolled "
         "GD iterations run on that bounded grid against a broadcast "
         "1-row weight vector. Determinism contract: weights live in "
-        "integer micro-units, the logistic p is quantized per combo "
-        "(round(1e6 * sigmoid(z)) with z an exact integer-ratio "
-        "double), gradients are exact integer sums, and the dyadic "
-        "learning-rate update (eta = 2^-8, mean gradient) is a "
+        "integer micro-units; the link is the rational fast-sigmoid "
+        "0.5 + z/(2(1+|z|)) — chosen over exp() because every one of "
+        "its ops (+ * / abs) is IEEE exact-rounded, so the double is "
+        "bit-identical across engines where exp() carries a 1-ulp "
+        "per-libm license; p is quantized per combo (round(1e6*p), "
+        "HALF_UP — both engines round positive ties away from zero); "
+        "gradients are exact integer sums; and the dyadic learning-"
+        "rate update (eta = 2^-12, inside the guaranteed-descent "
+        "regime for this link's curvature, mean gradient) is a "
         "sign-aware truncating division shared with the oracle — so "
-        "Spark and DuckDB walk bit-identical weight trajectories. "
-        "At 100 TB only the compaction touches the data; iteration "
-        "cost is O(domain), and more features widen the grid, not "
-        "the shuffle (bin continuous features first, the standard "
-        "large-scale GLM move).",
+        "Spark and DuckDB walk bit-identical weight trajectories, "
+        "pinned against a pure-Python re-derivation in tests. At "
+        "100 TB only the compaction touches the data; iteration cost "
+        "is O(domain), and more features widen the grid, not the "
+        "shuffle (bin continuous features first, the standard large-"
+        "scale GLM move). Int64 headroom: |sum(r*x1)| <= 5e7 * nt "
+        "caps nt at ~1.8e11 rows; beyond that, rescale pm to milli "
+        "or pre-divide r by the eta denominator per combo before "
+        "summing (same documented posture as ml_pca_power's Gram "
+        "rescale).",
 )
 def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
@@ -2546,9 +2561,10 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("y").cast("long").alias("sy"),
         )
-        .persist()  # one consumer per GD iteration (3 reads)
+        .persist()  # read twice: the nt total and the grid build
     )
     tot = st.agg(F.sum("n").cast("long").alias("nt"))
+    # grid is the hot input: one read per GD iteration (3 reads)
     grid = st.crossJoin(F.broadcast(tot)).persist()
 
     w = spark.range(1).select(
@@ -2562,9 +2578,10 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("b1") * F.col("x1")
             + F.col("b2") * F.col("x2")
         ).cast("double") / 1000000.0
-        pm = F.round(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-z))).cast(
-            "long"
-        )
+        # same op-for-op rational sigmoid as the oracle (see
+        # _logreg_oracle: exact-rounded IEEE ops only, no exp())
+        sig = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+        pm = F.round(F.lit(1000000.0) * sig).cast("long")
         r = F.col("n") * pm - F.col("sy") * F.lit(1000000)
         g = (
             grid.crossJoin(F.broadcast(w))
@@ -2589,13 +2606,13 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         w = g.select(
-            (F.col("b0") - F.expr(_SDIV("g0", "256 * nt")))
+            (F.col("b0") - F.expr(_SDIV("g0", "4096 * nt")))
             .cast("long")
             .alias("b0"),
-            (F.col("b1") - F.expr(_SDIV("g1", "256 * nt")))
+            (F.col("b1") - F.expr(_SDIV("g1", "4096 * nt")))
             .cast("long")
             .alias("b1"),
-            (F.col("b2") - F.expr(_SDIV("g2", "256 * nt")))
+            (F.col("b2") - F.expr(_SDIV("g2", "4096 * nt")))
             .cast("long")
             .alias("b2"),
         )

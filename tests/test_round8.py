@@ -280,9 +280,12 @@ def test_runtime_bloom_filter_injects_at_scale_confs(spark):
 def test_logreg_gd_matches_python_trajectory(spark):
     """ml_logreg_gd's quantized GD must walk the exact weight
     trajectory a pure-Python re-derivation walks from the same rows
-    (micro-unit weights, rounded sigmoid, sign-aware truncating
-    update), and the training log-loss must not increase across the
-    three unrolled iterations."""
+    (micro-unit weights, rational sigmoid rounded HALF_UP — the tie
+    rule Spark's BigDecimal round and DuckDB's away-from-zero round
+    share for positive values — sign-aware truncating update), and
+    the link's own convex loss must not increase across the three
+    unrolled iterations."""
+    from decimal import ROUND_HALF_UP, Decimal
     rows = (
         spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
         .select(
@@ -304,14 +307,24 @@ def test_logreg_gd_matches_python_trajectory(spark):
     def sdiv(a: int, b: int) -> int:
         return a // b if a >= 0 else -((-a) // b)
 
+    def round_half_up(x: float) -> int:
+        # Spark's ROUND on a double is HALF_UP over the shortest
+        # decimal repr (BigDecimal.valueOf); repr() is that repr
+        return int(
+            Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
     def loss(w) -> float:
+        # the antiderivative of the rational link's GD residual
+        # (dL/dz = sigma(z) - y): convex, so descent is well-defined
         b0, b1, b2 = w
         total = 0.0
         for (x1, x2), (n, sy) in stats.items():
             z = (b0 + b1 * x1 + b2 * x2) / 1e6
-            p = 1.0 / (1.0 + math.exp(-z))
-            p = min(max(p, 1e-12), 1 - 1e-12)
-            total += -(sy * math.log(p) + (n - sy) * math.log(1 - p))
+            prim = 0.5 * z + 0.5 * math.copysign(
+                abs(z) - math.log1p(abs(z)), z
+            )
+            total += n * prim - sy * z
         return total / nt
 
     w = (0, 0, 0)
@@ -320,12 +333,13 @@ def test_logreg_gd_matches_python_trajectory(spark):
         g = [0, 0, 0]
         for (x1, x2), (n, sy) in stats.items():
             z = (w[0] + w[1] * x1 + w[2] * x2) / 1e6
-            pm = round(1e6 / (1.0 + math.exp(-z)))
+            sig = 0.5 + z / (2.0 * (1.0 + abs(z)))
+            pm = round_half_up(1000000.0 * sig)
             r = n * pm - sy * 1000000
             g[0] += r
             g[1] += r * x1
             g[2] += r * x2
-        w = tuple(w[j] - sdiv(g[j], 256 * nt) for j in range(3))
+        w = tuple(w[j] - sdiv(g[j], 4096 * nt) for j in range(3))
         losses.append(loss(w))
 
     got = {
