@@ -5147,3 +5147,161 @@ def stream_checksum_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+def _holt_sql() -> str:
+    """WITH RECURSIVE twin of ev_forecast_holt: the identical
+    integer Holt recursion (micro-unit state, dyadic alpha=1/4 and
+    beta=1/8, sign-aware truncating divisions)."""
+    nl = (
+        "CASE WHEN (s.y * 1000000 + 3 * (r.l + r.b)) >= 0 "
+        "THEN (s.y * 1000000 + 3 * (r.l + r.b)) // 4 "
+        "ELSE -((-(s.y * 1000000 + 3 * (r.l + r.b))) // 4) END"
+    )
+    nb = (
+        f"CASE WHEN (({nl}) - r.l + 7 * r.b) >= 0 "
+        f"THEN (({nl}) - r.l + 7 * r.b) // 8 "
+        f"ELSE -((-(({nl}) - r.l + 7 * r.b)) // 8) END"
+    )
+    return f"""
+    WITH RECURSIVE d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+          FROM d GROUP BY 1),
+    grid AS (
+        SELECT event_type, d0,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM b),
+    ser AS (
+        SELECT g.event_type,
+               CAST(date_diff('day', g.d0, g.day) AS BIGINT) AS idx,
+               CAST(COALESCE(d.n, 0) AS BIGINT) AS y
+        FROM grid g
+        LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day),
+    rec AS (
+        SELECT event_type, idx, y * 1000000 AS l, CAST(0 AS BIGINT) AS b
+        FROM ser WHERE idx = 0
+        UNION ALL
+        SELECT s.event_type, s.idx,
+               CAST({nl} AS BIGINT) AS l,
+               CAST({nb} AS BIGINT) AS b
+        FROM rec r
+        JOIN ser s ON s.event_type = r.event_type AND s.idx = r.idx + 1),
+    fin AS (
+        SELECT r.event_type, r.l, r.b, r.idx + 1 AS n_days
+        FROM rec r
+        JOIN (SELECT event_type, MAX(idx) AS mi FROM rec GROUP BY 1) m
+          ON r.event_type = m.event_type AND r.idx = m.mi)
+    SELECT f.event_type,
+           CAST(h.h AS BIGINT) AS horizon,
+           CAST(f.l + h.h * f.b AS BIGINT) AS yhat_micro,
+           f.l AS level_micro,
+           f.b AS trend_micro,
+           CAST(f.n_days AS BIGINT) AS n_days
+    FROM fin f, UNNEST(range(1, 8)) h(h)
+    """
+
+
+@register(
+    "ev_forecast_holt",
+    sql=_holt_sql(),
+    doc="Holt linear-trend forecasting over per-type daily activity "
+        "— the capacity-planning / ingest-rate-projection step of a "
+        "pipeline dashboard: counts are gap-filled onto each type's "
+        "calendar grid (zero-activity days must decay the trend), "
+        "and the two-state Holt recursion (level + trend) runs in "
+        "exact integer micro-units with dyadic smoothing (alpha=1/4, "
+        "beta=1/8), so every update is one arithmetic-shift division "
+        "and the state trajectory is bit-identical in both engines — "
+        "the oracle walks the same recursion as a WITH RECURSIVE. "
+        "Emits a 7-day-ahead linear forecast per type. Scale shape: "
+        "the ONE full-data pass is the (type, day) hash aggregate "
+        "(map-side combined, shuffle carries the calendar grid, not "
+        "events); the sequential fold is over a series whose length "
+        "grows with CALENDAR TIME, not corpus size, and runs as a "
+        "JVM higher-order aggregate over the per-type sorted array "
+        "(O(days) per type, no Python). The forecast explode is "
+        "7 rows per type.",
+)
+def ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = d.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "event_type",
+        "d0",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    ser = grid.join(d, ["event_type", "day"], "left").select(
+        "event_type",
+        F.datediff("day", "d0").cast("long").alias("idx"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("y"),
+    )
+    arr = ser.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("idx", "y"))).alias("s")
+    )
+
+    zero = F.lit(0).cast("long")
+
+    def _sdiv_shift(num, bits):
+        # dyadic truncating division as an arithmetic shift on the
+        # non-negative magnitude (sign-aware, exact at any int64)
+        return F.when(num >= 0, F.shiftright(num, bits)).otherwise(
+            -F.shiftright(-num, bits)
+        )
+
+    def _step(acc, e):
+        y6 = e["y"] * F.lit(1000000).cast("long")
+        num_l = y6 + F.lit(3).cast("long") * (acc["l"] + acc["b"])
+        nl = _sdiv_shift(num_l, 2).cast("long")
+        num_b = (nl - acc["l"]) + F.lit(7).cast("long") * acc["b"]
+        nb = _sdiv_shift(num_b, 3).cast("long")
+        first = F.struct(
+            y6.alias("l"), zero.alias("b"),
+            F.lit(1).cast("long").alias("seen"),
+        )
+        rest = F.struct(
+            nl.alias("l"), nb.alias("b"),
+            (acc["seen"] + F.lit(1).cast("long")).alias("seen"),
+        )
+        return F.when(acc["seen"] == zero, first).otherwise(rest)
+
+    init = F.struct(zero.alias("l"), zero.alias("b"), zero.alias("seen"))
+    st = arr.select(
+        "event_type",
+        F.size("s").cast("long").alias("n_days"),
+        F.aggregate("s", init, _step).alias("st"),
+    )
+    return st.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h"),
+        F.col("st.l").alias("level_micro"),
+        F.col("st.b").alias("trend_micro"),
+        "n_days",
+    ).select(
+        "event_type",
+        F.col("h").cast("long").alias("horizon"),
+        "level_micro",
+        "trend_micro",
+        "n_days",
+    ).select(
+        "event_type",
+        "horizon",
+        (F.col("level_micro") + F.col("horizon") * F.col("trend_micro"))
+        .cast("long")
+        .alias("yhat_micro"),
+        "level_micro",
+        "trend_micro",
+        "n_days",
+    )

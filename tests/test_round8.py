@@ -352,3 +352,52 @@ def test_logreg_gd_matches_python_trajectory(spark):
         "b2_disc": (w[2], nt),
     }
     assert all(b <= a + 1e-12 for a, b in zip(losses, losses[1:])), losses
+
+
+def test_holt_fold_matches_python_recursion(spark):
+    """ev_forecast_holt's JVM higher-order fold must walk the exact
+    integer Holt trajectory (micro state, dyadic alpha=1/4 beta=1/8,
+    sign-aware truncating shifts) a pure-Python recursion walks over
+    the same gap-filled daily series, including zero-filled gap days."""
+    from datetime import timedelta
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series: dict[str, dict] = {}
+    for r in rows:
+        series.setdefault(r["event_type"], {})[r["day"]] = r["n"]
+
+    def sdiv(a: int, bits: int) -> int:
+        return a >> bits if a >= 0 else -((-a) >> bits)
+
+    want = {}
+    for et, days in series.items():
+        d0, d1 = min(days), max(days)
+        n_days = (d1 - d0).days + 1
+        ys = [
+            days.get(d0 + timedelta(days=i), 0) for i in range(n_days)
+        ]
+        l, b = ys[0] * 1000000, 0
+        for y in ys[1:]:
+            nl = sdiv(y * 1000000 + 3 * (l + b), 2)
+            b = sdiv((nl - l) + 7 * b, 3)
+            l = nl
+        for h in range(1, 8):
+            want[(et, h)] = (l + h * b, l, b, n_days)
+
+    got = {
+        (r["event_type"], r["horizon"]): (
+            r["yhat_micro"],
+            r["level_micro"],
+            r["trend_micro"],
+            r["n_days"],
+        )
+        for r in load_all()["ev_forecast_holt"]
+        .spark(spark, SF_SMALL)
+        .collect()
+    }
+    assert got == want and len(got) > 0
