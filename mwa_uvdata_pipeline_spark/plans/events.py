@@ -5152,22 +5152,20 @@ def stream_checksum_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _holt_sql() -> str:
     """WITH RECURSIVE twin of ev_forecast_holt: the identical
     integer Holt recursion (micro-unit state, dyadic alpha=1/4 and
-    beta=1/8, sign-aware truncating divisions)."""
-    nl = (
-        "CASE WHEN (s.y * 1000000 + 3 * (r.l + r.b)) >= 0 "
-        "THEN (s.y * 1000000 + 3 * (r.l + r.b)) // 4 "
-        "ELSE -((-(s.y * 1000000 + 3 * (r.l + r.b))) // 4) END"
-    )
-    nb = (
-        f"CASE WHEN (({nl}) - r.l + 7 * r.b) >= 0 "
-        f"THEN (({nl}) - r.l + 7 * r.b) // 8 "
-        f"ELSE -((-(({nl}) - r.l + 7 * r.b)) // 8) END"
-    )
+    beta=1/8, sign-aware truncating divisions via the shared
+    _SDIV_DUCK helper). NULL event_type is filtered explicitly in
+    both engines: Spark's groupBy would keep a NULL group whose
+    non-null-safe grid join zeroes it, while SQL's equi-joins drop
+    it — filtering pins one shared semantic."""
+    from mwa_uvdata_pipeline_spark.plans.tpch import _SDIV_DUCK
+
+    nl = _SDIV_DUCK("(s.y * 1000000 + 3 * (r.l + r.b))", "4")
+    nb = _SDIV_DUCK(f"(({nl}) - r.l + 7 * r.b)", "8")
     return f"""
     WITH RECURSIVE d AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
                CAST(COUNT(*) AS BIGINT) AS n
-        FROM events GROUP BY 1, 2),
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
     b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
           FROM d GROUP BY 1),
     grid AS (
@@ -5230,7 +5228,10 @@ def _holt_sql() -> str:
 )
 def ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    d = ev.groupBy(
+    # NULL series keys are dropped explicitly (shared with the
+    # oracle): groupBy would keep a NULL group here, but the grid
+    # equi-join below is not null-safe and would zero its counts
+    d = ev.where(F.col("event_type").isNotNull()).groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     bounds = d.groupBy("event_type").agg(
@@ -5255,8 +5256,9 @@ def ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("long")
 
     def _sdiv_shift(num, bits):
-        # dyadic truncating division as an arithmetic shift on the
-        # non-negative magnitude (sign-aware, exact at any int64)
+        # the plans.tpch._SDIV truncation convention, realized as a
+        # shift on the non-negative magnitude because the dyadic
+        # denominators are powers of two (exact at any int64)
         return F.when(num >= 0, F.shiftright(num, bits)).otherwise(
             -F.shiftright(-num, bits)
         )

@@ -361,43 +361,108 @@ def test_holt_fold_matches_python_recursion(spark):
     the same gap-filled daily series, including zero-filled gap days."""
     from datetime import timedelta
 
+    def sdiv(a: int, bits: int) -> int:
+        # the plans.tpch._SDIV truncation convention as Python shifts
+        return a >> bits if a >= 0 else -((-a) >> bits)
+
+    def holt_want(rows) -> dict:
+        series: dict[str, dict] = {}
+        for r in rows:
+            if r["event_type"] is None:
+                continue  # NULL keys are filtered by plan AND oracle
+            series.setdefault(r["event_type"], {})[r["day"]] = r["n"]
+        want = {}
+        for et, days in series.items():
+            d0, d1 = min(days), max(days)
+            n_days = (d1 - d0).days + 1
+            ys = [
+                days.get(d0 + timedelta(days=i), 0)
+                for i in range(n_days)
+            ]
+            l, b = ys[0] * 1000000, 0
+            for y in ys[1:]:
+                nl = sdiv(y * 1000000 + 3 * (l + b), 2)
+                b = sdiv((nl - l) + 7 * b, 3)
+                l = nl
+            for h in range(1, 8):
+                want[(et, h)] = (l + h * b, l, b, n_days)
+        return want
+
+    def holt_got(sf_dir: str) -> dict:
+        return {
+            (r["event_type"], r["horizon"]): (
+                r["yhat_micro"],
+                r["level_micro"],
+                r["trend_micro"],
+                r["n_days"],
+            )
+            for r in load_all()["ev_forecast_holt"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+
     rows = (
         spark.read.parquet(f"{SF_SMALL}/events.parquet")
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    series: dict[str, dict] = {}
-    for r in rows:
-        series.setdefault(r["event_type"], {})[r["day"]] = r["n"]
+    got = holt_got(SF_SMALL)
+    assert got == holt_want(rows) and len(got) > 0
+
+
+def test_holt_gap_days_and_null_series_key(spark, tmp_path):
+    """The fixture corpus has no zero-activity days, so this synthetic
+    table exercises the entry's headline property directly: gap days
+    are zero-filled (decaying the trend), and NULL event_type rows are
+    dropped entirely rather than forming a zeroed phantom series (the
+    non-null-safe grid join would zero a kept NULL group in Spark
+    while SQL equi-joins drop it — the filter pins one semantic)."""
+    import datetime
+
+    rows = []
+    eid = 0
+    # 'burst': active days 1,2 then a 3-day gap, one event on day 6
+    for day, n in [(1, 8), (2, 6), (6, 1)]:
+        for _ in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 3, day), eid, "burst",
+                 1.0, "{}")
+            )
+            eid += 1
+    # NULL series key spanning 3 days — must not appear in the output
+    for day in (1, 2, 3):
+        rows.append(
+            (eid, datetime.datetime(2024, 3, day), eid, None, 1.0, "{}")
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "gappy")
+    df.write.parquet(f"{d}/events.parquet")
+
+    out = load_all()["ev_forecast_holt"].spark(spark, d).collect()
+    assert {r["event_type"] for r in out} == {"burst"}
+    by_h = {r["horizon"]: r for r in out}
+    assert set(by_h) == set(range(1, 8))
+    assert by_h[1]["n_days"] == 6  # gap days are on the grid
 
     def sdiv(a: int, bits: int) -> int:
         return a >> bits if a >= 0 else -((-a) >> bits)
 
-    want = {}
-    for et, days in series.items():
-        d0, d1 = min(days), max(days)
-        n_days = (d1 - d0).days + 1
-        ys = [
-            days.get(d0 + timedelta(days=i), 0) for i in range(n_days)
-        ]
-        l, b = ys[0] * 1000000, 0
-        for y in ys[1:]:
-            nl = sdiv(y * 1000000 + 3 * (l + b), 2)
-            b = sdiv((nl - l) + 7 * b, 3)
-            l = nl
-        for h in range(1, 8):
-            want[(et, h)] = (l + h * b, l, b, n_days)
-
-    got = {
-        (r["event_type"], r["horizon"]): (
-            r["yhat_micro"],
-            r["level_micro"],
-            r["trend_micro"],
-            r["n_days"],
+    l, b = 8 * 1000000, 0
+    for y in (6, 0, 0, 0, 1):
+        nl = sdiv(y * 1000000 + 3 * (l + b), 2)
+        b = sdiv((nl - l) + 7 * b, 3)
+        l = nl
+    assert b < 0  # the zero-filled gap drags the trend negative
+    for h in range(1, 8):
+        r = by_h[h]
+        assert (r["yhat_micro"], r["level_micro"], r["trend_micro"]) == (
+            l + h * b,
+            l,
+            b,
         )
-        for r in load_all()["ev_forecast_holt"]
-        .spark(spark, SF_SMALL)
-        .collect()
-    }
-    assert got == want and len(got) > 0
