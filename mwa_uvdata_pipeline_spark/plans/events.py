@@ -5207,6 +5207,7 @@ def _holt_sql() -> str:
 
 @register(
     "ev_forecast_holt",
+    bench=True,
     sql=_holt_sql(),
     doc="Holt linear-trend forecasting over per-type daily activity "
         "— the capacity-planning / ingest-rate-projection step of a "

@@ -2514,6 +2514,7 @@ def _logreg_oracle() -> str:
 
 @register(
     "ml_logreg_gd",
+    bench=True,
     sql=_logreg_oracle(),
     doc="Distributed logistic regression by batch gradient descent — "
         "the quality-classifier trainer of an LLM curation pipeline "
