@@ -5308,3 +5308,188 @@ def ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend_micro",
         "n_days",
     )
+
+
+def _cusum_sql() -> str:
+    """WITH RECURSIVE twin of ev_changepoint_cusum: the identical
+    two-sided integer CUSUM recursion (micro-unit deviations from the
+    per-type series mean, slack k = mu/4, decision interval h = 4*mu,
+    truncating divisions via the shared _SDIV_DUCK). Shares the Holt
+    entry's gap-filled calendar grid so zero-activity days pull the
+    negative CUSUM exactly as in the Spark fold."""
+    from mwa_uvdata_pipeline_spark.plans.tpch import _SDIV_DUCK
+
+    mu = _SDIV_DUCK("SUM(y) * 1000000", "COUNT(*)")
+    dev = "(s.y * 1000000 - m.mu)"
+    sp = f"GREATEST(0, r.sp + ({dev}) - m.k)"
+    sn = f"GREATEST(0, r.sn - ({dev}) - m.k)"
+    alarm = f"(({sp}) > m.h OR ({sn}) > m.h)"
+    return f"""
+    WITH RECURSIVE d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+    b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+          FROM d GROUP BY 1),
+    grid AS (
+        SELECT event_type, d0,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM b),
+    ser AS (
+        SELECT g.event_type,
+               CAST(date_diff('day', g.d0, g.day) AS BIGINT) AS idx,
+               CAST(COALESCE(d.n, 0) AS BIGINT) AS y
+        FROM grid g
+        LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day),
+    m0 AS (SELECT event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n_days,
+                  CAST({mu} AS BIGINT) AS mu
+           FROM ser GROUP BY 1),
+    m AS (SELECT event_type, n_days, mu,
+                 CAST(mu // 4 AS BIGINT) AS k,
+                 CAST(4 * mu AS BIGINT) AS h
+          FROM m0),
+    rec AS (
+        SELECT event_type, CAST(-1 AS BIGINT) AS idx,
+               CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+               CAST(0 AS BIGINT) AS maxp, CAST(0 AS BIGINT) AS maxn,
+               CAST(-1 AS BIGINT) AS first_alarm,
+               CAST(0 AS BIGINT) AS n_alarms
+        FROM m
+        UNION ALL
+        SELECT s.event_type, s.idx,
+               CAST({sp} AS BIGINT) AS sp,
+               CAST({sn} AS BIGINT) AS sn,
+               CAST(GREATEST(r.maxp, {sp}) AS BIGINT) AS maxp,
+               CAST(GREATEST(r.maxn, {sn}) AS BIGINT) AS maxn,
+               CAST(CASE WHEN r.first_alarm >= 0 THEN r.first_alarm
+                         WHEN {alarm} THEN s.idx
+                         ELSE -1 END AS BIGINT) AS first_alarm,
+               CAST(r.n_alarms + CASE WHEN {alarm} THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_alarms
+        FROM rec r
+        JOIN ser s ON s.event_type = r.event_type AND s.idx = r.idx + 1
+        JOIN m ON m.event_type = r.event_type),
+    fin AS (
+        SELECT r.*
+        FROM rec r
+        JOIN (SELECT event_type, MAX(idx) AS mi FROM rec GROUP BY 1) x
+          ON r.event_type = x.event_type AND r.idx = x.mi)
+    SELECT f.event_type,
+           m.n_days,
+           m.mu AS mean_micro,
+           f.maxp AS max_cusum_pos,
+           f.maxn AS max_cusum_neg,
+           f.first_alarm AS first_alarm_idx,
+           f.n_alarms AS n_alarm_days
+    FROM fin f JOIN m ON f.event_type = m.event_type
+    """
+
+
+@register(
+    "ev_changepoint_cusum",
+    sql=_cusum_sql(),
+    doc="Two-sided CUSUM changepoint detection over per-type daily "
+        "activity — the drift monitor a 100-TB ingest pipeline runs "
+        "on its own arrival rates (did a source silently double or "
+        "go dark mid-month?): daily counts are gap-filled onto each "
+        "type's calendar grid (a dark day must pull the negative "
+        "CUSUM), deviations from the per-type series mean accumulate "
+        "in exact integer micro-units with slack k = mu/4, and a "
+        "decision interval h = 4*mu flags alarm days; the fold "
+        "tracks both one-sided statistics, their maxima, the first "
+        "alarm day and the alarm-day count. Every update is integer "
+        "add/compare, so the state trajectory is bit-identical to "
+        "the oracle's WITH RECURSIVE walk. Scale shape: the ONE "
+        "full-data pass is the (type, day) hash aggregate (map-side "
+        "combined); the sequential fold runs as a JVM higher-order "
+        "aggregate over the per-type sorted day array, O(days) per "
+        "type — series length grows with CALENDAR TIME, not corpus "
+        "size, exactly like ev_forecast_holt.",
+)
+def ev_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # NULL series keys dropped explicitly, shared with the oracle
+    # (same rationale as ev_forecast_holt: the grid equi-join is not
+    # null-safe and would zero a NULL group's counts)
+    d = ev.where(F.col("event_type").isNotNull()).groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = d.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "event_type",
+        "d0",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    ser = grid.join(d, ["event_type", "day"], "left").select(
+        "event_type",
+        F.datediff("day", "d0").cast("long").alias("idx"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("y"),
+    )
+    agg = ser.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("idx", "y"))).alias("s"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    base = (
+        agg.withColumn(
+            "mu", F.expr("CAST(sum_y * 1000000 div n_days AS BIGINT)")
+        )
+        .withColumn("k", F.expr("CAST(mu div 4 AS BIGINT)"))
+        .withColumn("h", (F.lit(4).cast("long") * F.col("mu")))
+    )
+
+    zero = F.lit(0).cast("long")
+    neg1 = F.lit(-1).cast("long")
+
+    def _step(acc, e):
+        dev = e["y"] * F.lit(1000000).cast("long") - F.col("mu")
+        sp = F.greatest(zero, acc["sp"] + dev - F.col("k"))
+        sn = F.greatest(zero, acc["sn"] - dev - F.col("k"))
+        alarm = (sp > F.col("h")) | (sn > F.col("h"))
+        return F.struct(
+            sp.alias("sp"),
+            sn.alias("sn"),
+            F.greatest(acc["maxp"], sp).alias("maxp"),
+            F.greatest(acc["maxn"], sn).alias("maxn"),
+            F.when(acc["first"] >= 0, acc["first"])
+            .when(alarm, e["idx"])
+            .otherwise(neg1)
+            .cast("long")
+            .alias("first"),
+            (
+                acc["n_al"]
+                + F.when(alarm, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            ).alias("n_al"),
+        )
+
+    init = F.struct(
+        zero.alias("sp"),
+        zero.alias("sn"),
+        zero.alias("maxp"),
+        zero.alias("maxn"),
+        neg1.alias("first"),
+        zero.alias("n_al"),
+    )
+    st = base.select(
+        "event_type",
+        "n_days",
+        F.col("mu").alias("mean_micro"),
+        F.aggregate("s", init, _step).alias("st"),
+    )
+    return st.select(
+        "event_type",
+        "n_days",
+        "mean_micro",
+        F.col("st.maxp").alias("max_cusum_pos"),
+        F.col("st.maxn").alias("max_cusum_neg"),
+        F.col("st.first").alias("first_alarm_idx"),
+        F.col("st.n_al").alias("n_alarm_days"),
+    )

@@ -466,3 +466,95 @@ def test_holt_gap_days_and_null_series_key(spark, tmp_path):
             l,
             b,
         )
+
+
+def test_cusum_fold_matches_python_recursion(spark):
+    """ev_changepoint_cusum's JVM fold must walk the exact two-sided
+    integer CUSUM trajectory (micro deviations, k = mu/4, h = 4*mu,
+    truncating integer mean) a pure-Python recursion walks over the
+    same gap-filled daily series."""
+    from datetime import timedelta
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series: dict[str, dict] = {}
+    for r in rows:
+        if r["event_type"] is None:
+            continue
+        series.setdefault(r["event_type"], {})[r["day"]] = r["n"]
+    want = {}
+    for et, days in series.items():
+        d0, d1 = min(days), max(days)
+        n_days = (d1 - d0).days + 1
+        ys = [days.get(d0 + timedelta(days=i), 0) for i in range(n_days)]
+        mu = (sum(ys) * 1000000) // n_days  # non-negative: // == trunc
+        k, h = mu // 4, 4 * mu
+        sp = sn = maxp = maxn = n_al = 0
+        first = -1
+        for idx, y in enumerate(ys):
+            dev = y * 1000000 - mu
+            sp = max(0, sp + dev - k)
+            sn = max(0, sn - dev - k)
+            maxp, maxn = max(maxp, sp), max(maxn, sn)
+            if sp > h or sn > h:
+                n_al += 1
+                if first < 0:
+                    first = idx
+        want[et] = (n_days, mu, maxp, maxn, first, n_al)
+
+    got = {
+        r["event_type"]: (
+            r["n_days"],
+            r["mean_micro"],
+            r["max_cusum_pos"],
+            r["max_cusum_neg"],
+            r["first_alarm_idx"],
+            r["n_alarm_days"],
+        )
+        for r in load_all()["ev_changepoint_cusum"]
+        .spark(spark, SF_SMALL)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_cusum_detects_level_shift(spark, tmp_path):
+    """The fixture corpus is rate-stationary (no alarms), so this
+    synthetic series — 10 days at 4/day then 10 days at 36/day —
+    exercises the alarm machinery directly: the low regime drives the
+    negative CUSUM over h, the shifted regime drives the positive
+    side over h, and first_alarm_idx lands in the low regime."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for idx in range(20):
+        n = 4 if idx < 10 else 36
+        for _ in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 3, 1 + idx), eid,
+                 "shift", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "shifted")
+    df.write.parquet(f"{d}/events.parquet")
+
+    out = load_all()["ev_changepoint_cusum"].spark(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    # mu = 20M, k = 5M, h = 80M; low days push sn by 11M/day (alarm
+    # from idx 7), shifted days push sp by 11M/day (alarm from idx 17)
+    assert r["n_days"] == 20 and r["mean_micro"] == 20_000_000
+    assert r["max_cusum_pos"] > 80_000_000
+    assert r["max_cusum_neg"] > 80_000_000
+    assert r["first_alarm_idx"] == 7
+    assert r["n_alarm_days"] > 0
