@@ -6610,3 +6610,155 @@ def m_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return decode_scene_cuts(table(spark, sf_dir, "documents"))
+
+
+def _sql_mrr_keyed() -> str:
+    """IDs-only keyed projection per hash table at the 4x4 floor
+    instantiation (DuckDB arrays 1-indexed), shared layout with
+    _sql_emb_lsh_keyed but without the vector payload."""
+    selects = []
+    for t in range(_EMB_LSH_TABLES):
+        bits = " + ".join(
+            f"CAST(embedding[{t * _EMB_LSH_BITS + j + 1}] > 0 AS INT) * {1 << j}"
+            for j in range(_EMB_LSH_BITS)
+        )
+        selects.append(f"SELECT vec_id, {t} AS t, {bits} AS k FROM n")
+    return "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "sim_mrr_eval",
+    sql=f"""
+    WITH n AS (
+        SELECT vec_id, label, embedding,
+               sqrt({_SQL_DOT.format(a="embedding", b="embedding")}) AS nrm
+        FROM embeddings),
+    keyed AS ({{keyed}}),
+    cand AS (
+        SELECT DISTINCT a.vec_id, b.vec_id AS nn_id
+        FROM keyed a JOIN keyed b
+          ON a.t = b.t AND a.k = b.k AND a.vec_id <> b.vec_id
+        WHERE a.vec_id % 10 = 0),
+    p AS (
+        SELECT c.vec_id, c.nn_id, q.label AS qlab, v.label AS vlab,
+               ROUND({_SQL_DOT.format(a="q.embedding", b="v.embedding")}
+                     / (q.nrm * v.nrm), 6) AS cos_sim
+        FROM cand c
+        JOIN n q ON c.vec_id = q.vec_id
+        JOIN n v ON c.nn_id = v.vec_id),
+    t10 AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cos_sim DESC, nn_id)
+                          AS rk
+            FROM p)
+        WHERE rk <= 10),
+    fr AS (
+        SELECT vec_id,
+               MIN(CASE WHEN vlab = qlab THEN rk END) AS frk,
+               SUM(CASE WHEN vlab = qlab THEN 1 ELSE 0 END) AS nrel
+        FROM t10 GROUP BY vec_id),
+    qs AS (SELECT vec_id FROM n WHERE vec_id % 10 = 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(fr.frk) AS BIGINT) AS hits_at10,
+           CAST(COALESCE(SUM(2520 // fr.frk), 0) AS BIGINT)
+               AS mrr_x2520_sum,
+           CAST(COALESCE(SUM(fr.nrel), 0) AS BIGINT) AS rel_in_top10
+    FROM qs LEFT JOIN fr ON qs.vec_id = fr.vec_id
+    """.replace("{keyed}", _sql_mrr_keyed()),
+    doc="Retrieval-quality evaluation in EXACT integers — the "
+        "recall/MRR audit a training-data pipeline runs over its own "
+        "ANN index before trusting it for hard-negative mining: a "
+        "deterministic 10% query subset (vec_id % 10 = 0) retrieves "
+        "top-10 neighbors from the full corpus through the SAME "
+        "global sign-LSH machinery as dedup_embedding_cosine "
+        "(adaptive bits/tables, IDs-only candidate join, exact "
+        "cosine re-rank with the deterministic (cos DESC, nn_id) "
+        "tiebreak), relevance = same label, and the metrics are "
+        "integer-exact: MRR@10 is summed in 1/2520 units (2520 = "
+        "lcm(1..10), so 2520/rank is an integer for every rank), "
+        "hits@10 counts first-relevant hits, rel_in_top10 the "
+        "precision numerator. Queries whose buckets yield no "
+        "candidates still count in n_queries (left join), so the "
+        "metric penalizes LSH misses exactly like a production "
+        "recall audit. Scale shape: candidate volume is "
+        "~T*N*bucket_target (the adaptive schedules hold bucket "
+        "width constant); everything downstream is top-10-bounded "
+        "per query; one row out.",
+)
+def sim_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    bits = _emb_lsh_bits(_emb_stats(spark, sf_dir)[0])
+    n_tables = _lsh_tables(bits)
+    n = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    keyed = n.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _emb_lsh_key(F.col("embedding"), t, bits).alias("k"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tk"),
+    ).select("vec_id", F.col("tk.t").alias("t"), F.col("tk.k").alias("k"))
+    qk = keyed.where(F.col("vec_id") % 10 == 0)
+    cand = (
+        qk.alias("ca")
+        .join(
+            keyed.alias("cb"),
+            (F.col("ca.t") == F.col("cb.t"))
+            & (F.col("ca.k") == F.col("cb.k"))
+            & (F.col("ca.vec_id") != F.col("cb.vec_id")),
+        )
+        .select(
+            F.col("ca.vec_id").alias("vec_id"),
+            F.col("cb.vec_id").alias("nn_id"),
+        )
+        .distinct()
+    )
+    q = n.select(
+        "vec_id",
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    v = n.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("label").alias("vlab"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("vn"),
+    )
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("vn")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
+    t10 = (
+        cand.join(q, "vec_id")
+        .join(v, "nn_id")
+        .select("vec_id", "nn_id", "qlab", "vlab", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+    )
+    rel = F.col("vlab") == F.col("qlab")
+    fr = t10.groupBy("vec_id").agg(
+        F.min(F.when(rel, F.col("rk"))).alias("frk"),
+        F.sum(F.when(rel, F.lit(1)).otherwise(F.lit(0))).alias("nrel"),
+    )
+    qs = n.where(F.col("vec_id") % 10 == 0).select("vec_id")
+    return qs.join(fr, "vec_id", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.count("frk").cast("long").alias("hits_at10"),
+        F.coalesce(
+            F.sum(F.expr("CAST(2520 div frk AS BIGINT)")), F.lit(0)
+        )
+        .cast("long")
+        .alias("mrr_x2520_sum"),
+        F.coalesce(F.sum("nrel"), F.lit(0)).cast("long").alias("rel_in_top10"),
+    )

@@ -558,3 +558,77 @@ def test_cusum_detects_level_shift(spark, tmp_path):
     assert r["max_cusum_neg"] > 80_000_000
     assert r["first_alarm_idx"] == 7
     assert r["n_alarm_days"] > 0
+
+
+def test_mrr_eval_matches_python_rederivation(spark):
+    """sim_mrr_eval's metric tuple must equal a from-scratch Python
+    re-derivation of the same semantics over the same corpus: sign-LSH
+    candidate generation at the adaptive widths, exact left-to-right
+    float dot, round(6), (cos DESC, nn_id) ranking, first-relevant
+    rank folded into 1/2520 MRR units."""
+    from mwa_uvdata_pipeline_spark.plans.text import (
+        _emb_lsh_bits,
+        _emb_stats,
+        _lsh_tables,
+    )
+
+    rows = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: (r["label"], [float(x) for x in r["embedding"]])
+            for r in rows}
+    bits = _emb_lsh_bits(_emb_stats(spark, SF_SMALL)[0])
+    n_tables = _lsh_tables(bits)
+
+    def keys(e):
+        out = []
+        for t in range(n_tables):
+            k = 0
+            for j in range(bits):
+                if e[(t * bits + j) % 64] > 0:
+                    k += 1 << j
+            out.append((t, k))
+        return out
+
+    buckets: dict = {}
+    for vid, (_, e) in vecs.items():
+        for tk in keys(e):
+            buckets.setdefault(tk, []).append(vid)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    nrm = {vid: dot(e, e) ** 0.5 for vid, (_, e) in vecs.items()}
+    n_q = hits = mrr = rel_tot = 0
+    for vid, (qlab, qe) in vecs.items():
+        if vid % 10 != 0:
+            continue
+        n_q += 1
+        cand = set()
+        for tk in keys(qe):
+            cand.update(buckets.get(tk, ()))
+        cand.discard(vid)
+        ranked = sorted(
+            (
+                (-round(dot(qe, vecs[c][1]) / (nrm[vid] * nrm[c]), 6), c)
+                for c in cand
+            )
+        )[:10]
+        frk = None
+        for rk, (_, c) in enumerate(ranked, 1):
+            if vecs[c][0] == qlab:
+                rel_tot += 1
+                if frk is None:
+                    frk = rk
+        if frk is not None:
+            hits += 1
+            mrr += 2520 // frk
+    got = load_all()["sim_mrr_eval"].spark(spark, SF_SMALL).collect()[0]
+    assert (
+        got["n_queries"],
+        got["hits_at10"],
+        got["mrr_x2520_sum"],
+        got["rel_in_top10"],
+    ) == (n_q, hits, mrr, rel_tot)
+    assert n_q > 0 and hits > 0
