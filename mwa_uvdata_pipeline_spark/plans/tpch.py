@@ -3109,3 +3109,235 @@ def j12_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("total_qty"),
         )
     )
+
+
+_ADA_SCALE = 1 << 20  # weight renormalization target per round
+
+
+def _adaboost_oracle() -> str:
+    """Unrolled 3-round twin of ml_adaboost_stumps: identical integer
+    weight trajectory (renormalize to _ADA_SCALE by truncating
+    division, integer reweight by the weighted-error split, all
+    operands non-negative so plain // == the Spark `div`)."""
+    S = _ADA_SCALE
+    parts = [f"""
+    WITH f AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+                      CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+               FROM lineitem),
+    w1 AS MATERIALIZED (SELECT x1, x2, y, CAST(COUNT(*) AS BIGINT) AS w
+           FROM f GROUP BY x1, x2, y)"""]
+    for r in (1, 2, 3):
+        parts.append(f""",
+    tot{r} AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM w{r}),
+    wn{r} AS MATERIALIZED (SELECT c.x1, c.x2, c.y,
+                     CAST(c.w * {S} // t.wt AS BIGINT) AS w
+              FROM w{r} c, tot{r} t),
+    tn{r} AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS wn FROM wn{r}),
+    vals{r} AS MATERIALIZED (
+        SELECT 'qty' AS feature, x1 AS v,
+               CAST(SUM(CASE WHEN y = 1 THEN w ELSE 0 END) AS BIGINT)
+                   AS a,
+               CAST(SUM(CASE WHEN y = 0 THEN w ELSE 0 END) AS BIGINT)
+                   AS b
+        FROM wn{r} GROUP BY x1
+        UNION ALL
+        SELECT 'disc', x2,
+               CAST(SUM(CASE WHEN y = 1 THEN w ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN y = 0 THEN w ELSE 0 END) AS BIGINT)
+        FROM wn{r} GROUP BY x2),
+    cum{r} AS MATERIALIZED (
+        SELECT feature, v,
+               SUM(a) OVER (PARTITION BY feature ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS al,
+               SUM(b) OVER (PARTITION BY feature ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS bl,
+               SUM(a) OVER (PARTITION BY feature) AS wa,
+               SUM(b) OVER (PARTITION BY feature) AS wb
+        FROM vals{r}),
+    errs{r} AS MATERIALIZED (
+        SELECT feature, v AS threshold, CAST(1 AS BIGINT) AS pol,
+               CAST(bl + (wa - al) AS BIGINT) AS e
+        FROM cum{r}
+        UNION ALL
+        SELECT feature, v, CAST(-1 AS BIGINT),
+               CAST(al + (wb - bl) AS BIGINT)
+        FROM cum{r}),
+    best{r} AS MATERIALIZED (
+        SELECT feature, threshold, pol, e
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY e, feature,
+                                           threshold, pol) AS rn
+              FROM errs{r})
+        WHERE rn = 1)""")
+        if r < 3:
+            parts.append(f""",
+    w{r + 1} AS MATERIALIZED (
+        SELECT c.x1, c.x2, c.y,
+               CAST(CASE
+                    WHEN b.e <= 0 OR b.e >= t.wn THEN c.w
+                    WHEN (CASE WHEN (CASE WHEN b.feature = 'qty'
+                                          THEN c.x1 ELSE c.x2 END)
+                                        <= b.threshold
+                               THEN b.pol ELSE -b.pol END)
+                             <> 2 * c.y - 1
+                         THEN c.w * (t.wn - b.e)
+                    ELSE c.w * b.e END AS BIGINT) AS w
+        FROM wn{r} c, best{r} b, tn{r} t)""")
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round, b.feature,
+               CAST(b.threshold AS BIGINT) AS threshold,
+               b.pol AS polarity,
+               CAST(b.e * 1000000 // t.wn AS BIGINT) AS err_micro,
+               t.wn AS w_total
+        FROM best{r} b, tn{r} t"""
+        for r in (1, 2, 3)
+    )
+    return "".join(parts) + "\n" + rows
+
+
+@register(
+    "ml_adaboost_stumps",
+    sql=_adaboost_oracle(),
+    doc="AdaBoost over decision stumps as relational dataflow — the "
+        "boosted-ensemble trainer (3 unrolled rounds, both split "
+        "polarities) on the same returned-items task as "
+        "ml_decision_stump, with the discrete-AdaBoost reweighting "
+        "run in EXACT integers: per-round the (x1, x2, y) cell "
+        "weights are renormalized to a 2^20 total by truncating "
+        "division, the best (feature, threshold, polarity) stump is "
+        "picked by minimum integer weighted error over the value-"
+        "domain cumulative tables (deterministic (e, feature, "
+        "threshold, polarity) tiebreak), and misclassified cells are "
+        "multiplied by (W - E) while correct cells get E — the exact "
+        "rational (1-eps)/eps reweight cleared of denominators, so "
+        "no exp()/ln() ever enters and both engines walk the same "
+        "quantized weight trajectory (the oracle unrolls the "
+        "identical 3 rounds as CTEs). Degenerate stumps (E = 0 or "
+        "E = W) skip the reweight in both engines. Scale shape: the "
+        "ONE full-data pass is the (x1, x2, y) grid compaction "
+        "(<= 1122 cells, map-side combined, shuffle independent of "
+        "corpus size — the ml_logreg_gd posture); every round is "
+        "O(domain) work over broadcast 1-row stats. Int64 headroom: "
+        "renormalized weights are <= 2^20, so reweight products are "
+        "<= 2^41 and the next round's w * 2^20 is <= 2^61; the "
+        "round-1 compaction needs cell counts below 2^43 (~8.8e12 "
+        "rows per cell) before pre-scaling is required. Emits one "
+        "row per round: the stump, its weighted error in micro-units "
+        "and the round's weight total.",
+)
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    S = _ADA_SCALE
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+    w = (
+        li.groupBy("x1", "x2", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .persist()  # the ONE full-data compaction; rounds reuse it
+    )
+    outs = []
+    for r in (1, 2, 3):
+        tot = w.agg(F.sum("w").cast("long").alias("wt"))
+        wn_df = (
+            w.crossJoin(F.broadcast(tot))
+            .select(
+                "x1",
+                "x2",
+                "y",
+                F.expr(f"CAST(w * {S} div wt AS BIGINT)").alias("w"),
+            )
+            .persist()  # consumers: total, two rollups, reweight
+        )
+        tn = wn_df.agg(F.sum("w").cast("long").alias("wn"))
+
+        def feat(c: str, lab: str) -> DataFrame:
+            return (
+                wn_df.groupBy(F.col(c).alias("v"))
+                .agg(
+                    F.sum(
+                        F.when(F.col("y") == 1, F.col("w")).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                    .cast("long")
+                    .alias("a"),
+                    F.sum(
+                        F.when(F.col("y") == 0, F.col("w")).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                    .cast("long")
+                    .alias("b"),
+                )
+                .select(F.lit(lab).alias("feature"), "v", "a", "b")
+            )
+
+        vals = feat("x1", "qty").unionByName(feat("x2", "disc"))
+        wc = (
+            Window.partitionBy("feature")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )  # frame: one feature's value domain (<= 51 rows)
+        wf = Window.partitionBy("feature")
+        cum = vals.select(
+            "feature",
+            "v",
+            F.sum("a").over(wc).alias("al"),
+            F.sum("b").over(wc).alias("bl"),
+            F.sum("a").over(wf).alias("wa"),
+            F.sum("b").over(wf).alias("wb"),
+        )
+        errs = cum.selectExpr(
+            "feature",
+            "v AS threshold",
+            "stack(2, CAST(1 AS BIGINT), CAST(bl + (wa - al) AS BIGINT),"
+            " CAST(-1 AS BIGINT), CAST(al + (wb - bl) AS BIGINT))"
+            " AS (pol, e)",
+        )
+        wbest = Window.orderBy("e", "feature", "threshold", "pol")
+        # frame: 2 polarities x the <= 61-value threshold domain
+        best = (
+            errs.withColumn("rn", F.row_number().over(wbest))
+            .where(F.col("rn") == 1)
+            .select("feature", "threshold", "pol", "e")
+            .crossJoin(F.broadcast(tn))
+        )
+        outs.append(
+            best.select(
+                F.lit(r).cast("long").alias("round"),
+                "feature",
+                F.col("threshold").cast("long").alias("threshold"),
+                F.col("pol").cast("long").alias("polarity"),
+                F.expr("CAST(e * 1000000 div wn AS BIGINT)").alias(
+                    "err_micro"
+                ),
+                F.col("wn").cast("long").alias("w_total"),
+            )
+        )
+        if r < 3:
+            vsel = F.when(
+                F.col("feature") == "qty", F.col("x1")
+            ).otherwise(F.col("x2"))
+            pred = F.when(
+                vsel <= F.col("threshold"), F.col("pol")
+            ).otherwise(-F.col("pol"))
+            mis = pred != (F.lit(2) * F.col("y") - F.lit(1))
+            guard = (F.col("e") <= 0) | (F.col("e") >= F.col("wn"))
+            w = wn_df.crossJoin(F.broadcast(best)).select(
+                "x1",
+                "x2",
+                "y",
+                F.when(guard, F.col("w"))
+                .when(mis, F.col("w") * (F.col("wn") - F.col("e")))
+                .otherwise(F.col("w") * F.col("e"))
+                .cast("long")
+                .alias("w"),
+            )
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])

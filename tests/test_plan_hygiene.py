@@ -79,6 +79,10 @@ BNLJ_ALLOWED = {
     "ml_logreg_gd": "broadcast 1-row weight vector + corpus-count "
                     "scalar per GD iteration; the other side is the "
                     "value-domain stats grid (<= 561 combos)",
+    "ml_adaboost_stumps": "broadcast 1-row weight total + 1-row best "
+                          "stump per boosting round; the other side "
+                          "is the (x1, x2, y) value-domain grid "
+                          "(<= 1122 cells)",
 }
 
 
