@@ -9,7 +9,7 @@ versions give the driver an exact DuckDB oracle for the semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mwa_uvdata_pipeline_spark.functions.times import _GPS_EPOCH_UNIX, _LEAP_SECONDS
@@ -5149,6 +5149,40 @@ def stream_checksum_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def _holt_fold(series: Column) -> Column:
+    """JVM higher-order fold of the exact-integer Holt recursion
+    (micro-unit level/trend state, dyadic alpha=1/4 beta=1/8, the
+    plans.tpch._SDIV truncation convention realized as a shift on the
+    non-negative magnitude — exact at any int64 because the dyadic
+    denominators are powers of two). `series` is a sorted
+    array<struct<idx,y>>; returns struct<l, b, seen>."""
+    zero = F.lit(0).cast("long")
+
+    def _sdiv_shift(num, bits):
+        return F.when(num >= 0, F.shiftright(num, bits)).otherwise(
+            -F.shiftright(-num, bits)
+        )
+
+    def _step(acc, e):
+        y6 = e["y"] * F.lit(1000000).cast("long")
+        num_l = y6 + F.lit(3).cast("long") * (acc["l"] + acc["b"])
+        nl = _sdiv_shift(num_l, 2).cast("long")
+        num_b = (nl - acc["l"]) + F.lit(7).cast("long") * acc["b"]
+        nb = _sdiv_shift(num_b, 3).cast("long")
+        first = F.struct(
+            y6.alias("l"), zero.alias("b"),
+            F.lit(1).cast("long").alias("seen"),
+        )
+        rest = F.struct(
+            nl.alias("l"), nb.alias("b"),
+            (acc["seen"] + F.lit(1).cast("long")).alias("seen"),
+        )
+        return F.when(acc["seen"] == zero, first).otherwise(rest)
+
+    init = F.struct(zero.alias("l"), zero.alias("b"), zero.alias("seen"))
+    return F.aggregate(series, init, _step)
+
+
 def _holt_sql() -> str:
     """WITH RECURSIVE twin of ev_forecast_holt: the identical
     integer Holt recursion (micro-unit state, dyadic alpha=1/4 and
@@ -5253,38 +5287,10 @@ def ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = ser.groupBy("event_type").agg(
         F.sort_array(F.collect_list(F.struct("idx", "y"))).alias("s")
     )
-
-    zero = F.lit(0).cast("long")
-
-    def _sdiv_shift(num, bits):
-        # the plans.tpch._SDIV truncation convention, realized as a
-        # shift on the non-negative magnitude because the dyadic
-        # denominators are powers of two (exact at any int64)
-        return F.when(num >= 0, F.shiftright(num, bits)).otherwise(
-            -F.shiftright(-num, bits)
-        )
-
-    def _step(acc, e):
-        y6 = e["y"] * F.lit(1000000).cast("long")
-        num_l = y6 + F.lit(3).cast("long") * (acc["l"] + acc["b"])
-        nl = _sdiv_shift(num_l, 2).cast("long")
-        num_b = (nl - acc["l"]) + F.lit(7).cast("long") * acc["b"]
-        nb = _sdiv_shift(num_b, 3).cast("long")
-        first = F.struct(
-            y6.alias("l"), zero.alias("b"),
-            F.lit(1).cast("long").alias("seen"),
-        )
-        rest = F.struct(
-            nl.alias("l"), nb.alias("b"),
-            (acc["seen"] + F.lit(1).cast("long")).alias("seen"),
-        )
-        return F.when(acc["seen"] == zero, first).otherwise(rest)
-
-    init = F.struct(zero.alias("l"), zero.alias("b"), zero.alias("seen"))
     st = arr.select(
         "event_type",
         F.size("s").cast("long").alias("n_days"),
-        F.aggregate("s", init, _step).alias("st"),
+        _holt_fold(F.col("s")).alias("st"),
     )
     return st.select(
         "event_type",
@@ -5307,6 +5313,163 @@ def ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "level_micro",
         "trend_micro",
         "n_days",
+    )
+
+
+def _holt_backtest_sql() -> str:
+    """WITH RECURSIVE twin of ev_forecast_backtest: the identical
+    Holt recursion run ONLY over each type's train prefix (all but
+    the last 7 calendar days), then the 7 forecasts joined with the
+    held-out actuals and the naive last-train-value baseline."""
+    from mwa_uvdata_pipeline_spark.plans.tpch import _SDIV_DUCK
+
+    nl = _SDIV_DUCK("(s.y * 1000000 + 3 * (r.l + r.b))", "4")
+    nb = _SDIV_DUCK(f"(({nl}) - r.l + 7 * r.b)", "8")
+    return f"""
+    WITH RECURSIVE d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+    b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+          FROM d GROUP BY 1),
+    grid AS (
+        SELECT event_type, d0,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM b),
+    ser AS (
+        SELECT g.event_type,
+               CAST(date_diff('day', g.d0, g.day) AS BIGINT) AS idx,
+               CAST(COALESCE(d.n, 0) AS BIGINT) AS y
+        FROM grid g
+        LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day),
+    mx AS (SELECT event_type, MAX(idx) AS m FROM ser GROUP BY 1
+           HAVING MAX(idx) >= 7),
+    tr AS (SELECT s.event_type, s.idx, s.y
+           FROM ser s JOIN mx ON s.event_type = mx.event_type
+           WHERE s.idx <= mx.m - 7),
+    rec AS (
+        SELECT event_type, idx, y * 1000000 AS l, CAST(0 AS BIGINT) AS b
+        FROM tr WHERE idx = 0
+        UNION ALL
+        SELECT s.event_type, s.idx,
+               CAST({nl} AS BIGINT) AS l,
+               CAST({nb} AS BIGINT) AS b
+        FROM rec r
+        JOIN tr s ON s.event_type = r.event_type AND s.idx = r.idx + 1),
+    fin AS (
+        SELECT r.event_type, r.l, r.b
+        FROM rec r JOIN mx ON r.event_type = mx.event_type
+        WHERE r.idx = mx.m - 7),
+    lastv AS (
+        SELECT s.event_type, s.y AS ylast
+        FROM ser s JOIN mx ON s.event_type = mx.event_type
+        WHERE s.idx = mx.m - 7),
+    test AS (
+        SELECT s.event_type, s.idx - (mx.m - 7) AS h, s.y
+        FROM ser s JOIN mx ON s.event_type = mx.event_type
+        WHERE s.idx > mx.m - 7)
+    SELECT f.event_type,
+           CAST(mx.m - 6 AS BIGINT) AS n_train_days,
+           CAST(SUM(ABS(f.l + t.h * f.b - t.y * 1000000)) AS BIGINT)
+               AS holt_mae_sum_micro,
+           CAST(SUM(ABS(lv.ylast * 1000000 - t.y * 1000000)) AS BIGINT)
+               AS naive_mae_sum_micro,
+           CAST(SUM(f.l + t.h * f.b - t.y * 1000000) AS BIGINT)
+               AS holt_bias_sum_micro
+    FROM fin f
+    JOIN mx ON f.event_type = mx.event_type
+    JOIN lastv lv ON f.event_type = lv.event_type
+    JOIN test t ON f.event_type = t.event_type
+    GROUP BY f.event_type, mx.m
+    """
+
+
+@register(
+    "ev_forecast_backtest",
+    sql=_holt_backtest_sql(),
+    doc="Holdout backtest of the Holt forecaster — the eval twin "
+        "every registered model gets (classifier: "
+        "pipeline_train_eval; retriever: sim_recall_at_k; forecaster: "
+        "this): each type's gap-filled daily series is split into a "
+        "train prefix (all but the last 7 calendar days) and a 7-day "
+        "holdout, the SAME exact-integer Holt fold (_holt_fold) runs "
+        "over the prefix only, and the 7 linear forecasts are scored "
+        "against the held-out actuals — MAE and signed bias in exact "
+        "integer micro-units (sums, so no division convention enters) "
+        "— alongside the naive last-train-value baseline, the "
+        "standard forecast-skill reference: a Holt MAE above the "
+        "naive MAE means the trend component is hurting and the "
+        "dashboard should not trust it. Types with fewer than 8 "
+        "calendar days drop out of both engines (no 7-day holdout "
+        "exists). Scale shape: identical to ev_forecast_holt — one "
+        "map-side-combined (type, day) aggregate, per-type O(days) "
+        "array fold, everything after is per-type constant work; the "
+        "slice/test arithmetic is JVM array expressions, no explode, "
+        "no window, no Python.",
+)
+def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.where(F.col("event_type").isNotNull()).groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = d.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "event_type",
+        "d0",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    ser = grid.join(d, ["event_type", "day"], "left").select(
+        "event_type",
+        F.datediff("day", "d0").cast("long").alias("idx"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("y"),
+    )
+    arr = (
+        ser.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list(F.struct("idx", "y"))).alias("s"))
+        .where(F.size("s") >= 8)
+    )
+    sz = F.size("s")
+    split = arr.select(
+        "event_type",
+        (sz - 7).cast("long").alias("n_train_days"),
+        _holt_fold(F.slice(F.col("s"), F.lit(1), sz - 7)).alias("st"),
+        F.element_at("s", sz - 7)["y"].alias("ylast"),
+        F.slice(F.col("s"), sz - 6, F.lit(7)).alias("test"),
+    )
+    M = F.lit(1000000).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def _sum(expr_fn):
+        # fold the 7-element holdout with a (value, h) transform; h is
+        # the 1-based horizon recovered from the array position
+        return F.aggregate(
+            F.zip_with(
+                F.col("test"),
+                F.sequence(F.lit(1), F.lit(7)),
+                lambda e, h: expr_fn(e, h.cast("long")),
+            ),
+            zero,
+            lambda acc, v: acc + v,
+        )
+
+    holt_err = lambda e, h: F.abs(
+        F.col("st.l") + h * F.col("st.b") - e["y"] * M
+    )
+    naive_err = lambda e, h: F.abs(F.col("ylast") * M - e["y"] * M)
+    bias = lambda e, h: F.col("st.l") + h * F.col("st.b") - e["y"] * M
+    return split.select(
+        "event_type",
+        "n_train_days",
+        _sum(holt_err).cast("long").alias("holt_mae_sum_micro"),
+        _sum(naive_err).cast("long").alias("naive_mae_sum_micro"),
+        _sum(bias).cast("long").alias("holt_bias_sum_micro"),
     )
 
 

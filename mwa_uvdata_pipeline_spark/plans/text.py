@@ -6762,3 +6762,198 @@ def sim_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mrr_x2520_sum"),
         F.coalesce(F.sum("nrel"), F.lit(0)).cast("long").alias("rel_in_top10"),
     )
+
+
+def _sql_recall_keyed() -> str:
+    """IDs-only keyed projection at the 4x4 floor for the recall
+    audit's LSH leg (same layout as _sql_mrr_keyed, over nv)."""
+    selects = []
+    for t in range(_EMB_LSH_TABLES):
+        bits = " + ".join(
+            f"CAST(embedding[{t * _EMB_LSH_BITS + j + 1}] > 0 AS INT) * {1 << j}"
+            for j in range(_EMB_LSH_BITS)
+        )
+        selects.append(f"SELECT vec_id, {t} AS t, {bits} AS k FROM nv")
+    return "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "sim_recall_at_k",
+    sql=f"""
+    WITH nv AS (
+        SELECT vec_id, embedding,
+               sqrt({_SQL_DOT.format(a="embedding", b="embedding")}) AS nrm
+        FROM embeddings),
+    qs AS (
+        SELECT vec_id AS q_id, embedding AS qe, nrm AS qn
+        FROM nv
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16),
+    ex AS (
+        SELECT q.q_id, v.vec_id AS nn_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY ROUND({_SQL_DOT.format(a="q.qe", b="v.embedding")}
+                                  / (q.qn * v.nrm), 6) DESC, v.vec_id) AS rk
+        FROM qs q JOIN nv v ON v.vec_id <> q.q_id),
+    ex10 AS (SELECT q_id, nn_id FROM ex WHERE rk <= 10),
+    keyed AS ({{keyed}}),
+    cand AS (
+        SELECT DISTINCT q.q_id, b.vec_id AS nn_id
+        FROM qs q
+        JOIN keyed a ON a.vec_id = q.q_id
+        JOIN keyed b ON a.t = b.t AND a.k = b.k AND b.vec_id <> q.q_id),
+    lr AS (
+        SELECT c.q_id, c.nn_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.q_id
+                   ORDER BY ROUND({_SQL_DOT.format(a="q.qe", b="v.embedding")}
+                                  / (q.qn * v.nrm), 6) DESC, c.nn_id) AS rk
+        FROM cand c
+        JOIN qs q ON c.q_id = q.q_id
+        JOIN nv v ON c.nn_id = v.vec_id),
+    l10 AS (SELECT q_id, nn_id FROM lr WHERE rk <= 10)
+    SELECT q.q_id,
+           CAST((SELECT COUNT(*) FROM ex10 e WHERE e.q_id = q.q_id)
+                AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM l10 l WHERE l.q_id = q.q_id)
+                AS BIGINT) AS n_lsh,
+           CAST((SELECT COUNT(*) FROM ex10 e JOIN l10 l
+                 ON e.q_id = l.q_id AND e.nn_id = l.nn_id
+                 WHERE e.q_id = q.q_id) AS BIGINT) AS n_overlap,
+           CAST((SELECT COUNT(*) FROM ex10 e JOIN l10 l
+                 ON e.q_id = l.q_id AND e.nn_id = l.nn_id
+                 WHERE e.q_id = q.q_id) * 1000
+                // (SELECT COUNT(*) FROM ex10 e WHERE e.q_id = q.q_id)
+                AS BIGINT) AS recall_permille
+    FROM qs q
+    """.replace("{keyed}", _sql_recall_keyed()),
+    doc="ANN recall@10 audit against EXACT ground truth — the "
+        "complement of sim_mrr_eval (which scores label relevance "
+        "over LSH candidates but never asks what the index MISSED): "
+        "a FIXED 16-query evaluation panel (smallest md5(vec_id), a "
+        "deterministic draw whose size is constant at any corpus "
+        "scale) is scored two ways — exact brute-force top-10 over "
+        "the whole corpus, and top-10 through the production sign-"
+        "LSH path (adaptive bits/tables, bucket join, exact re-rank) "
+        "— and per query the audit reports |LSH ∩ exact| with an "
+        "integer per-mille recall. Both legs share the round(6) "
+        "cosine + id tiebreak, so the intersection is well-defined "
+        "cross-engine. Scale shape: the exact leg is 16*N broadcast-"
+        "nested-loop work (the panel is TakeOrdered-bounded and "
+        "broadcast; per-query ranking is two-level — md5-sharded "
+        "local top-10 windows, then a 160-rows-per-query global "
+        "re-rank — so no task ever sorts a corpus-sized partition); "
+        "the LSH leg is bucket-bounded like dedup_embedding_cosine. "
+        "This is the measured-recall discipline: the pipeline ships "
+        "the LSH index only while this panel's recall stays at its "
+        "pinned floor (tests/test_round8.py).",
+)
+def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    bits = _emb_lsh_bits(_emb_stats(spark, sf_dir)[0])
+    n_tables = _lsh_tables(bits)
+    nv = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    qs = (
+        nv.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+        .orderBy(F.md5(F.col("q_id").cast("string")), "q_id")
+        .limit(16)
+    )
+    cos = F.round(
+        _dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    # exact leg: broadcast the fixed panel over the corpus scan; rank
+    # in two levels so no window partition holds corpus-sized data
+    shard = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    wloc = Window.partitionBy("q_id", "shard").orderBy(
+        F.col("cos_sim").desc(), F.col("nn_id")
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nn_id")
+    )
+    ex10 = (
+        nv.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("nn_id"),
+            cos.alias("cos_sim"),
+            shard.alias("shard"),
+        )
+        .withColumn("lrk", F.row_number().over(wloc))
+        .where(F.col("lrk") <= 10)  # <= 16 shards x 10 rows per query
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= 10)
+        .select("q_id", "nn_id")
+    )
+    # LSH leg: the production retrieval path for the same panel
+    keyed = nv.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _emb_lsh_key(F.col("embedding"), t, bits).alias("k"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tk"),
+    ).select("vec_id", F.col("tk.t").alias("t"), F.col("tk.k").alias("k"))
+    qk = keyed.join(
+        F.broadcast(qs.select("q_id")),
+        keyed["vec_id"] == F.col("q_id"),
+    ).select("q_id", "t", "k")
+    cand = (
+        qk.join(keyed, ["t", "k"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("nn_id"))
+        .distinct()
+    )
+    l10 = (
+        cand.join(F.broadcast(qs), "q_id")
+        .join(
+            nv.select(
+                F.col("vec_id").alias("nn_id"), "embedding", "nrm"
+            ),
+            "nn_id",
+        )
+        .select("q_id", "nn_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= 10)
+        .select("q_id", "nn_id")
+    )
+    ovl = ex10.join(l10, ["q_id", "nn_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    ne = ex10.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    nl = l10.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lsh")
+    )
+    return (
+        qs.select("q_id")
+        .join(ne, "q_id", "left")
+        .join(nl, "q_id", "left")
+        .join(ovl, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+            F.coalesce("n_lsh", F.lit(0)).cast("long").alias("n_lsh"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(
+                "CAST(coalesce(n_overlap, 0) * 1000"
+                " div coalesce(n_exact, 1) AS BIGINT)"
+            ).alias("recall_permille"),
+        )
+    )

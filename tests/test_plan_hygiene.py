@@ -83,6 +83,10 @@ BNLJ_ALLOWED = {
                           "stump per boosting round; the other side "
                           "is the (x1, x2, y) value-domain grid "
                           "(<= 1122 cells)",
+    "sim_recall_at_k": "broadcast fixed 16-query evaluation panel "
+                       "(TakeOrdered limit, constant at any corpus "
+                       "size) against the corpus scan for the exact "
+                       "ground-truth leg",
 }
 
 

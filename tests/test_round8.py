@@ -704,3 +704,86 @@ def test_adaboost_matches_python_trajectory(spark):
     # the reweight must actually move weight: round 2's stump differs
     # from round 1's unless round 1 was degenerate (it is not here)
     assert expect[0][1:4] != expect[1][1:4]
+
+
+def test_recall_at_k_panel_and_floor(spark):
+    """sim_recall_at_k's evaluation panel must be exactly the 16
+    smallest-md5 vec_ids, every query must have a full exact top-10
+    (corpus >> 10), the overlap must be bounded by both legs, and the
+    aggregate measured recall of the production LSH path must hold
+    its pinned floor (0.35 at this scale — measured 0.40; the gate
+    exists so an LSH regression is caught by CI, not by a consumer)."""
+    import hashlib
+
+    rows = load_all()["sim_recall_at_k"].spark(spark, SF_SMALL).collect()
+    assert len(rows) == 16
+    ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    panel = sorted(
+        ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:16]
+    assert sorted(r["q_id"] for r in rows) == sorted(panel)
+    for r in rows:
+        assert r["n_exact"] == 10
+        assert 0 <= r["n_overlap"] <= min(r["n_exact"], r["n_lsh"])
+        assert r["recall_permille"] == r["n_overlap"] * 1000 // r["n_exact"]
+    tot_o = sum(r["n_overlap"] for r in rows)
+    tot_e = sum(r["n_exact"] for r in rows)
+    assert tot_o * 100 >= 35 * tot_e, (tot_o, tot_e)
+
+
+def test_forecast_backtest_matches_python_rederivation(spark):
+    """ev_forecast_backtest must equal a pure-Python re-derivation:
+    run the integer Holt recursion over each type's train prefix
+    (all but the last 7 gap-filled days), forecast linearly, score
+    MAE/bias sums in micro-units against the holdout, and compare
+    the naive last-train-value baseline. Types shorter than 8 days
+    drop out."""
+    from datetime import timedelta
+
+    def sdiv(a: int, bits: int) -> int:
+        return a >> bits if a >= 0 else -((-a) >> bits)
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series: dict[str, dict] = {}
+    for r in rows:
+        if r["event_type"] is None:
+            continue
+        series.setdefault(r["event_type"], {})[r["day"]] = r["n"]
+    want = {}
+    for et, days in series.items():
+        d0, d1 = min(days), max(days)
+        n_days = (d1 - d0).days + 1
+        if n_days < 8:
+            continue
+        ys = [days.get(d0 + timedelta(days=i), 0) for i in range(n_days)]
+        train, test = ys[:-7], ys[-7:]
+        l, b = train[0] * 1000000, 0
+        for y in train[1:]:
+            nl = sdiv(y * 1000000 + 3 * (l + b), 2)
+            b = sdiv((nl - l) + 7 * b, 3)
+            l = nl
+        ylast = train[-1]
+        mae = sum(abs(l + h * b - y * 1000000) for h, y in enumerate(test, 1))
+        nmae = sum(abs(ylast * 1000000 - y * 1000000) for y in test)
+        bias = sum(l + h * b - y * 1000000 for h, y in enumerate(test, 1))
+        want[et] = (len(train), mae, nmae, bias)
+    got = {
+        r["event_type"]: (
+            r["n_train_days"],
+            r["holt_mae_sum_micro"],
+            r["naive_mae_sum_micro"],
+            r["holt_bias_sum_micro"],
+        )
+        for r in load_all()["ev_forecast_backtest"].spark(spark, SF_SMALL).collect()
+    }
+    assert got == want and len(got) > 0
