@@ -6779,6 +6779,7 @@ def _sql_recall_keyed() -> str:
 
 @register(
     "sim_recall_at_k",
+    bench=True,
     sql=f"""
     WITH nv AS (
         SELECT vec_id, embedding,
@@ -6956,4 +6957,81 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div coalesce(n_exact, 1) AS BIGINT)"
             ).alias("recall_permille"),
         )
+    )
+
+
+@register(
+    "dedup_lsh_recall",
+    sql=f"""
+    WITH {_SQL_JACCARD_CTES},
+    msh AS ({_SQL_SHINGLES}),
+    sig AS (SELECT doc_id,
+                   MIN(substring(md5(s), 1, 8)) AS h0,
+                   MIN(substring(md5(s), 9, 8)) AS h1
+            FROM msh GROUP BY doc_id),
+    b AS (SELECT doc_id, h0 || h1 AS band FROM sig),
+    scored AS (
+        SELECT CASE WHEN ba.band = bb.band THEN 1 ELSE 0 END AS caught
+        FROM jpairs j
+        JOIN b ba ON j.doc_a = ba.doc_id
+        JOIN b bb ON j.doc_b = bb.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(COALESCE(SUM(caught), 0) AS BIGINT) AS n_caught,
+           CAST(COALESCE(SUM(caught), 0) * 1000
+                // GREATEST(COUNT(*), 1) AS BIGINT) AS recall_permille
+    FROM scored
+    """,
+    doc="LSH candidate RECALL audit — the other half of "
+        "dedup_candidate_precision's tuning dial: of the TRUE "
+        "near-duplicate pairs (exact DF-capped shingle Jaccard >= "
+        "0.6, the dedup_ngram_jaccard production semantics), what "
+        "fraction would the MinHash band buckets "
+        "(dedup_minhash_buckets' one-permutation band0 = h0||h1, the "
+        "production candidate generator) actually have caught? "
+        "Precision tells you how much verification compute the bands "
+        "waste; THIS tells you how many real duplicates they let "
+        "through — the number that decides whether the banding "
+        "needs more tables before the pipeline trusts LSH-only "
+        "dedup at 100 TB (where the exact posting join is the audit "
+        "path, not the production path). Integer per-mille; one row. "
+        "Scale shape: the truth leg IS dedup_ngram_jaccard (DF-"
+        "capped posting join, <= cap^2 pairs per key); the signature "
+        "leg is dedup_minhash_buckets' one-md5-per-shingle lanes; "
+        "the final join touches only the true-pair set.",
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    true_pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs)
+    lanes = sh.select(
+        "doc_id",
+        F.substring(F.md5("s"), 1, 8).alias("l0"),
+        F.substring(F.md5("s"), 9, 8).alias("l1"),
+    )
+    sig = lanes.groupBy("doc_id").agg(
+        F.min("l0").alias("h0"), F.min("l1").alias("h1")
+    )
+    b = sig.select("doc_id", F.concat("h0", "h1").alias("band"))
+    scored = (
+        true_pairs.join(
+            b.select(F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a")),
+            "doc_a",
+        )
+        .join(
+            b.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b")),
+            "doc_b",
+        )
+        .select(
+            (F.col("band_a") == F.col("band_b"))
+            .cast("long")
+            .alias("caught")
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        F.coalesce(F.sum("caught"), F.lit(0)).cast("long").alias("n_caught"),
+        F.expr(
+            "CAST(coalesce(sum(caught), 0) * 1000"
+            " div greatest(count(1), 1) AS BIGINT)"
+        ).alias("recall_permille"),
     )

@@ -3199,6 +3199,7 @@ def _adaboost_oracle() -> str:
 
 @register(
     "ml_adaboost_stumps",
+    bench=True,
     sql=_adaboost_oracle(),
     doc="AdaBoost over decision stumps as relational dataflow — the "
         "boosted-ensemble trainer (3 unrolled rounds, both split "
@@ -3237,49 +3238,107 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
-    w = (
+    # the ONE full-data pass; every round re-reads this cache. State
+    # travels in a broadcast 1-row params frame and the per-cell
+    # weight chain is rebuilt INLINE from the original counts each
+    # round (the ml_logreg_gd shape) — no per-round persists, so the
+    # whole trainer is 3 tiny aggregates + 3 stacked rollups over the
+    # cached <= 1122-cell grid.
+    grid = (
         li.groupBy("x1", "x2", "y")
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .persist()  # the ONE full-data compaction; rounds reuse it
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
     )
-    outs = []
-    for r in (1, 2, 3):
-        tot = w.agg(F.sum("w").cast("long").alias("wt"))
-        wn_df = (
-            w.crossJoin(F.broadcast(tot))
-            .select(
-                "x1",
-                "x2",
-                "y",
-                F.expr(f"CAST(w * {S} div wt AS BIGINT)").alias("w"),
-            )
-            .persist()  # consumers: total, two rollups, reweight
-        )
-        tn = wn_df.agg(F.sum("w").cast("long").alias("wn"))
 
-        def feat(c: str, lab: str) -> DataFrame:
-            return (
-                wn_df.groupBy(F.col(c).alias("v"))
-                .agg(
-                    F.sum(
-                        F.when(F.col("y") == 1, F.col("w")).otherwise(
-                            F.lit(0)
-                        )
-                    )
-                    .cast("long")
-                    .alias("a"),
-                    F.sum(
-                        F.when(F.col("y") == 0, F.col("w")).otherwise(
-                            F.lit(0)
-                        )
-                    )
-                    .cast("long")
-                    .alias("b"),
+    def raw_chain(df: DataFrame, depth: int) -> DataFrame:
+        """Attach raw = the round-`depth` PRE-normalization cell
+        weight, rebuilding the chain raw_1 = c; wn_j = raw_j * S div
+        wt_j; raw_{j+1} = reweighted wn_j from the broadcast params
+        columns (wt_j, feat_j, thr_j, pol_j, e_j, wn_j) for j < depth.
+        withColumn steps collapse into one Catalyst projection."""
+        cur = df.withColumn("raw", F.col("c").cast("long"))
+        for j in range(1, depth):
+            cur = cur.withColumn(
+                "wnj", F.expr(f"CAST(raw * {S} div wt{j} AS BIGINT)")
+            )
+            vsel = F.when(
+                F.col(f"feat{j}") == "qty", F.col("x1")
+            ).otherwise(F.col("x2"))
+            pred = F.when(
+                vsel <= F.col(f"thr{j}"), F.col(f"pol{j}")
+            ).otherwise(-F.col(f"pol{j}"))
+            mis = pred != (F.lit(2) * F.col("y") - F.lit(1))
+            guard = (F.col(f"e{j}") <= 0) | (
+                F.col(f"e{j}") >= F.col(f"wn{j}")
+            )
+            cur = cur.withColumn(
+                "raw",
+                F.when(guard, F.col("wnj"))
+                .when(
+                    mis,
+                    F.col("wnj") * (F.col(f"wn{j}") - F.col(f"e{j}")),
                 )
-                .select(F.lit(lab).alias("feature"), "v", "a", "b")
-            )
+                .otherwise(F.col("wnj") * F.col(f"e{j}"))
+                .cast("long"),
+            ).drop("wnj")
+        return cur
 
-        vals = feat("x1", "qty").unionByName(feat("x2", "disc"))
+    def with_weight(df: DataFrame, r: int) -> DataFrame:
+        """raw_chain at depth r plus wn_now = raw * S div wt{r} — the
+        round-r normalized cell weight."""
+        return raw_chain(df, r).withColumn(
+            "wn_now", F.expr(f"CAST(raw * {S} div wt{r} AS BIGINT)")
+        )
+
+    params = grid.agg(
+        F.sum("c").cast("long").alias("wt1")
+    )  # round-1 renormalization total = corpus count
+    for r in (1, 2, 3):
+        if r > 1:
+            # this round's renormalization total needs NO data pass:
+            # sum(raw_r) = E*(sum of correct wn) + (W-E)*(sum of
+            # misclassified wn) = E*(W-E) + (W-E)*E = 2*E*(W-E)
+            # (misclassified normalized mass IS the weighted error E;
+            # correct mass is W-E), or W unchanged when the round was
+            # degenerate — 1-row algebra on the previous best stump
+            j = r - 1
+            params = params.withColumn(
+                f"wt{r}",
+                F.when(
+                    (F.col(f"e{j}") <= 0)
+                    | (F.col(f"e{j}") >= F.col(f"wn{j}")),
+                    F.col(f"wn{j}"),
+                ).otherwise(
+                    F.lit(2).cast("long")
+                    * F.col(f"e{j}")
+                    * (F.col(f"wn{j}") - F.col(f"e{j}"))
+                ),
+            )
+        g = with_weight(grid.crossJoin(F.broadcast(params)), r)
+        stacked = g.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("qty").alias("feature"),
+                        F.col("x1").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("disc").alias("feature"),
+                        F.col("x2").alias("v"),
+                    ),
+                )
+            ).alias("fv"),
+            F.when(F.col("y") == 1, F.col("wn_now"))
+            .otherwise(F.lit(0))
+            .alias("ca"),
+            F.when(F.col("y") == 0, F.col("wn_now"))
+            .otherwise(F.lit(0))
+            .alias("cb"),
+        ).select("fv.feature", "fv.v", "ca", "cb")
+        vals = stacked.groupBy("feature", "v").agg(
+            F.sum("ca").cast("long").alias("a"),
+            F.sum("cb").cast("long").alias("b"),
+        )
         wc = (
             Window.partitionBy("feature")
             .orderBy("v")
@@ -3297,6 +3356,7 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         errs = cum.selectExpr(
             "feature",
             "v AS threshold",
+            "wa + wb AS wn_tot",
             "stack(2, CAST(1 AS BIGINT), CAST(bl + (wa - al) AS BIGINT),"
             " CAST(-1 AS BIGINT), CAST(al + (wb - bl) AS BIGINT))"
             " AS (pol, e)",
@@ -3306,38 +3366,24 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = (
             errs.withColumn("rn", F.row_number().over(wbest))
             .where(F.col("rn") == 1)
-            .select("feature", "threshold", "pol", "e")
-            .crossJoin(F.broadcast(tn))
-        )
-        outs.append(
-            best.select(
-                F.lit(r).cast("long").alias("round"),
-                "feature",
-                F.col("threshold").cast("long").alias("threshold"),
-                F.col("pol").cast("long").alias("polarity"),
-                F.expr("CAST(e * 1000000 div wn AS BIGINT)").alias(
-                    "err_micro"
-                ),
-                F.col("wn").cast("long").alias("w_total"),
+            .select(
+                F.col("feature").alias(f"feat{r}"),
+                F.col("threshold").cast("long").alias(f"thr{r}"),
+                F.col("pol").cast("long").alias(f"pol{r}"),
+                F.col("e").cast("long").alias(f"e{r}"),
+                F.col("wn_tot").cast("long").alias(f"wn{r}"),
             )
         )
-        if r < 3:
-            vsel = F.when(
-                F.col("feature") == "qty", F.col("x1")
-            ).otherwise(F.col("x2"))
-            pred = F.when(
-                vsel <= F.col("threshold"), F.col("pol")
-            ).otherwise(-F.col("pol"))
-            mis = pred != (F.lit(2) * F.col("y") - F.lit(1))
-            guard = (F.col("e") <= 0) | (F.col("e") >= F.col("wn"))
-            w = wn_df.crossJoin(F.broadcast(best)).select(
-                "x1",
-                "x2",
-                "y",
-                F.when(guard, F.col("w"))
-                .when(mis, F.col("w") * (F.col("wn") - F.col("e")))
-                .otherwise(F.col("w") * F.col("e"))
-                .cast("long")
-                .alias("w"),
-            )
-    return outs[0].unionByName(outs[1]).unionByName(outs[2])
+        params = params.crossJoin(F.broadcast(best))
+    # the final 1-row params frame carries every round's stump; emit
+    # all three rows from ONE chain (a per-round union would rebuild
+    # the whole params lineage once per output row)
+    rows = ", ".join(
+        f"CAST({r} AS BIGINT), feat{r}, thr{r}, pol{r},"
+        f" CAST(e{r} * 1000000 div wn{r} AS BIGINT), wn{r}"
+        for r in (1, 2, 3)
+    )
+    return params.selectExpr(
+        f"stack(3, {rows}) AS (round, feature, threshold, polarity,"
+        " err_micro, w_total)"
+    )
