@@ -787,3 +787,44 @@ def test_forecast_backtest_matches_python_rederivation(spark):
         for r in load_all()["ev_forecast_backtest"].spark(spark, SF_SMALL).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_lsh_recall_matches_python_and_floor(spark):
+    """dedup_lsh_recall must equal a from-scratch re-derivation:
+    exact DF-capped Jaccard >= 0.6 truth pairs, production band0
+    (min of the two md5 lanes) equality as 'caught'. The measured
+    band recall also holds a 0.8 floor at this scale — the gate that
+    tells the pipeline whether LSH-only dedup is trustworthy."""
+    import hashlib
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    sh: dict[int, set] = {}
+    for d, t in docs.items():
+        ts = t.split(" ")
+        sh[d] = {
+            " ".join(ts[i : i + 3]) for i in range(len(ts) - 2)
+        } if len(ts) >= 3 else set()
+    df: dict[str, int] = {}
+    for s_set in sh.values():
+        for s in s_set:
+            df[s] = df.get(s, 0) + 1
+    capped = {d: {s for s in ss if df[s] <= 128} for d, ss in sh.items()}
+    ids = sorted(docs)
+    true_pairs = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(capped[a] & capped[b])
+            union = len(capped[a]) + len(capped[b]) - inter
+            if union and inter / union >= 0.6:
+                true_pairs.add((a, b))
+    def band(d):
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in sh[d]]
+        return (min(h[0:8] for h in hs) + min(h[8:16] for h in hs)) if hs else ""
+    caught = sum(1 for a, b in true_pairs if band(a) == band(b))
+    got = load_all()["dedup_lsh_recall"].spark(spark, SF_SMALL).collect()[0]
+    assert (got["n_true_pairs"], got["n_caught"]) == (len(true_pairs), caught)
+    assert got["recall_permille"] == caught * 1000 // max(len(true_pairs), 1)
+    assert len(true_pairs) > 0 and got["recall_permille"] >= 800
