@@ -3241,54 +3241,34 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ONE full-data pass; every round re-reads this cache. State
     # travels in a broadcast 1-row params frame and the per-cell
     # weight chain is rebuilt INLINE from the original counts each
-    # round (the ml_logreg_gd shape) — no per-round persists, so the
-    # whole trainer is 3 tiny aggregates + 3 stacked rollups over the
-    # cached <= 1122-cell grid.
+    # round (the ml_logreg_gd shape) — no per-round persists. The
+    # round bodies are assembled as SQL strings (one parse each):
+    # the Column-algebra version of this chain spent ~2.6s of every
+    # bench run in py4j round-trips building the plan.
     grid = (
         li.groupBy("x1", "x2", "y")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .persist()
     )
 
-    def raw_chain(df: DataFrame, depth: int) -> DataFrame:
-        """Attach raw = the round-`depth` PRE-normalization cell
-        weight, rebuilding the chain raw_1 = c; wn_j = raw_j * S div
-        wt_j; raw_{j+1} = reweighted wn_j from the broadcast params
-        columns (wt_j, feat_j, thr_j, pol_j, e_j, wn_j) for j < depth.
-        withColumn steps collapse into one Catalyst projection."""
-        cur = df.withColumn("raw", F.col("c").cast("long"))
+    def raw_sql(depth: int) -> str:
+        """SQL for the round-`depth` PRE-normalization cell weight:
+        raw_1 = c; wn_j = raw_j * S div wt_j; raw_{j+1} = reweighted
+        wn_j from the broadcast params columns for j < depth."""
+        raw = "CAST(c AS BIGINT)"
         for j in range(1, depth):
-            cur = cur.withColumn(
-                "wnj", F.expr(f"CAST(raw * {S} div wt{j} AS BIGINT)")
+            wn = f"CAST(({raw}) * {S} div wt{j} AS BIGINT)"
+            mis = (
+                f"(CASE WHEN (CASE WHEN feat{j} = 'qty' THEN x1"
+                f" ELSE x2 END) <= thr{j} THEN pol{j}"
+                f" ELSE -pol{j} END) <> 2 * y - 1"
             )
-            vsel = F.when(
-                F.col(f"feat{j}") == "qty", F.col("x1")
-            ).otherwise(F.col("x2"))
-            pred = F.when(
-                vsel <= F.col(f"thr{j}"), F.col(f"pol{j}")
-            ).otherwise(-F.col(f"pol{j}"))
-            mis = pred != (F.lit(2) * F.col("y") - F.lit(1))
-            guard = (F.col(f"e{j}") <= 0) | (
-                F.col(f"e{j}") >= F.col(f"wn{j}")
+            raw = (
+                f"CAST(CASE WHEN e{j} <= 0 OR e{j} >= wn{j} THEN {wn}"
+                f" WHEN {mis} THEN ({wn}) * (wn{j} - e{j})"
+                f" ELSE ({wn}) * e{j} END AS BIGINT)"
             )
-            cur = cur.withColumn(
-                "raw",
-                F.when(guard, F.col("wnj"))
-                .when(
-                    mis,
-                    F.col("wnj") * (F.col(f"wn{j}") - F.col(f"e{j}")),
-                )
-                .otherwise(F.col("wnj") * F.col(f"e{j}"))
-                .cast("long"),
-            ).drop("wnj")
-        return cur
-
-    def with_weight(df: DataFrame, r: int) -> DataFrame:
-        """raw_chain at depth r plus wn_now = raw * S div wt{r} — the
-        round-r normalized cell weight."""
-        return raw_chain(df, r).withColumn(
-            "wn_now", F.expr(f"CAST(raw * {S} div wt{r} AS BIGINT)")
-        )
+        return raw
 
     params = grid.agg(
         F.sum("c").cast("long").alias("wt1")
@@ -3302,76 +3282,59 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             # correct mass is W-E), or W unchanged when the round was
             # degenerate — 1-row algebra on the previous best stump
             j = r - 1
-            params = params.withColumn(
-                f"wt{r}",
-                F.when(
-                    (F.col(f"e{j}") <= 0)
-                    | (F.col(f"e{j}") >= F.col(f"wn{j}")),
-                    F.col(f"wn{j}"),
-                ).otherwise(
-                    F.lit(2).cast("long")
-                    * F.col(f"e{j}")
-                    * (F.col(f"wn{j}") - F.col(f"e{j}"))
-                ),
+            params = params.selectExpr(
+                "*",
+                f"CASE WHEN e{j} <= 0 OR e{j} >= wn{j} THEN wn{j}"
+                f" ELSE 2 * e{j} * (wn{j} - e{j}) END AS wt{r}",
             )
-        g = with_weight(grid.crossJoin(F.broadcast(params)), r)
-        stacked = g.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("qty").alias("feature"),
-                        F.col("x1").alias("v"),
-                    ),
-                    F.struct(
-                        F.lit("disc").alias("feature"),
-                        F.col("x2").alias("v"),
-                    ),
-                )
-            ).alias("fv"),
-            F.when(F.col("y") == 1, F.col("wn_now"))
-            .otherwise(F.lit(0))
-            .alias("ca"),
-            F.when(F.col("y") == 0, F.col("wn_now"))
-            .otherwise(F.lit(0))
-            .alias("cb"),
-        ).select("fv.feature", "fv.v", "ca", "cb")
+        wn_now = f"CAST(({raw_sql(r)}) * {S} div wt{r} AS BIGINT)"
+        stacked = grid.crossJoin(F.broadcast(params)).selectExpr(
+            "stack(2, 'qty', x1, 'disc', x2) AS (feature, v)",
+            f"CASE WHEN y = 1 THEN {wn_now} ELSE CAST(0 AS BIGINT)"
+            " END AS ca",
+            f"CASE WHEN y = 0 THEN {wn_now} ELSE CAST(0 AS BIGINT)"
+            " END AS cb",
+        )
         vals = stacked.groupBy("feature", "v").agg(
             F.sum("ca").cast("long").alias("a"),
             F.sum("cb").cast("long").alias("b"),
         )
-        wc = (
-            Window.partitionBy("feature")
-            .orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )  # frame: one feature's value domain (<= 51 rows)
-        wf = Window.partitionBy("feature")
-        cum = vals.select(
-            "feature",
-            "v",
-            F.sum("a").over(wc).alias("al"),
-            F.sum("b").over(wc).alias("bl"),
-            F.sum("a").over(wf).alias("wa"),
-            F.sum("b").over(wf).alias("wb"),
-        )
-        errs = cum.selectExpr(
-            "feature",
-            "v AS threshold",
-            "wa + wb AS wn_tot",
-            "stack(2, CAST(1 AS BIGINT), CAST(bl + (wa - al) AS BIGINT),"
-            " CAST(-1 AS BIGINT), CAST(al + (wb - bl) AS BIGINT))"
-            " AS (pol, e)",
-        )
-        wbest = Window.orderBy("e", "feature", "threshold", "pol")
-        # frame: 2 polarities x the <= 61-value threshold domain
+        # frames: one feature's value domain (<= 51 rows), then the
+        # 2-polarity x <= 61-threshold stack (single bounded task)
         best = (
-            errs.withColumn("rn", F.row_number().over(wbest))
+            vals.selectExpr(
+                "feature",
+                "v",
+                "SUM(a) OVER (PARTITION BY feature ORDER BY v"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " AS al",
+                "SUM(b) OVER (PARTITION BY feature ORDER BY v"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " AS bl",
+                "SUM(a) OVER (PARTITION BY feature) AS wa",
+                "SUM(b) OVER (PARTITION BY feature) AS wb",
+            )
+            .selectExpr(
+                "feature",
+                "v AS threshold",
+                "wa + wb AS wn_tot",
+                "stack(2, CAST(1 AS BIGINT),"
+                " CAST(bl + (wa - al) AS BIGINT),"
+                " CAST(-1 AS BIGINT),"
+                " CAST(al + (wb - bl) AS BIGINT)) AS (pol, e)",
+            )
+            .selectExpr(
+                "*",
+                "ROW_NUMBER() OVER (ORDER BY e, feature, threshold,"
+                " pol) AS rn",
+            )
             .where(F.col("rn") == 1)
-            .select(
-                F.col("feature").alias(f"feat{r}"),
-                F.col("threshold").cast("long").alias(f"thr{r}"),
-                F.col("pol").cast("long").alias(f"pol{r}"),
-                F.col("e").cast("long").alias(f"e{r}"),
-                F.col("wn_tot").cast("long").alias(f"wn{r}"),
+            .selectExpr(
+                f"feature AS feat{r}",
+                f"CAST(threshold AS BIGINT) AS thr{r}",
+                f"CAST(pol AS BIGINT) AS pol{r}",
+                f"CAST(e AS BIGINT) AS e{r}",
+                f"CAST(wn_tot AS BIGINT) AS wn{r}",
             )
         )
         params = params.crossJoin(F.broadcast(best))
