@@ -77,6 +77,21 @@ def main() -> None:
         if timings[n] > cold[n]
     }
 
+    # cold timings and warm-regression callouts go on their OWN line:
+    # the driver records only the last ~2000 chars of output and
+    # parses the FINAL line as the result. With 40+ headliners the
+    # combined line outgrew that window (BENCH_r07 recorded
+    # parsed: null) — so the final line stays compact and the
+    # diagnostics line precedes it.
+    print(
+        json.dumps(
+            {
+                "diagnostics": "cold-run timings and warm>cold callouts",
+                "queries_cold": cold,
+                "warm_slower_than_cold": slower_warm,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -84,8 +99,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "queries_cold": cold,
-                "warm_slower_than_cold": slower_warm,
+                "warm_slower_count": len(slower_warm),
                 "sf": sf,
             }
         )

@@ -3114,17 +3114,18 @@ def j12_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ADA_SCALE = 1 << 20  # weight renormalization target per round
 
 
-def _adaboost_oracle() -> str:
-    """Unrolled 3-round twin of ml_adaboost_stumps: identical integer
-    weight trajectory (renormalize to _ADA_SCALE by truncating
-    division, integer reweight by the weighted-error split, all
-    operands non-negative so plain // == the Spark `div`)."""
+def _ada_train_ctes(where: str = "TRUE") -> str:
+    """The WITH-chain (f ... best3) of the unrolled 3-round AdaBoost
+    trajectory over lineitem rows satisfying `where`: renormalize to
+    _ADA_SCALE by truncating division, integer reweight by the
+    weighted-error split, all operands non-negative so plain // ==
+    the Spark `div`. Shared by the trainer twin and the eval twin."""
     S = _ADA_SCALE
     parts = [f"""
     WITH f AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x1,
                       CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
-               FROM lineitem),
+               FROM lineitem WHERE {where}),
     w1 AS MATERIALIZED (SELECT x1, x2, y, CAST(COUNT(*) AS BIGINT) AS w
            FROM f GROUP BY x1, x2, y)"""]
     for r in (1, 2, 3):
@@ -3185,6 +3186,11 @@ def _adaboost_oracle() -> str:
                          THEN c.w * (t.wn - b.e)
                     ELSE c.w * b.e END AS BIGINT) AS w
         FROM wn{r} c, best{r} b, tn{r} t)""")
+    return "".join(parts)
+
+
+def _adaboost_oracle() -> str:
+    """Per-round stump rows from the shared training chain."""
     rows = "\nUNION ALL\n".join(
         f"""SELECT CAST({r} AS BIGINT) AS round, b.feature,
                CAST(b.threshold AS BIGINT) AS threshold,
@@ -3194,43 +3200,12 @@ def _adaboost_oracle() -> str:
         FROM best{r} b, tn{r} t"""
         for r in (1, 2, 3)
     )
-    return "".join(parts) + "\n" + rows
+    return _ada_train_ctes() + "\n" + rows
 
 
-@register(
-    "ml_adaboost_stumps",
-    bench=True,
-    sql=_adaboost_oracle(),
-    doc="AdaBoost over decision stumps as relational dataflow — the "
-        "boosted-ensemble trainer (3 unrolled rounds, both split "
-        "polarities) on the same returned-items task as "
-        "ml_decision_stump, with the discrete-AdaBoost reweighting "
-        "run in EXACT integers: per-round the (x1, x2, y) cell "
-        "weights are renormalized to a 2^20 total by truncating "
-        "division, the best (feature, threshold, polarity) stump is "
-        "picked by minimum integer weighted error over the value-"
-        "domain cumulative tables (deterministic (e, feature, "
-        "threshold, polarity) tiebreak), and misclassified cells are "
-        "multiplied by (W - E) while correct cells get E — the exact "
-        "rational (1-eps)/eps reweight cleared of denominators, so "
-        "no exp()/ln() ever enters and both engines walk the same "
-        "quantized weight trajectory (the oracle unrolls the "
-        "identical 3 rounds as CTEs). Degenerate stumps (E = 0 or "
-        "E = W) skip the reweight in both engines. Scale shape: the "
-        "ONE full-data pass is the (x1, x2, y) grid compaction "
-        "(<= 1122 cells, map-side combined, shuffle independent of "
-        "corpus size — the ml_logreg_gd posture); every round is "
-        "O(domain) work over broadcast 1-row stats. Int64 headroom: "
-        "renormalized weights are <= 2^20, so reweight products are "
-        "<= 2^41 and the next round's w * 2^20 is <= 2^61; the "
-        "round-1 compaction needs cell counts below 2^43 (~8.8e12 "
-        "rows per cell) before pre-scaling is required. Emits one "
-        "row per round: the stump, its weighted error in micro-units "
-        "and the round's weight total.",
-)
-def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    S = _ADA_SCALE
-    li = table(spark, sf_dir, "lineitem").select(
+def _ada_xy(li: DataFrame) -> DataFrame:
+    """(x1, x2, y) projection of lineitem for the AdaBoost task."""
+    return li.select(
         F.round("l_quantity").cast("long").alias("x1"),
         F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
         F.when(F.col("l_returnflag") == "R", 1)
@@ -3238,23 +3213,21 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
-    # the ONE full-data pass; every round re-reads this cache. State
-    # travels in a broadcast 1-row params frame and the per-cell
-    # weight chain is rebuilt INLINE from the original counts each
-    # round (the ml_logreg_gd shape) — no per-round persists. The
-    # round bodies are assembled as SQL strings (one parse each):
-    # the Column-algebra version of this chain spent ~2.6s of every
-    # bench run in py4j round-trips building the plan.
-    grid = (
-        li.groupBy("x1", "x2", "y")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .persist()
-    )
+
+
+def _ada_params(grid: DataFrame) -> DataFrame:
+    """Final 1-row AdaBoost params frame (wt{r}, feat{r}, thr{r},
+    pol{r}, e{r}, wn{r} for r = 1..3) over a cached (x1, x2, y, c)
+    grid. State travels in a broadcast 1-row frame and the per-cell
+    weight chain is rebuilt INLINE from the original counts each
+    round (the ml_logreg_gd shape) — no per-round persists. Round
+    bodies are SQL strings (one parse each): the Column-algebra
+    version spent ~2.6s per bench run in py4j round-trips."""
+    S = _ADA_SCALE
 
     def raw_sql(depth: int) -> str:
-        """SQL for the round-`depth` PRE-normalization cell weight:
-        raw_1 = c; wn_j = raw_j * S div wt_j; raw_{j+1} = reweighted
-        wn_j from the broadcast params columns for j < depth."""
+        # round-`depth` PRE-normalization cell weight: raw_1 = c;
+        # wn_j = raw_j * S div wt_j; raw_{j+1} = reweighted wn_j
         raw = "CAST(c AS BIGINT)"
         for j in range(1, depth):
             wn = f"CAST(({raw}) * {S} div wt{j} AS BIGINT)"
@@ -3338,6 +3311,50 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         params = params.crossJoin(F.broadcast(best))
+    return params
+
+
+
+@register(
+    "ml_adaboost_stumps",
+    bench=True,
+    sql=_adaboost_oracle(),
+    doc="AdaBoost over decision stumps as relational dataflow — the "
+        "boosted-ensemble trainer (3 unrolled rounds, both split "
+        "polarities) on the same returned-items task as "
+        "ml_decision_stump, with the discrete-AdaBoost reweighting "
+        "run in EXACT integers: per-round the (x1, x2, y) cell "
+        "weights are renormalized to a 2^20 total by truncating "
+        "division, the best (feature, threshold, polarity) stump is "
+        "picked by minimum integer weighted error over the value-"
+        "domain cumulative tables (deterministic (e, feature, "
+        "threshold, polarity) tiebreak), and misclassified cells are "
+        "multiplied by (W - E) while correct cells get E — the exact "
+        "rational (1-eps)/eps reweight cleared of denominators, so "
+        "no exp()/ln() ever enters and both engines walk the same "
+        "quantized weight trajectory (the oracle unrolls the "
+        "identical 3 rounds as CTEs). Degenerate stumps (E = 0 or "
+        "E = W) skip the reweight in both engines. Scale shape: the "
+        "ONE full-data pass is the (x1, x2, y) grid compaction "
+        "(<= 1122 cells, map-side combined, shuffle independent of "
+        "corpus size — the ml_logreg_gd posture); every round is "
+        "O(domain) work over broadcast 1-row stats. Int64 headroom: "
+        "renormalized weights are <= 2^20, so reweight products are "
+        "<= 2^41 and the next round's w * 2^20 is <= 2^61; the "
+        "round-1 compaction needs cell counts below 2^43 (~8.8e12 "
+        "rows per cell) before pre-scaling is required. Emits one "
+        "row per round: the stump, its weighted error in micro-units "
+        "and the round's weight total.",
+)
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _ada_xy(table(spark, sf_dir, "lineitem"))
+    # the ONE full-data pass; every round re-reads this cache
+    grid = (
+        li.groupBy("x1", "x2", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    params = _ada_params(grid)
     # the final 1-row params frame carries every round's stump; emit
     # all three rows from ONE chain (a per-round union would rebuild
     # the whole params lineage once per output row)
@@ -3349,4 +3366,129 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return params.selectExpr(
         f"stack(3, {rows}) AS (round, feature, threshold, polarity,"
         " err_micro, w_total)"
+    )
+
+_ADA_SPLIT_SQL = (
+    "substring(md5(CAST(l_orderkey AS VARCHAR) || '|'"
+    " || CAST(l_linenumber AS VARCHAR)), 1, 2)"
+)
+
+
+def _adaboost_eval_oracle() -> str:
+    """Twin of ml_adaboost_eval: the shared training chain restricted
+    to the md5 train split, then the 3-stump majority vote scored on
+    the held-out test split as a confusion row."""
+    preds = []
+    for r in (1, 2, 3):
+        preds.append(
+            f"(CASE WHEN (CASE WHEN b{r}.feature = 'qty' THEN t.x1"
+            f" ELSE t.x2 END) <= b{r}.threshold THEN b{r}.pol"
+            f" ELSE -b{r}.pol END)"
+        )
+    vote = " + ".join(preds)
+    return _ada_train_ctes(where=f"{_ADA_SPLIT_SQL} < 'cd'") + f""",
+    test AS (
+        SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem WHERE {_ADA_SPLIT_SQL} >= 'e6'),
+    scored AS (
+        SELECT t.y,
+               CASE WHEN ({vote}) > 0 THEN 1 ELSE 0 END AS pred
+        FROM test t, best1 b1, best2 b2, best3 b3),
+    cm AS (
+        SELECT CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tn
+        FROM scored)
+    SELECT CAST(t1.wt AS BIGINT) AS n_train,
+           CAST(cm.tp + cm.fp + cm.fn + cm.tn AS BIGINT) AS n_test,
+           cm.tp, cm.fp, cm.fn, cm.tn,
+           CAST((cm.tp + cm.tn) * 1000000
+                // GREATEST(cm.tp + cm.fp + cm.fn + cm.tn, 1)
+                AS BIGINT) AS acc_ppm
+    FROM cm, tot1 t1
+    """
+
+
+@register(
+    "ml_adaboost_eval",
+    sql=_adaboost_eval_oracle(),
+    doc="Holdout evaluation of the boosted ensemble — the eval twin "
+        "that makes ml_adaboost_stumps HONEST (the pipeline_train_eval "
+        "discipline): the 3 stumps are trained ONLY on the "
+        "deterministic md5 train split (~80% of lineitem rows, keyed "
+        "on (orderkey, linenumber)), and the UNWEIGHTED majority vote "
+        "of the three stumps is scored ONLY on the held-out ~10% "
+        "split, emitting the confusion counts and an exact integer "
+        "ppm accuracy — so the number measures generalization, not "
+        "memorization. The vote of three ±1 stumps is never zero, so "
+        "the decision is total and both engines agree cell-for-cell "
+        "(the oracle re-walks the identical quantized training "
+        "trajectory on the same split and scores the same vote). "
+        "Scale shape: one train-split grid compaction (<= 1122 "
+        "cells), the _ada_params broadcast-state rounds, then ONE "
+        "test-split pass against the broadcast 1-row model — the "
+        "classic train-once-score-everywhere layout.",
+)
+def ml_adaboost_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    split = F.substring(
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        2,
+    )
+    grid = (
+        _ada_xy(li.where(split < "cd"))
+        .groupBy("x1", "x2", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()  # the ONE train-split pass; rounds reuse it
+    )
+    params = _ada_params(grid)
+    preds = []
+    for r in (1, 2, 3):
+        preds.append(
+            f"(CASE WHEN (CASE WHEN feat{r} = 'qty' THEN x1 ELSE x2"
+            f" END) <= thr{r} THEN pol{r} ELSE -pol{r} END)"
+        )
+    vote = " + ".join(preds)
+    scored = (
+        _ada_xy(li.where(split >= "e6"))
+        .crossJoin(F.broadcast(params))
+        .selectExpr(
+            "y",
+            f"CASE WHEN ({vote}) > 0 THEN 1 ELSE 0 END AS pred",
+            "wt1 AS n_train",  # round-1 total = train row count
+        )
+    )
+    return scored.agg(
+        F.min("n_train").cast("long").alias("n_train"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.expr("CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.expr("CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.expr("CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.expr("CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("tn"),
+        F.expr(
+            "CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) * 1000000"
+            " div greatest(count(1), 1) AS BIGINT)"
+        ).alias("acc_ppm"),
     )

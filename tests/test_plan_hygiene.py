@@ -87,6 +87,10 @@ BNLJ_ALLOWED = {
                        "(TakeOrdered limit, constant at any corpus "
                        "size) against the corpus scan for the exact "
                        "ground-truth leg",
+    "ml_adaboost_eval": "broadcast 1-row params/model frame per "
+                        "boosting round and for test scoring; the "
+                        "other side is the train-split value-domain "
+                        "grid (<= 1122 cells) or the test scan",
 }
 
 

@@ -828,3 +828,89 @@ def test_lsh_recall_matches_python_and_floor(spark):
     assert (got["n_true_pairs"], got["n_caught"]) == (len(true_pairs), caught)
     assert got["recall_permille"] == caught * 1000 // max(len(true_pairs), 1)
     assert len(true_pairs) > 0 and got["recall_permille"] >= 800
+
+
+def test_adaboost_eval_matches_python_rederivation(spark):
+    """ml_adaboost_eval must equal a from-scratch Python re-derivation:
+    train the quantized 3-round AdaBoost on the md5 train split only,
+    score the unweighted 3-stump majority vote on the held-out split,
+    and reproduce the confusion counts and integer ppm accuracy."""
+    import hashlib
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity").cast("long").alias("x1"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        )
+        .collect()
+    )
+    S = 1 << 20
+
+    def split(r):
+        key = f"{r['l_orderkey']}|{r['l_linenumber']}"
+        return hashlib.md5(key.encode()).hexdigest()[:2]
+
+    train = [r for r in rows if split(r) < "cd"]
+    test = [r for r in rows if split(r) >= "e6"]
+    w: dict[tuple[int, int, int], int] = {}
+    for r in train:
+        k = (r["x1"], r["x2"], r["y"])
+        w[k] = w.get(k, 0) + 1
+    stumps = []
+    for _rnd in (1, 2, 3):
+        wt = sum(w.values())
+        wn = {k: v * S // wt for k, v in w.items()}
+        wtot = sum(wn.values())
+        cands = []
+        for fi, lab in ((0, "qty"), (1, "disc")):
+            vals: dict[int, list[int]] = {}
+            for (x1, x2, y), v in wn.items():
+                c = vals.setdefault((x1, x2)[fi], [0, 0])
+                c[y] += v
+            wb = sum(c[0] for c in vals.values())
+            wa = sum(c[1] for c in vals.values())
+            al = bl = 0
+            for t in sorted(vals):
+                al += vals[t][1]
+                bl += vals[t][0]
+                cands.append((bl + (wa - al), lab, t, 1))
+                cands.append((al + (wb - bl), lab, t, -1))
+        e, feat, thr, pol = min(cands, key=lambda c: (c[0], c[1], c[2], c[3]))
+        stumps.append((feat, thr, pol))
+        if 0 < e < wtot:
+            nxt = {}
+            for (x1, x2, y), v in wn.items():
+                pred = pol if ((x1, x2)[feat == "disc"] <= thr) else -pol
+                nxt[(x1, x2, y)] = v * (wtot - e) if pred != 2 * y - 1 else v * e
+            w = nxt
+        else:
+            w = wn
+    tp = fp = fn = tn = 0
+    for r in test:
+        v = sum(
+            (pol if ((r["x1"], r["x2"])[feat == "disc"] <= thr) else -pol)
+            for feat, thr, pol in stumps
+        )
+        pred = 1 if v > 0 else 0
+        if r["y"] == 1 and pred == 1:
+            tp += 1
+        elif r["y"] == 0 and pred == 1:
+            fp += 1
+        elif r["y"] == 1 and pred == 0:
+            fn += 1
+        else:
+            tn += 1
+    got = load_all()["ml_adaboost_eval"].spark(spark, SF_SMALL).collect()[0]
+    n_test = tp + fp + fn + tn
+    assert (
+        got["n_train"], got["n_test"], got["tp"], got["fp"],
+        got["fn"], got["tn"], got["acc_ppm"],
+    ) == (
+        len(train), n_test, tp, fp, fn, tn,
+        (tp + tn) * 1000000 // max(n_test, 1),
+    )
+    assert n_test > 0 and len(train) > 0
