@@ -914,3 +914,76 @@ def test_adaboost_eval_matches_python_rederivation(spark):
         (tp + tn) * 1000000 // max(n_test, 1),
     )
     assert n_test > 0 and len(train) > 0
+
+
+def test_adaboost_degenerate_stump_carries_weights(spark, tmp_path):
+    """A perfectly separable dataset makes round 1's stump exact
+    (E = 0): the fixture corpus never hits this branch, so this
+    synthetic table pins it — the guard must CARRY the normalized
+    weights (no reweight by zero), every later round re-picks the
+    same stump with err_micro = 0, and the eval twin's majority vote
+    scores the test split perfectly."""
+    rows = []
+    # y == 1 exactly when quantity <= 10: separable on the qty axis
+    for i in range(40):
+        q = float(1 + i % 20)
+        rows.append((i // 7, i % 7, q, 0.05, "R" if q <= 10 else "N"))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_quantity double, "
+        "l_discount double, l_returnflag string",
+    )
+    d = str(tmp_path / "sep")
+    df.write.parquet(f"{d}/lineitem.parquet")
+    out = sorted(
+        (r["round"], r["feature"], r["threshold"], r["polarity"],
+         r["err_micro"])
+        for r in load_all()["ml_adaboost_stumps"].spark(spark, d).collect()
+    )
+    assert len(out) == 3
+    for rnd, feature, threshold, polarity, err in out:
+        assert (feature, threshold, polarity, err) == ("qty", 10, 1, 0), out
+    ev = load_all()["ml_adaboost_eval"].spark(spark, d).collect()[0]
+    if ev["n_test"] > 0:  # md5 split of 40 rows may land few test rows
+        assert ev["fp"] == 0 and ev["fn"] == 0
+        assert ev["acc_ppm"] == 1000000
+
+
+def test_backtest_drops_short_series(spark, tmp_path):
+    """ev_forecast_backtest must DROP series shorter than 8 calendar
+    days (no 7-day holdout exists) and keep longer ones — the
+    fixture corpus has no short types, so this synthetic table pins
+    the filter on both engines' shared semantics."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for day in range(12):  # 'long' spans 12 days
+        for _ in range(day + 1):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1 + day), eid % 5,
+                 "long", 1.0, "{}")
+            )
+            eid += 1
+    for day in range(5):  # 'short' spans 5 days only
+        rows.append(
+            (eid, datetime.datetime(2024, 1, 1 + day), eid % 5,
+             "short", 1.0, "{}")
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "mixed")
+    df.write.parquet(f"{d}/events.parquet")
+    out = load_all()["ev_forecast_backtest"].spark(spark, d).collect()
+    assert [r["event_type"] for r in out] == ["long"]
+    r = out[0]
+    assert r["n_train_days"] == 5  # 12 days - 7 holdout
+    # the naive baseline on a monotone series: |ylast - y| summed
+    # over days 6..12 (counts 6..12, ylast = 5) in micro-units
+    assert r["naive_mae_sum_micro"] == sum(
+        abs(5 - y) for y in range(6, 13)
+    ) * 1000000
