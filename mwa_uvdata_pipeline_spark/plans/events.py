@@ -5149,6 +5149,59 @@ def stream_checksum_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+_HOLT_SERIES_CTES = """
+    d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+    b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+          FROM d GROUP BY 1),
+    grid AS (
+        SELECT event_type, d0,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                           CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM b),
+    ser AS (
+        SELECT g.event_type,
+               CAST(date_diff('day', g.d0, g.day) AS BIGINT) AS idx,
+               CAST(COALESCE(d.n, 0) AS BIGINT) AS y
+        FROM grid g
+        LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day)
+"""  #: shared gap-filled per-type daily series (forecaster + backtest
+#: twins read ONE definition, so a gap-fill semantics change cannot
+#: decouple the eval from the model it audits)
+
+
+def _holt_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-type daily series (event_type, idx, y) — the
+    Spark half of _HOLT_SERIES_CTES, shared by ev_forecast_holt and
+    ev_forecast_backtest. NULL series keys are dropped explicitly
+    (shared with the oracle): groupBy would keep a NULL group here,
+    but the grid equi-join below is not null-safe and would zero its
+    counts."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.where(F.col("event_type").isNotNull()).groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = d.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "event_type",
+        "d0",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    return grid.join(d, ["event_type", "day"], "left").select(
+        "event_type",
+        F.datediff("day", "d0").cast("long").alias("idx"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("y"),
+    )
+
+
 def _holt_fold(series: Column) -> Column:
     """JVM higher-order fold of the exact-integer Holt recursion
     (micro-unit level/trend state, dyadic alpha=1/4 beta=1/8, the
@@ -5196,25 +5249,7 @@ def _holt_sql() -> str:
     nl = _SDIV_DUCK("(s.y * 1000000 + 3 * (r.l + r.b))", "4")
     nb = _SDIV_DUCK(f"(({nl}) - r.l + 7 * r.b)", "8")
     return f"""
-    WITH RECURSIVE d AS (
-        SELECT event_type, CAST(ts AS DATE) AS day,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
-    b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
-          FROM d GROUP BY 1),
-    grid AS (
-        SELECT event_type, d0,
-               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
-                                           CAST(d1 AS TIMESTAMP),
-                                           INTERVAL 1 DAY)) AS DATE)
-                   AS day
-        FROM b),
-    ser AS (
-        SELECT g.event_type,
-               CAST(date_diff('day', g.d0, g.day) AS BIGINT) AS idx,
-               CAST(COALESCE(d.n, 0) AS BIGINT) AS y
-        FROM grid g
-        LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day),
+    WITH RECURSIVE {_HOLT_SERIES_CTES},
     rec AS (
         SELECT event_type, idx, y * 1000000 AS l, CAST(0 AS BIGINT) AS b
         FROM ser WHERE idx = 0
@@ -5262,28 +5297,7 @@ def _holt_sql() -> str:
         "7 rows per type.",
 )
 def ev_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    # NULL series keys are dropped explicitly (shared with the
-    # oracle): groupBy would keep a NULL group here, but the grid
-    # equi-join below is not null-safe and would zero its counts
-    d = ev.where(F.col("event_type").isNotNull()).groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    bounds = d.groupBy("event_type").agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    grid = bounds.select(
-        "event_type",
-        "d0",
-        F.explode(
-            F.sequence("d0", "d1", F.expr("interval 1 day"))
-        ).alias("day"),
-    )
-    ser = grid.join(d, ["event_type", "day"], "left").select(
-        "event_type",
-        F.datediff("day", "d0").cast("long").alias("idx"),
-        F.coalesce("n", F.lit(0)).cast("long").alias("y"),
-    )
+    ser = _holt_daily_series(spark, sf_dir)
     arr = ser.groupBy("event_type").agg(
         F.sort_array(F.collect_list(F.struct("idx", "y"))).alias("s")
     )
@@ -5326,25 +5340,7 @@ def _holt_backtest_sql() -> str:
     nl = _SDIV_DUCK("(s.y * 1000000 + 3 * (r.l + r.b))", "4")
     nb = _SDIV_DUCK(f"(({nl}) - r.l + 7 * r.b)", "8")
     return f"""
-    WITH RECURSIVE d AS (
-        SELECT event_type, CAST(ts AS DATE) AS day,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
-    b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
-          FROM d GROUP BY 1),
-    grid AS (
-        SELECT event_type, d0,
-               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
-                                           CAST(d1 AS TIMESTAMP),
-                                           INTERVAL 1 DAY)) AS DATE)
-                   AS day
-        FROM b),
-    ser AS (
-        SELECT g.event_type,
-               CAST(date_diff('day', g.d0, g.day) AS BIGINT) AS idx,
-               CAST(COALESCE(d.n, 0) AS BIGINT) AS y
-        FROM grid g
-        LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day),
+    WITH RECURSIVE {_HOLT_SERIES_CTES},
     mx AS (SELECT event_type, MAX(idx) AS m FROM ser GROUP BY 1
            HAVING MAX(idx) >= 7),
     tr AS (SELECT s.event_type, s.idx, s.y
@@ -5411,25 +5407,7 @@ def _holt_backtest_sql() -> str:
         "no window, no Python.",
 )
 def ev_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    d = ev.where(F.col("event_type").isNotNull()).groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    bounds = d.groupBy("event_type").agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    grid = bounds.select(
-        "event_type",
-        "d0",
-        F.explode(
-            F.sequence("d0", "d1", F.expr("interval 1 day"))
-        ).alias("day"),
-    )
-    ser = grid.join(d, ["event_type", "day"], "left").select(
-        "event_type",
-        F.datediff("day", "d0").cast("long").alias("idx"),
-        F.coalesce("n", F.lit(0)).cast("long").alias("y"),
-    )
+    ser = _holt_daily_series(spark, sf_dir)
     arr = (
         ser.groupBy("event_type")
         .agg(F.sort_array(F.collect_list(F.struct("idx", "y"))).alias("s"))
@@ -5488,25 +5466,7 @@ def _cusum_sql() -> str:
     sn = f"GREATEST(0, r.sn - ({dev}) - m.k)"
     alarm = f"(({sp}) > m.h OR ({sn}) > m.h)"
     return f"""
-    WITH RECURSIVE d AS (
-        SELECT event_type, CAST(ts AS DATE) AS day,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
-    b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
-          FROM d GROUP BY 1),
-    grid AS (
-        SELECT event_type, d0,
-               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
-                                           CAST(d1 AS TIMESTAMP),
-                                           INTERVAL 1 DAY)) AS DATE)
-                   AS day
-        FROM b),
-    ser AS (
-        SELECT g.event_type,
-               CAST(date_diff('day', g.d0, g.day) AS BIGINT) AS idx,
-               CAST(COALESCE(d.n, 0) AS BIGINT) AS y
-        FROM grid g
-        LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day),
+    WITH RECURSIVE {_HOLT_SERIES_CTES},
     m0 AS (SELECT event_type,
                   CAST(COUNT(*) AS BIGINT) AS n_days,
                   CAST({mu} AS BIGINT) AS mu
@@ -5574,28 +5534,7 @@ def _cusum_sql() -> str:
         "size, exactly like ev_forecast_holt.",
 )
 def ev_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    # NULL series keys dropped explicitly, shared with the oracle
-    # (same rationale as ev_forecast_holt: the grid equi-join is not
-    # null-safe and would zero a NULL group's counts)
-    d = ev.where(F.col("event_type").isNotNull()).groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    bounds = d.groupBy("event_type").agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    grid = bounds.select(
-        "event_type",
-        "d0",
-        F.explode(
-            F.sequence("d0", "d1", F.expr("interval 1 day"))
-        ).alias("day"),
-    )
-    ser = grid.join(d, ["event_type", "day"], "left").select(
-        "event_type",
-        F.datediff("day", "d0").cast("long").alias("idx"),
-        F.coalesce("n", F.lit(0)).cast("long").alias("y"),
-    )
+    ser = _holt_daily_series(spark, sf_dir)
     agg = ser.groupBy("event_type").agg(
         F.sort_array(F.collect_list(F.struct("idx", "y"))).alias("s"),
         F.sum("y").cast("long").alias("sum_y"),

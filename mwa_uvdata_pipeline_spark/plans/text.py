@@ -6612,17 +6612,20 @@ def m_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_scene_cuts(table(spark, sf_dir, "documents"))
 
 
-def _sql_mrr_keyed() -> str:
+def _sql_mrr_keyed(src: str = "n") -> str:
     """IDs-only keyed projection per hash table at the 4x4 floor
     instantiation (DuckDB arrays 1-indexed), shared layout with
-    _sql_emb_lsh_keyed but without the vector payload."""
+    _sql_emb_lsh_keyed but without the vector payload. `src` names
+    the normalized-vectors CTE to read (the MRR twin calls it n, the
+    recall twin nv) — ONE generator so a change to the floor key
+    layout cannot silently diverge between oracles."""
     selects = []
     for t in range(_EMB_LSH_TABLES):
         bits = " + ".join(
             f"CAST(embedding[{t * _EMB_LSH_BITS + j + 1}] > 0 AS INT) * {1 << j}"
             for j in range(_EMB_LSH_BITS)
         )
-        selects.append(f"SELECT vec_id, {t} AS t, {bits} AS k FROM n")
+        selects.append(f"SELECT vec_id, {t} AS t, {bits} AS k FROM {src}")
     return "\nUNION ALL\n".join(selects)
 
 
@@ -6764,19 +6767,6 @@ def sim_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_recall_keyed() -> str:
-    """IDs-only keyed projection at the 4x4 floor for the recall
-    audit's LSH leg (same layout as _sql_mrr_keyed, over nv)."""
-    selects = []
-    for t in range(_EMB_LSH_TABLES):
-        bits = " + ".join(
-            f"CAST(embedding[{t * _EMB_LSH_BITS + j + 1}] > 0 AS INT) * {1 << j}"
-            for j in range(_EMB_LSH_BITS)
-        )
-        selects.append(f"SELECT vec_id, {t} AS t, {bits} AS k FROM nv")
-    return "\nUNION ALL\n".join(selects)
-
-
 @register(
     "sim_recall_at_k",
     bench=True,
@@ -6825,10 +6815,11 @@ def _sql_recall_keyed() -> str:
            CAST((SELECT COUNT(*) FROM ex10 e JOIN l10 l
                  ON e.q_id = l.q_id AND e.nn_id = l.nn_id
                  WHERE e.q_id = q.q_id) * 1000
-                // (SELECT COUNT(*) FROM ex10 e WHERE e.q_id = q.q_id)
+                // GREATEST((SELECT COUNT(*) FROM ex10 e
+                             WHERE e.q_id = q.q_id), 1)
                 AS BIGINT) AS recall_permille
     FROM qs q
-    """.replace("{keyed}", _sql_recall_keyed()),
+    """.replace("{keyed}", _sql_mrr_keyed(src="nv")),
     doc="ANN recall@10 audit against EXACT ground truth — the "
         "complement of sim_mrr_eval (which scores label relevance "
         "over LSH candidates but never asks what the index MISSED): "
@@ -6964,11 +6955,10 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_lsh_recall",
     sql=f"""
     WITH {_SQL_JACCARD_CTES},
-    msh AS ({_SQL_SHINGLES}),
     sig AS (SELECT doc_id,
                    MIN(substring(md5(s), 1, 8)) AS h0,
                    MIN(substring(md5(s), 9, 8)) AS h1
-            FROM msh GROUP BY doc_id),
+            FROM sh0 GROUP BY doc_id),
     b AS (SELECT doc_id, h0 || h1 AS band FROM sig),
     scored AS (
         SELECT CASE WHEN ba.band = bb.band THEN 1 ELSE 0 END AS caught

@@ -3397,13 +3397,17 @@ def _adaboost_eval_oracle() -> str:
                CASE WHEN ({vote}) > 0 THEN 1 ELSE 0 END AS pred
         FROM test t, best1 b1, best2 b2, best3 b3),
     cm AS (
-        SELECT CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+        SELECT CAST(COALESCE(SUM(CASE WHEN y = 1 AND pred = 1
+                                      THEN 1 ELSE 0 END), 0)
                     AS BIGINT) AS tp,
-               CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
+               CAST(COALESCE(SUM(CASE WHEN y = 0 AND pred = 1
+                                      THEN 1 ELSE 0 END), 0)
                     AS BIGINT) AS fp,
-               CAST(SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)
+               CAST(COALESCE(SUM(CASE WHEN y = 1 AND pred = 0
+                                      THEN 1 ELSE 0 END), 0)
                     AS BIGINT) AS fn,
-               CAST(SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)
+               CAST(COALESCE(SUM(CASE WHEN y = 0 AND pred = 0
+                                      THEN 1 ELSE 0 END), 0)
                     AS BIGINT) AS tn
         FROM scored)
     SELECT CAST(t1.wt AS BIGINT) AS n_train,
@@ -3469,26 +3473,44 @@ def ml_adaboost_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "y",
             f"CASE WHEN ({vote}) > 0 THEN 1 ELSE 0 END AS pred",
-            "wt1 AS n_train",  # round-1 total = train row count
         )
     )
-    return scored.agg(
-        F.min("n_train").cast("long").alias("n_train"),
+    # n_train comes from the params frame, NOT from an agg over test
+    # rows (min over an empty test split would NULL it while the
+    # oracle reads the real train total); all confusion counters are
+    # coalesced to 0 so an empty split yields the same all-zero row
+    # in both engines
+    cm = scored.agg(
         F.count(F.lit(1)).cast("long").alias("n_test"),
-        F.sum(F.expr("CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END"))
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END")),
+            F.lit(0),
+        )
         .cast("long")
         .alias("tp"),
-        F.sum(F.expr("CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END"))
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END")),
+            F.lit(0),
+        )
         .cast("long")
         .alias("fp"),
-        F.sum(F.expr("CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END"))
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END")),
+            F.lit(0),
+        )
         .cast("long")
         .alias("fn"),
-        F.sum(F.expr("CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END"))
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END")),
+            F.lit(0),
+        )
         .cast("long")
         .alias("tn"),
         F.expr(
-            "CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) * 1000000"
-            " div greatest(count(1), 1) AS BIGINT)"
+            "CAST(coalesce(sum(CASE WHEN y = pred THEN 1 ELSE 0 END), 0)"
+            " * 1000000 div greatest(count(1), 1) AS BIGINT)"
         ).alias("acc_ppm"),
     )
+    return cm.crossJoin(
+        F.broadcast(params.selectExpr("wt1 AS n_train"))
+    ).select("n_train", "n_test", "tp", "fp", "fn", "tn", "acc_ppm")
