@@ -7025,3 +7025,75 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(count(1), 1) AS BIGINT)"
         ).alias("recall_permille"),
     )
+
+
+@register(
+    "t_kanonymity",
+    sql="""
+    WITH cells AS (
+        SELECT lang, source, n_chars // 100 AS len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS cell_n
+        FROM documents GROUP BY 1, 2, 3),
+    ks AS (SELECT CAST(unnest([2, 5, 10]) AS BIGINT) AS k)
+    SELECT ks.k,
+           CAST(COALESCE(SUM(CASE WHEN cell_n < ks.k THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_cells_below,
+           CAST(COALESCE(SUM(CASE WHEN cell_n < ks.k THEN cell_n
+                                  ELSE 0 END), 0) AS BIGINT)
+               AS n_docs_at_risk,
+           CAST(MIN(cell_n) AS BIGINT) AS min_cell_n,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM ks, cells
+    GROUP BY ks.k
+    """,
+    doc="k-anonymity audit over quasi-identifier cells — the privacy "
+        "re-identification check a pipeline runs BEFORE releasing a "
+        "training corpus (Sweeney 2002): documents sharing the same "
+        "(lang, source, length-bucket) quasi-identifier tuple form a "
+        "cell, and any cell smaller than k means its members are "
+        "re-identifiable by those attributes alone. Emits one row "
+        "per k in {2, 5, 10}: how many cells violate k-anonymity, "
+        "how many documents sit in violating cells (the rows a "
+        "suppression/generalization pass must touch), the global "
+        "minimum cell size (the corpus's achieved k), and the cell "
+        "count. All exact integers. Scale shape: ONE map-side-"
+        "combined hash aggregate over the corpus to the QI cell "
+        "table (bounded by the attribute domain, not corpus size), "
+        "then a 3-way broadcast of the k ladder over the cells — "
+        "no joins against the corpus, no windows.",
+)
+def t_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        table(spark, sf_dir, "documents")
+        .groupBy(
+            "lang",
+            "source",
+            F.expr("n_chars div 100").alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cell_n"))
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k0")
+    ).select(F.col("k0").cast("long").alias("k"))
+    return (
+        cells.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN cell_n < k THEN 1 ELSE 0 END")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_cells_below"),
+            F.coalesce(
+                F.sum(
+                    F.expr("CASE WHEN cell_n < k THEN cell_n ELSE 0 END")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_docs_at_risk"),
+            F.min("cell_n").cast("long").alias("min_cell_n"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+    )

@@ -91,6 +91,8 @@ BNLJ_ALLOWED = {
                         "boosting round and for test scoring; the "
                         "other side is the train-split value-domain "
                         "grid (<= 1122 cells) or the test scan",
+    "t_kanonymity": "broadcast fixed 3-row k ladder against the "
+                    "QI-cell table (attribute-domain bounded)",
 }
 
 

@@ -987,3 +987,35 @@ def test_backtest_drops_short_series(spark, tmp_path):
     assert r["naive_mae_sum_micro"] == sum(
         abs(5 - y) for y in range(6, 13)
     ) * 1000000
+
+
+def test_kanonymity_matches_python_rederivation(spark):
+    """t_kanonymity must equal a from-scratch Python re-derivation of
+    the QI-cell census, and its invariants must hold: violating-cell
+    and at-risk-document counts are monotone in k, min_cell_n and
+    n_cells are k-invariant, and n_docs_at_risk is consistent with
+    the census."""
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("lang", "source", "n_chars")
+        .collect()
+    )
+    cells: dict = {}
+    for r in rows:
+        key = (r["lang"], r["source"], r["n_chars"] // 100)
+        cells[key] = cells.get(key, 0) + 1
+    want = {}
+    for k in (2, 5, 10):
+        below = [n for n in cells.values() if n < k]
+        want[k] = (len(below), sum(below), min(cells.values()), len(cells))
+    got = {
+        r["k"]: (
+            r["n_cells_below"], r["n_docs_at_risk"],
+            r["min_cell_n"], r["n_cells"],
+        )
+        for r in load_all()["t_kanonymity"].spark(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    ks = sorted(got)
+    for a, b in zip(ks, ks[1:]):
+        assert got[a][0] <= got[b][0] and got[a][1] <= got[b][1]
