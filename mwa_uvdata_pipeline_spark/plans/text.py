@@ -7097,3 +7097,116 @@ def t_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_cells"),
         )
     )
+
+
+@register(
+    "dedup_minhash_calibration",
+    sql=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sig AS ({_sql_minhash_sig()}),
+    b AS (SELECT doc_id, h0, h1, h2, h3, h0 || h1 AS band FROM sig),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+               2 + CAST(x.h2 = y.h2 AS BIGINT)
+                 + CAST(x.h3 = y.h3 AS BIGINT) AS agreement
+        FROM b x JOIN b y
+          ON x.band = y.band AND x.doc_id < y.doc_id),
+    inter AS (SELECT c.da, c.db, MIN(c.agreement) AS agreement,
+                     CAST(COUNT(*) AS BIGINT) AS n_inter
+              FROM cand c JOIN sh a ON c.da = a.doc_id
+                          JOIN sh b2 ON c.db = b2.doc_id
+                                    AND a.s = b2.s
+              GROUP BY c.da, c.db),
+    size_ AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh
+              GROUP BY doc_id),
+    j AS (SELECT i.agreement,
+                 CAST(i.n_inter * 1000000 //
+                      (sa.n + sb.n - i.n_inter) AS BIGINT) AS j_ppm
+          FROM inter i JOIN size_ sa ON i.da = sa.doc_id
+                       JOIN size_ sb ON i.db = sb.doc_id)
+    SELECT agreement,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(j_ppm) // COUNT(*) AS BIGINT) AS mean_j_ppm,
+           CAST(MIN(j_ppm) AS BIGINT) AS min_j_ppm,
+           CAST(MAX(j_ppm) AS BIGINT) AS max_j_ppm
+    FROM j GROUP BY agreement
+    """,
+    doc="MinHash estimator CALIBRATION audit — the third leg of the "
+        "sketch-audit triple (precision: are candidates similar; "
+        "recall: are similar pairs candidates; THIS: does the sketch "
+        "statistic itself track the quantity it estimates): every "
+        "band-bucket candidate pair is scored by its lane agreement "
+        "(band equality pins lanes 0-1, so agreement ∈ {2,3,4}) "
+        "against its EXACT shingle Jaccard in integer ppm, grouped "
+        "by agreement level with count/mean/min/max. The one-"
+        "permutation theory says E[agreement/k] = J, so mean exact "
+        "Jaccard must rise with agreement — the monotonicity a "
+        "pipeline verifies before using lane agreement as a cheap "
+        "similarity score (pinned in tests/test_round8.py). Same "
+        "verify-only-candidates posting join as "
+        "dedup_candidate_precision; all integer divisions truncate "
+        "identically in both engines.",
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs).persist()
+    lanes = sh.select(
+        "doc_id",
+        *[
+            F.substring(F.md5("s"), 8 * i + 1, 8).alias(f"l{i}")
+            for i in range(_N_MINHASH)
+        ],
+    )
+    sig = lanes.groupBy("doc_id").agg(
+        *[F.min(f"l{i}").alias(f"h{i}") for i in range(_N_MINHASH)]
+    )
+    b = sig.select(
+        "doc_id", "h2", "h3", F.concat("h0", "h1").alias("band")
+    )
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), F.col("x.band") == F.col("y.band"))
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("da"),
+            F.col("y.doc_id").alias("db"),
+            (
+                F.lit(2).cast("long")
+                + (F.col("x.h2") == F.col("y.h2")).cast("long")
+                + (F.col("x.h3") == F.col("y.h3")).cast("long")
+            ).alias("agreement"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("da"), "s"), "da")
+        .join(sh.select(F.col("doc_id").alias("db"), "s"), ["db", "s"])
+        .groupBy("da", "db")
+        .agg(
+            F.min("agreement").alias("agreement"),
+            F.count(F.lit(1)).cast("long").alias("n_inter"),
+        )
+    )
+    size = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = (
+        inter.join(
+            size.select(F.col("doc_id").alias("da"), F.col("n").alias("na")),
+            "da",
+        )
+        .join(
+            size.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")),
+            "db",
+        )
+        .select(
+            "agreement",
+            F.expr(
+                "CAST(n_inter * 1000000 div (na + nb - n_inter) AS BIGINT)"
+            ).alias("j_ppm"),
+        )
+    )
+    return j.groupBy("agreement").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(sum(j_ppm) div count(1) AS BIGINT)").alias("mean_j_ppm"),
+        F.min("j_ppm").cast("long").alias("min_j_ppm"),
+        F.max("j_ppm").cast("long").alias("max_j_ppm"),
+    )

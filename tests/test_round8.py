@@ -1019,3 +1019,60 @@ def test_kanonymity_matches_python_rederivation(spark):
     ks = sorted(got)
     for a, b in zip(ks, ks[1:]):
         assert got[a][0] <= got[b][0] and got[a][1] <= got[b][1]
+
+
+def test_minhash_calibration_matches_python_and_monotone(spark):
+    """dedup_minhash_calibration must equal a from-scratch Python
+    re-derivation (band candidates, lane agreement, exact uncapped
+    Jaccard in truncated ppm) and the calibration claim must hold:
+    mean exact Jaccard rises with lane agreement."""
+    import hashlib
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    sh: dict[int, set] = {}
+    for d, t in docs.items():
+        ts = t.split(" ")
+        sh[d] = {
+            " ".join(ts[i : i + 3]) for i in range(len(ts) - 2)
+        } if len(ts) >= 3 else set()
+    lanes = {}
+    for d, ss in sh.items():
+        if not ss:
+            continue
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in ss]
+        lanes[d] = tuple(min(h[8 * i: 8 * i + 8] for h in hs) for i in range(4))
+    buckets: dict = {}
+    for d, ln in lanes.items():
+        buckets.setdefault(ln[0] + ln[1], []).append(d)
+    groups: dict[int, list[int]] = {}
+    for ids in buckets.values():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                agree = 2 + (lanes[a][2] == lanes[b][2]) + (lanes[a][3] == lanes[b][3])
+                inter = len(sh[a] & sh[b])
+                if inter == 0:
+                    continue  # no posting-join row -> pair absent
+                union = len(sh[a]) + len(sh[b]) - inter
+                groups.setdefault(agree, []).append(inter * 1000000 // union)
+    want = {
+        agree: (
+            len(ppms), sum(ppms) // len(ppms), min(ppms), max(ppms)
+        )
+        for agree, ppms in groups.items()
+    }
+    got = {
+        r["agreement"]: (
+            r["n_pairs"], r["mean_j_ppm"], r["min_j_ppm"], r["max_j_ppm"]
+        )
+        for r in load_all()["dedup_minhash_calibration"]
+        .spark(spark, SF_SMALL)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    levels = sorted(got)
+    for a, b in zip(levels, levels[1:]):
+        assert got[a][1] < got[b][1]  # calibration: mean J rises
