@@ -119,8 +119,14 @@ def _committed_files(pattern: str) -> list[str]:
             for p in files
             if fnmatch.fnmatch(os.path.basename(p), base)
         )
-    if not _glob.has_magic(d) and _glob.glob(
-        os.path.join(d, ".*.inprogress")
+    # Two temp spellings mark an uncommitted write: dotted data temps
+    # (.{name}.inprogress) and the manifest temp
+    # (_MANIFEST.json.inprogress — NO leading dot). A crash after the
+    # part renames but before the manifest publish leaves only the
+    # latter, and a plain glob would surface orphan/duplicate parts.
+    if not _glob.has_magic(d) and (
+        _glob.glob(os.path.join(d, ".*.inprogress"))
+        or os.path.exists(os.path.join(d, "_MANIFEST.json.inprogress"))
     ):
         raise ValueError(
             f"{d}: in-progress write attempts present and no "

@@ -220,15 +220,72 @@ def _last_verified_round() -> dict[str, int]:
     return last
 
 
+def plan_src_hash(plan: Plan) -> str:
+    """md5 of the registered plan function's own source text.
+
+    Function-level (not module-level) on purpose: one edited entry in
+    a 7k-line module must not invalidate every sibling entry — the
+    driver sample is 50/round and a module-wide stamp would flood it.
+    Limitation, documented: edits to shared HELPERS a plan calls do
+    not change its hash; mark such entries explicitly with
+    ``tools/refresh_verified.py --mark-changed``.
+    """
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(plan.spark)
+    except (OSError, TypeError):
+        src = repr(plan.spark)
+    return hashlib.md5(src.encode()).hexdigest()
+
+
+def _load_verified() -> dict[str, dict]:
+    """VERIFIED.json: name → {round, src} recorded at the entry's last
+    green driver row (maintained by tools/refresh_verified.py, run at
+    round start before any plan edit)."""
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[2] / "VERIFIED.json"
+    try:
+        data = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
+def _stale_key(
+    name: str,
+    last_round: int,
+    recorded_src: str | None,
+    current_src: str,
+) -> tuple[int, str]:
+    """Rotation sort key: (effective round, name) — ascending.
+
+    An entry whose plan source CHANGED since its last green driver row
+    (or that has no recorded hash at all) sorts with the
+    never-verified group (round 0): its existing driver rows certify
+    superseded code, so re-verification must not wait out the
+    stalest-first queue. Pure function so the policy is unit-testable
+    without touching the filesystem.
+    """
+    if recorded_src is None or recorded_src != current_src:
+        return (0, name)
+    return (last_round, name)
+
+
 def load_all() -> dict[str, Plan]:
     """Import every plan module (side effect: registry population).
 
-    Returned order is STALEST-FIRST: entries the driver has never
-    hash-verified, then by the round they were last verified
-    (oldest first). The correctness harness checks a bounded prefix of
-    the registry (round 1 stopped at 50 of 82), so this rotation keeps
-    every operator under recent driver coverage across rounds — code
-    edited since an entry's last check gets it re-verified soonest.
+    Returned order is STALEST-FIRST and CODE-CHANGE-AWARE: entries the
+    driver has never hash-verified AND entries whose plan-function
+    source changed since their last green row (per VERIFIED.json's
+    recorded source hash) come first, then the rest by the round they
+    were last verified (oldest first). The correctness harness checks
+    a bounded prefix of the registry, so this rotation keeps every
+    operator under recent driver coverage — and a rewritten plan gets
+    re-verified next round instead of when its old green row ages out.
     """
     from mwa_uvdata_pipeline_spark.plans import (  # noqa: F401
         domain,
@@ -239,5 +296,21 @@ def load_all() -> dict[str, Plan]:
     )
 
     last = _last_verified_round()
-    ordered = sorted(PLANS, key=lambda n: (last.get(n, 0), n))
+    verified = _load_verified()
+    if not verified:
+        # No VERIFIED.json (fresh checkout before the first refresh):
+        # degrade to pure stalest-first rather than treating every
+        # entry as changed, which would collapse the rotation to
+        # alphabetical and starve the genuinely stale cohort.
+        ordered = sorted(PLANS, key=lambda n: (last.get(n, 0), n))
+        return {name: PLANS[name] for name in ordered}
+    ordered = sorted(
+        PLANS,
+        key=lambda n: _stale_key(
+            n,
+            last.get(n, 0),
+            (verified.get(n) or {}).get("src"),
+            plan_src_hash(PLANS[n]),
+        ),
+    )
     return {name: PLANS[name] for name in ordered}

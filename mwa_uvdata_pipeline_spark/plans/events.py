@@ -3917,13 +3917,16 @@ def ev_user_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the survival statistic growth teams track: first signup and "
         "first purchase per user (two filtered min-aggs), the delta "
         "for converters, and the exact lower median via the same "
-        "two-pass histogram refinement as agg_exact_median_2pass: "
+        "multi-pass histogram refinement as agg_exact_median_2pass: "
         "pass 1 histograms converter deltas into one-hour bins (one "
         "hash agg; the bin table is delta-range/1h sized, not "
-        "population sized), the cumulative bin counts locate the bin "
-        "containing the (n+1)/2-th delta, pass 2 ranks ONLY that "
-        "bin's rows. No unpartitioned ordered window ever sees an "
-        "O(users) frame. Integer microseconds throughout.",
+        "population sized), pass 2 sub-histograms the median hour "
+        "into one-second bins (<=3600 rows), pass 3 cumulates "
+        "exact-value counts inside the median second (<=1e6 distinct "
+        "micros — value-domain bounded). Every ordered window frame "
+        "is value-domain bounded; no window ever ranks rows, so even "
+        "an all-converters-in-one-bin distribution stays distributed. "
+        "Integer microseconds throughout.",
 )
 def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -3961,18 +3964,55 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cumc") >= F.expr("(cnt + 1) div 2"))
         & (F.col("cumc") - F.col("c") < F.expr("(cnt + 1) div 2"))
     ).select("bin", (F.col("cumc") - F.col("c")).alias("before"), "cnt")
-    # pass 2: rank ONLY the deltas inside the median bin. The final
-    # agg guarantees exactly ONE row even with zero converters (agg
-    # over an empty frame yields a NULL row), matching the oracle's
-    # scalar subquery — a raw 0-row med would collapse the crossJoin.
-    wbin = Window.orderBy("dt_us")  # frame: one bin's population
-    med = (
-        d.join(
-            F.broadcast(tgt),
-            F.expr(f"dt_us div {binw}") == F.col("bin"),
+    # pass 2: sub-histogram the median bin into ONE-SECOND bins
+    # (<=3600 rows regardless of how many converters share the hour —
+    # the round-8 version ranked the bin's ROWS here, which an
+    # all-in-one-bin distribution degrades to an O(converters)
+    # single-task sort). The sub-bin cumulation locates the second
+    # containing the target order statistic.
+    subw = 1_000_000  # one-second sub-bins (micros)
+    wsub = Window.orderBy("sbin")  # frame: <=3600 occupied seconds
+    tgt2 = (
+        d.join(F.broadcast(tgt), F.expr(f"dt_us div {binw}") == F.col("bin"))
+        .groupBy(
+            F.expr(f"dt_us div {subw}").alias("sbin"), "before", "cnt"
         )
-        .withColumn("rk", F.row_number().over(wbin))
-        .where(F.col("rk") + F.col("before") == F.expr("(cnt + 1) div 2"))
+        .agg(F.count(F.lit(1)).alias("sc"))
+        .withColumn("scum", F.sum("sc").over(wsub))
+        .where(
+            (F.col("scum") + F.col("before") >= F.expr("(cnt + 1) div 2"))
+            & (
+                F.col("scum") - F.col("sc") + F.col("before")
+                < F.expr("(cnt + 1) div 2")
+            )
+        )
+        .select(
+            "sbin",
+            (F.col("scum") - F.col("sc") + F.col("before")).alias("before2"),
+            "cnt",
+        )
+    )
+    # pass 3: cumulate EXACT-VALUE counts inside the median second.
+    # Distinct dt_us values in a one-second sub-bin are <=1e6 (the
+    # micro value domain), so this ordered window is value-domain
+    # bounded, never population bounded — no row-level rank anywhere.
+    # The final agg guarantees exactly ONE row even with zero
+    # converters (agg over an empty frame yields a NULL row), matching
+    # the oracle's scalar subquery — a raw 0-row med would collapse
+    # the crossJoin.
+    wval = Window.orderBy("dt_us")  # frame: distinct micros, one second
+    med = (
+        d.join(F.broadcast(tgt2), F.expr(f"dt_us div {subw}") == F.col("sbin"))
+        .groupBy("dt_us", "before2", "cnt")
+        .agg(F.count(F.lit(1)).alias("vc"))
+        .withColumn("vcum", F.sum("vc").over(wval))
+        .where(
+            (F.col("vcum") + F.col("before2") >= F.expr("(cnt + 1) div 2"))
+            & (
+                F.col("vcum") - F.col("vc") + F.col("before2")
+                < F.expr("(cnt + 1) div 2")
+            )
+        )
         .agg(F.max("dt_us").alias("median_dt_us"))
     )
     stats = d.agg(

@@ -349,8 +349,13 @@ def stream_pattern_vshapes(
 
     def update(key, pdfs, state: GroupState):
         n, p2, p1, nv = state.get if state.exists else (0, 0, 0, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # A key's micro-batch may arrive as MULTIPLE Arrow chunks
+        # (arrow.maxRecordsPerBatch) in arbitrary shuffle order, so
+        # the (ts, event_id) sort must span the whole batch, not each
+        # chunk — chunk-local sorting would fold rows out of order.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             # SQL ROUND: half away from zero, sign-aware (pandas
             # .round is banker's; plain floor(x+0.5) would round
             # -2.5 to -2 where F.round gives -3); matches
@@ -411,8 +416,11 @@ def stream_cadence_moments(
         last, n_seen, ng, s1, s2 = (
             state.get if state.exists else (-1, 0, 0, 0, 0)
         )
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Batch-wide sort (not per-chunk): one key's micro-batch can
+        # span several Arrow chunks delivered in shuffle order.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             ts_us = (
                 pdf["ts"].astype("datetime64[us]").astype("int64")
             )

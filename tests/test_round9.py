@@ -1,0 +1,316 @@
+"""Round-9 regression pins: code-change-aware driver rotation,
+multi-Arrow-chunk stateful streaming folds (ADVICE r8 medium), the
+manifest-temp crashed-commit guard (ADVICE r8 low), and the
+value-domain-bounded ev_time_to_convert median refinement."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mwa_uvdata_pipeline_spark.plans import load_events
+from tests.conftest import SF_SMALL
+
+
+class TestRotationCodeChangeAware:
+    def test_stale_key_unchanged_source_keeps_round(self):
+        from mwa_uvdata_pipeline_spark.plans import _stale_key
+
+        assert _stale_key("a", 5, "h1", "h1") == (5, "a")
+
+    def test_stale_key_changed_source_sorts_never_verified(self):
+        from mwa_uvdata_pipeline_spark.plans import _stale_key
+
+        # source edited since the last green row → round-0 group, so
+        # the driver re-samples next round, not when the row ages out
+        assert _stale_key("a", 7, "old", "new") == (0, "a")
+
+    def test_stale_key_missing_record_sorts_never_verified(self):
+        from mwa_uvdata_pipeline_spark.plans import _stale_key
+
+        assert _stale_key("a", 7, None, "h") == (0, "a")
+
+    def test_load_all_orders_changed_entries_first(self, monkeypatch):
+        """End-to-end policy: with a recorded hash mismatching the
+        current plan source, the entry must sort ahead of every
+        unchanged entry regardless of how recently it was verified."""
+        import mwa_uvdata_pipeline_spark.plans as P
+
+        P.load_all()  # ensure registry populated
+        names = sorted(P.PLANS)[:3]
+        a, b, c = names  # alphabetical: a < b < c
+        cur = {n: P.plan_src_hash(P.PLANS[n]) for n in names}
+        monkeypatch.setattr(
+            P, "_last_verified_round", lambda: {a: 2, b: 8, c: 5}
+        )
+        monkeypatch.setattr(
+            P,
+            "_load_verified",
+            lambda: {
+                a: {"round": 2, "src": cur[a]},
+                b: {"round": 8, "src": "SENTINEL-mismatch"},
+                c: {"round": 5, "src": cur[c]},
+            },
+        )
+        ordered = [n for n in P.load_all() if n in names]
+        # b was verified most recently (r8) but its source changed →
+        # first; then a (r2) before c (r5) by staleness
+        assert ordered == [b, a, c]
+
+    def test_load_all_without_verified_falls_back_stalest_first(
+        self, monkeypatch
+    ):
+        import mwa_uvdata_pipeline_spark.plans as P
+
+        P.load_all()
+        names = sorted(P.PLANS)[:2]
+        a, b = names
+        monkeypatch.setattr(
+            P, "_last_verified_round", lambda: {a: 9, b: 1}
+        )
+        monkeypatch.setattr(P, "_load_verified", lambda: {})
+        ordered = [n for n in P.load_all() if n in names]
+        assert ordered == [b, a]
+
+    def test_verified_json_committed_and_covers_registry(self):
+        """The ledger file must exist in the repo (the fallback path
+        is for fresh checkouts only) and cover every driver-verified
+        entry."""
+        import json
+        from pathlib import Path
+
+        import mwa_uvdata_pipeline_spark.plans as P
+
+        P.load_all()
+        path = Path(__file__).resolve().parents[1] / "VERIFIED.json"
+        rec = json.loads(path.read_text())
+        missing = set(P._last_verified_round()) & set(P.PLANS) - set(rec)
+        assert not missing, f"unstamped verified entries: {missing}"
+
+
+@pytest.fixture()
+def tiny_arrow_chunks(spark):
+    """Force applyInPandasWithState to deliver each key's micro-batch
+    as MANY small Arrow chunks (the production default is 10k rows, so
+    small tests never exercise the multi-chunk path)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "2")
+    yield
+    if old is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, old)
+
+
+@pytest.fixture(scope="module")
+def replay_dir9(spark, tmp_path_factory):
+    from mwa_uvdata_pipeline_spark.streaming.events import replay_events
+
+    out = tmp_path_factory.mktemp("events_replay9")
+    # 2 slices → big per-key batches, so chunking actually splits keys
+    replay_events(load_events(spark, SF_SMALL), str(out), n_files=2)
+    return str(out)
+
+
+class TestMultiChunkStatefulFolds:
+    """ADVICE r8 medium: a key's micro-batch may arrive as multiple
+    Arrow chunks in unsorted shuffle order; the (ts, event_id) sort
+    must span the whole batch. These tests pin batch equality with
+    2-row chunks, where the old per-chunk sort diverges."""
+
+    def test_vshapes_match_batch_with_tiny_chunks(
+        self, spark, replay_dir9, tiny_arrow_chunks
+    ):
+        from mwa_uvdata_pipeline_spark.streaming.events import (
+            run_to_memory,
+            stream_pattern_vshapes,
+        )
+
+        run_to_memory(
+            stream_pattern_vshapes(spark, f"{replay_dir9}/part*"),
+            "vshape_chunk_sink",
+            output_mode="update",
+        )
+        got = {
+            (r["user_id"], r["event_type"]): r["nv"]
+            for r in spark.sql(
+                "SELECT user_id, event_type, "
+                "max_by(n_vshapes, n_seen) AS nv "
+                "FROM vshape_chunk_sink GROUP BY user_id, event_type"
+            ).collect()
+        }
+        ev = load_events(spark, SF_SMALL)
+        cents = F.round(F.col("value") * 100).cast("long")
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            "ts", "event_id"
+        )
+        want = {
+            (r["user_id"], r["event_type"]): r["nv"]
+            for r in ev.select(
+                "user_id",
+                "event_type",
+                cents.alias("c"),
+                F.lag(cents, 1).over(w).alias("p1"),
+                F.lag(cents, 2).over(w).alias("p2"),
+            )
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.sum(
+                    (
+                        (F.col("p2") > F.col("p1"))
+                        & (F.col("p1") < F.col("c"))
+                    ).cast("long")
+                ).alias("nv")
+            )
+            .collect()
+        }
+        assert got == want
+
+    def test_cadence_moments_match_batch_with_tiny_chunks(
+        self, spark, replay_dir9, tiny_arrow_chunks
+    ):
+        from mwa_uvdata_pipeline_spark.streaming.events import (
+            run_to_memory,
+            stream_cadence_moments,
+        )
+
+        run_to_memory(
+            stream_cadence_moments(spark, f"{replay_dir9}/part*"),
+            "cadence_chunk_sink",
+            output_mode="update",
+        )
+        got = {
+            r["user_id"]: (r["ng"], r["s1"], r["s2"])
+            for r in spark.sql(
+                "SELECT user_id, max_by(n_gaps, n_seen) AS ng, "
+                "max_by(s1, n_seen) AS s1, max_by(s2, n_seen) AS s2 "
+                "FROM cadence_chunk_sink GROUP BY user_id"
+            ).collect()
+        }
+        from mwa_uvdata_pipeline_spark.plans import epoch_us
+
+        ev = load_events(spark, SF_SMALL)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gaps = (
+            ev.select(
+                "user_id",
+                ((epoch_us(ev) - F.lag(epoch_us(ev), 1).over(w)) / F.lit(1))
+                .cast("long")
+                .alias("d_us"),
+            )
+            .where(F.col("d_us").isNotNull())
+            .select("user_id", F.expr("d_us div 1000000").alias("g"))
+        )
+        want = {
+            r["user_id"]: (r["ng"], r["s1"], r["s2"])
+            for r in gaps.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("ng"),
+                F.sum("g").alias("s1"),
+                F.sum(F.col("g") * F.col("g")).alias("s2"),
+            )
+            .collect()
+        }
+        for u, triple in want.items():
+            assert got.get(u) == triple, u
+
+
+class TestMwabManifestTempGuard:
+    def test_refuses_manifest_temp_without_manifest(self, tmp_path):
+        """ADVICE r8 low: a crash after all part renames but before
+        the manifest publish leaves `_MANIFEST.json.inprogress` (no
+        leading dot, so the dotted-temp glob misses it); the reader
+        must refuse the plain-glob fallback there too."""
+        from mwa_uvdata_pipeline_spark.mwab import _committed_files
+
+        (tmp_path / "part-aa-000000-t000000.mwab").write_bytes(b"x")
+        (tmp_path / "_MANIFEST.json.inprogress").write_text("{}")
+        with pytest.raises(ValueError, match="in-progress"):
+            _committed_files(str(tmp_path / "*.mwab"))
+
+    def test_manifest_present_wins_over_leftover_temp(self, tmp_path):
+        """A COMMITTED manifest plus a leftover temp from a later
+        (crashed) retry is still readable — the manifest listing
+        masks the orphans; only the no-manifest case refuses."""
+        import json
+
+        from mwa_uvdata_pipeline_spark.mwab import _committed_files
+
+        (tmp_path / "part-aa-000000-t000000.mwab").write_bytes(b"x")
+        (tmp_path / "_MANIFEST.json").write_text(
+            json.dumps({"files": ["part-aa-000000-t000000.mwab"]})
+        )
+        (tmp_path / "_MANIFEST.json.inprogress").write_text("{}")
+        got = _committed_files(str(tmp_path / "*.mwab"))
+        assert [p.rsplit("/", 1)[-1] for p in got] == [
+            "part-aa-000000-t000000.mwab"
+        ]
+
+
+class TestTimeToConvertRefinement:
+    def test_no_row_level_rank_in_plan(self, spark):
+        """The pass-2/3 refinement must never rank rows: an
+        all-converters-in-one-hour-bin distribution degraded the old
+        row_number() pass to one O(converters) task. Value-domain
+        cumulation has no row_number at all."""
+        import inspect
+
+        from mwa_uvdata_pipeline_spark.plans.events import (
+            ev_time_to_convert,
+        )
+
+        src = inspect.getsource(ev_time_to_convert)
+        assert "row_number" not in src
+
+    def test_median_correct_when_one_bin_holds_everything(
+        self, spark, tmp_path
+    ):
+        """Adversarial distribution: every converter delta inside ONE
+        one-hour bin (and one hot second) — the exact case the ADVICE
+        note flagged. Median must still be exact."""
+        import duckdb
+
+        from mwa_uvdata_pipeline_spark.plans import PLANS
+
+        rows = []
+        eid = 0
+        # 101 users sign up at t0; user u converts u seconds later —
+        # deltas 0..100s, all inside hour-bin 0; plus ties: 50 extra
+        # users convert at exactly 40s (one hot micro value)
+        for u in range(101):
+            rows.append((eid, u, "signup", "2024-01-01 00:00:00.000000", 1.0))
+            eid += 1
+            when = (
+                f"2024-01-01 00:00:{u:02d}.000000"
+                if u < 60
+                else f"2024-01-01 00:00:40.{u:06d}"
+            )
+            rows.append((eid, u, "purchase", when, 1.0))
+            eid += 1
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        sf = tmp_path / "sf_onebin"
+        sf.mkdir()
+        pdf.to_parquet(sf / "events.parquet", index=False)
+        got = {
+            r["median_dt_us"]
+            for r in PLANS["ev_time_to_convert"].spark(spark, str(sf)).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')"
+        )
+        want = con.execute(
+            "SELECT CAST(median(dt) AS BIGINT) FROM ("
+            "  SELECT epoch_us(MIN(CASE WHEN event_type='purchase' THEN ts END))"
+            "       - epoch_us(MIN(CASE WHEN event_type='signup' THEN ts END)) AS dt"
+            "  FROM events GROUP BY user_id)"
+        ).fetchone()[0]
+        assert got == {want}
