@@ -92,18 +92,49 @@ def main() -> None:
             }
         )
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "warm_slower_count": len(slower_warm),
-                "sf": sf,
-            }
+    print(final_line(total, timings, len(slower_warm), sf))
+
+
+def final_line(
+    total: float,
+    timings: dict[str, float],
+    warm_slower_count: int,
+    sf: float,
+    budget: int = 1800,
+) -> str:
+    """The ONE driver-parsed result line, kept under ``budget`` chars.
+
+    The driver records only the tail of bench output and parses the
+    final line; BENCH_r07 was lost to truncation when the combined
+    line outgrew that ~2000-char window. Per-query warm times are
+    rounded to 2 dp here (full 3-dp precision stays on the preceding
+    diagnostics line), and if the roster still doesn't fit, the
+    SLOWEST queries are kept — they're the ones a perf reader needs —
+    with "queries_omitted" counting the fast tail that was dropped.
+    """
+
+    def line(t: dict[str, float], omitted: int) -> str:
+        payload = {
+            "metric": "headline_queries_total",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {n: round(v, 2) for n, v in t.items()},
+            "warm_slower_count": warm_slower_count,
+            "sf": sf,
+        }
+        if omitted:
+            payload["queries_omitted"] = omitted
+        return json.dumps(payload)
+
+    out = line(timings, 0)
+    keep = len(timings)
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    while len(out) > budget and keep > 1:
+        keep -= 1
+        out = line(
+            {n: timings[n] for n in by_cost[:keep]}, len(timings) - keep
         )
-    )
+    return out
 
 
 if __name__ == "__main__":

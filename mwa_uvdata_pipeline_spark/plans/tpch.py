@@ -3217,101 +3217,112 @@ def _ada_xy(li: DataFrame) -> DataFrame:
 
 def _ada_params(grid: DataFrame) -> DataFrame:
     """Final 1-row AdaBoost params frame (wt{r}, feat{r}, thr{r},
-    pol{r}, e{r}, wn{r} for r = 1..3) over a cached (x1, x2, y, c)
-    grid. State travels in a broadcast 1-row frame and the per-cell
-    weight chain is rebuilt INLINE from the original counts each
-    round (the ml_logreg_gd shape) — no per-round persists. Round
-    bodies are SQL strings (one parse each): the Column-algebra
-    version spent ~2.6s per bench run in py4j round-trips."""
+    pol{r}, e{r}, wn{r} for r = 1..3) over a (x1, x2, y, c) grid.
+
+    FUSED (round 9): the grid is value-domain bounded (<= 1122
+    cells), so the entire 3-round trajectory is ONE aggregation
+    (collect the cells into an array, map-side combined) followed by
+    a pipeline of pure array expressions — transform for the
+    renormalize/reweight steps, aggregate for the totals and the
+    per-candidate weighted errors, array_sort on (e, feature,
+    threshold, pol) structs for the oracle's exact ROW_NUMBER
+    tiebreak. Two exchanges TOTAL (grid compaction + the 1-row
+    collect agg) versus the round-8 version's 14: every boosting
+    round was a stack/groupBy/two-window/rank chain re-scanning the
+    cached grid, which made warm time pure stage overhead (3.2s for
+    microseconds of math). The per-candidate error scan is
+    O(|domain|^2) ~ 137k fused-expression steps in one task — the
+    cells never leave the JVM. Round bodies stay SQL strings (one
+    parse each; the py4j Column-chain lesson from round 8)."""
     S = _ADA_SCALE
 
-    def raw_sql(depth: int) -> str:
-        # round-`depth` PRE-normalization cell weight: raw_1 = c;
-        # wn_j = raw_j * S div wt_j; raw_{j+1} = reweighted wn_j
-        raw = "CAST(c AS BIGINT)"
-        for j in range(1, depth):
-            wn = f"CAST(({raw}) * {S} div wt{j} AS BIGINT)"
-            mis = (
-                f"(CASE WHEN (CASE WHEN feat{j} = 'qty' THEN x1"
-                f" ELSE x2 END) <= thr{j} THEN pol{j}"
-                f" ELSE -pol{j} END) <> 2 * y - 1"
-            )
-            raw = (
-                f"CAST(CASE WHEN e{j} <= 0 OR e{j} >= wn{j} THEN {wn}"
-                f" WHEN {mis} THEN ({wn}) * (wn{j} - e{j})"
-                f" ELSE ({wn}) * e{j} END AS BIGINT)"
-            )
-        return raw
+    def fval(f: str = "fv.f") -> str:
+        return f"(CASE WHEN {f} = 'qty' THEN x.x1 ELSE x.x2 END)"
+
+    def errs(r: int, pol: int) -> str:
+        # weighted error of stump (fv.f, v, pol): pol for vals <= v,
+        # -pol above — misclassified mass where prediction <> 2y-1.
+        # Equals the oracle's cumulative form: pol=+1 -> bl+(wa-al),
+        # pol=-1 -> al+(wb-bl).
+        pred = f"(CASE WHEN {fval()} <= v THEN {pol} ELSE {-pol} END)"
+        return (
+            f"aggregate(wncells{r}, CAST(0 AS BIGINT), (acc, x) ->"
+            f" acc + (CASE WHEN {pred} <> 2 * x.y - 1 THEN x.w"
+            f" ELSE CAST(0 AS BIGINT) END))"
+        )
 
     params = grid.agg(
-        F.sum("c").cast("long").alias("wt1")
-    )  # round-1 renormalization total = corpus count
+        F.collect_list(
+            F.struct(
+                F.col("x1"), F.col("x2"), F.col("y"), F.col("c").alias("w")
+            )
+        ).alias("cells1"),
+        F.sum("c").cast("long").alias("wt1"),
+    )
     for r in (1, 2, 3):
-        if r > 1:
-            # this round's renormalization total needs NO data pass:
-            # sum(raw_r) = E*(sum of correct wn) + (W-E)*(sum of
-            # misclassified wn) = E*(W-E) + (W-E)*E = 2*E*(W-E)
-            # (misclassified normalized mass IS the weighted error E;
-            # correct mass is W-E), or W unchanged when the round was
-            # degenerate — 1-row algebra on the previous best stump
-            j = r - 1
+        params = params.selectExpr(
+            "*",
+            # renormalize this round's raw weights to the 2^20 total
+            f"transform(cells{r}, x -> struct(x.x1 AS x1, x.x2 AS x2,"
+            f" x.y AS y, CAST(x.w * {S} div wt{r} AS BIGINT) AS w))"
+            f" AS wncells{r}",
+        ).selectExpr(
+            "*",
+            f"aggregate(wncells{r}, CAST(0 AS BIGINT),"
+            f" (acc, x) -> acc + x.w) AS wn{r}",
+        ).selectExpr(
+            "*",
+            # every (feature, threshold, polarity) candidate as an
+            # (e, feature, threshold, pol) struct; array_sort compares
+            # structs field-by-field = the oracle's ORDER BY e,
+            # feature, threshold, pol — element [0] is the best stump
+            f"""array_sort(flatten(transform(
+                array(named_struct('f', 'qty'), named_struct('f', 'disc')),
+                fv -> flatten(transform(
+                  array_sort(array_distinct(transform(
+                      wncells{r}, x -> {fval()}))),
+                  v -> array(
+                    named_struct('e', {errs(r, 1)}, 'feature', fv.f,
+                                 'threshold', v,
+                                 'pol', CAST(1 AS BIGINT)),
+                    named_struct('e', {errs(r, -1)}, 'feature', fv.f,
+                                 'threshold', v,
+                                 'pol', CAST(-1 AS BIGINT))))))))[0]
+             AS best{r}""",
+        ).selectExpr(
+            "*",
+            f"best{r}.feature AS feat{r}",
+            f"CAST(best{r}.threshold AS BIGINT) AS thr{r}",
+            f"best{r}.pol AS pol{r}",
+            f"best{r}.e AS e{r}",
+        )
+        if r < 3:
+            # next round's raw weights (reweight skipped for a
+            # degenerate stump, both engines) and its renormalization
+            # total, which needs no data pass: sum(raw) = 2*E*(W-E)
+            mis = (
+                f"(CASE WHEN (CASE WHEN feat{r} = 'qty' THEN x.x1"
+                f" ELSE x.x2 END) <= thr{r} THEN pol{r}"
+                f" ELSE -pol{r} END) <> 2 * x.y - 1"
+            )
             params = params.selectExpr(
                 "*",
-                f"CASE WHEN e{j} <= 0 OR e{j} >= wn{j} THEN wn{j}"
-                f" ELSE 2 * e{j} * (wn{j} - e{j}) END AS wt{r}",
+                f"CASE WHEN e{r} <= 0 OR e{r} >= wn{r} THEN wn{r}"
+                f" ELSE 2 * e{r} * (wn{r} - e{r}) END AS wt{r + 1}",
+                f"transform(wncells{r}, x -> struct(x.x1 AS x1,"
+                f" x.x2 AS x2, x.y AS y, CAST(CASE"
+                f" WHEN e{r} <= 0 OR e{r} >= wn{r} THEN x.w"
+                f" WHEN {mis} THEN x.w * (wn{r} - e{r})"
+                f" ELSE x.w * e{r} END AS BIGINT) AS w))"
+                f" AS cells{r + 1}",
             )
-        wn_now = f"CAST(({raw_sql(r)}) * {S} div wt{r} AS BIGINT)"
-        stacked = grid.crossJoin(F.broadcast(params)).selectExpr(
-            "stack(2, 'qty', x1, 'disc', x2) AS (feature, v)",
-            f"CASE WHEN y = 1 THEN {wn_now} ELSE CAST(0 AS BIGINT)"
-            " END AS ca",
-            f"CASE WHEN y = 0 THEN {wn_now} ELSE CAST(0 AS BIGINT)"
-            " END AS cb",
-        )
-        vals = stacked.groupBy("feature", "v").agg(
-            F.sum("ca").cast("long").alias("a"),
-            F.sum("cb").cast("long").alias("b"),
-        )
-        # frames: one feature's value domain (<= 51 rows), then the
-        # 2-polarity x <= 61-threshold stack (single bounded task)
-        best = (
-            vals.selectExpr(
-                "feature",
-                "v",
-                "SUM(a) OVER (PARTITION BY feature ORDER BY v"
-                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-                " AS al",
-                "SUM(b) OVER (PARTITION BY feature ORDER BY v"
-                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-                " AS bl",
-                "SUM(a) OVER (PARTITION BY feature) AS wa",
-                "SUM(b) OVER (PARTITION BY feature) AS wb",
-            )
-            .selectExpr(
-                "feature",
-                "v AS threshold",
-                "wa + wb AS wn_tot",
-                "stack(2, CAST(1 AS BIGINT),"
-                " CAST(bl + (wa - al) AS BIGINT),"
-                " CAST(-1 AS BIGINT),"
-                " CAST(al + (wb - bl) AS BIGINT)) AS (pol, e)",
-            )
-            .selectExpr(
-                "*",
-                "ROW_NUMBER() OVER (ORDER BY e, feature, threshold,"
-                " pol) AS rn",
-            )
-            .where(F.col("rn") == 1)
-            .selectExpr(
-                f"feature AS feat{r}",
-                f"CAST(threshold AS BIGINT) AS thr{r}",
-                f"CAST(pol AS BIGINT) AS pol{r}",
-                f"CAST(e AS BIGINT) AS e{r}",
-                f"CAST(wn_tot AS BIGINT) AS wn{r}",
-            )
-        )
-        params = params.crossJoin(F.broadcast(best))
-    return params
+    # drop the cell arrays before the frame is broadcast by callers
+    keep = [
+        f"{p}{r}"
+        for r in (1, 2, 3)
+        for p in ("wt", "feat", "thr", "pol", "e", "wn")
+    ]
+    return params.selectExpr(*keep)
 
 
 
@@ -3348,11 +3359,10 @@ def _ada_params(grid: DataFrame) -> DataFrame:
 )
 def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _ada_xy(table(spark, sf_dir, "lineitem"))
-    # the ONE full-data pass; every round re-reads this cache
-    grid = (
-        li.groupBy("x1", "x2", "y")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .persist()
+    # the ONE full-data pass; the fused _ada_params consumes it once
+    # (no persist needed — rounds run as array expressions, r9)
+    grid = li.groupBy("x1", "x2", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
     params = _ada_params(grid)
     # the final 1-row params frame carries every round's stump; emit
@@ -3457,7 +3467,8 @@ def ml_adaboost_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ada_xy(li.where(split < "cd"))
         .groupBy("x1", "x2", "y")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .persist()  # the ONE train-split pass; rounds reuse it
+        # the ONE train-split pass; the fused _ada_params consumes it
+        # once, so no persist (r9)
     )
     params = _ada_params(grid)
     preds = []

@@ -249,6 +249,49 @@ class TestMwabManifestTempGuard:
         ]
 
 
+class TestBenchLineBudget:
+    """VERDICT r8 #5: the driver parses only the FINAL bench line from
+    a ~2000-char tail window; BENCH_r07 was lost to truncation. Pin
+    that the line stays under budget at the CURRENT roster and that
+    the trim path degrades by dropping the fastest queries."""
+
+    def test_final_line_under_budget_at_current_roster(self):
+        import bench
+        from mwa_uvdata_pipeline_spark.plans import PLANS, load_all
+
+        load_all()
+        roster = [n for n in PLANS if PLANS[n].bench]
+        assert roster, "no bench-flagged plans?"
+        # worst-case widths: every query at a 3-digit-seconds time
+        timings = {n: 123.456 for n in roster}
+        out = bench.final_line(999.999, timings, len(roster), 0.1)
+        assert len(out) < 1800, f"{len(out)} chars at {len(roster)} queries"
+
+    def test_trim_keeps_slowest_and_counts_omitted(self):
+        import json
+
+        import bench
+
+        timings = {f"query_with_a_long_name_{i:04d}": float(i) for i in range(200)}
+        out = bench.final_line(1.0, timings, 0, 0.1, budget=1000)
+        assert len(out) <= 1000
+        parsed = json.loads(out)
+        kept = parsed["queries"]
+        assert parsed["queries_omitted"] == 200 - len(kept)
+        # kept set is exactly the slowest ones
+        slowest = sorted(timings, key=timings.get, reverse=True)[: len(kept)]
+        assert set(kept) == set(slowest)
+        assert parsed["value"] == 1.0
+
+    def test_no_trim_when_it_fits(self):
+        import json
+
+        import bench
+
+        out = bench.final_line(1.0, {"a": 0.5}, 0, 0.01)
+        assert "queries_omitted" not in json.loads(out)
+
+
 class TestTimeToConvertRefinement:
     def test_no_row_level_rank_in_plan(self, spark):
         """The pass-2/3 refinement must never rank rows: an
