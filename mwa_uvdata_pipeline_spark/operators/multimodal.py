@@ -415,7 +415,8 @@ def synth_frame_ppm_bytes(doc_id: int, f: int) -> bytes:
 
 
 def decode_scene_cuts(docs: DataFrame, threshold: int = 16,
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      nf_for=None) -> DataFrame:
     """Scene-cut detection over REALLY-DECODED frame sequences: each
     doc's synthetic video (2 + doc_id % 7 PPM frames) is generated and
     parsed byte-for-byte executor-side (:func:`_parse_ppm` — the same
@@ -423,7 +424,18 @@ def decode_scene_cuts(docs: DataFrame, threshold: int = 16,
     ((sum_r+sum_g+sum_b) // (3*n_px)) is compared to the previous
     frame, and jumps >= ``threshold`` count as cuts — the shot-
     boundary pass a video curation pipeline runs before sampling
-    frames for captioning. Frame bytes never leave the executor."""
+    frames for captioning. Frame bytes never leave the executor.
+
+    ``nf_for`` (doc_id -> frame count) overrides the default
+    2 + doc_id % 7 video length — the skew-probe hook for the
+    one-long-video scenario (tools/skew_probe9.py): frames of one doc
+    are decoded as a SERIAL fold in one task (state = one previous
+    luminance), so wall time is lower-bounded by the longest single
+    video; frame-level parallelism would need a keyed reshuffle with
+    a boundary-luma stitch, which the bounded (<= 8 frame) synthetic
+    videos do not warrant."""
+    if nf_for is None:
+        nf_for = lambda d: 2 + d % 7  # noqa: E731
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -434,7 +446,7 @@ def decode_scene_cuts(docs: DataFrame, threshold: int = 16,
             }
             for doc_id in pdf[id_col]:
                 doc_id = int(doc_id)
-                nf = 2 + doc_id % 7
+                nf = nf_for(doc_id)
                 prev = None
                 n_cuts = 0
                 first = None
