@@ -55,6 +55,7 @@ def zscore(
     value_col: str = "ins",
     part_keys: tuple[str, ...] = ("chan", "pol"),
     method: str = "mad",
+    strategy: str = "join",
 ) -> DataFrame:
     """A6: per-(chan, pol) standardization of INS across time.
 
@@ -65,10 +66,39 @@ def zscore(
     estimate). ``method="std"`` keeps the classic mean/stddev z.
     Degenerate groups (zero scale) get z=0 so thresholds stay defined.
 
-    Both stats passes are hash aggs over the tiny INS table followed by
-    broadcast rejoins — negligible at any data scale.
+    Two physical strategies, identical results (pinned by
+    test_round9.py): ``"join"`` runs hash aggs + broadcast rejoins —
+    each stats pass is its own broadcast-build job, fine when the INS
+    table is consumed once; ``"window"`` computes the same stats as
+    window aggregates over one partitioning — ONE exchange, no
+    broadcast builds, the latency-light shape for chained pipelines
+    (the E2E lifecycle entry: 6 broadcast builds over a 5k-row table
+    cost more than the 705k-row archive scan).
     """
     keys = list(part_keys)
+    if strategy == "window":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*part_keys)
+        if method == "std":
+            out = ins.withColumn("_loc", F.avg(value_col).over(w)).withColumn(
+                "_scale", F.stddev_samp(value_col).over(w)
+            )
+        else:
+            out = ins.withColumn(
+                "_loc", F.median(value_col).over(w)
+            ).withColumn(
+                "_scale",
+                F.median(F.abs(F.col(value_col) - F.col("_loc"))).over(w)
+                * F.lit(_MAD_TO_SIGMA),
+            )
+        z = F.when(
+            F.col("_scale").isNull() | (F.col("_scale") == 0.0), F.lit(0.0)
+        ).otherwise((F.col(value_col) - F.col("_loc")) / F.col("_scale"))
+        z = F.when(
+            F.col(value_col).isNull(), F.lit(None).cast("double")
+        ).otherwise(z)
+        return out.withColumn("z", z).drop("_loc", "_scale")
     if method == "std":
         stats = ins.groupBy(*part_keys).agg(
             F.avg(value_col).alias("_loc"),

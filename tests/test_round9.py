@@ -249,6 +249,69 @@ class TestMwabManifestTempGuard:
         ]
 
 
+class TestWindowStrategyEquivalence:
+    """The r9 `strategy="window"` physical mode of zscore/match_filter
+    must produce IDENTICAL rows to the original agg+broadcast-join
+    mode (same doubles — both orderings feed the same operands to the
+    same expressions) on the committed fixture chain."""
+
+    def test_zscore_and_mf_window_equals_join(self, spark, fixtures_dir):
+        from mwa_uvdata_pipeline_spark.operators.diff import time_diff
+        from mwa_uvdata_pipeline_spark.operators.ins import (
+            incoherent_noise_spectrum,
+            zscore,
+        )
+        from mwa_uvdata_pipeline_spark.operators.matchfilter import (
+            MatchFilterConfig,
+            match_filter,
+        )
+
+        vis = spark.read.parquet(str(fixtures_dir / "visibilities.parquet"))
+        ins = incoherent_noise_spectrum(time_diff(vis), "cross").persist()
+        cols = ["time_idx", "chan", "pol", "z", "narrow_flag",
+                "streak_flag", "tb_flag", "mf_flag"]
+        out = {}
+        for strat in ("join", "window"):
+            z = zscore(ins, strategy=strat)
+            mf = match_filter(z, MatchFilterConfig(), strategy=strat)
+            out[strat] = sorted(
+                tuple(r) for r in mf.select(*cols).collect()
+            )
+        ins.unpersist()
+        assert out["join"] == out["window"]
+
+    def test_zscore_std_window_equals_join(self, spark, fixtures_dir):
+        from mwa_uvdata_pipeline_spark.operators.diff import time_diff
+        from mwa_uvdata_pipeline_spark.operators.ins import (
+            incoherent_noise_spectrum,
+            zscore,
+        )
+
+        vis = spark.read.parquet(str(fixtures_dir / "visibilities.parquet"))
+        ins = incoherent_noise_spectrum(time_diff(vis), "cross").persist()
+        a = sorted(
+            tuple(r)
+            for r in zscore(ins, method="std", strategy="join")
+            .select("time_idx", "chan", "pol", "z")
+            .collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in zscore(ins, method="std", strategy="window")
+            .select("time_idx", "chan", "pol", "z")
+            .collect()
+        )
+        ins.unpersist()
+        # stddev accumulates in a different order between the hash-agg
+        # and window implementations → last-ulp drift is expected; the
+        # MAD path (what production chains use) is sort-based and
+        # compared EXACTLY in the test above
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            assert ra[:3] == rb[:3]
+            assert ra[3] == pytest.approx(rb[3], rel=1e-12, abs=1e-12)
+
+
 class TestBenchLineBudget:
     """VERDICT r8 #5: the driver parses only the FINAL bench line from
     a ~2000-char tail window; BENCH_r07 was lost to truncation. Pin
