@@ -48,7 +48,9 @@ def drain(df, name: str):
     q = (
         df.writeStream.format("noop")
         .queryName(name)
-        .outputMode("append" if "dedup" in name else "update")
+        .outputMode(
+            "append" if ("dedup" in name or name.startswith("ij_")) else "update"
+        )
         .trigger(availableNow=True)
         .start()
     )
@@ -73,6 +75,66 @@ def probe(spark, events, n_files: int, tag: str) -> dict:
         q = drain(fn(spark, f"{src}/part*"), f"{name}_{uuid.uuid4().hex[:6]}")
         rows = max_state_rows(q)
         out[name] = {"max_state_rows": max(rows or [0]), "batches": len(q.recentProgress)}
+    return out
+
+
+def probe_interval_join(
+    spark, events, tag: str, watermark: str
+) -> dict:
+    """stream_interval_join state under a LATE-DATA FLOOD (VERDICT r8
+    #9): the claim is state ~ rows inside (watermark delay + join
+    window) of the stream head — horizon-bounded — NOT cumulative rows
+    ingested. The flood fixture packs a multiple of the corpus into
+    the final horizon window, so if eviction works, max state tracks
+    the flood's horizon population and SHRINKS when the watermark
+    shrinks at identical input."""
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        replay_events,
+        stream_interval_join,
+    )
+
+    src = tempfile.mkdtemp(prefix=f"ij_probe_{tag}_")
+    replay_events(events, src, n_files=8)
+    q = drain(
+        stream_interval_join(
+            spark, f"{src}/part*", watermark=watermark
+        ),
+        f"ij_{uuid.uuid4().hex[:6]}",
+    )
+    rows = max_state_rows(q)
+    return {
+        "n_events": events.count(),
+        "watermark": watermark,
+        "max_state_rows": max(rows or [0]),
+        "batches": len(q.recentProgress),
+    }
+
+
+def build_late_flood(spark, ev, copies: int = 5):
+    """Base events + `copies` replicas whose timestamps are clamped
+    into the last 25 minutes before the stream head — admissible
+    (inside a 30-minute watermark) but all landing in one horizon
+    window: the adversarial late flood."""
+    from pyspark.sql import functions as F
+
+    head = ev.agg(F.max("ts").alias("m")).first()["m"]
+    flood = [ev]
+    for i in range(1, copies + 1):
+        flood.append(
+            ev.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * 1_000_000_000)
+            ).withColumn(
+                "ts",
+                F.lit(head)
+                - F.expr(f"INTERVAL {25 - (i * 4)} MINUTES")
+                + F.expr("INTERVAL 0 SECONDS"),
+            )
+        )
+    out = flood[0]
+    for c in flood[1:]:
+        out = out.unionByName(c)
     return out
 
 
@@ -109,6 +171,14 @@ def main() -> None:
     r1 = probe(spark, ev, 8, "1x")
     r10 = probe(spark, big, 8, "10x")
     r10_more_files = probe(spark, big, 32, "10xf")
+
+    flood = build_late_flood(spark, ev).cache()
+    flood.count()
+    ij = {
+        "base_wm30": probe_interval_join(spark, ev, "b30", "30 minutes"),
+        "flood_wm30": probe_interval_join(spark, flood, "f30", "30 minutes"),
+        "flood_wm5": probe_interval_join(spark, flood, "f5", "5 minutes"),
+    }
     print(
         json.dumps(
             {
@@ -116,6 +186,7 @@ def main() -> None:
                 "x1": r1,
                 "x10": r10,
                 "x10_32files": r10_more_files,
+                "interval_join": ij,
             }
         )
     )
