@@ -7210,3 +7210,89 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("j_ppm").cast("long").alias("min_j_ppm"),
         F.max("j_ppm").cast("long").alias("max_j_ppm"),
     )
+
+
+@register(
+    "stream_minhash_exec",
+    sql=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sig AS (SELECT doc_id,
+                   MIN(substring(md5(s), 1, 8)) AS h0,
+                   MIN(substring(md5(s), 9, 8)) AS h1,
+                   MIN(substring(md5(s), 17, 8)) AS h2,
+                   MIN(substring(md5(s), 25, 8)) AS h3
+            FROM sh GROUP BY doc_id),
+    bands AS (SELECT doc_id, 0 AS band, h0 || h1 AS key FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, h2 || h3 AS key FROM sig),
+    ranked AS (SELECT doc_id, band, key,
+                      ROW_NUMBER() OVER (PARTITION BY band, key
+                                         ORDER BY doc_id) AS rn
+               FROM bands),
+    hits AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM ranked a JOIN bands b
+               ON a.band = b.band AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+             WHERE a.rn <= 8)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(doc_a + doc_b), 0) AS BIGINT) AS id_checksum,
+           CAST(COALESCE(MIN(doc_a), -1) AS BIGINT) AS min_doc_a,
+           CAST(COALESCE(MAX(doc_b), -1) AS BIGINT) AS max_doc_b
+    FROM hits
+    """,
+    doc="Streaming INCREMENTAL near-dup EXECUTED as a query — the "
+        "streaming complement of dedup_incremental, upgraded from "
+        "exact-hash to MinHash+LSH (VERDICT r8 #9): documents replay "
+        "in doc_id order (an append-only corpus feed), each document's "
+        "4-lane one-permutation signature is computed ROW-LOCALLY "
+        "(transform + array_min over the shingle array — no "
+        "aggregation, so the band bucket operator is the query's only "
+        "stateful operator), and per (band, key) bucket an "
+        "applyInPandasWithState operator stores the FIRST 8 member "
+        "doc ids and emits each arrival's candidate pairs against "
+        "them. The bounded bucket cap is the batch DF-cap discipline "
+        "made incremental: a hot boilerplate bucket costs at most 8 "
+        "pairs per arrival and 8 longs of state forever. The distinct "
+        "pair census from the memory sink must hash-match the batch "
+        "formulation (a < b share a band AND a is among the bucket's "
+        "first 8 by doc_id) run by DuckDB from raw text — proving the "
+        "incremental fold equals the batch join at every micro-batch "
+        "boundary. streaming/docs.py:1 (module doc has the 100-TB "
+        "state argument).",
+)
+def stream_minhash_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.plans import fixture_dir
+    from mwa_uvdata_pipeline_spark.streaming.docs import (
+        replay_docs,
+        stream_minhash_pairs,
+    )
+    from mwa_uvdata_pipeline_spark.streaming.events import run_to_memory
+
+    def _build(d: str) -> None:
+        replay_docs(table(spark, sf_dir, "documents"), d, n_files=4)
+
+    out = fixture_dir("docs_replay", sf_dir, _build)
+    sink = f"mh_sink_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            stream_minhash_pairs(spark, f"{out}/part*"),
+            sink,
+            output_mode="update",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(
+        f"""
+        WITH pairs AS (SELECT DISTINCT doc_a, doc_b FROM {sink})
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(doc_a + doc_b), 0) AS BIGINT)
+                   AS id_checksum,
+               CAST(COALESCE(MIN(doc_a), -1) AS BIGINT) AS min_doc_a,
+               CAST(COALESCE(MAX(doc_b), -1) AS BIGINT) AS max_doc_b
+        FROM pairs
+        """
+    )

@@ -217,6 +217,107 @@ class TestMultiChunkStatefulFolds:
             assert got.get(u) == triple, u
 
 
+class TestStreamMinhashIncremental:
+    """Round-9 streaming near-dup: incremental MinHash+LSH candidate
+    pairing with bounded bucket state."""
+
+    def test_stream_pairs_equal_batch_formulation(self, spark, tmp_path):
+        """Pair-for-pair equality (stronger than the exec entry's
+        census): the streamed candidate set must equal 'a < b share a
+        band key AND a is among the bucket's first cap members'."""
+        from mwa_uvdata_pipeline_spark.streaming.docs import (
+            _band_rows,
+            replay_docs,
+            stream_minhash_pairs,
+        )
+        from mwa_uvdata_pipeline_spark.streaming.events import run_to_memory
+        from tests.conftest import SF_SMALL
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        out = str(tmp_path / "replay")
+        replay_docs(docs, out, n_files=3)
+        run_to_memory(
+            stream_minhash_pairs(spark, f"{out}/part*", cap=8),
+            "mh_pair_sink",
+            output_mode="update",
+        )
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.sql(
+                "SELECT DISTINCT doc_a, doc_b FROM mh_pair_sink"
+            ).collect()
+        }
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        bands = _band_rows(docs)
+        rn = F.row_number().over(
+            Window.partitionBy("band", "key").orderBy("doc_id")
+        )
+        a = bands.withColumn("rn", rn).where(F.col("rn") <= 8).select(
+            F.col("band").alias("ab"), F.col("key").alias("ak"),
+            F.col("doc_id").alias("doc_a"),
+        )
+        b = bands.select(
+            F.col("band").alias("bb"), F.col("key").alias("bk"),
+            F.col("doc_id").alias("doc_b"),
+        )
+        want = {
+            (r["doc_a"], r["doc_b"])
+            for r in a.join(
+                b,
+                (F.col("ab") == F.col("bb"))
+                & (F.col("ak") == F.col("bk"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+            .collect()
+        }
+        assert got == want
+        assert got, "expected at least one near-dup candidate pair"
+
+    def test_hot_bucket_state_caps(self, spark, tmp_path):
+        """100 identical docs land in one bucket: state stores only
+        the first `cap` ids and each arrival emits exactly `cap`
+        pairs — the bounded-posting discipline, incrementally."""
+        from pyspark.sql import functions as F
+
+        from mwa_uvdata_pipeline_spark.streaming.docs import (
+            replay_docs,
+            stream_minhash_pairs,
+        )
+        from mwa_uvdata_pipeline_spark.streaming.events import run_to_memory
+
+        docs = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.lit("alpha beta gamma delta epsilon").alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("synthetic").alias("source"),
+            F.lit(30).alias("n_chars"),
+        )
+        out = str(tmp_path / "hot")
+        replay_docs(docs, out, n_files=2)
+        run_to_memory(
+            stream_minhash_pairs(spark, f"{out}/part*", cap=4),
+            "mh_hot_sink",
+            output_mode="update",
+        )
+        pairs = spark.sql(
+            "SELECT DISTINCT doc_a, doc_b FROM mh_hot_sink"
+        ).collect()
+        stored = {r["doc_a"] for r in pairs}
+        # only the first 4 arrivals are ever stored / appear as doc_a
+        assert stored == {0, 1, 2, 3}
+        # every later doc pairs with exactly the 4 stored members
+        n_per_b = {}
+        for r in pairs:
+            n_per_b[r["doc_b"]] = n_per_b.get(r["doc_b"], 0) + 1
+        assert all(
+            n == min(b, 4) for b, n in n_per_b.items()
+        ), sorted(n_per_b.items())[:8]
+
+
 class TestMwabManifestTempGuard:
     def test_refuses_manifest_temp_without_manifest(self, tmp_path):
         """ADVICE r8 low: a crash after all part renames but before
