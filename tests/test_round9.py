@@ -456,6 +456,87 @@ class TestBenchLineBudget:
         assert "queries_omitted" not in json.loads(out)
 
 
+class TestDuplicateTimestampSessionSplit:
+    """VERDICT r8 #7 residual: the r8 tie-order fix threaded event_id
+    through the session-split cumsums in both engines; pin engine
+    equality on a table built to be ALL ties — many rows per user
+    sharing exact timestamps, including duplicates exactly at the
+    30-minute gap boundary."""
+
+    @pytest.fixture(scope="class")
+    def tie_dir(self, tmp_path_factory):
+        import pandas as pd
+
+        rows = []
+        eid = 0
+        base = pd.Timestamp("2024-02-01 00:00:00")
+        for u in range(8):
+            # burst of 5 events at the same instant
+            for _ in range(5):
+                rows.append((eid, base, u, "view", 1.0, "{}"))
+                eid += 1
+            # another burst exactly 30 minutes later (gap == threshold:
+            # NOT a new session, us - pus > 1800s is strict)
+            for _ in range(3):
+                rows.append(
+                    (eid, base + pd.Timedelta(minutes=30), u, "view", 1.0, "{}")
+                )
+                eid += 1
+            # and one 30 minutes + 1 microsecond after that: new session
+            rows.append(
+                (
+                    eid,
+                    base + pd.Timedelta(minutes=60, microseconds=1),
+                    u,
+                    "view",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        d = tmp_path_factory.mktemp("ties")
+        pdf.to_parquet(d / "events.parquet", index=False)
+        return str(d)
+
+    @pytest.mark.parametrize(
+        "name", ["j11_interval_overlap", "ev_peak_concurrency"]
+    )
+    def test_engines_agree_on_all_tied_timestamps(self, spark, tie_dir, name):
+        import math
+
+        import duckdb
+
+        from mwa_uvdata_pipeline_spark.plans import PLANS
+
+        sdf = PLANS[name].spark(spark, tie_dir).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tie_dir}/events.parquet')"
+        )
+        odf = con.execute(PLANS[name].sql).df()
+
+        def canon(df):
+            df = df.reindex(sorted(df.columns), axis=1)
+            out = df.map(
+                lambda v: "<null>"
+                if v is None or (isinstance(v, float) and math.isnan(v))
+                else (repr(v) if isinstance(v, float) else str(v))
+            )
+            return out.sort_values(by=list(out.columns)).reset_index(
+                drop=True
+            )
+
+        a, b = canon(sdf), canon(odf)
+        assert list(a.columns) == list(b.columns)
+        assert a.values.tolist() == b.values.tolist()
+
+
 class TestTimeToConvertRefinement:
     def test_no_row_level_rank_in_plan(self, spark):
         """The pass-2/3 refinement must never rank rows: an
