@@ -323,6 +323,68 @@ def decode_wav_clipping(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(batches, CLIP_SCHEMA)
 
 
+WALSH_SCHEMA = (
+    "doc_id long, n_samples int, w0 long, w1 long, w2 long, w3 long, "
+    "dominant_bin int"
+)
+
+
+def decode_wav_walsh(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Walsh–Hadamard sequency-bin coefficients over REAL WAV decode
+    (same stdlib ``wave`` + numpy parse as :func:`decode_wav`):
+    per file, W_k = sum_i s[i] * (-1)^popcount(k & i) for sequency
+    bins k = 0..3 — the transform-domain feature a large-scale audio
+    pipeline uses for cheap spectral triage (Walsh bins need only
+    +/-1 signs, so the fold is integer-exact and oracle-computable,
+    where DFT bins would drag libm trig into the gate). w0 is the DC
+    sum; dominant_bin is the AC bin (1..3) of largest magnitude,
+    smallest-k tiebreak."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def _parity(i: "np.ndarray", k: int) -> "np.ndarray":
+        # parity of popcount(i & k), vectorized bit fold (works for
+        # any k; numpy's bitwise_count needs numpy >= 2)
+        v = i & k
+        p = np.zeros_like(v)
+        while v.any():
+            p ^= v & 1
+            v = v >> 1
+        return p
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "n_samples", "w0", "w1", "w2", "w3",
+                          "dominant_bin")
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                with wave.open(io.BytesIO(bytes(b)), "rb") as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError(f"doc {doc_id}: only 16-bit PCM")
+                    nfr = w.getnframes()
+                    s = np.frombuffer(
+                        w.readframes(nfr), dtype="<i2"
+                    ).astype("i8")
+                i = np.arange(len(s), dtype="i8")
+                ws = [int(s.sum())]
+                for k in (1, 2, 3):
+                    ws.append(int((s * (1 - 2 * _parity(i, k))).sum()))
+                dom = max((1, 2, 3), key=lambda k: (abs(ws[k]), -k))
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(nfr)
+                for k in range(4):
+                    rows[f"w{k}"].append(ws[k])
+                rows["dominant_bin"].append(dom)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, WALSH_SCHEMA)
+
+
 def synth_ppm_bytes(doc_id: int) -> bytes:
     """Deterministic PPM P6 image for ``doc_id``: frame 0 of the
     synthetic video (:func:`synth_frame_ppm_bytes` with f = 0 — ONE

@@ -6285,6 +6285,56 @@ def m_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav_clipping(synth_payloads(docs, "wav"))
 
 
+@register(
+    "m_audio_walsh_bins",
+    sql="""
+    WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+    s AS (SELECT doc_id, n, i, (doc_id * 7 + i * 13) % 2048 - 1024 AS v
+          FROM d, UNNEST(range(0, n)) u(i)),
+    b AS (SELECT doc_id,
+                 CAST(MAX(n) AS INTEGER) AS n_samples,
+                 CAST(SUM(v) AS BIGINT) AS w0,
+                 CAST(SUM(v * (1 - 2 * (i % 2))) AS BIGINT) AS w1,
+                 CAST(SUM(v * (1 - 2 * ((i // 2) % 2))) AS BIGINT)
+                     AS w2,
+                 CAST(SUM(v * (1 - 2 * ((i % 2 + (i // 2) % 2) % 2)))
+                      AS BIGINT) AS w3
+          FROM s GROUP BY doc_id)
+    SELECT doc_id, n_samples, w0, w1, w2, w3,
+           CAST(CASE WHEN ABS(w1) >= ABS(w2) AND ABS(w1) >= ABS(w3)
+                     THEN 1
+                     WHEN ABS(w2) >= ABS(w3) THEN 2 ELSE 3 END
+                AS INTEGER) AS dominant_bin
+    FROM b
+    """,
+    doc="Transform-domain audio features over REAL WAV decode "
+        "(operators.multimodal.decode_wav_walsh): per file, the first "
+        "four Walsh-Hadamard sequency coefficients W_k = sum_i s[i] *"
+        " (-1)^popcount(k & i) plus the dominant AC bin — the cheap "
+        "spectral-triage signature an audio curation pipeline "
+        "computes before paying for a full STFT (hum vs speech vs "
+        "silence separate on the first few sequency bins). Walsh "
+        "bins are chosen over DFT bins deliberately: signs are "
+        "exact +/-1 from bit parity, so the whole transform is "
+        "integer-exact and the oracle restates it from the synth "
+        "generator formula with closed-form parities (k <= 3 needs "
+        "only i%2 and (i//2)%2) — no libm trig whose 1-ulp license "
+        "would break the exact-value gate. Scale shape: one "
+        "Arrow-batched mapInPandas over the payload column, "
+        "embarrassingly parallel, payload bytes never leave executor "
+        "batches; the fold is O(samples * bins) per doc with no "
+        "shuffle at all.",
+)
+def m_audio_walsh_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_wav_walsh,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_wav_walsh(synth_payloads(docs, "wav"))
+
+
 _MMR_K = 8  # candidate pool (TakeOrdered — bounded at any corpus size)
 _MMR_ROUNDS = 3
 _MMR_SQL_CAND = f"""

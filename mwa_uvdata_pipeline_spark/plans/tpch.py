@@ -2460,10 +2460,12 @@ def _SDIV_DUCK(num: str, den: str) -> str:
     )
 
 
-def _logreg_oracle() -> str:
-    """Unrolled 3-iteration GD twin of ml_logreg_gd (same quantized
-    arithmetic: micro-unit weights, per-combo rounded rational
-    sigmoid, sign-aware truncating update)."""
+def _logreg_train_ctes(where: str = "") -> str:
+    """Unrolled 3-iteration GD training CTE chain (through ``it3``,
+    the final 1-row weight vector) — shared by the ml_logreg_gd twin
+    (no filter) and the ml_auc_holdout twin (md5 train split). Same
+    quantized arithmetic everywhere: micro-unit weights, per-combo
+    rounded rational sigmoid, sign-aware truncating update."""
     # rational fast-sigmoid 0.5 + z / (2 (1 + |z|)): every step is an
     # IEEE exact-rounded op (+ * / abs), so unlike exp() — where the
     # JVM and libm are each allowed 1-ulp slack — the double is
@@ -2489,7 +2491,7 @@ def _logreg_oracle() -> str:
     WITH li AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
                        CAST(ROUND(l_quantity) AS BIGINT) AS x1,
                        CAST(ROUND(l_discount * 100) AS BIGINT) AS x2
-                FROM lineitem),
+                FROM lineitem{where}),
     st AS (SELECT x1, x2, CAST(COUNT(*) AS BIGINT) AS n,
                   CAST(SUM(y) AS BIGINT) AS sy
            FROM li GROUP BY x1, x2),
@@ -2501,7 +2503,13 @@ def _logreg_oracle() -> str:
     gr2 AS ({grad.format(w='it1')}),
     it2 AS ({step.format(w='it1', g='gr2')}),
     gr3 AS ({grad.format(w='it2')}),
-    it3 AS ({step.format(w='it2', g='gr3')}),
+    it3 AS ({step.format(w='it2', g='gr3')})"""
+
+
+def _logreg_oracle() -> str:
+    """Twin of ml_logreg_gd: the shared training chain over the full
+    table, weights emitted as (term, weight_micro, n_rows) rows."""
+    return _logreg_train_ctes() + """,
     fin AS (SELECT it3.*, tot.nt FROM it3, tot)
     SELECT 'b0_intercept' AS term, b0 AS weight_micro, nt AS n_rows
     FROM fin
@@ -2698,6 +2706,76 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mo.select(
         "m", "sx", "sy", "sxy", "sxx", "syy",
         F.round(r, 9).alias("assortativity"),
+    )
+
+
+@register(
+    "graph_label_propagation",
+    sql=f"""
+    WITH {_G_EDGES_SQL},
+    l0 AS (SELECT DISTINCT u AS node FROM e),
+    i0 AS (SELECT node, node AS lbl FROM l0),
+    i1 AS (SELECT e.u AS node, MIN(LEAST(lu.lbl, lv.lbl)) AS lbl
+           FROM e JOIN i0 lu ON lu.node = e.u
+                  JOIN i0 lv ON lv.node = e.v
+           GROUP BY e.u),
+    i2 AS (SELECT e.u AS node, MIN(LEAST(lu.lbl, lv.lbl)) AS lbl
+           FROM e JOIN i1 lu ON lu.node = e.u
+                  JOIN i1 lv ON lv.node = e.v
+           GROUP BY e.u),
+    i3 AS (SELECT e.u AS node, MIN(LEAST(lu.lbl, lv.lbl)) AS lbl
+           FROM e JOIN i2 lu ON lu.node = e.u
+                  JOIN i2 lv ON lv.node = e.v
+           GROUP BY e.u)
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM i3 GROUP BY lbl
+    ORDER BY n_nodes DESC, community LIMIT 20
+    """,
+    doc="Synchronized label propagation (3 rounds, min-label rule) "
+        "over the bulk co-purchase graph — the hash-min primitive "
+        "behind scalable connected components (Kiveris et al., "
+        "'Connected Components in MapReduce', SOCC'14) and the "
+        "deterministic core of label-propagation community "
+        "detection: every node starts labeled with its own id and "
+        "each round adopts the minimum label in its closed "
+        "neighborhood, so after k rounds labels have flooded k hops "
+        "and the label histogram IS the emerging community structure. "
+        "Fixed round count keeps both engines bit-identical (the "
+        "graph_kcore_peel synchronization discipline — the oracle "
+        "unrolls the SAME three rounds as CTEs; min-label makes each "
+        "round order-independent where classic mode-based LPA is "
+        "tie-unstable). Scale shape: per round ONE edges⋈labels "
+        "equi-join pair plus a min hash-agg, all co-partitioned on "
+        "the node key — O(E) per round with map-side-combinable MIN, "
+        "never a frontier blow-up; the label table the rounds carry "
+        "is node-sized, edges are persisted once and reused. Output "
+        "is TakeOrdered(20) of the community histogram.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _g_edges(spark, sf_dir).persist()
+    lab = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(3):
+        # min over least(own, neighbor) == min(own, min-of-neighbors):
+        # nodes come from e's u side, so every node has >= 1 edge and
+        # the inner joins lose nobody; persist stops round r replaying
+        # rounds 1..r-1 (the kcore lineage lesson)
+        lu = lab.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+        lv = lab.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+        lab = (
+            edges.join(lu, "u")
+            .join(lv, "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min(F.least("lu", "lv")).alias("lbl"))
+            .persist()
+        )
+    return (
+        lab.groupBy(F.col("lbl").cast("long").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(20)
     )
 
 
@@ -3525,3 +3603,206 @@ def ml_adaboost_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm.crossJoin(
         F.broadcast(params.selectExpr("wt1 AS n_train"))
     ).select("n_train", "n_test", "tp", "fp", "fn", "tn", "acc_ppm")
+
+
+def _auc_oracle() -> str:
+    """Twin of ml_auc_holdout: the shared logreg training chain on the
+    md5 train split, then exact rank-based AUC of the quantized scores
+    over the held-out test split."""
+    zt = "((w.b0 + w.b1 * t.x1 + w.b2 * t.x2) / 1000000.0)"
+    pmt = (
+        f"CAST(ROUND(1000000.0 * (0.5 + {zt} "
+        f"/ (2.0 * (1.0 + abs({zt}))))) AS BIGINT)"
+    )
+    return _logreg_train_ctes(
+        where=f" WHERE {_ADA_SPLIT_SQL} < 'cd'"
+    ) + f""",
+    tg AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+                  CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                           END) AS BIGINT) AS sy
+           FROM lineitem WHERE {_ADA_SPLIT_SQL} >= 'e6'
+           GROUP BY 1, 2),
+    sc AS (SELECT {pmt} AS s, t.sy AS p, t.n - t.sy AS ng
+           FROM tg t, it3 w),
+    ss AS (SELECT s, CAST(SUM(p) AS BIGINT) AS ps,
+                  CAST(SUM(ng) AS BIGINT) AS ns
+           FROM sc GROUP BY s),
+    cum AS (SELECT s, ps, ns,
+                   CAST(COALESCE(SUM(ns) OVER (ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS nb
+            FROM ss),
+    agg AS (SELECT CAST(COALESCE(SUM(ps), 0) AS BIGINT) AS p_total,
+                   CAST(COALESCE(SUM(ns), 0) AS BIGINT) AS n_total,
+                   CAST(COALESCE(SUM(ps * (2 * nb + ns)), 0) AS BIGINT)
+                       AS auc_num
+            FROM cum)
+    SELECT p_total, n_total, auc_num,
+           CAST(2 * p_total * n_total AS BIGINT) AS auc_den,
+           CAST(auc_num * 1000000
+                // GREATEST(2 * p_total * n_total, 1) AS BIGINT)
+               AS auc_ppm
+    FROM agg
+    """
+
+
+@register(
+    "ml_auc_holdout",
+    sql=_auc_oracle(),
+    doc="Exact ROC-AUC of the logistic-regression scorer on the "
+        "held-out split — the threshold-free ranking metric a "
+        "quality-classifier pipeline reports alongside "
+        "ml_adaboost_eval's fixed-threshold confusion row (AUC = "
+        "P(score(pos) > score(neg)), ties at half weight — the "
+        "Mann-Whitney U statistic). Kept EXACT in integers end to "
+        "end: the ml_logreg_gd weights are re-derived on the md5 "
+        "train split (same quantized trajectory, shared CTE text), "
+        "test scores are the same round(1e6*sigmoid) micro-units, "
+        "and 2*AUC*P*N = sum over score levels of "
+        "pos_s * (2*neg_below_s + neg_s) — emitted as the exact "
+        "(auc_num, auc_den) rational plus a truncated ppm. Scale "
+        "shape: train is the logreg grid compaction (<= 561 cells, "
+        "3 broadcast-state GD rounds); test is ONE (x1, x2) grid "
+        "compaction — scores depend only on the feature cell, so the "
+        "rank-sum never sorts rows: the cumulative-negatives window "
+        "runs over <= 561 DISTINCT SCORE LEVELS (value-domain "
+        "bounded, the ev_time_to_convert pass-3 discipline), and a "
+        "continuous-score variant would bin scores first (the "
+        "standard sketch-AUC move). Int64 headroom: auc_num <= "
+        "2*P*N caps the test split at ~4.3e9 rows before the "
+        "rational must move to DECIMAL(38,0) — a documented one-line "
+        "cast at that scale.",
+)
+def ml_auc_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    split = F.substring(
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        2,
+    )
+    xy = lambda df: df.select(  # noqa: E731 — local shaping alias
+        F.when(F.col("l_returnflag") == "R", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+    )
+    # --- train: the ml_logreg_gd loop on the train split ---
+    st = (
+        xy(li.where(split < "cd"))
+        .groupBy("x1", "x2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+        .persist()  # read twice: the nt total and the grid build
+    )
+    tot = st.agg(F.sum("n").cast("long").alias("nt"))
+    grid = st.crossJoin(F.broadcast(tot)).persist()  # one read per GD round
+    w = spark.range(1).select(
+        F.lit(0).cast("long").alias("b0"),
+        F.lit(0).cast("long").alias("b1"),
+        F.lit(0).cast("long").alias("b2"),
+    )
+    for _ in range(3):
+        z = (
+            F.col("b0")
+            + F.col("b1") * F.col("x1")
+            + F.col("b2") * F.col("x2")
+        ).cast("double") / 1000000.0
+        # op-for-op the oracle's rational sigmoid (exact-rounded IEEE
+        # ops only — the ml_logreg_gd determinism contract)
+        sig = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+        pm = F.round(F.lit(1000000.0) * sig).cast("long")
+        r = F.col("n") * pm - F.col("sy") * F.lit(1000000)
+        g = (
+            grid.crossJoin(F.broadcast(w))
+            .select(r.alias("r"), "x1", "x2", "nt", "b0", "b1", "b2")
+            .groupBy()
+            .agg(
+                F.sum("r").cast("long").alias("g0"),
+                F.sum(F.col("r") * F.col("x1")).cast("long").alias("g1"),
+                F.sum(F.col("r") * F.col("x2")).cast("long").alias("g2"),
+                F.min("nt").alias("nt"),
+                F.min("b0").alias("b0"),
+                F.min("b1").alias("b1"),
+                F.min("b2").alias("b2"),
+            )
+        )
+        w = g.select(
+            (F.col("b0") - F.expr(_SDIV("g0", "4096 * nt")))
+            .cast("long")
+            .alias("b0"),
+            (F.col("b1") - F.expr(_SDIV("g1", "4096 * nt")))
+            .cast("long")
+            .alias("b1"),
+            (F.col("b2") - F.expr(_SDIV("g2", "4096 * nt")))
+            .cast("long")
+            .alias("b2"),
+        )
+    # --- test: grid-compact the holdout, score cells, exact rank AUC
+    tg = (
+        xy(li.where(split >= "e6"))
+        .groupBy("x1", "x2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+    zt = (
+        F.col("b0")
+        + F.col("b1") * F.col("x1")
+        + F.col("b2") * F.col("x2")
+    ).cast("double") / 1000000.0
+    sigt = F.lit(0.5) + zt / (F.lit(2.0) * (F.lit(1.0) + F.abs(zt)))
+    sc = tg.crossJoin(F.broadcast(w)).select(
+        F.round(F.lit(1000000.0) * sigt).cast("long").alias("s"),
+        F.col("sy").alias("p"),
+        (F.col("n") - F.col("sy")).alias("ng"),
+    )
+    ss = sc.groupBy("s").agg(
+        F.sum("p").cast("long").alias("ps"),
+        F.sum("ng").cast("long").alias("ns"),
+    )
+    # cumulative negatives STRICTLY below each score level: the frame
+    # holds <= 561 distinct score levels (one per feature cell), so
+    # this unpartitioned ordered window is value-domain bounded
+    wd = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = ss.select(
+        "ps",
+        "ns",
+        F.coalesce(F.sum("ns").over(wd), F.lit(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    agg = cum.agg(
+        F.coalesce(F.sum("ps"), F.lit(0)).cast("long").alias("p_total"),
+        F.coalesce(F.sum("ns"), F.lit(0)).cast("long").alias("n_total"),
+        F.coalesce(
+            F.sum(F.col("ps") * (F.lit(2) * F.col("nb") + F.col("ns"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("auc_num"),
+    )
+    return agg.select(
+        "p_total",
+        "n_total",
+        "auc_num",
+        (F.lit(2) * F.col("p_total") * F.col("n_total"))
+        .cast("long")
+        .alias("auc_den"),
+        F.expr(
+            "CAST(auc_num * 1000000"
+            " div GREATEST(2 * p_total * n_total, 1) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )

@@ -93,6 +93,10 @@ BNLJ_ALLOWED = {
                         "grid (<= 1122 cells) or the test scan",
     "t_kanonymity": "broadcast fixed 3-row k ladder against the "
                     "QI-cell table (attribute-domain bounded)",
+    "ml_auc_holdout": "broadcast 1-row weight vector + corpus-count "
+                      "scalar per GD round and for test scoring; the "
+                      "other side is the train/test value-domain grid "
+                      "(<= 561 combos each)",
 }
 
 

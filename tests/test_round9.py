@@ -602,3 +602,236 @@ class TestTimeToConvertRefinement:
             "  FROM events GROUP BY user_id)"
         ).fetchone()[0]
         assert got == {want}
+
+
+# ---------------------------------------------------------------- r9 wave 2
+
+
+class TestLabelPropagation:
+    def test_matches_python_flood(self, spark):
+        """graph_label_propagation's 3 synchronized min-label rounds
+        must equal a pure-Python re-derivation from the same edge
+        list (community histogram compared exactly)."""
+        from collections import Counter
+
+        from mwa_uvdata_pipeline_spark.plans import load_all
+
+        rows = (
+            spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+            .where(F.col("l_quantity") >= 30)
+            .select("l_orderkey", "l_partkey")
+            .collect()
+        )
+        baskets: dict[int, set[int]] = {}
+        for r in rows:
+            baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+        adj: dict[int, set[int]] = {}
+        for ps in baskets.values():
+            for u in ps:
+                for v in ps:
+                    if u != v:
+                        adj.setdefault(u, set()).add(v)
+        lbl = {n: n for n in adj}
+        for _ in range(3):
+            lbl = {
+                n: min(lbl[n], min(lbl[v] for v in adj[n]))
+                for n in adj
+            }
+        hist = Counter(lbl.values())
+        want = sorted(
+            ((c, l) for l, c in hist.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:20]
+
+        got = [
+            (r["n_nodes"], r["community"])
+            for r in load_all()["graph_label_propagation"]
+            .spark(spark, SF_SMALL)
+            .collect()
+        ]
+        assert got == want
+
+    def test_three_rounds_reach_components_on_small_graph(self, spark):
+        """On sf0.001 the co-purchase graph's diameter is small enough
+        that 3 min-label rounds converge to full connected components
+        — pin that the histogram equals a union-find's."""
+        from mwa_uvdata_pipeline_spark.plans import load_all
+
+        rows = (
+            spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+            .where(F.col("l_quantity") >= 30)
+            .select("l_orderkey", "l_partkey")
+            .collect()
+        )
+        baskets: dict[int, list[int]] = {}
+        for r in rows:
+            baskets.setdefault(r["l_orderkey"], []).append(r["l_partkey"])
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for ps in baskets.values():
+            ps = sorted(set(ps))
+            if len(ps) < 2:
+                continue
+            for p in ps:
+                parent.setdefault(p, p)
+            for p in ps[1:]:
+                ra, rb = find(ps[0]), find(p)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        from collections import Counter
+
+        comp = Counter(find(n) for n in parent)
+        want = sorted(
+            ((c, l) for l, c in comp.items()), key=lambda t: (-t[0], t[1])
+        )[:20]
+        got = [
+            (r["n_nodes"], r["community"])
+            for r in load_all()["graph_label_propagation"]
+            .spark(spark, SF_SMALL)
+            .collect()
+        ]
+        assert got == want
+
+
+class TestAucHoldout:
+    def test_matches_python_pair_count(self, spark):
+        """ml_auc_holdout must equal brute-force Mann-Whitney pair
+        counting (ties at half weight) over a pure-Python re-walk of
+        the train-split GD trajectory and test-split scoring."""
+        import hashlib
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from mwa_uvdata_pipeline_spark.plans import load_all
+
+        rows = (
+            spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                F.when(F.col("l_returnflag") == "R", 1)
+                .otherwise(0)
+                .alias("y"),
+                F.round("l_quantity").cast("long").alias("x1"),
+                F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+            )
+            .collect()
+        )
+
+        def bucket(r) -> str:
+            key = f"{r['l_orderkey']}|{r['l_linenumber']}".encode()
+            return hashlib.md5(key).hexdigest()[:2]
+
+        train = [r for r in rows if bucket(r) < "cd"]
+        test = [r for r in rows if bucket(r) >= "e6"]
+        assert train and test  # the split must be non-degenerate here
+
+        stats: dict[tuple[int, int], list[int]] = {}
+        for r in train:
+            c = stats.setdefault((r["x1"], r["x2"]), [0, 0])
+            c[0] += 1
+            c[1] += r["y"]
+        nt = sum(c[0] for c in stats.values())
+
+        def sdiv(a: int, b: int) -> int:
+            return a // b if a >= 0 else -((-a) // b)
+
+        def round_half_up(x: float) -> int:
+            return int(
+                Decimal(repr(x)).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+
+        def score(w, x1: int, x2: int) -> int:
+            z = (w[0] + w[1] * x1 + w[2] * x2) / 1e6
+            sig = 0.5 + z / (2.0 * (1.0 + abs(z)))
+            return round_half_up(1000000.0 * sig)
+
+        w = (0, 0, 0)
+        for _ in range(3):
+            g = [0, 0, 0]
+            for (x1, x2), (n, sy) in stats.items():
+                pm = score(w, x1, x2)
+                r = n * pm - sy * 1000000
+                g[0] += r
+                g[1] += r * x1
+                g[2] += r * x2
+            w = tuple(w[j] - sdiv(g[j], 4096 * nt) for j in range(3))
+
+        pos = [score(w, r["x1"], r["x2"]) for r in test if r["y"] == 1]
+        neg = [score(w, r["x1"], r["x2"]) for r in test if r["y"] == 0]
+        # brute force: 2*AUC*P*N counts wins twice and ties once
+        auc_num = sum(
+            2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+        )
+        auc_den = 2 * len(pos) * len(neg)
+
+        got = (
+            load_all()["ml_auc_holdout"].spark(spark, SF_SMALL).collect()
+        )
+        assert len(got) == 1
+        r = got[0]
+        assert (
+            r["p_total"],
+            r["n_total"],
+            r["auc_num"],
+            r["auc_den"],
+            r["auc_ppm"],
+        ) == (
+            len(pos),
+            len(neg),
+            auc_num,
+            auc_den,
+            auc_num * 1000000 // max(auc_den, 1),
+        )
+
+
+class TestWalshBins:
+    def test_matches_stdlib_decode_and_definition(self, spark):
+        """m_audio_walsh_bins must equal an INDEPENDENT stdlib-struct
+        decode of the same payload bytes folded by the textbook
+        definition W_k = sum_i s[i] * (-1)^popcount(k & i)."""
+        import struct
+        import wave
+        import io
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            synth_wav_bytes,
+        )
+        from mwa_uvdata_pipeline_spark.plans import load_all
+
+        out = {
+            r["doc_id"]: r
+            for r in load_all()["m_audio_walsh_bins"]
+            .spark(spark, SF_SMALL)
+            .collect()
+        }
+        assert out
+        for doc_id in sorted(out)[:5] + sorted(out)[-3:]:
+            with wave.open(io.BytesIO(synth_wav_bytes(doc_id)), "rb") as w:
+                nfr = w.getnframes()
+                s = struct.unpack(f"<{nfr}h", w.readframes(nfr))
+            ws = []
+            for k in range(4):
+                ws.append(
+                    sum(
+                        v * (1 if bin(k & i).count("1") % 2 == 0 else -1)
+                        for i, v in enumerate(s)
+                    )
+                )
+            dom = max((1, 2, 3), key=lambda k: (abs(ws[k]), -k))
+            r = out[doc_id]
+            assert (
+                r["n_samples"],
+                r["w0"],
+                r["w1"],
+                r["w2"],
+                r["w3"],
+                r["dominant_bin"],
+            ) == (nfr, ws[0], ws[1], ws[2], ws[3], dom)
