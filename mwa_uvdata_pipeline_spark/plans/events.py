@@ -4612,6 +4612,150 @@ def agg_exact_quantiles_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_quantile_sketch_error",
+    sql="""
+    WITH v AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events),
+    mm AS (SELECT CAST(MIN(cents) AS BIGINT) AS mn,
+                  CAST(MAX(cents) AS BIGINT) AS mx,
+                  CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    bw AS (SELECT mn, mx, n, (mx - mn) // 128 + 1 AS binw FROM mm),
+    h AS (SELECT (v.cents - bw.mn) // bw.binw AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM v, bw GROUP BY 1),
+    cum AS (SELECT bin, c,
+                   CAST(SUM(c) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cumc
+            FROM h),
+    tq AS (SELECT q, (q * bw.n + 99) // 100 AS k, bw.mn, bw.binw, bw.n
+           FROM (SELECT UNNEST([50, 90, 99]) AS q), bw),
+    tgt AS (SELECT tq.q, tq.k, tq.n, cum.bin, cum.c,
+                   cum.cumc - cum.c AS before,
+                   LEAST(tq.mn + cum.bin * tq.binw
+                         + ((tq.k - (cum.cumc - cum.c)) * tq.binw)
+                           // cum.c,
+                         tq.mn + (cum.bin + 1) * tq.binw - 1) AS est
+            FROM tq JOIN cum
+              ON cum.cumc >= tq.k AND cum.cumc - cum.c < tq.k),
+    piv AS (SELECT MAX(CASE WHEN q = 50 THEN est END) AS e50,
+                   MAX(CASE WHEN q = 90 THEN est END) AS e90,
+                   MAX(CASE WHEN q = 99 THEN est END) AS e99
+            FROM tgt),
+    rk AS (SELECT CAST(SUM(CASE WHEN cents <= e50 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS r50,
+                  CAST(SUM(CASE WHEN cents <= e90 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS r90,
+                  CAST(SUM(CASE WHEN cents <= e99 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS r99
+           FROM v, piv)
+    SELECT CAST(t.q AS BIGINT) AS q, t.n,
+           CAST(t.k AS BIGINT) AS k_target,
+           CAST(t.est AS BIGINT) AS est_cents,
+           CAST(CASE t.q WHEN 50 THEN rk.r50 WHEN 90 THEN rk.r90
+                ELSE rk.r99 END AS BIGINT) AS actual_rank,
+           CAST((CASE t.q WHEN 50 THEN rk.r50 WHEN 90 THEN rk.r90
+                 ELSE rk.r99 END) - t.k AS BIGINT) AS rank_err,
+           t.c AS bin_pop
+    FROM tgt t, rk
+    """,
+    doc="Quantile-sketch error audit — the tuning dial for the "
+        "mergeable-histogram quantile path (the dedup_lsh_recall "
+        "discipline applied to sketched order statistics): build the "
+        "128-bin equi-width histogram sketch, read p50/p90/p99 off it "
+        "by within-bin linear interpolation (uniform-within-bin "
+        "assumption, upper-edge capped), then measure each estimate's "
+        "TRUE rank with one exact counting pass and report the signed "
+        "rank error next to the bin population — the provable error "
+        "envelope, since the estimate and the target rank share a "
+        "bin by construction (|rank_err| <= bin_pop, pinned in "
+        "tests). This is the number that tells an operator whether "
+        "128 bins suffice for their value distribution or the sketch "
+        "needs refinement, without ever sorting the corpus. Scale "
+        "shape: pass 1 min/max/count + the fixed-width histogram "
+        "(both map-side-combined, sketch state is <= 128 longs and "
+        "MERGEABLE across partitions/days); the cumulative window "
+        "runs over <= 128 occupied bins; pass 2 is three conditional "
+        "counts against a broadcast 1-row estimate frame. No ordered "
+        "window ever sees a data-sized frame.",
+)
+def agg_quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).persist()  # two passes by design: sketch build, then rank audit
+    mm = v.agg(
+        F.min("cents").cast("long").alias("mn"),
+        F.max("cents").cast("long").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).withColumn("binw", F.expr("(mx - mn) div 128 + 1"))
+    h = (
+        v.crossJoin(F.broadcast(mm))
+        .groupBy(F.expr("(cents - mn) div binw").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # frame: <= 128 occupied sketch bins
+    cum = h.select("bin", "c", F.sum("c").over(wcum).alias("cumc"))
+    qs = F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q")
+    tgt = (
+        cum.crossJoin(F.broadcast(mm))
+        .select("bin", "c", "cumc", "mn", "binw", "n", qs)
+        .withColumn("k", F.expr("(q * n + 99) div 100"))
+        .where(
+            (F.col("cumc") >= F.col("k"))
+            & (F.col("cumc") - F.col("c") < F.col("k"))
+        )
+        .withColumn(
+            "est",
+            F.expr(
+                "LEAST(mn + bin * binw"
+                " + ((k - (cumc - c)) * binw) div c,"
+                " mn + (bin + 1) * binw - 1)"
+            ),
+        )
+        .select("q", "k", "n", "c", "est")
+    )
+    piv = tgt.agg(
+        F.max(F.when(F.col("q") == 50, F.col("est"))).alias("e50"),
+        F.max(F.when(F.col("q") == 90, F.col("est"))).alias("e90"),
+        F.max(F.when(F.col("q") == 99, F.col("est"))).alias("e99"),
+    )
+    rk = v.crossJoin(F.broadcast(piv)).agg(
+        F.sum(F.expr("CASE WHEN cents <= e50 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("r50"),
+        F.sum(F.expr("CASE WHEN cents <= e90 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("r90"),
+        F.sum(F.expr("CASE WHEN cents <= e99 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("r99"),
+    )
+    return (
+        tgt.crossJoin(F.broadcast(rk))
+        .withColumn(
+            "actual_rank",
+            F.expr(
+                "CASE q WHEN 50 THEN r50 WHEN 90 THEN r90 ELSE r99 END"
+            ).cast("long"),
+        )
+        .select(
+            F.col("q").cast("long").alias("q"),
+            "n",
+            F.col("k").cast("long").alias("k_target"),
+            F.col("est").cast("long").alias("est_cents"),
+            "actual_rank",
+            (F.col("actual_rank") - F.col("k"))
+            .cast("long")
+            .alias("rank_err"),
+            F.col("c").cast("long").alias("bin_pop"),
+        )
+    )
+
+
+@register(
     "ev_pareto_concentration",
     sql="""
     WITH u AS (SELECT user_id, COUNT(*) AS c FROM events

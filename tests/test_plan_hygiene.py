@@ -97,6 +97,10 @@ BNLJ_ALLOWED = {
                       "scalar per GD round and for test scoring; the "
                       "other side is the train/test value-domain grid "
                       "(<= 561 combos each)",
+    "agg_quantile_sketch_error": "broadcast 1-row min/max/count frame "
+                                 "against the scan and the <= 128-bin "
+                                 "sketch; broadcast 1-row estimate/"
+                                 "rank frames for the audit pass",
 }
 
 

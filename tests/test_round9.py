@@ -835,3 +835,60 @@ class TestWalshBins:
                 r["w3"],
                 r["dominant_bin"],
             ) == (nfr, ws[0], ws[1], ws[2], ws[3], dom)
+
+
+class TestQuantileSketchError:
+    def test_matches_python_and_error_bound(self, spark):
+        """agg_quantile_sketch_error must equal a pure-Python
+        re-derivation (128-bin equi-width sketch, capped within-bin
+        interpolation, exact rank recount) and respect the provable
+        envelope |rank_err| <= bin_pop (estimate and target rank
+        share a bin by construction)."""
+        from mwa_uvdata_pipeline_spark.plans import load_all, load_events
+
+        cents = [
+            int(
+                __import__("decimal").Decimal(repr(r["value"] * 100))
+                .quantize(
+                    __import__("decimal").Decimal(1),
+                    rounding=__import__("decimal").ROUND_HALF_UP,
+                )
+            )
+            for r in load_events(spark, SF_SMALL).select("value").collect()
+        ]
+        mn, mx, n = min(cents), max(cents), len(cents)
+        binw = (mx - mn) // 128 + 1
+        hist: dict[int, int] = {}
+        for c in cents:
+            b = (c - mn) // binw
+            hist[b] = hist.get(b, 0) + 1
+        want = {}
+        for q in (50, 90, 99):
+            k = (q * n + 99) // 100
+            cumc = 0
+            for b in sorted(hist):
+                before, cumc = cumc, cumc + hist[b]
+                if cumc >= k > before:
+                    est = min(
+                        mn + b * binw + ((k - before) * binw) // hist[b],
+                        mn + (b + 1) * binw - 1,
+                    )
+                    rank = sum(1 for c in cents if c <= est)
+                    want[q] = (n, k, est, rank, rank - k, hist[b])
+                    break
+        got = {
+            r["q"]: (
+                r["n"],
+                r["k_target"],
+                r["est_cents"],
+                r["actual_rank"],
+                r["rank_err"],
+                r["bin_pop"],
+            )
+            for r in load_all()["agg_quantile_sketch_error"]
+            .spark(spark, SF_SMALL)
+            .collect()
+        }
+        assert got == want
+        for q, (_, _, _, _, err, pop) in got.items():
+            assert abs(err) <= pop, (q, err, pop)
