@@ -3462,6 +3462,23 @@ _ADA_SPLIT_SQL = (
 )
 
 
+def _ada_split_col():
+    """Spark twin of _ADA_SPLIT_SQL: the (orderkey, linenumber) md5
+    bucket prefix both engines use for deterministic train/test
+    splitting."""
+    return F.substring(
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        2,
+    )
+
+
 def _adaboost_eval_oracle() -> str:
     """Twin of ml_adaboost_eval: the shared training chain restricted
     to the md5 train split, then the 3-stump majority vote scored on
@@ -3605,18 +3622,15 @@ def ml_adaboost_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_train", "n_test", "tp", "fp", "fn", "tn", "acc_ppm")
 
 
-def _auc_oracle() -> str:
-    """Twin of ml_auc_holdout: the shared logreg training chain on the
-    md5 train split, then exact rank-based AUC of the quantized scores
-    over the held-out test split."""
-    zt = "((w.b0 + w.b1 * t.x1 + w.b2 * t.x2) / 1000000.0)"
-    pmt = (
-        f"CAST(ROUND(1000000.0 * (0.5 + {zt} "
-        f"/ (2.0 * (1.0 + abs({zt}))))) AS BIGINT)"
-    )
-    return _logreg_train_ctes(
-        where=f" WHERE {_ADA_SPLIT_SQL} < 'cd'"
-    ) + f""",
+# test-split scoring CTEs shared by ml_auc_holdout and
+# ml_calibration_bins: the held-out (x1, x2) grid and its quantized
+# micro-probability score under the it3 trained weights
+_LOGREG_Z_TEST = "((w.b0 + w.b1 * t.x1 + w.b2 * t.x2) / 1000000.0)"
+_LOGREG_PM_TEST = (
+    f"CAST(ROUND(1000000.0 * (0.5 + {_LOGREG_Z_TEST} "
+    f"/ (2.0 * (1.0 + abs({_LOGREG_Z_TEST}))))) AS BIGINT)"
+)
+_LOGREG_TEST_CTES = f""",
     tg AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x1,
                   CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
                   CAST(COUNT(*) AS BIGINT) AS n,
@@ -3624,8 +3638,121 @@ def _auc_oracle() -> str:
                            END) AS BIGINT) AS sy
            FROM lineitem WHERE {_ADA_SPLIT_SQL} >= 'e6'
            GROUP BY 1, 2),
-    sc AS (SELECT {pmt} AS s, t.sy AS p, t.n - t.sy AS ng
-           FROM tg t, it3 w),
+    sc AS (SELECT {_LOGREG_PM_TEST} AS s, t.sy AS p, t.n - t.sy AS ng
+           FROM tg t, it3 w)"""
+
+
+def _logreg_train_split_weights(
+    spark: SparkSession, li: DataFrame, split
+) -> DataFrame:
+    """The ml_logreg_gd quantized GD loop run on the md5 train split:
+    grid-compact the split to (x1, x2, n, sy), walk the 3 unrolled
+    iterations against a broadcast 1-row weight frame, return the
+    final (b0, b1, b2) micro-unit weights. Shared by ml_auc_holdout
+    and ml_calibration_bins so both eval twins score the SAME model."""
+    xy = li.where(split < "cd").select(
+        F.when(F.col("l_returnflag") == "R", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+    )
+    st = (
+        xy.groupBy("x1", "x2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+        .persist()  # read twice: the nt total and the grid build
+    )
+    tot = st.agg(F.sum("n").cast("long").alias("nt"))
+    grid = st.crossJoin(F.broadcast(tot)).persist()  # one read per round
+    w = spark.range(1).select(
+        F.lit(0).cast("long").alias("b0"),
+        F.lit(0).cast("long").alias("b1"),
+        F.lit(0).cast("long").alias("b2"),
+    )
+    for _ in range(3):
+        z = (
+            F.col("b0")
+            + F.col("b1") * F.col("x1")
+            + F.col("b2") * F.col("x2")
+        ).cast("double") / 1000000.0
+        # op-for-op the oracle's rational sigmoid (exact-rounded IEEE
+        # ops only — the ml_logreg_gd determinism contract)
+        sig = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+        pm = F.round(F.lit(1000000.0) * sig).cast("long")
+        r = F.col("n") * pm - F.col("sy") * F.lit(1000000)
+        g = (
+            grid.crossJoin(F.broadcast(w))
+            .select(r.alias("r"), "x1", "x2", "nt", "b0", "b1", "b2")
+            .groupBy()
+            .agg(
+                F.sum("r").cast("long").alias("g0"),
+                F.sum(F.col("r") * F.col("x1")).cast("long").alias("g1"),
+                F.sum(F.col("r") * F.col("x2")).cast("long").alias("g2"),
+                F.min("nt").alias("nt"),
+                F.min("b0").alias("b0"),
+                F.min("b1").alias("b1"),
+                F.min("b2").alias("b2"),
+            )
+        )
+        w = g.select(
+            (F.col("b0") - F.expr(_SDIV("g0", "4096 * nt")))
+            .cast("long")
+            .alias("b0"),
+            (F.col("b1") - F.expr(_SDIV("g1", "4096 * nt")))
+            .cast("long")
+            .alias("b1"),
+            (F.col("b2") - F.expr(_SDIV("g2", "4096 * nt")))
+            .cast("long")
+            .alias("b2"),
+        )
+    return w
+
+
+def _logreg_test_scores(li: DataFrame, split, w: DataFrame) -> DataFrame:
+    """Score the held-out split's (x1, x2) grid under broadcast
+    weights: one row per cell with the quantized micro-probability
+    ``s``, positives ``p`` and negatives ``ng`` (the Spark half of
+    _LOGREG_TEST_CTES)."""
+    tg = (
+        li.where(split >= "e6")
+        .select(
+            F.when(F.col("l_returnflag") == "R", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("y"),
+            F.round("l_quantity").cast("long").alias("x1"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        )
+        .groupBy("x1", "x2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+    zt = (
+        F.col("b0")
+        + F.col("b1") * F.col("x1")
+        + F.col("b2") * F.col("x2")
+    ).cast("double") / 1000000.0
+    sigt = F.lit(0.5) + zt / (F.lit(2.0) * (F.lit(1.0) + F.abs(zt)))
+    return tg.crossJoin(F.broadcast(w)).select(
+        F.round(F.lit(1000000.0) * sigt).cast("long").alias("s"),
+        F.col("sy").alias("p"),
+        (F.col("n") - F.col("sy")).alias("ng"),
+    )
+
+
+def _auc_oracle() -> str:
+    """Twin of ml_auc_holdout: the shared logreg training chain on the
+    md5 train split, then exact rank-based AUC of the quantized scores
+    over the held-out test split."""
+    return _logreg_train_ctes(
+        where=f" WHERE {_ADA_SPLIT_SQL} < 'cd'"
+    ) + _LOGREG_TEST_CTES + """,
     ss AS (SELECT s, CAST(SUM(p) AS BIGINT) AS ps,
                   CAST(SUM(ng) AS BIGINT) AS ns
            FROM sc GROUP BY s),
@@ -3677,98 +3804,9 @@ def _auc_oracle() -> str:
 )
 def ml_auc_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    split = F.substring(
-        F.md5(
-            F.concat(
-                F.col("l_orderkey").cast("string"),
-                F.lit("|"),
-                F.col("l_linenumber").cast("string"),
-            )
-        ),
-        1,
-        2,
-    )
-    xy = lambda df: df.select(  # noqa: E731 — local shaping alias
-        F.when(F.col("l_returnflag") == "R", 1)
-        .otherwise(0)
-        .cast("long")
-        .alias("y"),
-        F.round("l_quantity").cast("long").alias("x1"),
-        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
-    )
-    # --- train: the ml_logreg_gd loop on the train split ---
-    st = (
-        xy(li.where(split < "cd"))
-        .groupBy("x1", "x2")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("y").cast("long").alias("sy"),
-        )
-        .persist()  # read twice: the nt total and the grid build
-    )
-    tot = st.agg(F.sum("n").cast("long").alias("nt"))
-    grid = st.crossJoin(F.broadcast(tot)).persist()  # one read per GD round
-    w = spark.range(1).select(
-        F.lit(0).cast("long").alias("b0"),
-        F.lit(0).cast("long").alias("b1"),
-        F.lit(0).cast("long").alias("b2"),
-    )
-    for _ in range(3):
-        z = (
-            F.col("b0")
-            + F.col("b1") * F.col("x1")
-            + F.col("b2") * F.col("x2")
-        ).cast("double") / 1000000.0
-        # op-for-op the oracle's rational sigmoid (exact-rounded IEEE
-        # ops only — the ml_logreg_gd determinism contract)
-        sig = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
-        pm = F.round(F.lit(1000000.0) * sig).cast("long")
-        r = F.col("n") * pm - F.col("sy") * F.lit(1000000)
-        g = (
-            grid.crossJoin(F.broadcast(w))
-            .select(r.alias("r"), "x1", "x2", "nt", "b0", "b1", "b2")
-            .groupBy()
-            .agg(
-                F.sum("r").cast("long").alias("g0"),
-                F.sum(F.col("r") * F.col("x1")).cast("long").alias("g1"),
-                F.sum(F.col("r") * F.col("x2")).cast("long").alias("g2"),
-                F.min("nt").alias("nt"),
-                F.min("b0").alias("b0"),
-                F.min("b1").alias("b1"),
-                F.min("b2").alias("b2"),
-            )
-        )
-        w = g.select(
-            (F.col("b0") - F.expr(_SDIV("g0", "4096 * nt")))
-            .cast("long")
-            .alias("b0"),
-            (F.col("b1") - F.expr(_SDIV("g1", "4096 * nt")))
-            .cast("long")
-            .alias("b1"),
-            (F.col("b2") - F.expr(_SDIV("g2", "4096 * nt")))
-            .cast("long")
-            .alias("b2"),
-        )
-    # --- test: grid-compact the holdout, score cells, exact rank AUC
-    tg = (
-        xy(li.where(split >= "e6"))
-        .groupBy("x1", "x2")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("y").cast("long").alias("sy"),
-        )
-    )
-    zt = (
-        F.col("b0")
-        + F.col("b1") * F.col("x1")
-        + F.col("b2") * F.col("x2")
-    ).cast("double") / 1000000.0
-    sigt = F.lit(0.5) + zt / (F.lit(2.0) * (F.lit(1.0) + F.abs(zt)))
-    sc = tg.crossJoin(F.broadcast(w)).select(
-        F.round(F.lit(1000000.0) * sigt).cast("long").alias("s"),
-        F.col("sy").alias("p"),
-        (F.col("n") - F.col("sy")).alias("ng"),
-    )
+    split = _ada_split_col()
+    w = _logreg_train_split_weights(spark, li, split)
+    sc = _logreg_test_scores(li, split, w)
     ss = sc.groupBy("s").agg(
         F.sum("p").cast("long").alias("ps"),
         F.sum("ng").cast("long").alias("ns"),
@@ -3805,4 +3843,79 @@ def ml_auc_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(auc_num * 1000000"
             " div GREATEST(2 * p_total * n_total, 1) AS BIGINT)"
         ).alias("auc_ppm"),
+    )
+
+
+def _calibration_oracle() -> str:
+    """Twin of ml_calibration_bins: the shared train + test-scoring
+    chain, then the 1%-bin reliability table."""
+    return _logreg_train_ctes(
+        where=f" WHERE {_ADA_SPLIT_SQL} < 'cd'"
+    ) + _LOGREG_TEST_CTES + """,
+    b AS (SELECT LEAST(s // 10000, 99) AS bucket,
+                 CAST(SUM(p + ng) AS BIGINT) AS n,
+                 CAST(SUM(p) AS BIGINT) AS n_pos,
+                 CAST(SUM((p + ng) * s) AS BIGINT) AS sum_s
+          FROM sc GROUP BY 1)
+    SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos,
+           CAST(n_pos * 1000000 // n AS BIGINT) AS observed_ppm,
+           CAST(sum_s // n AS BIGINT) AS predicted_mean_micro,
+           CAST(n_pos * 1000000 // n - sum_s // n AS BIGINT)
+               AS gap_micro
+    FROM b
+    """
+
+
+@register(
+    "ml_calibration_bins",
+    sql=_calibration_oracle(),
+    doc="Calibration (reliability-diagram) audit of the logreg scorer "
+        "on the held-out split — the eval companion ml_auc_holdout "
+        "cannot replace: AUC measures RANKING, this measures whether "
+        "the predicted probabilities MEAN what they say (a curation "
+        "pipeline thresholding at p>=0.9 needs calibrated p, not just "
+        "well-ordered p). The same shared trained weights score the "
+        "same md5 holdout; scores bucket into 1%-wide probability bins "
+        "(micro-units div 10000, top edge folded into bucket 99) and "
+        "each occupied bucket reports exact integers: count, "
+        "positives, observed rate (ppm), mean predicted score "
+        "(micro), and the signed calibration gap. Scale shape: train "
+        "is the shared <=561-cell grid compaction + broadcast-state "
+        "GD rounds; test scoring is cell-level against broadcast "
+        "1-row weights, so the bin agg runs over <=561 cells and "
+        "the output is <=10 rows at any corpus size — the whole "
+        "reliability table costs two md5-split scans, full stop.",
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    split = _ada_split_col()
+    w = _logreg_train_split_weights(spark, li, split)
+    sc = _logreg_test_scores(li, split, w)
+    return (
+        sc.groupBy(
+            F.least(F.expr("s div 10000"), F.lit(99))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.sum(F.col("p") + F.col("ng")).cast("long").alias("n"),
+            F.sum("p").cast("long").alias("n_pos"),
+            F.sum((F.col("p") + F.col("ng")) * F.col("s"))
+            .cast("long")
+            .alias("sum_s"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.expr("CAST(n_pos * 1000000 div n AS BIGINT)").alias(
+                "observed_ppm"
+            ),
+            F.expr("CAST(sum_s div n AS BIGINT)").alias(
+                "predicted_mean_micro"
+            ),
+            F.expr(
+                "CAST(n_pos * 1000000 div n - sum_s div n AS BIGINT)"
+            ).alias("gap_micro"),
+        )
     )

@@ -101,6 +101,11 @@ BNLJ_ALLOWED = {
                                  "against the scan and the <= 128-bin "
                                  "sketch; broadcast 1-row estimate/"
                                  "rank frames for the audit pass",
+    "ml_calibration_bins": "broadcast 1-row weight vector + corpus-"
+                           "count scalar per GD round and for test "
+                           "scoring (the ml_auc_holdout shape); the "
+                           "other side is the train/test value-domain "
+                           "grid (<= 561 combos each)",
 }
 
 

@@ -936,3 +936,99 @@ class TestQuantileSketchError:
         p50 = next(r for r in out if r["q"] == 50)
         assert p50["bin_pop"] == 991
         assert abs(p50["rank_err"]) > 100, dict(p50.asDict())
+
+
+class TestCalibrationBins:
+    def test_matches_python_rederivation(self, spark):
+        """ml_calibration_bins must equal a pure-Python re-walk of the
+        shared train trajectory + 1%-bin reliability aggregation, and
+        every bucket's observed/predicted pair must be internally
+        consistent (0 <= n_pos <= n, gap = observed - predicted in
+        truncated integer units)."""
+        import hashlib
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from mwa_uvdata_pipeline_spark.plans import load_all
+
+        rows = (
+            spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                F.when(F.col("l_returnflag") == "R", 1)
+                .otherwise(0)
+                .alias("y"),
+                F.round("l_quantity").cast("long").alias("x1"),
+                F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+            )
+            .collect()
+        )
+
+        def bucket(r) -> str:
+            key = f"{r['l_orderkey']}|{r['l_linenumber']}".encode()
+            return hashlib.md5(key).hexdigest()[:2]
+
+        train = [r for r in rows if bucket(r) < "cd"]
+        test = [r for r in rows if bucket(r) >= "e6"]
+
+        stats: dict[tuple[int, int], list[int]] = {}
+        for r in train:
+            c = stats.setdefault((r["x1"], r["x2"]), [0, 0])
+            c[0] += 1
+            c[1] += r["y"]
+        nt = sum(c[0] for c in stats.values())
+
+        def sdiv(a: int, b: int) -> int:
+            return a // b if a >= 0 else -((-a) // b)
+
+        def round_half_up(x: float) -> int:
+            return int(
+                Decimal(repr(x)).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+
+        def score(w, x1: int, x2: int) -> int:
+            z = (w[0] + w[1] * x1 + w[2] * x2) / 1e6
+            sig = 0.5 + z / (2.0 * (1.0 + abs(z)))
+            return round_half_up(1000000.0 * sig)
+
+        w = (0, 0, 0)
+        for _ in range(3):
+            g = [0, 0, 0]
+            for (x1, x2), (n, sy) in stats.items():
+                pm = score(w, x1, x2)
+                r = n * pm - sy * 1000000
+                g[0] += r
+                g[1] += r * x1
+                g[2] += r * x2
+            w = tuple(w[j] - sdiv(g[j], 4096 * nt) for j in range(3))
+
+        bins: dict[int, list[int]] = {}
+        for r in test:
+            s = score(w, r["x1"], r["x2"])
+            b = bins.setdefault(min(s // 10000, 99), [0, 0, 0])
+            b[0] += 1
+            b[1] += r["y"]
+            b[2] += s
+        want = {
+            b: (n, pos, pos * 1000000 // n, ss // n,
+                pos * 1000000 // n - ss // n)
+            for b, (n, pos, ss) in bins.items()
+        }
+
+        got = {
+            r["bucket"]: (
+                r["n"],
+                r["n_pos"],
+                r["observed_ppm"],
+                r["predicted_mean_micro"],
+                r["gap_micro"],
+            )
+            for r in load_all()["ml_calibration_bins"]
+            .spark(spark, SF_SMALL)
+            .collect()
+        }
+        assert got == want
+        for b, (n, pos, obs, pred, gap) in got.items():
+            assert 0 <= pos <= n and gap == obs - pred, (b, got[b])
