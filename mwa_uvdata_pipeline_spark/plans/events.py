@@ -2923,6 +2923,94 @@ def stream_hll_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_quantile_sketch_exec",
+    sql="""
+    WITH v AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events),
+    h AS (SELECT cents // 100 AS bin, CAST(COUNT(*) AS BIGINT) AS c
+          FROM v GROUP BY 1),
+    cum AS (SELECT bin, c,
+                   CAST(SUM(c) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cumc
+            FROM h),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+    tq AS (SELECT q, (q * n.n + 99) // 100 AS k, n.n
+           FROM (SELECT UNNEST([50, 90, 99]) AS q), n)
+    SELECT CAST(tq.q AS BIGINT) AS q, tq.n,
+           CAST(tq.k AS BIGINT) AS k_target,
+           CAST(LEAST(cum.bin * 100
+                      + ((tq.k - (cum.cumc - cum.c)) * 100) // cum.c,
+                      cum.bin * 100 + 99) AS BIGINT) AS est_cents
+    FROM tq JOIN cum
+      ON cum.cumc >= tq.k AND cum.cumc - cum.c < tq.k
+    """,
+    doc="Streaming quantile sketch EXECUTED as a query — the streaming "
+        "complement of agg_quantile_sketch_error the way "
+        "stream_minhash_exec complements dedup_incremental: the events "
+        "replay is consumed one file per trigger and each trigger "
+        "folds its batch into a fixed-width (one-dollar) cents "
+        "histogram in complete mode — COUNT per bin is commutative/"
+        "associative, so state is the occupied-bin table (value-domain "
+        "bounded, never rows) and arrival order is provably "
+        "irrelevant. After the drain, p50/p90/p99 are read off the "
+        "final sink table by the same capped within-bin interpolation, "
+        "and the gate demands they equal the batch-computed estimates "
+        "EXACTLY (the oracle restates histogram + interpolation from "
+        "the raw table). Fixed ABSOLUTE width (vs the batch audit's "
+        "range-adaptive bins) is the deliberate streamable trade: no "
+        "two-pass min/max, and the grid stays mergeable across "
+        "restarts and days. The post-drain derivation touches <= "
+        "occupied-bins rows; at 100 TB the stream's shuffle carries "
+        "bin partials only.",
+)
+def stream_quantile_sketch_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        run_to_memory,
+        stream_value_histogram,
+    )
+
+    out = _replay_fixture(spark, sf_dir)
+    sink = f"qsk_sink_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            stream_value_histogram(spark, f"{out}/part*"),
+            sink,
+            output_mode="complete",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # post-drain: derive the quantile estimates from the final sketch
+    # state (<= occupied bins rows) with the shared capped
+    # interpolation — identical arithmetic to the oracle's
+    return spark.sql(
+        f"""
+        WITH cum AS (SELECT bin, c,
+                            CAST(SUM(c) OVER (ORDER BY bin
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cumc
+                     FROM {sink}),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM {sink}),
+        tq AS (SELECT q, CAST((q * n.n + 99) div 100 AS BIGINT) AS k,
+                      n.n
+               FROM (SELECT explode(array(50, 90, 99)) AS q), n)
+        SELECT CAST(tq.q AS BIGINT) AS q, tq.n,
+               CAST(tq.k AS BIGINT) AS k_target,
+               CAST(LEAST(cum.bin * 100
+                          + ((tq.k - (cum.cumc - cum.c)) * 100)
+                            div cum.c,
+                          cum.bin * 100 + 99) AS BIGINT) AS est_cents
+        FROM tq JOIN cum
+          ON cum.cumc >= tq.k AND cum.cumc - cum.c < tq.k
+        """
+    )
+
+
+@register(
     "j11_interval_overlap",
     sql="""
     WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -132,6 +132,30 @@ def _read_stream(spark: SparkSession, src_glob: str) -> DataFrame:
     )
 
 
+def stream_value_histogram(spark: SparkSession, src_glob: str) -> DataFrame:
+    """Streaming fixed-width value-histogram sketch: quantize each
+    event's value to integer cents as it arrives, bucket into
+    one-dollar bins, COUNT per bin. Counting is commutative and
+    associative, so every trigger folds its batch into the
+    value-domain-bounded bin table (state = occupied bins, NOT rows)
+    and the final complete-mode state equals the batch histogram
+    regardless of file arrival order — the quantile sketch's
+    time-mergeability: shards in time (triggers) merge through the
+    same algebra agg_hist_merge proves for shards in space
+    (executors/days). The fixed ABSOLUTE bin width (vs
+    agg_quantile_sketch_error's range-adaptive width) is deliberate:
+    a stream cannot two-pass min/max, and a fixed grid is what keeps
+    the state mergeable across restarts — the standard production
+    trade."""
+    return (
+        _read_stream(spark, src_glob)
+        .select(F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"))
+        .select(F.expr("cents div 100").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
 def stream_tumbling_counts(
     spark: SparkSession,
     src_glob: str,

@@ -1032,3 +1032,48 @@ class TestCalibrationBins:
         assert got == want
         for b, (n, pos, obs, pred, gap) in got.items():
             assert 0 <= pos <= n and gap == obs - pred, (b, got[b])
+
+
+class TestStreamQuantileSketch:
+    def test_state_is_bin_bounded_and_equals_batch_histogram(self, spark):
+        """stream_value_histogram's complete-mode state must hold one
+        row per OCCUPIED BIN (the sketch contract — never per event),
+        and the drained sink must equal the batch fixed-width
+        histogram bin-for-bin."""
+        import uuid
+
+        from mwa_uvdata_pipeline_spark.plans import load_events
+        from mwa_uvdata_pipeline_spark.plans.events import _replay_fixture
+        from mwa_uvdata_pipeline_spark.streaming.events import (
+            run_to_memory,
+            stream_value_histogram,
+        )
+
+        out = _replay_fixture(spark, SF_SMALL)
+        sink = f"qsk_test_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(
+            stream_value_histogram(spark, f"{out}/part*"),
+            sink,
+            output_mode="complete",
+        )
+        got = {
+            r["bin"]: r["c"] for r in spark.sql(f"SELECT * FROM {sink}").collect()
+        }
+        want = {
+            r["bin"]: r["c"]
+            for r in load_events(spark, SF_SMALL)
+            .selectExpr("CAST(ROUND(value * 100) AS BIGINT) div 100 AS bin")
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .collect()
+        }
+        assert got == want
+        # state rows tracked by the aggregation operator == occupied
+        # bins, not events (the probe-grade claim, read from progress)
+        progresses = [p for p in q.recentProgress if p["stateOperators"]]
+        assert progresses, "no state-operator progress recorded"
+        last = progresses[-1]["stateOperators"][0]
+        assert last["numRowsTotal"] == len(want), (
+            last["numRowsTotal"],
+            len(want),
+        )
