@@ -366,6 +366,13 @@ def decode_wav_walsh(df: DataFrame, payload_col: str = "payload",
                 with wave.open(io.BytesIO(bytes(b)), "rb") as w:
                     if w.getsampwidth() != 2:
                         raise ValueError(f"doc {doc_id}: only 16-bit PCM")
+                    if w.getnchannels() != 1:
+                        # unlike the index-independent stats of
+                        # decode_wav, Walsh signs depend on the sample
+                        # INDEX — interleaved stereo would fold a
+                        # channel-mixed index space into meaningless
+                        # coefficients, so reject it outright
+                        raise ValueError(f"doc {doc_id}: only mono PCM")
                     nfr = w.getnframes()
                     s = np.frombuffer(
                         w.readframes(nfr), dtype="<i2"

@@ -3547,17 +3547,7 @@ def _adaboost_eval_oracle() -> str:
 )
 def ml_adaboost_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    split = F.substring(
-        F.md5(
-            F.concat(
-                F.col("l_orderkey").cast("string"),
-                F.lit("|"),
-                F.col("l_linenumber").cast("string"),
-            )
-        ),
-        1,
-        2,
-    )
+    split = _ada_split_col()
     grid = (
         _ada_xy(li.where(split < "cd"))
         .groupBy("x1", "x2", "y")
@@ -3883,7 +3873,7 @@ def _calibration_oracle() -> str:
         "is the shared <=561-cell grid compaction + broadcast-state "
         "GD rounds; test scoring is cell-level against broadcast "
         "1-row weights, so the bin agg runs over <=561 cells and "
-        "the output is <=10 rows at any corpus size — the whole "
+        "the output is <=100 rows at any corpus size — the whole "
         "reliability table costs two md5-split scans, full stop.",
 )
 def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:

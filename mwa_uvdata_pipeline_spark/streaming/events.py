@@ -146,7 +146,11 @@ def stream_value_histogram(spark: SparkSession, src_glob: str) -> DataFrame:
     agg_quantile_sketch_error's range-adaptive width) is deliberate:
     a stream cannot two-pass min/max, and a fixed grid is what keeps
     the state mergeable across restarts — the standard production
-    trade."""
+    trade. Domain assumption, stated: values are non-negative
+    amounts (the events fixture's contract), so truncating ``div``
+    puts every bin at exactly 100 cents; a signed domain would need
+    floor-division binning in BOTH engines (Spark and DuckDB both
+    truncate toward zero, so bin 0 would otherwise span -99..+99)."""
     return (
         _read_stream(spark, src_glob)
         .select(F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"))

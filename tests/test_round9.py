@@ -699,70 +699,88 @@ class TestLabelPropagation:
         assert got == want
 
 
+# -- shared pure-Python logreg eval re-derivation (ONE copy, used by
+# -- TestAucHoldout and TestCalibrationBins so the "both eval twins
+# -- score the SAME model" claim is enforced by construction)
+
+
+def _logreg_score_fn():
+    """Quantized rational-sigmoid scorer: score(w, x1, x2) -> micro."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round_half_up(x: float) -> int:
+        return int(
+            Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    def score(w, x1: int, x2: int) -> int:
+        z = (w[0] + w[1] * x1 + w[2] * x2) / 1e6
+        sig = 0.5 + z / (2.0 * (1.0 + abs(z)))
+        return round_half_up(1000000.0 * sig)
+
+    return score
+
+
+def _logreg_python_eval_model(spark):
+    """Collect lineitem, apply the md5 train/test split, re-walk the
+    3-round quantized GD trajectory on the train grid. Returns
+    (weights, test_rows, score_fn)."""
+    import hashlib
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("l_returnflag") == "R", 1)
+            .otherwise(0)
+            .alias("y"),
+            F.round("l_quantity").cast("long").alias("x1"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        )
+        .collect()
+    )
+
+    def bucket(r) -> str:
+        key = f"{r['l_orderkey']}|{r['l_linenumber']}".encode()
+        return hashlib.md5(key).hexdigest()[:2]
+
+    train = [r for r in rows if bucket(r) < "cd"]
+    test = [r for r in rows if bucket(r) >= "e6"]
+    assert train and test  # the split must be non-degenerate here
+
+    stats: dict[tuple[int, int], list[int]] = {}
+    for r in train:
+        c = stats.setdefault((r["x1"], r["x2"]), [0, 0])
+        c[0] += 1
+        c[1] += r["y"]
+    nt = sum(c[0] for c in stats.values())
+
+    def sdiv(a: int, b: int) -> int:
+        return a // b if a >= 0 else -((-a) // b)
+
+    score = _logreg_score_fn()
+    w = (0, 0, 0)
+    for _ in range(3):
+        g = [0, 0, 0]
+        for (x1, x2), (n, sy) in stats.items():
+            pm = score(w, x1, x2)
+            r = n * pm - sy * 1000000
+            g[0] += r
+            g[1] += r * x1
+            g[2] += r * x2
+        w = tuple(w[j] - sdiv(g[j], 4096 * nt) for j in range(3))
+    return w, test, score
+
+
 class TestAucHoldout:
     def test_matches_python_pair_count(self, spark):
         """ml_auc_holdout must equal brute-force Mann-Whitney pair
         counting (ties at half weight) over a pure-Python re-walk of
         the train-split GD trajectory and test-split scoring."""
-        import hashlib
-        from decimal import ROUND_HALF_UP, Decimal
-
         from mwa_uvdata_pipeline_spark.plans import load_all
 
-        rows = (
-            spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
-            .select(
-                "l_orderkey",
-                "l_linenumber",
-                F.when(F.col("l_returnflag") == "R", 1)
-                .otherwise(0)
-                .alias("y"),
-                F.round("l_quantity").cast("long").alias("x1"),
-                F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
-            )
-            .collect()
-        )
-
-        def bucket(r) -> str:
-            key = f"{r['l_orderkey']}|{r['l_linenumber']}".encode()
-            return hashlib.md5(key).hexdigest()[:2]
-
-        train = [r for r in rows if bucket(r) < "cd"]
-        test = [r for r in rows if bucket(r) >= "e6"]
-        assert train and test  # the split must be non-degenerate here
-
-        stats: dict[tuple[int, int], list[int]] = {}
-        for r in train:
-            c = stats.setdefault((r["x1"], r["x2"]), [0, 0])
-            c[0] += 1
-            c[1] += r["y"]
-        nt = sum(c[0] for c in stats.values())
-
-        def sdiv(a: int, b: int) -> int:
-            return a // b if a >= 0 else -((-a) // b)
-
-        def round_half_up(x: float) -> int:
-            return int(
-                Decimal(repr(x)).quantize(
-                    Decimal(1), rounding=ROUND_HALF_UP
-                )
-            )
-
-        def score(w, x1: int, x2: int) -> int:
-            z = (w[0] + w[1] * x1 + w[2] * x2) / 1e6
-            sig = 0.5 + z / (2.0 * (1.0 + abs(z)))
-            return round_half_up(1000000.0 * sig)
-
-        w = (0, 0, 0)
-        for _ in range(3):
-            g = [0, 0, 0]
-            for (x1, x2), (n, sy) in stats.items():
-                pm = score(w, x1, x2)
-                r = n * pm - sy * 1000000
-                g[0] += r
-                g[1] += r * x1
-                g[2] += r * x2
-            w = tuple(w[j] - sdiv(g[j], 4096 * nt) for j in range(3))
+        w, test, score = _logreg_python_eval_model(spark)
 
         pos = [score(w, r["x1"], r["x2"]) for r in test if r["y"] == 1]
         neg = [score(w, r["x1"], r["x2"]) for r in test if r["y"] == 0]
@@ -945,64 +963,9 @@ class TestCalibrationBins:
         every bucket's observed/predicted pair must be internally
         consistent (0 <= n_pos <= n, gap = observed - predicted in
         truncated integer units)."""
-        import hashlib
-        from decimal import ROUND_HALF_UP, Decimal
-
         from mwa_uvdata_pipeline_spark.plans import load_all
 
-        rows = (
-            spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
-            .select(
-                "l_orderkey",
-                "l_linenumber",
-                F.when(F.col("l_returnflag") == "R", 1)
-                .otherwise(0)
-                .alias("y"),
-                F.round("l_quantity").cast("long").alias("x1"),
-                F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
-            )
-            .collect()
-        )
-
-        def bucket(r) -> str:
-            key = f"{r['l_orderkey']}|{r['l_linenumber']}".encode()
-            return hashlib.md5(key).hexdigest()[:2]
-
-        train = [r for r in rows if bucket(r) < "cd"]
-        test = [r for r in rows if bucket(r) >= "e6"]
-
-        stats: dict[tuple[int, int], list[int]] = {}
-        for r in train:
-            c = stats.setdefault((r["x1"], r["x2"]), [0, 0])
-            c[0] += 1
-            c[1] += r["y"]
-        nt = sum(c[0] for c in stats.values())
-
-        def sdiv(a: int, b: int) -> int:
-            return a // b if a >= 0 else -((-a) // b)
-
-        def round_half_up(x: float) -> int:
-            return int(
-                Decimal(repr(x)).quantize(
-                    Decimal(1), rounding=ROUND_HALF_UP
-                )
-            )
-
-        def score(w, x1: int, x2: int) -> int:
-            z = (w[0] + w[1] * x1 + w[2] * x2) / 1e6
-            sig = 0.5 + z / (2.0 * (1.0 + abs(z)))
-            return round_half_up(1000000.0 * sig)
-
-        w = (0, 0, 0)
-        for _ in range(3):
-            g = [0, 0, 0]
-            for (x1, x2), (n, sy) in stats.items():
-                pm = score(w, x1, x2)
-                r = n * pm - sy * 1000000
-                g[0] += r
-                g[1] += r * x1
-                g[2] += r * x2
-            w = tuple(w[j] - sdiv(g[j], 4096 * nt) for j in range(3))
+        w, test, score = _logreg_python_eval_model(spark)
 
         bins: dict[int, list[int]] = {}
         for r in test:
@@ -1077,3 +1040,33 @@ class TestStreamQuantileSketch:
             last["numRowsTotal"],
             len(want),
         )
+
+
+class TestWalshDecoderGuards:
+    def test_rejects_stereo_payload(self, spark):
+        """Walsh signs depend on the sample INDEX, so an interleaved
+        stereo payload must be rejected, not silently folded over a
+        channel-mixed index space."""
+        import io
+        import wave
+
+        import numpy as np
+        import pytest as _pytest
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            decode_wav_walsh,
+        )
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(
+                np.arange(64, dtype="<i2").tobytes()
+            )
+        df = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+        )
+        with _pytest.raises(Exception, match="only mono PCM"):
+            decode_wav_walsh(df).collect()
