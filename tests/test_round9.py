@@ -76,7 +76,14 @@ class TestRotationCodeChangeAware:
     def test_verified_json_committed_and_covers_registry(self):
         """The ledger file must exist in the repo (the fallback path
         is for fresh checkouts only) and cover every driver-verified
-        entry."""
+        entry.
+
+        Tolerated gap (r9 verdict #1): an entry whose ONLY green row
+        is in the NEWEST CORRECTNESS file may be unstamped — the
+        driver writes that file after the build session ends, so the
+        stamp can only happen at next round's start. Entries with a
+        green row in any OLDER round must be stamped, always.
+        """
         import json
         from pathlib import Path
 
@@ -85,7 +92,13 @@ class TestRotationCodeChangeAware:
         P.load_all()
         path = Path(__file__).resolve().parents[1] / "VERIFIED.json"
         rec = json.loads(path.read_text())
-        missing = set(P._last_verified_round()) & set(P.PLANS) - set(rec)
+        last = P._last_verified_round()
+        newest = max(last.values(), default=0)
+        missing = {
+            name
+            for name in set(last) & set(P.PLANS) - set(rec)
+            if last[name] < newest
+        }
         assert not missing, f"unstamped verified entries: {missing}"
 
 
