@@ -201,11 +201,12 @@ def binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ------------------------------------------------------- native decode
 #
-# REAL media decode for the container formats the standard library and
-# numpy can parse without PIL/ffmpeg: WAV (RIFF PCM, stdlib `wave`)
-# and PPM P6 (raw RGB, pure numpy). These close the decode seam for
-# uncompressed media; codec formats (JPEG/MP4/FLAC) stay behind the
-# import-gated stub above.
+# REAL media decode for the formats the standard library and numpy can
+# parse without PIL/ffmpeg: WAV (RIFF PCM, stdlib `wave`), PPM P6 (raw
+# RGB, pure numpy), and PNG (from-spec chunk walk + stdlib zlib inflate
+# + scanline unfiltering — see _parse_png). Entropy-coded formats with
+# no stdlib codec (JPEG/MP4/FLAC) stay behind the import-gated stub
+# above.
 
 WAV_SCHEMA = (
     "doc_id long, sample_rate int, n_channels int, n_samples int, "
@@ -455,6 +456,193 @@ def decode_ppm(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(batches, PPM_SCHEMA)
 
 
+#: PNG emits the same per-channel stat row as PPM — same gate shape.
+PNG_SCHEMA = PPM_SCHEMA
+
+
+def _paeth_vec(a, b, c):
+    """Vectorized Paeth predictor (PNG spec §9, Filter type 4): pick
+    whichever of left/up/upper-left is closest to a+b-c, ties broken
+    left, then up — the exact spec ordering."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def synth_png_bytes(doc_id: int, filter_type: int | None = None) -> bytes:
+    """Deterministic 8-bit RGB PNG for ``doc_id``, built FROM SPEC
+    (signature, IHDR/IDAT/IEND chunks with real CRC-32s, zlib-deflated
+    scanlines): a (5 + doc_id % 11) x (3 + doc_id % 6) image with
+    pixel formula r=(3*doc_id+7x+11y)%256, g=(doc_id+x*y)%256,
+    b=(5x+3y+2*doc_id)%256 — integer-exact so the decoded channel sums
+    are oracle-computable from the formula alone. Scanline ``y`` uses
+    filter type (doc_id + y) % 5, so every doc with height >= 5
+    exercises ALL FIVE spec filters (None/Sub/Up/Average/Paeth) and
+    any unfilter bug breaks the channel sums. ``filter_type`` pins one
+    filter for every row (golden-bytes tests)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w = 5 + doc_id % 11
+    h = 3 + doc_id % 6
+    x = np.arange(w, dtype="i8")[None, :]
+    y = np.arange(h, dtype="i8")[:, None]
+    img = np.stack(
+        [
+            (doc_id * 3 + x * 7 + y * 11) % 256,
+            (doc_id + x * y) % 256,
+            (x * 5 + y * 3 + doc_id * 2) % 256,
+        ],
+        axis=2,
+    ).astype("u1")
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype="i4")
+    for yy in range(h):
+        row = img[yy].reshape(-1).astype("i4")
+        ft = (doc_id + yy) % 5 if filter_type is None else filter_type
+        left = np.concatenate([np.zeros(bpp, "i4"), row[:-bpp]])
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = (row - left) % 256
+        elif ft == 2:  # Up
+            filt = (row - prev) % 256
+        elif ft == 3:  # Average (floor of the UNWRAPPED sum, per spec)
+            filt = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            upleft = np.concatenate([np.zeros(bpp, "i4"), prev[:-bpp]])
+            filt = (row - _paeth_vec(left, prev, upleft)) % 256
+        raw.append(ft)
+        raw.extend(filt.astype("u1").tobytes())
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(data: bytes):
+    """From-spec PNG decode -> (w, h, int64 HxWx3 pixel array). No PIL:
+    walks the chunk stream verifying each CRC-32, parses IHDR (8-bit
+    RGB truecolor, non-interlaced only), concatenates IDAT, inflates
+    with stdlib zlib, and unfilters scanlines per spec §9 — None and
+    Up vectorized across the row; Sub/Average/Paeth carry a true
+    left-neighbor dependency so they reconstruct byte-serially within
+    the row (rows are the parallel unit at scale, not bytes)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    dims = None
+    idat = bytearray()
+    while pos + 12 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in chunk {typ!r}")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError("only 8-bit RGB non-interlaced PNG")
+            dims = (w, h)
+        elif typ == b"IDAT":
+            idat.extend(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if dims is None:
+        raise ValueError("missing IHDR")
+    w, h = dims
+    bpp = 3
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("decompressed IDAT length mismatch")
+    out = np.zeros((h, stride), dtype="i4")
+    prev = np.zeros(stride, dtype="i4")
+    for yy in range(h):
+        off = yy * (stride + 1)
+        ft = raw[off]
+        filt = np.frombuffer(raw, "u1", stride, off + 1).astype("i4")
+        if ft == 0:
+            recon = filt
+        elif ft == 2:  # Up: no intra-row dependency
+            recon = (filt + prev) % 256
+        elif ft in (1, 3, 4):
+            recon = np.zeros(stride, dtype="i4")
+            for i in range(stride):
+                a = int(recon[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    pr = a
+                elif ft == 3:
+                    pr = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                recon[i] = (int(filt[i]) + pr) % 256
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[yy] = recon
+        prev = recon
+    return w, h, out.reshape(h, w, bpp).astype("i8")
+
+
+def decode_png(df: DataFrame, payload_col: str = "payload",
+               id_col: str = "doc_id") -> DataFrame:
+    """REAL PNG decode (stdlib zlib + numpy, no PIL): chunk walk with
+    CRC verification, inflate, per-spec scanline unfiltering, then the
+    same per-channel integer sums as :func:`decode_ppm` — the codec
+    upgrade of the uncompressed-image gate."""
+    parse_one = _parse_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "width", "height", "sum_r", "sum_g",
+                          "sum_b")
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, img = parse_one(bytes(b))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(img[:, :, 0].sum()))
+                rows["sum_g"].append(int(img[:, :, 1].sum()))
+                rows["sum_b"].append(int(img[:, :, 2].sum()))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, PNG_SCHEMA)
+
+
 CUTS_SCHEMA = (
     "doc_id long, n_frames int, n_cuts long, first_cut int, "
     "max_luma_jump long"
@@ -547,7 +735,11 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
     """Attach deterministic WAV/PPM payload bytes per doc_id — built
     executor-side in mapInPandas so payload bytes never touch the
     driver (the generator stands in for a real media scan)."""
-    maker = {"wav": synth_wav_bytes, "ppm": synth_ppm_bytes}[kind]
+    maker = {
+        "wav": synth_wav_bytes,
+        "ppm": synth_ppm_bytes,
+        "png": synth_png_bytes,
+    }[kind]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

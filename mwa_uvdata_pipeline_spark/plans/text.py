@@ -232,7 +232,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the posting join with map-side combine wins — and the DF cap
     removes exactly the Zipfian head that would have broken it.
     """
-    t = 0.6
     docs = table(spark, sf_dir, "documents")
     # join key = xxhash64(shingle): the posting join and its aggregation
     # shuffle 8-byte longs instead of ~25-byte strings (counts are
@@ -243,6 +242,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(_shingles(), lambda s: F.xxhash64(s))
         ).alias("s"),
     )
+    return _jaccard_pairs_from(sh0)
+
+
+def _jaccard_pairs_from(sh0: DataFrame) -> DataFrame:
+    """Exact Jaccard >= 0.6 pairs from pre-exploded (doc_id, s)
+    postings — the body of :func:`dedup_ngram_jaccard`, factored out so
+    audits that ALSO need the shingle rows for another leg (e.g.
+    ``dedup_lsh_recall``'s signature lane) can persist ONE explode and
+    feed it to both, instead of paying a second full-corpus shingling
+    (the ~20% named in SCALE.md's r9 100x decomposition)."""
+    t = 0.6
     sdf = sh0.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     capped = (
         sh0.join(sdf.where(F.col("df") <= _SHINGLE_DF_CAP), "s")
@@ -3429,8 +3439,9 @@ def m_wav_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "comment handling, raw RGB plane reshaped, per-channel "
         "integer sums emitted — and the oracle recomputes the sums "
         "from the pixel formula, so any header/layout mis-parse "
-        "breaks the gate. Uncompressed images decode natively; "
-        "JPEG/PNG codecs stay behind the import-gated stub.",
+        "breaks the gate. Uncompressed images decode natively; PNG "
+        "decodes from spec too (m_png_native); JPEG stays behind the "
+        "import-gated stub.",
 )
 def m_ppm_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwa_uvdata_pipeline_spark.operators.multimodal import (
@@ -3440,6 +3451,52 @@ def m_ppm_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return decode_ppm(synth_payloads(docs, "ppm"))
+
+
+@register(
+    "m_png_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 5 + doc_id % 11 AS w, 3 + doc_id % 6 AS h
+               FROM documents),
+    px AS (SELECT doc_id, w, h,
+                  (doc_id * 3 + x * 7 + y * 11) % 256 AS r,
+                  (doc_id + x * y) % 256 AS g,
+                  (x * 5 + y * 3 + doc_id * 2) % 256 AS b
+           FROM d, UNNEST(range(0, w)) ux(x), UNNEST(range(0, h)) uy(y))
+    SELECT doc_id, CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL PNG decode FROM SPEC, zero new dependencies (stdlib "
+        "zlib + numpy — operators.multimodal._parse_png): per-doc "
+        "PNGs are synthesized executor-side as genuine spec files "
+        "(chunk CRC-32s, deflated scanlines, filter type (doc_id+y)%5 "
+        "so every image with height >= 5 exercises all five filters), "
+        "then decoded byte-for-byte — signature check, chunk walk "
+        "with CRC verification, IHDR validation, IDAT inflate, "
+        "Sub/Up/Average/Paeth unfiltering — and per-channel integer "
+        "sums are gated against the oracle's closed-form pixel "
+        "formula: any filter-reconstruction bug shifts a sum and "
+        "breaks the gate. This upgrades the codec-image story from "
+        "import-gated stub to a real format real corpora use "
+        "(decoder spec-pinned by hand-derived filter vectors in "
+        "tests, not just encode/decode symmetry). Scale: same "
+        "Arrow-batched mapInPandas seam as decode_ppm — payload "
+        "bytes never leave the executor, memory bounded by batch "
+        "size; rows are the parallel unit (the byte-serial "
+        "unfilter dependency is intra-scanline only).",
+)
+def m_png_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_png,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_png(synth_payloads(docs, "png"))
 
 
 @register(
@@ -7040,15 +7097,37 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the final join touches only the true-pair set.",
 )
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    true_pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # ONE persisted shingle explode feeds BOTH legs (r9 verdict #4):
+    # the truth leg keys on xxhash64(s), the signature lanes on
+    # md5(s) substrings — computing all three per exploded row costs
+    # ~24 extra bytes/row but removes a SECOND full-corpus shingling
+    # (SCALE.md's r9 decomposition priced that at ~20% of the audit).
     docs = table(spark, sf_dir, "documents")
-    sh = shingle_rows(docs)
-    lanes = sh.select(
-        "doc_id",
-        F.substring(F.md5("s"), 1, 8).alias("l0"),
-        F.substring(F.md5("s"), 9, 8).alias("l1"),
+    sh_all = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    _shingles(),
+                    lambda s: F.struct(
+                        F.xxhash64(s).alias("h"),
+                        F.substring(F.md5(s), 1, 8).alias("l0"),
+                        F.substring(F.md5(s), 9, 8).alias("l1"),
+                    ),
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", "t.h", "t.l0", "t.l1")
+        .persist()
     )
-    sig = lanes.groupBy("doc_id").agg(
+    sh_all.count()  # materialize: the truth leg's cache build reads
+    # its input twice (df branch + probe branch) and the signature
+    # leg reads it once more — all three hit this cache
+    true_pairs = _jaccard_pairs_from(
+        sh_all.select("doc_id", F.col("h").alias("s"))
+    ).select("doc_a", "doc_b")
+    sig = sh_all.groupBy("doc_id").agg(
         F.min("l0").alias("h0"), F.min("l1").alias("h1")
     )
     b = sig.select("doc_id", F.concat("h0", "h1").alias("band"))

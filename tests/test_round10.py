@@ -1,0 +1,199 @@
+"""Round-10 additions.
+
+PNG native decode (r9 verdict #5): the decoder must be pinned to the
+PNG SPEC, not merely to our own encoder — a symmetric filter bug
+(encoder and decoder both deviating the same way) survives round-trip
+AND the oracle gate (reconstruction would still equal the original
+pixels). So the core tests here feed `_parse_png` HAND-DERIVED filter
+vectors: scanline bytes computed by hand from the spec's filter
+definitions (RFC 2083 §6 / PNG spec §9) for a fixed 2x2 RGB image,
+wrapped in genuine chunks. Any deviation from spec filtering fails
+these even if encode/decode stay mutually consistent.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from mwa_uvdata_pipeline_spark.operators.multimodal import (
+    _parse_png,
+    synth_png_bytes,
+)
+
+# fixed 2x2 RGB test image (row-major):
+#   row0: (1,2,3) (4,5,6)
+#   row1: (7,8,9) (10,11,12)
+PIXELS = np.array(
+    [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], dtype="i8"
+)
+
+# hand-derived filtered scanlines for PIXELS, one per filter type.
+# Derivation (bpp=3, left/up/upleft = 0 outside the image):
+#   Sub:  f[i] = raw[i] - raw[i-3]
+#   Up:   f[i] = raw[i] - up[i]
+#   Avg:  f[i] = raw[i] - (left + up) // 2
+#   Paeth: predictor = nearest of (left, up, upleft) to left+up-upleft,
+#          ties resolved left, then up
+HAND_FILTERED = {
+    0: [[1, 2, 3, 4, 5, 6], [7, 8, 9, 10, 11, 12]],
+    1: [[1, 2, 3, 3, 3, 3], [7, 8, 9, 3, 3, 3]],
+    2: [[1, 2, 3, 4, 5, 6], [6, 6, 6, 6, 6, 6]],
+    3: [[1, 2, 3, 4, 4, 5], [7, 7, 8, 5, 5, 5]],
+    4: [[1, 2, 3, 3, 3, 3], [6, 6, 6, 3, 3, 3]],
+}
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_from_scanlines(w, h, scanlines) -> bytes:
+    raw = b"".join(
+        bytes([ft]) + bytes(row) for ft, row in scanlines
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+class TestPngDecoderSpecVectors:
+    """Decoder vs hand-derived spec filter vectors (encoder-independent)."""
+
+    @pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+    def test_each_filter_type_reconstructs_hand_vector(self, ft):
+        rows = HAND_FILTERED[ft]
+        data = _png_from_scanlines(2, 2, [(ft, rows[0]), (ft, rows[1])])
+        w, h, img = _parse_png(data)
+        assert (w, h) == (2, 2)
+        assert (img == PIXELS).all(), f"filter {ft} mis-reconstructed"
+
+    def test_mixed_filters_across_rows(self):
+        # row0 Average, row1 Paeth — unfiltering must thread the
+        # RECONSTRUCTED previous row, not the filtered one
+        data = _png_from_scanlines(
+            2, 2, [(3, HAND_FILTERED[3][0]), (4, HAND_FILTERED[4][1])]
+        )
+        _, _, img = _parse_png(data)
+        assert (img == PIXELS).all()
+
+    def test_multiple_idat_chunks_concatenate(self):
+        raw = (
+            bytes([0]) + bytes(HAND_FILTERED[0][0])
+            + bytes([0]) + bytes(HAND_FILTERED[0][1])
+        )
+        z = zlib.compress(raw)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", z[: len(z) // 2])
+            + _chunk(b"IDAT", z[len(z) // 2 :])
+            + _chunk(b"IEND", b"")
+        )
+        _, _, img = _parse_png(data)
+        assert (img == PIXELS).all()
+
+
+class TestPngDecoderRejections:
+    def test_bad_signature(self):
+        with pytest.raises(ValueError, match="signature"):
+            _parse_png(b"\x88PNG\r\n\x1a\n" + b"\x00" * 40)
+
+    def test_crc_corruption_detected(self):
+        data = bytearray(synth_png_bytes(3))
+        data[40] ^= 0xFF  # inside a chunk body
+        with pytest.raises(ValueError, match="CRC"):
+            _parse_png(bytes(data))
+
+    def test_interlaced_rejected(self):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="non-interlaced"):
+            _parse_png(data)
+
+    def test_bad_filter_type_rejected(self):
+        data = _png_from_scanlines(
+            2, 2, [(0, HAND_FILTERED[0][0]), (5, HAND_FILTERED[0][1])]
+        )
+        with pytest.raises(ValueError, match="filter"):
+            _parse_png(data)
+
+    def test_truncated_idat_rejected(self):
+        raw = bytes([0]) + bytes(HAND_FILTERED[0][0])  # one row only
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="length mismatch"):
+            _parse_png(data)
+
+
+class TestPngRoundTrip:
+    """Encoder/decoder consistency over the synthetic corpus shapes."""
+
+    @pytest.mark.parametrize("ft", [None, 0, 1, 2, 3, 4])
+    def test_round_trip_every_filter(self, ft):
+        for doc_id in (0, 1, 7, 42, 123, 999_999):
+            w, h, img = _parse_png(synth_png_bytes(doc_id, filter_type=ft))
+            W, H = 5 + doc_id % 11, 3 + doc_id % 6
+            assert (w, h) == (W, H)
+            x = np.arange(W, dtype="i8")[None, :]
+            y = np.arange(H, dtype="i8")[:, None]
+            want = np.stack(
+                [
+                    (doc_id * 3 + x * 7 + y * 11) % 256,
+                    (doc_id + x * y) % 256,
+                    (x * 5 + y * 3 + doc_id * 2) % 256,
+                ],
+                axis=2,
+            )
+            assert (img == want).all(), (ft, doc_id)
+
+    def test_synth_exercises_all_five_filters(self):
+        # per-row filter = (doc_id + y) % 5, so any height-8 doc (for
+        # instance doc_id 5: h = 3 + 5 % 6 = 8) covers all five
+        seen = set()
+        for doc_id in range(12):
+            h = 3 + doc_id % 6
+            seen |= {(doc_id + yy) % 5 for yy in range(h)}
+        assert seen == {0, 1, 2, 3, 4}
+
+
+class TestPngSparkPlan:
+    def test_m_png_native_matches_formula(self, spark):
+        from tests.conftest import SF_SMALL
+
+        from mwa_uvdata_pipeline_spark.plans import PLANS, load_all
+
+        load_all()
+        rows = PLANS["m_png_native"].spark(spark, SF_SMALL).collect()
+        assert rows, "empty decode result"
+        for r in rows[:25]:
+            d = r["doc_id"]
+            W, H = 5 + d % 11, 3 + d % 6
+            assert (r["width"], r["height"]) == (W, H)
+            x = np.arange(W, dtype="i8")[None, :]
+            y = np.arange(H, dtype="i8")[:, None]
+            assert r["sum_r"] == int(((d * 3 + x * 7 + y * 11) % 256).sum())
+            assert r["sum_g"] == int(((d + x * y) % 256).sum())
+            assert r["sum_b"] == int(((x * 5 + y * 3 + d * 2) % 256).sum())
