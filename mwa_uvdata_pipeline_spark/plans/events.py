@@ -3011,6 +3011,155 @@ def stream_quantile_sketch_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_quantile_drift_exec",
+    sql="""
+    WITH v AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events),
+    h AS (SELECT cents // 100 AS bin, CAST(COUNT(*) AS BIGINT) AS c
+          FROM v GROUP BY 1),
+    cum AS (SELECT bin, c,
+                   CAST(SUM(c) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cumc
+            FROM h),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+    tq AS (SELECT q, (q * n.n + 99) // 100 AS k, n.n
+           FROM (SELECT UNNEST([50, 90, 99]) AS q), n),
+    tgt AS (SELECT tq.q, tq.k, tq.n, cum.c,
+                   LEAST(cum.bin * 100
+                         + ((tq.k - (cum.cumc - cum.c)) * 100) // cum.c,
+                         cum.bin * 100 + 99) AS est
+            FROM tq JOIN cum
+              ON cum.cumc >= tq.k AND cum.cumc - cum.c < tq.k),
+    piv AS (SELECT MAX(CASE WHEN q = 50 THEN est END) AS e50,
+                   MAX(CASE WHEN q = 90 THEN est END) AS e90,
+                   MAX(CASE WHEN q = 99 THEN est END) AS e99
+            FROM tgt),
+    rk AS (SELECT CAST(SUM(CASE WHEN cents <= e50 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS r50,
+                  CAST(SUM(CASE WHEN cents <= e90 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS r90,
+                  CAST(SUM(CASE WHEN cents <= e99 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS r99
+           FROM v, piv)
+    SELECT CAST(t.q AS BIGINT) AS q, CAST(t.n AS BIGINT) AS n,
+           CAST(t.k AS BIGINT) AS k_target,
+           CAST(t.est AS BIGINT) AS est_cents,
+           CAST(CASE t.q WHEN 50 THEN rk.r50 WHEN 90 THEN rk.r90
+                ELSE rk.r99 END AS BIGINT) AS actual_rank,
+           CAST((CASE t.q WHEN 50 THEN rk.r50 WHEN 90 THEN rk.r90
+                 ELSE rk.r99 END) - t.k AS BIGINT) AS rank_err,
+           CAST(t.c AS BIGINT) AS bin_pop
+    FROM tgt t, rk
+    """,
+    doc="Streaming quantile DRIFT audit (r9 verdict #7) — closes the "
+        "error-bound gap between the two existing gates: "
+        "agg_quantile_sketch_error bounds the BATCH sketch's rank "
+        "error, and stream_quantile_sketch_exec proves the STREAMING "
+        "sketch's state contract, but nothing tied the streaming "
+        "estimates to an error envelope. Here the events replay is "
+        "drained through the executed complete-mode histogram stream "
+        "(one file per trigger, state = occupied one-dollar bins), "
+        "p50/p90/p99 are interpolated off the FINAL STREAM STATE, and "
+        "then ONE exact batch counting pass measures each streaming "
+        "estimate's true rank — emitting the same signed rank_err "
+        "next to bin_pop as the batch audit, so the streaming sketch "
+        "inherits the provable |rank_err| <= bin_pop envelope (the "
+        "estimate and its target rank share a bin by construction; "
+        "pinned in tests/test_round10.py). The oracle restates "
+        "histogram, interpolation, and rank audit from the raw "
+        "table, so a drift anywhere in the streaming fold breaks "
+        "exact-value equality. Scale: the stream shuffles bin "
+        "partials only; the audit adds one map-side-combined "
+        "conditional-count pass against a broadcast 1-row estimate "
+        "frame — no sort, no corpus-sized window.",
+)
+def stream_quantile_drift_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from mwa_uvdata_pipeline_spark.streaming.events import (
+        run_to_memory,
+        stream_value_histogram,
+    )
+
+    out = _replay_fixture(spark, sf_dir)
+    sink = f"qdr_sink_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(
+            stream_value_histogram(spark, f"{out}/part*"),
+            sink,
+            output_mode="complete",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # estimates read off the final STREAM state (<= occupied bins)
+    est = spark.sql(
+        f"""
+        WITH cum AS (SELECT bin, c,
+                            CAST(SUM(c) OVER (ORDER BY bin
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cumc
+                     FROM {sink}),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM {sink}),
+        tq AS (SELECT q, CAST((q * n.n + 99) div 100 AS BIGINT) AS k,
+                      n.n
+               FROM (SELECT explode(array(50, 90, 99)) AS q), n)
+        SELECT CAST(tq.q AS BIGINT) AS q, tq.n,
+               CAST(tq.k AS BIGINT) AS k_target,
+               CAST(LEAST(cum.bin * 100
+                          + ((tq.k - (cum.cumc - cum.c)) * 100)
+                            div cum.c,
+                          cum.bin * 100 + 99) AS BIGINT) AS est_cents,
+               CAST(cum.c AS BIGINT) AS bin_pop
+        FROM tq JOIN cum
+          ON cum.cumc >= tq.k AND cum.cumc - cum.c < tq.k
+        """
+    )
+    # exact audit: one batch counting pass against the raw table
+    v = table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    piv = est.agg(
+        F.max(F.when(F.col("q") == 50, F.col("est_cents"))).alias("e50"),
+        F.max(F.when(F.col("q") == 90, F.col("est_cents"))).alias("e90"),
+        F.max(F.when(F.col("q") == 99, F.col("est_cents"))).alias("e99"),
+    )
+    rk = v.crossJoin(F.broadcast(piv)).agg(
+        F.sum(F.expr("CASE WHEN cents <= e50 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("r50"),
+        F.sum(F.expr("CASE WHEN cents <= e90 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("r90"),
+        F.sum(F.expr("CASE WHEN cents <= e99 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("r99"),
+    )
+    return (
+        est.crossJoin(F.broadcast(rk))
+        .withColumn(
+            "actual_rank",
+            F.expr(
+                "CASE q WHEN 50 THEN r50 WHEN 90 THEN r90 ELSE r99 END"
+            ).cast("long"),
+        )
+        .select(
+            "q",
+            "n",
+            "k_target",
+            "est_cents",
+            "actual_rank",
+            (F.col("actual_rank") - F.col("k_target"))
+            .cast("long")
+            .alias("rank_err"),
+            "bin_pop",
+        )
+    )
+
+
+@register(
     "j11_interval_overlap",
     sql="""
     WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,

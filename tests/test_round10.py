@@ -179,6 +179,65 @@ class TestPngRoundTrip:
         assert seen == {0, 1, 2, 3, 4}
 
 
+class TestStreamQuantileDrift:
+    def test_streaming_estimates_inherit_rank_error_envelope(self, spark):
+        """stream_quantile_drift_exec (r9 verdict #7): the p50/p90/p99
+        read off the DRAINED stream state must (a) equal a pure-Python
+        re-derivation of the one-dollar-bin histogram + capped
+        interpolation + exact rank recount, and (b) respect the same
+        |rank_err| <= bin_pop envelope the batch audit proves — the
+        estimate and its target rank share a bin by construction, and
+        the streaming fold must not break that."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from tests.conftest import SF_SMALL
+
+        from mwa_uvdata_pipeline_spark.plans import load_all, load_events
+
+        cents = [
+            int(
+                Decimal(repr(r["value"] * 100)).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+            for r in load_events(spark, SF_SMALL).select("value").collect()
+        ]
+        n = len(cents)
+        hist: dict[int, int] = {}
+        for c in cents:
+            hist[c // 100] = hist.get(c // 100, 0) + 1
+        want = {}
+        for q in (50, 90, 99):
+            k = (q * n + 99) // 100
+            cumc = 0
+            for b in sorted(hist):
+                before, cumc = cumc, cumc + hist[b]
+                if cumc >= k > before:
+                    est = min(
+                        b * 100 + ((k - before) * 100) // hist[b],
+                        b * 100 + 99,
+                    )
+                    rank = sum(1 for c in cents if c <= est)
+                    want[q] = (n, k, est, rank, rank - k, hist[b])
+                    break
+        got = {
+            r["q"]: (
+                r["n"],
+                r["k_target"],
+                r["est_cents"],
+                r["actual_rank"],
+                r["rank_err"],
+                r["bin_pop"],
+            )
+            for r in load_all()["stream_quantile_drift_exec"]
+            .spark(spark, SF_SMALL)
+            .collect()
+        }
+        assert got == want
+        for q, (_, _, _, _, err, pop) in got.items():
+            assert abs(err) <= pop, (q, err, pop)
+
+
 class TestPngSparkPlan:
     def test_m_png_native_matches_formula(self, spark):
         from tests.conftest import SF_SMALL
