@@ -615,6 +615,366 @@ def _parse_png(data: bytes):
     return w, h, out.reshape(h, w, bpp).astype("i8")
 
 
+#: JPEG emits block-structure stats (see decode_jpeg for why weighted).
+JPEG_SCHEMA = (
+    "doc_id long, width int, height int, sum_luma long, wsum_luma long, "
+    "n_blocks int"
+)
+
+
+def _zigzag_order() -> list[int]:
+    """The spec's 8x8 zigzag scan (ITU T.81 Figure 5), GENERATED by the
+    diagonal walk rather than typed as a 64-literal table — no typo
+    surface. Returns raster index for each zigzag position."""
+    order = []
+    r = c = 0
+    for _ in range(64):
+        order.append(r * 8 + c)
+        if (r + c) % 2 == 0:  # heading up-right
+            if c == 7:
+                r += 1
+            elif r == 0:
+                c += 1
+            else:
+                r -= 1
+                c += 1
+        else:  # heading down-left
+            if r == 7:
+                c += 1
+            elif c == 0:
+                r += 1
+            else:
+                r += 1
+                c -= 1
+    return order
+
+
+def _jpeg_tables():
+    """Canonical Huffman tables the synthesizer embeds in DHT. These
+    are legal-but-simple (like an optimizing encoder's custom tables,
+    which the spec explicitly allows): DC = twelve 4-bit codes for
+    categories 0-11; AC = 162 8-bit codes covering EOB, every
+    (run 0-15, size 1-10) symbol, and ZRL. The DECODER never assumes
+    them — it builds whatever tables the file's DHT declares."""
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # twelve codes of length 4
+    dc_vals = list(range(12))
+    ac_bits = [0] * 16
+    ac_bits[7] = 162  # all codes length 8 (Kraft: 162/256 < 1)
+    ac_vals = [0x00] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ] + [0xF0]
+    return (dc_bits, dc_vals), (ac_bits, ac_vals)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (T.81 Annex C): symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for li, n in enumerate(bits, start=1):
+        for _ in range(n):
+            codes[vals[k]] = (code, li)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit writer with the entropy segment's 0xFF byte
+    stuffing; flush pads the final byte with 1-bits per spec."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.out)
+
+
+#: luma quant table (zigzag order): DC step 8 divides the constant
+#: block's DCT DC term (8 * (v - 128)) EXACTLY, so block-constant
+#: content survives the full lossy chain bit-exactly and the oracle is
+#: the pixel formula itself; AC steps are a nominal 16.
+_JPEG_QZZ = [8] + [16] * 63
+
+
+def synth_jpeg_bytes(doc_id: int) -> bytes:
+    """Deterministic BASELINE JFIF JPEG for ``doc_id``, synthesized
+    from spec (T.81): SOI/APP0/DQT/SOF0/DHT/DHT/SOS/EOI markers, real
+    canonical Huffman entropy coding with DC difference coding, EOB
+    per block, and 0xFF byte stuffing. Grayscale (one 8-bit
+    component, no subsampling), (1 + doc_id % 4) x (1 + doc_id % 3)
+    blocks of 8x8, each block CONSTANT at
+    v = (doc_id*7 + bx*31 + by*17) % 256 — constant blocks have a
+    DC-only DCT, and the DC quant step of 8 divides 8*(v-128)
+    exactly, so the decoded image equals the formula bit-for-bit
+    while the bitstream still exercises the entire entropy layer."""
+    import struct
+
+    wb = 1 + doc_id % 4
+    hb = 1 + doc_id % 3
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_tables()
+    dc_codes = _huff_codes(dc_bits, dc_vals)
+    ac_codes = _huff_codes(ac_bits, ac_vals)
+
+    bw = _BitWriter()
+    pred = 0
+    for by in range(hb):
+        for bx in range(wb):
+            v = (doc_id * 7 + bx * 31 + by * 17) % 256
+            qdc = (8 * (v - 128)) // _JPEG_QZZ[0]  # exact: step 8
+            diff = qdc - pred
+            pred = qdc
+            size = abs(diff).bit_length()
+            code, ln = dc_codes[size]
+            bw.write(code, ln)
+            if size:
+                bits = diff if diff >= 0 else diff + (1 << size) - 1
+                bw.write(bits, size)
+            code, ln = ac_codes[0x00]  # EOB: all AC zero
+            bw.write(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    w, h = wb * 8, hb * 8
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = bytes([0x00]) + bytes(_JPEG_QZZ)
+    sof0 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, app0)
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof0)
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFC4, dht_ac)
+        + seg(0xFFDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """MSB-first reader over the entropy segment with 0xFF00
+    destuffing; raises on a bare marker inside entropy data."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("marker inside entropy segment")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _parse_jpeg(data: bytes):
+    """From-spec BASELINE grayscale JPEG decode -> (w, h, int64 HxW
+    luma array). No PIL: marker walk (length-framed segments, APPn/COM
+    skipped), DQT (8-bit, zigzag), DHT (arbitrary canonical tables —
+    nothing about the synthesizer's tables is assumed), SOF0 (8-bit
+    single-component only; progressive/multi-component rejected),
+    then entropy decode per T.81 F.2: Huffman DC category + signed
+    extend with difference coding, AC run/size with ZRL and EOB,
+    dequantize, dezigzag, full 2D float IDCT, level shift, clamp.
+    General AC content decodes (tests pin a hand-built one-AC-coeff
+    stream against a textbook IDCT); the synthesizer only emits
+    DC-only blocks so the oracle stays closed-form."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    zz = _zigzag_order()
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    dims = None
+    comp_tq = 0
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before SOS")
+        (ln,) = (int.from_bytes(data[pos : pos + 2], "big"),)
+        body = data[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit DQT unsupported")
+                qt[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                nsym = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nsym])
+                table = {}
+                code = 0
+                k = 0
+                for li, n in enumerate(bits, start=1):
+                    for _ in range(n):
+                        table[(code, li)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                i += 17 + nsym
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nf = body[0], int.from_bytes(body[1:3], "big"), \
+                int.from_bytes(body[3:5], "big"), body[5]
+            if prec != 8 or nf != 1:
+                raise ValueError("only 8-bit single-component baseline")
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+            comp_tq = body[8]
+            dims = (w, h)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            td, ta = body[2] >> 4, body[2] & 15
+            pos += ln
+            break
+        pos += ln
+    else:
+        raise ValueError("missing SOS")
+    if dims is None:
+        raise ValueError("missing SOF0")
+
+    w, h = dims
+    q = np.array(qt[comp_tq], dtype="f8")
+    dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+
+    def decode_sym(br: _BitReader, table) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            if (code, ln) in table:
+                return table[(code, ln)]
+        raise ValueError("invalid Huffman code")
+
+    def extend(v: int, s: int) -> int:
+        return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+    u = np.arange(8, dtype="f8")
+    cu = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+    basis = 0.5 * cu[:, None] * np.cos(
+        (2.0 * u[None, :] + 1.0) * u[:, None] * np.pi / 16.0
+    )  # basis[u, x]
+
+    br = _BitReader(data, pos)
+    wb, hbk = (w + 7) // 8, (h + 7) // 8
+    out = np.zeros((hbk * 8, wb * 8), dtype="i8")
+    pred = 0
+    for by in range(hbk):
+        for bx in range(wb):
+            coef_zz = np.zeros(64, dtype="f8")
+            s = decode_sym(br, dc_tab)
+            pred += extend(br.bits(s), s)
+            coef_zz[0] = pred
+            k = 1
+            while k < 64:
+                rs = decode_sym(br, ac_tab)
+                r, sz = rs >> 4, rs & 15
+                if sz == 0:
+                    if r == 15:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                coef_zz[k] = extend(br.bits(sz), sz)
+                k += 1
+            block = np.zeros(64, dtype="f8")
+            block[zz] = coef_zz * q
+            f = basis.T @ block.reshape(8, 8) @ basis
+            px = np.clip(np.round(f + 128.0), 0, 255).astype("i8")
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    return w, h, out[:h, :w]
+
+
+def decode_jpeg(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "doc_id") -> DataFrame:
+    """REAL baseline JPEG decode (pure numpy + from-spec Huffman/IDCT,
+    no PIL) via Arrow-batched mapInPandas. Emits the luma sum AND a
+    block-position-weighted sum (weight = raster block index + 1), so
+    two blocks swapped by a DC-difference or scan-order bug change
+    wsum_luma even when sum_luma survives."""
+    parse_one = _parse_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "width", "height", "sum_luma",
+                          "wsum_luma", "n_blocks")
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, img = parse_one(bytes(b))
+                wb, hb = (w + 7) // 8, (h + 7) // 8
+                bidx = (
+                    np.repeat(np.arange(hb), 8)[:h, None] * wb
+                    + np.repeat(np.arange(wb), 8)[None, :w]
+                )
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_luma"].append(int(img.sum()))
+                rows["wsum_luma"].append(int((img * (bidx + 1)).sum()))
+                rows["n_blocks"].append(wb * hb)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, JPEG_SCHEMA)
+
+
 def decode_png(df: DataFrame, payload_col: str = "payload",
                id_col: str = "doc_id") -> DataFrame:
     """REAL PNG decode (stdlib zlib + numpy, no PIL): chunk walk with
@@ -739,6 +1099,7 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
         "wav": synth_wav_bytes,
         "ppm": synth_ppm_bytes,
         "png": synth_png_bytes,
+        "jpeg": synth_jpeg_bytes,
     }[kind]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

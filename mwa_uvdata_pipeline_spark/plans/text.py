@@ -3500,6 +3500,55 @@ def m_png_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m_jpeg_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS wb, 1 + doc_id % 3 AS hb
+               FROM documents),
+    blk AS (SELECT doc_id, wb, hb, bx, by,
+                   (doc_id * 7 + bx * 31 + by * 17) % 256 AS v
+            FROM d, UNNEST(range(0, wb)) ux(bx),
+                    UNNEST(range(0, hb)) uy(by))
+    SELECT doc_id,
+           CAST(MAX(wb) * 8 AS INTEGER) AS width,
+           CAST(MAX(hb) * 8 AS INTEGER) AS height,
+           CAST(SUM(v * 64) AS BIGINT) AS sum_luma,
+           CAST(SUM(v * 64 * (by * wb + bx + 1)) AS BIGINT) AS wsum_luma,
+           CAST(COUNT(*) AS INTEGER) AS n_blocks
+    FROM blk GROUP BY doc_id
+    """,
+    doc="REAL baseline JPEG decode FROM SPEC (ITU T.81), zero new "
+        "dependencies — the last import-gated image codec converted: "
+        "per-doc grayscale JFIF files are synthesized executor-side "
+        "as genuine spec bitstreams (DQT/SOF0/DHT/SOS markers, "
+        "canonical Huffman tables carried IN the file, DC difference "
+        "coding, EOB, 0xFF byte stuffing) and decoded byte-for-byte "
+        "— marker walk, DHT reconstruction from the file's own "
+        "tables, Huffman DC/AC entropy decode with signed extend, "
+        "dequantize, dezigzag (scan order GENERATED by the diagonal "
+        "walk, not typed), full float IDCT, level shift, clamp. "
+        "Content is block-constant with a DC quant step that divides "
+        "the DC term exactly, so the lossy chain is bit-exact and "
+        "the oracle is the closed-form block formula; the decoder "
+        "itself is general (the AC/ZRL path is pinned in tests "
+        "against a hand-built bitstream and an independently coded "
+        "textbook IDCT). The gate emits BOTH the luma sum and a "
+        "block-position-weighted sum, so a DC-predictor or scan-"
+        "order bug that swaps two blocks breaks wsum_luma even when "
+        "sum_luma survives. Scale: same Arrow-batched mapInPandas "
+        "seam — payloads never leave the executor; per-block work "
+        "is O(64) Huffman symbols + one 8x8 matmul.",
+)
+def m_jpeg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_jpeg(synth_payloads(docs, "jpeg"))
+
+
+@register(
     "m_wav_resample",
     sql="""
     WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),

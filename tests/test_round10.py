@@ -19,6 +19,8 @@ import zlib
 import numpy as np
 import pytest
 
+# struct/np used by both the PNG and JPEG vector builders below
+
 from mwa_uvdata_pipeline_spark.operators.multimodal import (
     _parse_png,
     synth_png_bytes,
@@ -177,6 +179,130 @@ class TestPngRoundTrip:
             h = 3 + doc_id % 6
             seen |= {(doc_id + yy) % 5 for yy in range(h)}
         assert seen == {0, 1, 2, 3, 4}
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _jpeg_headers(w: int = 8, h: int = 8) -> bytes:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        _JPEG_QZZ,
+        _jpeg_tables,
+    )
+
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_tables()
+    return (
+        b"\xff\xd8"
+        + _jpeg_seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QZZ))
+        + _jpeg_seg(
+            0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+        )
+        + _jpeg_seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + _jpeg_seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + _jpeg_seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+
+
+class TestJpegDecoder:
+    """Baseline JPEG decode pinned to the SPEC, not just to our
+    encoder: the AC-path test feeds a HAND-BUILT bitstream (codes
+    derived by hand from the canonical table construction) and checks
+    against an IDCT written here as the literal T.81 double sum."""
+
+    def test_round_trip_block_constant_exact(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_jpeg,
+            synth_jpeg_bytes,
+        )
+
+        for doc_id in (0, 1, 5, 11, 42, 999, 123456):
+            w, h, img = _parse_jpeg(synth_jpeg_bytes(doc_id))
+            wb, hb = 1 + doc_id % 4, 1 + doc_id % 3
+            assert (w, h) == (wb * 8, hb * 8)
+            for by in range(hb):
+                for bx in range(wb):
+                    v = (doc_id * 7 + bx * 31 + by * 17) % 256
+                    blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    assert (blk == v).all(), (doc_id, bx, by)
+
+    def test_ac_coefficient_matches_textbook_idct(self):
+        """Hand-built stream: DC cat 0 (code 0000), AC (run 0, size 1)
+        = symbol 0x01 at canonical index 1 (code 00000001) + value bit
+        1, then EOB (code 00000000), padded with 1s:
+        0000 00000001 1 00000000 111 -> bytes 0x00 0x18 0x07."""
+        import math
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_jpeg,
+            _zigzag_order,
+        )
+
+        data = _jpeg_headers() + bytes([0x00, 0x18, 0x07]) + b"\xff\xd9"
+        w, h, img = _parse_jpeg(data)
+        assert (w, h) == (8, 8)
+        zz = _zigzag_order()
+        F = np.zeros((8, 8))
+        r, c = divmod(zz[1], 8)
+        F[r][c] = 16.0  # coefficient 1 dequantized by AC step 16
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * F[v][u]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                want = min(255, max(0, round(s / 4 + 128)))
+                assert img[y][x] == want, (x, y)
+
+    def test_dc_difference_coding_carries_across_blocks(self):
+        """Two-block image where block 1's DC is coded as a DIFFERENCE
+        from block 0 — a decoder that forgets the predictor gets block
+        1 wrong. synth covers this (wb up to 4), so check explicitly:
+        doc 1 has 2x2 blocks with four distinct values."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_jpeg,
+            synth_jpeg_bytes,
+        )
+
+        _, _, img = _parse_jpeg(synth_jpeg_bytes(1))
+        vals = {
+            img[by * 8, bx * 8] for bx in range(2) for by in range(2)
+        }
+        want = {(1 * 7 + bx * 31 + by * 17) % 256
+                for bx in range(2) for by in range(2)}
+        assert vals == want
+
+    def test_progressive_rejected(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import _parse_jpeg
+
+        data = (
+            b"\xff\xd8"
+            + _jpeg_seg(
+                0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+            )
+        )
+        with pytest.raises(ValueError, match="baseline"):
+            _parse_jpeg(data)
+
+    def test_truncated_entropy_detected(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import _parse_jpeg
+
+        # EOI arrives where entropy bits are still needed
+        data = _jpeg_headers() + b"\xff\xd9"
+        with pytest.raises(ValueError, match="entropy"):
+            _parse_jpeg(data)
+
+    def test_not_a_jpeg(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import _parse_jpeg
+
+        with pytest.raises(ValueError, match="SOI"):
+            _parse_jpeg(b"\x89PNG\r\n\x1a\n")
 
 
 class TestStreamQuantileDrift:
