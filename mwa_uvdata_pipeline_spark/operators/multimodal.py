@@ -203,9 +203,11 @@ def binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 #
 # REAL media decode for the formats the standard library and numpy can
 # parse without PIL/ffmpeg: WAV (RIFF PCM, stdlib `wave`), PPM P6 (raw
-# RGB, pure numpy), and PNG (from-spec chunk walk + stdlib zlib inflate
-# + scanline unfiltering — see _parse_png). Entropy-coded formats with
-# no stdlib codec (JPEG/MP4/FLAC) stay behind the import-gated stub
+# RGB, pure numpy), PNG (from-spec chunk walk + stdlib zlib inflate +
+# scanline unfiltering — see _parse_png), and baseline JPEG in both
+# grayscale and interleaved 4:2:0 color (from-spec Huffman entropy
+# decode + IDCT — see _jpeg_decode). Only container/codec stacks with
+# no stdlib path (MP4/FLAC-class) stay behind the import-gated stub
 # above.
 
 WAV_SCHEMA = (
@@ -774,6 +776,80 @@ def synth_jpeg_bytes(doc_id: int) -> bytes:
     )
 
 
+def synth_jpeg_color_bytes(doc_id: int) -> bytes:
+    """Deterministic 4:2:0 COLOR baseline JFIF JPEG for ``doc_id``,
+    from spec: three components (Y sampling 2x2, Cb/Cr 1x1 — the
+    ubiquitous chroma-subsampled layout), two quant tables, MCU
+    interleaving (4 Y blocks + Cb + Cr per 16x16 macroblock) with
+    per-component DC difference coding. (1 + doc_id % 3) x
+    (1 + doc_id % 2) macroblocks, each CONSTANT per plane at
+    y = (doc_id*5 + mx*19 + my*23) % 256,
+    cb = (doc_id*3 + mx*13 + my*29) % 256,
+    cr = (doc_id*11 + mx*7 + my*31) % 256 — DC-only blocks with an
+    exactly-dividing DC quant step, so every decoded plane equals its
+    formula bit-for-bit while the stream exercises the interleaved
+    entropy layer and per-component predictors."""
+    import struct
+
+    mbw = 1 + doc_id % 3
+    mbh = 1 + doc_id % 2
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_tables()
+    dc_codes = _huff_codes(dc_bits, dc_vals)
+    ac_codes = _huff_codes(ac_bits, ac_vals)
+
+    bw = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+
+    def put_block(cid: int, v: int) -> None:
+        qdc = (8 * (v - 128)) // _JPEG_QZZ[0]
+        diff = qdc - preds[cid]
+        preds[cid] = qdc
+        size = abs(diff).bit_length()
+        code, ln = dc_codes[size]
+        bw.write(code, ln)
+        if size:
+            bits = diff if diff >= 0 else diff + (1 << size) - 1
+            bw.write(bits, size)
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+
+    for my in range(mbh):
+        for mx in range(mbw):
+            yv = (doc_id * 5 + mx * 19 + my * 23) % 256
+            for _ in range(4):  # 2x2 luma blocks, all constant yv
+                put_block(1, yv)
+            put_block(2, (doc_id * 3 + mx * 13 + my * 29) % 256)
+            put_block(3, (doc_id * 11 + mx * 7 + my * 31) % 256)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    w, h = mbw * 16, mbh * 16
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = (
+        bytes([0x00]) + bytes(_JPEG_QZZ)
+        + bytes([0x01]) + bytes(_JPEG_QZZ)
+    )
+    sof0 = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, app0)
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof0)
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFC4, dht_ac)
+        + seg(0xFFDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
 class _BitReader:
     """MSB-first reader over the entropy segment with 0xFF00
     destuffing; raises on a bare marker inside entropy data."""
@@ -806,18 +882,20 @@ class _BitReader:
         return v
 
 
-def _parse_jpeg(data: bytes):
-    """From-spec BASELINE grayscale JPEG decode -> (w, h, int64 HxW
-    luma array). No PIL: marker walk (length-framed segments, APPn/COM
-    skipped), DQT (8-bit, zigzag), DHT (arbitrary canonical tables —
-    nothing about the synthesizer's tables is assumed), SOF0 (8-bit
-    single-component only; progressive/multi-component rejected),
-    then entropy decode per T.81 F.2: Huffman DC category + signed
-    extend with difference coding, AC run/size with ZRL and EOB,
-    dequantize, dezigzag, full 2D float IDCT, level shift, clamp.
-    General AC content decodes (tests pin a hand-built one-AC-coeff
-    stream against a textbook IDCT); the synthesizer only emits
-    DC-only blocks so the oracle stays closed-form."""
+def _jpeg_decode(data: bytes):
+    """From-spec BASELINE JPEG decode core -> (w, h, comps) where
+    comps is a list of (component_id, Hs, Vs, plane) with each plane
+    an int64 array at the component's NATURAL (subsampled)
+    resolution. Supports 1- or 3-component interleaved baseline scans
+    with sampling factors up to 2x2 (covers grayscale, 4:4:4 and
+    4:2:0 — the shapes real corpora carry). No PIL: marker walk
+    (length-framed segments, APPn/COM skipped), DQT (8-bit, zigzag),
+    DHT (arbitrary canonical tables — nothing about the synthesizer's
+    tables is assumed), then entropy decode per T.81 F.2: MCU
+    interleaving in scan-component order with per-component DC
+    predictors, Huffman DC category + signed extend, AC run/size with
+    ZRL and EOB, dequantize (per-component table), dezigzag, full 2D
+    float IDCT, level shift, clamp."""
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -826,7 +904,8 @@ def _parse_jpeg(data: bytes):
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     dims = None
-    comp_tq = 0
+    frame: dict[int, tuple[int, int, int]] = {}  # cid -> (Hs, Vs, Tq)
+    scan: list[tuple[int, int, int]] = []  # (cid, Td, Ta) in scan order
     pos = 2
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -866,17 +945,23 @@ def _parse_jpeg(data: bytes):
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nf = body[0], int.from_bytes(body[1:3], "big"), \
                 int.from_bytes(body[3:5], "big"), body[5]
-            if prec != 8 or nf != 1:
-                raise ValueError("only 8-bit single-component baseline")
-            if body[7] != 0x11:
-                raise ValueError("subsampling unsupported")
-            comp_tq = body[8]
+            if prec != 8 or nf not in (1, 3):
+                raise ValueError("only 8-bit 1- or 3-component baseline")
+            for c in range(nf):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise ValueError("sampling factors beyond 2x2")
+                frame[cid] = (hs, vs, tq)
             dims = (w, h)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline SOF0 supported")
         elif marker == 0xDA:  # SOS — entropy data follows the header
-            td, ta = body[2] >> 4, body[2] & 15
+            ns = body[0]
+            for c in range(ns):
+                cid, tdta = body[1 + 2 * c : 3 + 2 * c]
+                scan.append((cid, tdta >> 4, tdta & 15))
             pos += ln
             break
         pos += ln
@@ -884,10 +969,14 @@ def _parse_jpeg(data: bytes):
         raise ValueError("missing SOS")
     if dims is None:
         raise ValueError("missing SOF0")
+    if {cid for cid, _, _ in scan} != set(frame):
+        raise ValueError("scan components must match the frame")
 
     w, h = dims
-    q = np.array(qt[comp_tq], dtype="f8")
-    dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+    hmax = max(hs for hs, _, _ in frame.values())
+    vmax = max(vs for _, vs, _ in frame.values())
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
 
     def decode_sym(br: _BitReader, table) -> int:
         code, ln = 0, 0
@@ -907,36 +996,99 @@ def _parse_jpeg(data: bytes):
         (2.0 * u[None, :] + 1.0) * u[:, None] * np.pi / 16.0
     )  # basis[u, x]
 
+    planes = {
+        cid: np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype="i8")
+        for cid, (hs, vs, _) in frame.items()
+    }
+    preds = {cid: 0 for cid in frame}
     br = _BitReader(data, pos)
-    wb, hbk = (w + 7) // 8, (h + 7) // 8
-    out = np.zeros((hbk * 8, wb * 8), dtype="i8")
-    pred = 0
-    for by in range(hbk):
-        for bx in range(wb):
-            coef_zz = np.zeros(64, dtype="f8")
-            s = decode_sym(br, dc_tab)
-            pred += extend(br.bits(s), s)
-            coef_zz[0] = pred
-            k = 1
-            while k < 64:
-                rs = decode_sym(br, ac_tab)
-                r, sz = rs >> 4, rs & 15
-                if sz == 0:
-                    if r == 15:  # ZRL: sixteen zeros
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                coef_zz[k] = extend(br.bits(sz), sz)
-                k += 1
-            block = np.zeros(64, dtype="f8")
-            block[zz] = coef_zz * q
-            f = basis.T @ block.reshape(8, 8) @ basis
-            px = np.clip(np.round(f + 128.0), 0, 255).astype("i8")
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-    return w, h, out[:h, :w]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, td, ta in scan:
+                hs, vs, tq = frame[cid]
+                q = np.array(qt[tq], dtype="f8")
+                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+                for v in range(vs):
+                    for hh in range(hs):
+                        coef_zz = np.zeros(64, dtype="f8")
+                        s = decode_sym(br, dc_tab)
+                        preds[cid] += extend(br.bits(s), s)
+                        coef_zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = decode_sym(br, ac_tab)
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            coef_zz[k] = extend(br.bits(sz), sz)
+                            k += 1
+                        block = np.zeros(64, dtype="f8")
+                        block[zz] = coef_zz * q
+                        f = basis.T @ block.reshape(8, 8) @ basis
+                        px = np.clip(np.round(f + 128.0), 0, 255)
+                        y0 = (my * vs + v) * 8
+                        x0 = (mx * hs + hh) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = (
+                            px.astype("i8")
+                        )
+    comps = []
+    for cid, td, ta in scan:
+        hs, vs, _ = frame[cid]
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        comps.append((cid, hs, vs, planes[cid][:ch, :cw]))
+    return w, h, comps
+
+
+def _parse_jpeg(data: bytes):
+    """Grayscale wrapper over :func:`_jpeg_decode` -> (w, h, int64
+    HxW luma array). General AC content decodes (tests pin a
+    hand-built one-AC-coeff stream against a textbook IDCT); the
+    synthesizer only emits DC-only blocks so the oracle stays
+    closed-form."""
+    w, h, comps = _jpeg_decode(data)
+    if len(comps) != 1:
+        raise ValueError("expected grayscale (use _parse_jpeg_ycbcr)")
+    return w, h, comps[0][3]
+
+
+def _parse_jpeg_ycbcr(data: bytes):
+    """Color wrapper over :func:`_jpeg_decode` -> (w, h, Y, Cb, Cr)
+    planes at their natural resolutions (chroma stays subsampled —
+    stats are defined on the coded planes; see ycbcr_to_rgb for the
+    display-side conversion)."""
+    w, h, comps = _jpeg_decode(data)
+    if len(comps) != 3:
+        raise ValueError("expected 3-component YCbCr")
+    by_id = {cid: plane for cid, _, _, plane in comps}
+    return w, h, by_id[1], by_id[2], by_id[3]
+
+
+def ycbcr_to_rgb(y, cb, cr):
+    """BT.601 full-range YCbCr -> RGB (the JFIF convention):
+    R = Y + 1.402 (Cr-128), G = Y - 0.344136 (Cb-128) - 0.714136
+    (Cr-128), B = Y + 1.772 (Cb-128); rounded, clamped. Expects
+    same-resolution planes (upsample chroma first for 4:2:0 —
+    np.repeat(2, axis) is the box upsample). Kept OUT of the oracle
+    gate: the gate pins the coded integer planes; this conversion is
+    unit-tested against hand values instead."""
+    import numpy as np
+
+    y = y.astype("f8")
+    cb = cb.astype("f8") - 128.0
+    cr = cr.astype("f8") - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return tuple(
+        np.clip(np.round(p), 0, 255).astype("i8") for p in (r, g, b)
+    )
 
 
 def decode_jpeg(df: DataFrame, payload_col: str = "payload",
@@ -973,6 +1125,53 @@ def decode_jpeg(df: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(batches, JPEG_SCHEMA)
+
+
+JPEG_COLOR_SCHEMA = (
+    "doc_id long, width int, height int, sum_y long, sum_cb long, "
+    "sum_cr long, wsum_y long, n_mcus int"
+)
+
+
+def decode_jpeg_color(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "doc_id") -> DataFrame:
+    """REAL 4:2:0 color baseline JPEG decode (from-spec MCU
+    interleaving, per-component predictors/quant tables) via
+    Arrow-batched mapInPandas. Emits per-plane integer sums at each
+    plane's CODED resolution plus an MCU-position-weighted luma sum —
+    a swapped macroblock or a cross-component predictor leak breaks
+    wsum_y / the chroma sums even when sum_y survives."""
+    parse_one = _parse_jpeg_ycbcr
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "width", "height", "sum_y", "sum_cb",
+                          "sum_cr", "wsum_y", "n_mcus")
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, Y, Cb, Cr = parse_one(bytes(b))
+                mbw, mbh = (w + 15) // 16, (h + 15) // 16
+                midx = (
+                    np.repeat(np.arange(mbh), 16)[:h, None] * mbw
+                    + np.repeat(np.arange(mbw), 16)[None, :w]
+                )
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_y"].append(int(Y.sum()))
+                rows["sum_cb"].append(int(Cb.sum()))
+                rows["sum_cr"].append(int(Cr.sum()))
+                rows["wsum_y"].append(int((Y * (midx + 1)).sum()))
+                rows["n_mcus"].append(mbw * mbh)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, JPEG_COLOR_SCHEMA
+    )
 
 
 def decode_png(df: DataFrame, payload_col: str = "payload",
@@ -1100,6 +1299,7 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
         "ppm": synth_ppm_bytes,
         "png": synth_png_bytes,
         "jpeg": synth_jpeg_bytes,
+        "jpeg_color": synth_jpeg_color_bytes,
     }[kind]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

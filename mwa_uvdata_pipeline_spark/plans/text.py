@@ -3549,6 +3549,55 @@ def m_jpeg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m_jpeg_color_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS mbw, 1 + doc_id % 2 AS mbh
+               FROM documents),
+    blk AS (SELECT doc_id, mbw, mbh, mx, my,
+                   (doc_id * 5 + mx * 19 + my * 23) % 256 AS yv,
+                   (doc_id * 3 + mx * 13 + my * 29) % 256 AS cbv,
+                   (doc_id * 11 + mx * 7 + my * 31) % 256 AS crv
+            FROM d, UNNEST(range(0, mbw)) ux(mx),
+                    UNNEST(range(0, mbh)) uy(my))
+    SELECT doc_id,
+           CAST(MAX(mbw) * 16 AS INTEGER) AS width,
+           CAST(MAX(mbh) * 16 AS INTEGER) AS height,
+           CAST(SUM(yv * 256) AS BIGINT) AS sum_y,
+           CAST(SUM(cbv * 64) AS BIGINT) AS sum_cb,
+           CAST(SUM(crv * 64) AS BIGINT) AS sum_cr,
+           CAST(SUM(yv * 256 * (my * mbw + mx + 1)) AS BIGINT) AS wsum_y,
+           CAST(COUNT(*) AS INTEGER) AS n_mcus
+    FROM blk GROUP BY doc_id
+    """,
+    doc="REAL 4:2:0 COLOR baseline JPEG decode FROM SPEC — the "
+        "chroma-subsampled three-component layout virtually every "
+        "photographic JPEG on the web uses, completing the codec "
+        "story beyond m_jpeg_native's grayscale: per-doc files carry "
+        "Y at 2x2 sampling with Cb/Cr at 1x1, TWO quant tables, and "
+        "an interleaved scan (4 luma blocks + Cb + Cr per 16x16 "
+        "macroblock) that the decoder walks in spec MCU order with "
+        "PER-COMPONENT DC predictors and per-component table "
+        "selectors. Content is macroblock-constant per plane with an "
+        "exactly-dividing DC step, so all three decoded planes equal "
+        "their closed-form formulas (gated at each plane's CODED "
+        "resolution — luma 256 px/MCU, chroma 64) and the MCU-"
+        "position-weighted luma sum breaks if interleaving or a "
+        "predictor leaks across components. BT.601 YCbCr->RGB is a "
+        "separate unit-tested helper, kept out of the gate so the "
+        "gate stays integer-exact. Same executor-side Arrow seam "
+        "and scale posture as m_jpeg_native.",
+)
+def m_jpeg_color_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_jpeg_color,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_jpeg_color(synth_payloads(docs, "jpeg_color"))
+
+
+@register(
     "m_wav_resample",
     sql="""
     WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
