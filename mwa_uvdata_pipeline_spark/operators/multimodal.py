@@ -1202,6 +1202,201 @@ def decode_png(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(batches, PNG_SCHEMA)
 
 
+# ------------------------------------------------- MP4 container scan
+
+MP4_SCHEMA = (
+    "doc_id long, duration_ms long, width int, height int, "
+    "n_samples int, sum_sample_bytes long, mdat_bytes long, "
+    "timescale int"
+)
+
+
+def _mp4_box(typ: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(body) + 8) + typ + body
+
+
+def _mp4_full(typ: bytes, version: int, flags: int, body: bytes) -> bytes:
+    import struct
+
+    return _mp4_box(typ, struct.pack(">I", (version << 24) | flags) + body)
+
+
+def synth_mp4_bytes(doc_id: int) -> bytes:
+    """Deterministic minimal-but-valid ISO BMFF (MP4) file for
+    ``doc_id``, built from the public spec (ISO/IEC 14496-12):
+    ftyp + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsz,
+    stts))))) + mdat. One video track: movie timescale 1000 with
+    duration (doc_id % 30 + 1) seconds; tkhd carries 16.16
+    fixed-point 16*(1 + doc_id % 20) x 16*(1 + doc_id % 12) track
+    dims; stsz lists 2 + doc_id % 29 samples sized
+    100 + (doc_id*13 + i*7) % 900, and mdat's payload is exactly
+    their concatenated bytes — so the stsz sum and the mdat box size
+    must agree, which the decoder reports separately for the gate to
+    cross-check."""
+    import struct
+
+    dur_s = doc_id % 30 + 1
+    w = 16 * (1 + doc_id % 20)
+    h = 16 * (1 + doc_id % 12)
+    ns = 2 + doc_id % 29
+    sizes = [100 + ((doc_id * 13 + i * 7) % 900) for i in range(ns)]
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 1000, dur_s * 1000)  # ts=1000
+        + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, dur_s * 1000) + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed point
+    )
+    mdhd = _mp4_full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 90000, ns * 3000)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00",
+    )
+    stsz = _mp4_full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, ns) + b"".join(
+            struct.pack(">I", s) for s in sizes
+        ),
+    )
+    stts = _mp4_full(
+        b"stts", 0, 0, struct.pack(">III", 1, ns, 3000)
+    )
+    stbl = _mp4_box(b"stbl", stsz + stts)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    import numpy as np
+
+    payload = (
+        (doc_id + np.arange(sum(sizes), dtype="i8")) % 256
+    ).astype("u1").tobytes()
+    mdat = _mp4_box(b"mdat", payload)
+    return ftyp + moov + mdat
+
+
+def _parse_mp4(data: bytes):
+    """From-spec ISO BMFF box walk -> container metadata dict: the
+    structure scan a curation pipeline runs BEFORE any codec work
+    (duration, track dims, sample table totals). Generic: boxes are
+    length-framed (large-size 1 supported), containers recursed by a
+    whitelist (the spec's pure-container boxes carry no header), full
+    boxes version-checked. Codec payload decode (the H.264 inside
+    mdat) is exactly what stays behind the import-gated seam — this
+    parses the CONTAINER, the way real pipelines triage video before
+    shelling out to a decoder."""
+    import struct
+
+    out = {
+        "duration_ms": None, "width": None, "height": None,
+        "n_samples": None, "sum_sample_bytes": None,
+        "mdat_bytes": None, "timescale": None,
+    }
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos < hi:
+            if hi - pos < 8:
+                raise ValueError("truncated box header")
+            (size,) = struct.unpack(">I", data[pos : pos + 4])
+            typ = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit large size
+                (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+                body = pos + 16
+            if size < 8 or pos + size > hi:
+                raise ValueError(f"bad box size for {typ!r}")
+            if typ in containers:
+                walk(body, pos + size)
+            elif typ == b"mvhd":
+                ver = data[body]
+                if ver != 0:
+                    raise ValueError("mvhd v1 unsupported")
+                ts, dur = struct.unpack(
+                    ">II", data[body + 12 : body + 20]
+                )
+                out["duration_ms"] = dur * 1000 // ts
+            elif typ == b"tkhd":
+                if data[body] != 0:
+                    raise ValueError("tkhd v1 unsupported")
+                wfx, hfx = struct.unpack(
+                    ">II", data[pos + size - 8 : pos + size]
+                )
+                out["width"] = wfx >> 16
+                out["height"] = hfx >> 16
+            elif typ == b"mdhd":
+                if data[body] != 0:
+                    raise ValueError("mdhd v1 unsupported")
+                (out["timescale"],) = struct.unpack(
+                    ">I", data[body + 12 : body + 16]
+                )
+            elif typ == b"stsz":
+                fixed, cnt = struct.unpack(
+                    ">II", data[body + 4 : body + 12]
+                )
+                out["n_samples"] = cnt
+                if fixed:
+                    out["sum_sample_bytes"] = fixed * cnt
+                else:
+                    sizes = struct.unpack(
+                        f">{cnt}I", data[body + 12 : body + 12 + 4 * cnt]
+                    )
+                    out["sum_sample_bytes"] = sum(sizes)
+            elif typ == b"mdat":
+                out["mdat_bytes"] = size - (body - pos)
+            pos += size
+
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF file (missing ftyp)")
+    walk(0, len(data))
+    missing = [k for k, v in out.items() if v is None]
+    if missing:
+        raise ValueError(f"missing boxes for: {missing}")
+    return out
+
+
+def decode_mp4_meta(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "doc_id") -> DataFrame:
+    """REAL MP4/ISO-BMFF container scan via Arrow-batched
+    mapInPandas: box walk, movie/track headers, sample-table totals,
+    and the mdat payload size reported SEPARATELY from the stsz sum
+    so the gate cross-checks the container's internal consistency."""
+    parse_one = _parse_mp4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "duration_ms", "width", "height",
+                          "n_samples", "sum_sample_bytes", "mdat_bytes",
+                          "timescale")
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                meta = parse_one(bytes(b))
+                rows["doc_id"].append(doc_id)
+                for k in meta:
+                    rows[k].append(meta[k])
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, MP4_SCHEMA)
+
+
 CUTS_SCHEMA = (
     "doc_id long, n_frames int, n_cuts long, first_cut int, "
     "max_luma_jump long"
@@ -1300,6 +1495,7 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
         "png": synth_png_bytes,
         "jpeg": synth_jpeg_bytes,
         "jpeg_color": synth_jpeg_color_bytes,
+        "mp4": synth_mp4_bytes,
     }[kind]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

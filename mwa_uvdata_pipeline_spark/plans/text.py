@@ -3598,6 +3598,59 @@ def m_jpeg_color_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m_mp4_meta_native",
+    sql="""
+    WITH d AS (SELECT doc_id,
+                      CAST((doc_id % 30 + 1) * 1000 AS BIGINT)
+                          AS duration_ms,
+                      16 * (1 + doc_id % 20) AS w,
+                      16 * (1 + doc_id % 12) AS h,
+                      2 + doc_id % 29 AS ns
+               FROM documents),
+    s AS (SELECT d.doc_id,
+                 100 + ((d.doc_id * 13 + i * 7) % 900) AS sz
+          FROM d, UNNEST(range(0, d.ns)) u(i))
+    SELECT d.doc_id, d.duration_ms,
+           CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height,
+           CAST(d.ns AS INTEGER) AS n_samples,
+           CAST(SUM(s.sz) AS BIGINT) AS sum_sample_bytes,
+           CAST(SUM(s.sz) AS BIGINT) AS mdat_bytes,
+           CAST(90000 AS INTEGER) AS timescale
+    FROM d JOIN s ON d.doc_id = s.doc_id
+    GROUP BY d.doc_id, d.duration_ms, d.w, d.h, d.ns
+    """,
+    doc="REAL MP4 (ISO/IEC 14496-12) CONTAINER scan from spec — the "
+        "box-structure triage a video curation pipeline runs before "
+        "ever invoking a codec: per-doc minimal-but-valid BMFF files "
+        "(ftyp + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, "
+        "minf(stbl(stsz, stts))))) + mdat) are synthesized "
+        "executor-side and walked generically — length-framed boxes "
+        "with large-size support, container recursion, full-box "
+        "version checks — extracting movie duration (mvhd "
+        "timescale/duration), 16.16 fixed-point track dims (tkhd), "
+        "media timescale (mdhd), and sample-table totals (stsz). The "
+        "decoder reports the stsz byte sum AND the mdat payload size "
+        "SEPARATELY; the synthesizer makes them equal, so the gate "
+        "cross-checks the container's internal consistency on top of "
+        "the closed-form formula match. The codec payload inside "
+        "mdat (H.264-class) is exactly what remains behind the "
+        "import-gated seam — real pipelines triage the container "
+        "first and decode frames selectively, which is what this "
+        "models at scale (metadata scan touches headers, never the "
+        "sample payload). Same Arrow-batched mapInPandas seam.",
+)
+def m_mp4_meta_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_mp4_meta,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_mp4_meta(synth_payloads(docs, "mp4"))
+
+
+@register(
     "m_wav_resample",
     sql="""
     WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),

@@ -408,6 +408,97 @@ class TestJpegColorDecoder:
             _jpeg_decode(data)
 
 
+class TestMp4ContainerScan:
+    def test_round_trip_and_internal_consistency(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_mp4,
+            synth_mp4_bytes,
+        )
+
+        for doc_id in (0, 1, 7, 29, 42, 999):
+            meta = _parse_mp4(synth_mp4_bytes(doc_id))
+            ns = 2 + doc_id % 29
+            assert meta["duration_ms"] == (doc_id % 30 + 1) * 1000
+            assert meta["width"] == 16 * (1 + doc_id % 20)
+            assert meta["height"] == 16 * (1 + doc_id % 12)
+            assert meta["n_samples"] == ns
+            assert meta["sum_sample_bytes"] == sum(
+                100 + ((doc_id * 13 + i * 7) % 900) for i in range(ns)
+            )
+            # container-internal cross-check: stsz sum == mdat payload
+            assert meta["mdat_bytes"] == meta["sum_sample_bytes"]
+            assert meta["timescale"] == 90000
+
+    def test_large_size_box_supported(self):
+        """size==1 switches to the 64-bit largesize field (spec §4.2);
+        rewrap a synth file's mdat as a large-size box."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_mp4,
+            synth_mp4_bytes,
+        )
+
+        data = synth_mp4_bytes(3)
+        idx = data.index(b"mdat") - 4
+        size = int.from_bytes(data[idx : idx + 4], "big")
+        body = data[idx + 8 : idx + size]
+        large = (
+            (1).to_bytes(4, "big") + b"mdat"
+            + (len(body) + 16).to_bytes(8, "big") + body
+        )
+        meta = _parse_mp4(data[:idx] + large)
+        assert meta["mdat_bytes"] == len(body)
+
+    def test_fixed_sample_size_stsz(self):
+        """stsz with sample_size != 0 carries no per-sample table."""
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _mp4_full,
+            _parse_mp4,
+            synth_mp4_bytes,
+        )
+
+        data = synth_mp4_bytes(2)
+        fixed = _mp4_full(b"stsz", 0, 0, struct.pack(">II", 50, 7))
+        # rebuild a minimal container around the fixed-size stsz
+        # (splicing into the original would desync parent box sizes)
+        ftyp = data[: data.index(b"moov") - 4]
+        mvhd_start = data.index(b"mvhd") - 4
+        mvhd_size = int.from_bytes(data[mvhd_start : mvhd_start + 4], "big")
+        mvhd = data[mvhd_start : mvhd_start + mvhd_size]
+        tkhd_start = data.index(b"tkhd") - 4
+        tkhd_size = int.from_bytes(data[tkhd_start : tkhd_start + 4], "big")
+        tkhd = data[tkhd_start : tkhd_start + tkhd_size]
+        mdhd_start = data.index(b"mdhd") - 4
+        mdhd_size = int.from_bytes(data[mdhd_start : mdhd_start + 4], "big")
+        mdhd = data[mdhd_start : mdhd_start + mdhd_size]
+        stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, 7, 3000))
+
+        def box(t, b):
+            return (len(b) + 8).to_bytes(4, "big") + t + b
+
+        stbl = box(b"stbl", fixed + stts)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + minf)
+        trak = box(b"trak", tkhd + mdia)
+        moov = box(b"moov", mvhd + trak)
+        mdat = box(b"mdat", b"\x00" * 350)
+        meta = _parse_mp4(ftyp + moov + mdat)
+        assert meta["n_samples"] == 7
+        assert meta["sum_sample_bytes"] == 350
+        assert meta["mdat_bytes"] == 350
+
+    def test_truncated_rejected(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_mp4,
+            synth_mp4_bytes,
+        )
+
+        data = synth_mp4_bytes(4)
+        with pytest.raises(ValueError, match="size|truncated"):
+            _parse_mp4(data[: len(data) - 20])
+
+
 class TestStreamQuantileDrift:
     def test_streaming_estimates_inherit_rank_error_envelope(self, spark):
         """stream_quantile_drift_exec (r9 verdict #7): the p50/p90/p99
