@@ -1610,3 +1610,216 @@ def o8_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("partkey")
     )
     return a.exceptAll(b)
+
+
+@register(
+    "s7_tsv_roundtrip",
+    sql="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang, source
+    """,
+    doc="S7 TSV sink gated END-TO-END (converts the last tests-only "
+        "source/sink row to an oracle gate): the per-(lang, source) "
+        "document rollup is written through sinks.write_tsv "
+        "(reference configurators.py:97 export_tsv — header'd "
+        "tab-separated), read back through sinks.read_tsv with an "
+        "EXPLICIT schema (no inference scan), and returned — so the "
+        "driver's value hash covers the full write/parse cycle "
+        "against the oracle computed straight from parquet: a "
+        "delimiter, header, quoting, or type-mapping bug in either "
+        "sink half breaks exact equality. The round-tripped table is "
+        "an AGGREGATE (bounded by the lang x source domain), which "
+        "is what S7 exports in the reference too (INS spectra, not "
+        "raw payloads); the writer itself stays executor-parallel "
+        "(one part-file per partition) for large frames.",
+)
+def s7_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.plans import fixture_dir
+    from mwa_uvdata_pipeline_spark.sinks import read_tsv, write_tsv
+
+    agg = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    out = fixture_dir("s7_tsv", sf_dir, lambda d: write_tsv(agg, d))
+    return read_tsv(
+        spark,
+        out,
+        schema="lang string, source string, n_docs long, sum_chars long",
+    )
+
+
+@register(
+    "x8_batch_plan",
+    sql="""
+    WITH sz AS (SELECT source,
+                       CAST(SUM(n_chars) AS BIGINT) AS size_units
+                FROM documents GROUP BY source)
+    SELECT source, size_units,
+           CAST(size_units * 7 AS BIGINT) AS predicted,
+           CAST(CASE WHEN size_units * 7 < 1000000 THEN 1
+                     ELSE (size_units * 7 // 1000000) * 2
+                END AS BIGINT) AS n_batches
+    FROM sz
+    """,
+    doc="X8 memory/batch arithmetic gated cross-engine (converts the "
+        "tests-only X8 row): the reference's compute_optimal_batches "
+        "heuristic (utils.py:20-47 — predicted peak = 7x input, one "
+        "batch if it fits, else (predicted // avail) * 2, with the "
+        "SURVEY §8.1 NameError fixed as intent) applied per source "
+        "over the corpus size profile, entirely in integer SQL both "
+        "engines evaluate exactly. tests/test_round10.py additionally "
+        "pins every row of this plan against the ACTUAL Python "
+        "sources.compute_optimal_batches, so the SQL twin, the "
+        "Spark column math, and the driver-side planning helper are "
+        "provably the same rule. Scale: one map-side-combined "
+        "aggregate to the bounded source domain, then row-local "
+        "arithmetic.",
+)
+def x8_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sz = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("size_units"))
+    )
+    return sz.select(
+        "source",
+        "size_units",
+        (F.col("size_units") * 7).cast("long").alias("predicted"),
+        F.expr(
+            "CAST(CASE WHEN size_units * 7 < 1000000 THEN 1"
+            " ELSE (size_units * 7 div 1000000) * 2 END AS BIGINT)"
+        ).alias("n_batches"),
+    )
+
+
+@register(
+    "x9_output_suffix",
+    sql="""
+    WITH combo AS (
+        SELECT DISTINCT lang, source,
+               (length(lang) * 7 + length(source)) % 3 AS st_i,
+               (length(lang) + length(source)) % 3 AS nsel,
+               length(source) % 3 AS npol
+        FROM documents),
+    named AS (
+        SELECT lang, source, nsel, npol,
+               CASE st_i WHEN 0 THEN 'all' WHEN 1 THEN 'auto'
+                    ELSE 'cross' END AS spectrum_type
+        FROM combo),
+    parts AS (
+        SELECT lang, source, spectrum_type, nsel, npol,
+               list_filter([
+                   CASE WHEN spectrum_type != 'all'
+                        THEN spectrum_type END,
+                   CASE WHEN nsel > 0 THEN 'sel' || array_to_string(
+                        list_transform(range(1, nsel + 1),
+                                       i -> CAST(i AS VARCHAR)), '-')
+                        END,
+                   CASE WHEN npol > 0 THEN array_to_string(
+                        list_slice(['xx', 'yy'], 1, npol), '') END
+               ], p -> p IS NOT NULL) AS ps
+        FROM named)
+    SELECT lang, source, spectrum_type,
+           CAST(nsel AS BIGINT) AS nsel, CAST(npol AS BIGINT) AS npol,
+           CASE WHEN len(ps) > 0
+                THEN '.' || array_to_string(ps, '.')
+                ELSE '' END AS suffix
+    FROM parts
+    UNION ALL
+    SELECT 'default', 'default', 'all',
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), ''
+    """,
+    doc="X9 output-name suffix derivation gated cross-engine "
+        "(converts the tests-only X9 row): the reference's "
+        "suffix-from-options rule (configurators.py:125-134 — "
+        "spectrum tag only when not 'all', 'sel<i-...>' antenna "
+        "tags, concatenated pol tags, dot-joined with a leading dot, "
+        "empty for all-defaults) applied to a BOUNDED combination "
+        "frame derived from the distinct (lang, source) domain, so "
+        "the empty-suffix case and every tag arm are exercised. "
+        "tests/test_round10.py pins each row against the ACTUAL "
+        "Python SelectOptions.suffix(), tying the SQL rule to the "
+        "implementation the pipeline names its outputs with. Scale: "
+        "the combination frame is attribute-domain bounded; the "
+        "suffix build is row-local string work.",
+)
+def x9_output_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    combo = (
+        table(spark, sf_dir, "documents")
+        .select("lang", "source")
+        .distinct()
+        .select(
+            "lang",
+            "source",
+            ((F.length("lang") * 7 + F.length("source")) % 3).alias("st_i"),
+            ((F.length("lang") + F.length("source")) % 3).alias("nsel"),
+            (F.length("source") % 3).alias("npol"),
+        )
+        .withColumn(
+            "spectrum_type",
+            F.expr(
+                "CASE st_i WHEN 0 THEN 'all' WHEN 1 THEN 'auto'"
+                " ELSE 'cross' END"
+            ),
+        )
+    )
+    parts = F.filter(
+        F.array(
+            F.when(
+                F.col("spectrum_type") != "all", F.col("spectrum_type")
+            ),
+            F.when(
+                F.col("nsel") > 0,
+                F.concat(
+                    F.lit("sel"),
+                    F.array_join(
+                        F.transform(
+                            F.sequence(F.lit(1), F.col("nsel")),
+                            lambda i: i.cast("string"),
+                        ),
+                        "-",
+                    ),
+                ),
+            ),
+            F.when(
+                F.col("npol") > 0,
+                F.array_join(
+                    F.slice(F.array(F.lit("xx"), F.lit("yy")), 1, F.col("npol")),
+                    "",
+                ),
+            ),
+        ),
+        lambda p: p.isNotNull(),
+    )
+    derived = combo.select(
+        "lang",
+        "source",
+        "spectrum_type",
+        F.col("nsel").cast("long").alias("nsel"),
+        F.col("npol").cast("long").alias("npol"),
+        F.when(
+            F.size(parts) > 0,
+            F.concat(F.lit("."), F.array_join(parts, ".")),
+        )
+        .otherwise("")
+        .alias("suffix"),
+    )
+    # the data domain's string lengths may never produce the
+    # all-defaults combination, so gate the empty-suffix arm with an
+    # explicit row (both engines carry it — see the UNION ALL twin)
+    default_row = spark.range(1).select(
+        F.lit("default").alias("lang"),
+        F.lit("default").alias("source"),
+        F.lit("all").alias("spectrum_type"),
+        F.lit(0).cast("long").alias("nsel"),
+        F.lit(0).cast("long").alias("npol"),
+        F.lit("").alias("suffix"),
+    )
+    return derived.unionAll(default_row)

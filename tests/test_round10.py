@@ -18,6 +18,7 @@ import zlib
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 # struct/np used by both the PNG and JPEG vector builders below
 
@@ -556,6 +557,85 @@ class TestStreamQuantileDrift:
         assert got == want
         for q, (_, _, _, _, err, pop) in got.items():
             assert abs(err) <= pop, (q, err, pop)
+
+
+class TestConfigSurfaceGates:
+    """x8/x9 (r10): the SQL twins gate the RULE cross-engine; these
+    tests tie each gated column to the ACTUAL Python implementation
+    (sources.compute_optimal_batches / SelectOptions.suffix) so the
+    oracle, the Spark column math, and the driver-side helper are
+    provably the same logic."""
+
+    def test_x8_rows_match_compute_optimal_batches(self, spark):
+        from tests.conftest import SF_SMALL
+
+        from mwa_uvdata_pipeline_spark.plans import PLANS, load_all
+        from mwa_uvdata_pipeline_spark.sources import (
+            compute_optimal_batches,
+        )
+
+        load_all()
+        rows = PLANS["x8_batch_plan"].spark(spark, SF_SMALL).collect()
+        assert rows
+        for r in rows:
+            assert r["n_batches"] == compute_optimal_batches(
+                size_gb=r["size_units"], avail_mem_gb=1_000_000
+            ), dict(r.asDict())
+            assert r["predicted"] == r["size_units"] * 7
+
+    def test_x9_rows_match_select_options_suffix(self, spark):
+        from tests.conftest import SF_SMALL
+
+        from mwa_uvdata_pipeline_spark.operators.select import (
+            SelectOptions,
+        )
+        from mwa_uvdata_pipeline_spark.plans import PLANS, load_all
+
+        load_all()
+        rows = PLANS["x9_output_suffix"].spark(spark, SF_SMALL).collect()
+        assert rows
+        seen_empty = seen_all_arms = False
+        for r in rows:
+            opts = SelectOptions(
+                spectrum_type=r["spectrum_type"],
+                sel_ants=list(range(1, r["nsel"] + 1)) or None,
+                sel_pols=["xx", "yy"][: r["npol"]] or None,
+            )
+            assert opts.suffix() == r["suffix"], dict(r.asDict())
+            if r["suffix"] == "":
+                seen_empty = True
+            if (
+                r["spectrum_type"] != "all"
+                and r["nsel"] > 0
+                and r["npol"] > 0
+            ):
+                seen_all_arms = True
+        assert seen_empty, "combination frame never hit all-defaults"
+        assert seen_all_arms, "combination frame never hit every tag arm"
+
+    def test_s7_roundtrip_values_match_direct_aggregate(self, spark):
+        from tests.conftest import SF_SMALL
+
+        from mwa_uvdata_pipeline_spark.plans import PLANS, load_all
+
+        load_all()
+        got = {
+            (r["lang"], r["source"]): (r["n_docs"], r["sum_chars"])
+            for r in PLANS["s7_tsv_roundtrip"]
+            .spark(spark, SF_SMALL)
+            .collect()
+        }
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        want = {
+            (r["lang"], r["source"]): (r["n"], r["s"])
+            for r in docs.groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars").alias("s"),
+            )
+            .collect()
+        }
+        assert got == want
 
 
 class TestPngSparkPlan:
