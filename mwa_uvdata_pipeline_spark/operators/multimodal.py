@@ -3,11 +3,14 @@ binary columns with typed metadata).
 
 The Spark-side plumbing is real and tested: binary payload columns,
 Arrow-batched ``mapInPandas`` with explicit output schemas, per-batch
-vectorized work, frame-row fan-out. The actual media decode is STUBBED —
-this container ships no image/audio libraries — ``decode_media(...,
-deterministic=False)`` raises ``NotImplementedError`` unless PIL is
-importable; the default ``deterministic=True`` path derives metadata
-from the payload's md5 so results are reproducible and oracle-checkable.
+vectorized work, frame-row fan-out. REAL from-spec decode exists for
+WAV, PPM, PNG, baseline JPEG (grayscale AND 4:2:0 color), and the MP4
+container's box structure — see the "native decode" section below.
+Only library-backed codec payloads (H.264-class video, FLAC-class
+audio) remain stubbed: ``decode_media(..., deterministic=False)``
+raises ``NotImplementedError`` unless PIL is importable; the default
+``deterministic=True`` path derives metadata from the payload's md5 so
+results are reproducible and oracle-checkable.
 
 Scale posture: ``mapInPandas`` streams Arrow batches through each task,
 so memory is bounded by batch size (``spark.sql.execution.arrow
