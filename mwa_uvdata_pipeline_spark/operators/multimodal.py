@@ -289,6 +289,331 @@ def decode_wav(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(batches, WAV_SCHEMA)
 
 
+# ---------------------------------------------------- FLAC from spec
+
+#: FLAC emits the same stat row as WAV — same gate shape.
+FLAC_SCHEMA = WAV_SCHEMA
+
+
+def _crc8_flac(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — the FLAC frame
+    header checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — the FLAC
+    whole-frame checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _Bits:
+    """Plain MSB-first bit writer (no byte stuffing — FLAC streams
+    raw); also usable as a reader over bytes."""
+
+    def __init__(self, data: bytes | None = None) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+        self.data = data
+        self.pos = 0  # bit position when reading
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = self.n = 0
+
+    def pad_to_byte(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        return bytes(self.out)
+
+    # -- reading --
+    def read(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+#: fixed-predictor weights per order (FLAC spec §9.2.2): prediction
+#: for order o is the o-term alternating binomial over prior samples.
+_FLAC_FIXED = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def synth_flac_bytes(doc_id: int, fixed_order: int | None = None) -> bytes:
+    """Deterministic FLAC file for ``doc_id``, built FROM SPEC: fLaC
+    magic, STREAMINFO metadata block (bit-packed rate/channels/bps/
+    total-samples), one frame with a real header (sync, blocksize/
+    rate/channel/bps codes, UTF-8 coded frame number, CRC-8) and a
+    real footer CRC-16. The signal is the 16-bit ramp
+    s[i] = a + b*i with a = (doc_id*7) % 2048 - 1024 and
+    b = doc_id % 17 - 8, n = 64 + doc_id % 64 samples at 8 kHz. The
+    subframe type varies with the content the way a real encoder's
+    would: VERBATIM when doc_id % 7 == 0 (raw samples), CONSTANT when
+    the slope is zero, else FIXED order 1 with Rice-coded residuals
+    (a linear ramp's order-1 residuals are the constant slope — every
+    Rice code exercises the unary quotient + k-bit remainder path).
+    ``fixed_order`` pins FIXED order 0-4 for tests (higher orders see
+    zero residuals on a ramp, exercising warmup + reconstruction)."""
+    n = 64 + doc_id % 64
+    a = (doc_id * 7) % 2048 - 1024
+    b = doc_id % 17 - 8
+    samples = [a + b * i for i in range(n)]
+
+    # STREAMINFO: last-metadata flag + type 0, length 34
+    si = _Bits()
+    si.write(n, 16)          # min blocksize
+    si.write(n, 16)          # max blocksize
+    si.write(0, 24)          # min framesize (unknown)
+    si.write(0, 24)          # max framesize (unknown)
+    si.write(8000, 20)       # sample rate
+    si.write(0, 3)           # channels - 1
+    si.write(15, 5)          # bits per sample - 1
+    si.write(n, 36)          # total samples
+    streaminfo = b"\x80" + (34).to_bytes(3, "big") + si.bytes() + b"\x00" * 16
+
+    # frame header: sync(14) 0x3FFE, reserved(1)=0, blocking(1)=0,
+    # blocksize code 0111 (16-bit at end), rate code 0100 (8 kHz),
+    # channel 0000 (mono), bps code 100 (16-bit), reserved(1)=0,
+    # coded frame number 0, then blocksize-1 as 16 bits, then CRC-8
+    hb = _Bits()
+    hb.write(0b11111111111110, 14)
+    hb.write(0, 1)
+    hb.write(0, 1)
+    hb.write(0b0111, 4)
+    hb.write(0b0100, 4)
+    hb.write(0b0000, 4)
+    hb.write(0b100, 3)
+    hb.write(0, 1)
+    hb.write(0x00, 8)        # frame number 0 (UTF-8 single byte)
+    hb.write(n - 1, 16)
+    header = hb.bytes()
+    header += bytes([_crc8_flac(header)])
+
+    body = _Bits()
+    mask16 = (1 << 16) - 1
+    if fixed_order is None and doc_id % 7 == 0:
+        body.write(0b00000010, 8)  # VERBATIM subframe, no wasted bits
+        for s in samples:
+            body.write(s & mask16, 16)
+    elif fixed_order is None and b == 0:
+        body.write(0b00000000, 8)  # CONSTANT subframe
+        body.write(a & mask16, 16)
+    else:
+        order = 1 if fixed_order is None else fixed_order
+        body.write((0b001000 | order) << 1, 8)  # FIXED, wasted=0
+        for s in samples[:order]:               # warmup, verbatim
+            body.write(s & mask16, 16)
+        # residual: method 00 (4-bit rice), partition order 0, one
+        # partition: 4-bit parameter, then n - order rice codes
+        coefs = _FLAC_FIXED[order]
+        body.write(0b00, 2)
+        body.write(0, 4)
+        k = 4
+        body.write(k, 4)
+        for i in range(order, n):
+            pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            r = samples[i] - pred
+            u = (r << 1) if r >= 0 else ((-r) << 1) - 1  # zigzag fold
+            body.write(0, u >> k)   # unary quotient: q zeros ...
+            body.write(1, 1)        # ... then a one
+            body.write(u & ((1 << k) - 1), k)
+    body.pad_to_byte()
+    frame = header + body.bytes()
+    frame += _crc16_flac(frame).to_bytes(2, "big")
+    return b"fLaC" + streaminfo + frame
+
+
+def _parse_flac(data: bytes):
+    """From-spec FLAC decode -> (sample_rate, int64 sample array). No
+    external codec: fLaC magic, metadata-block walk (STREAMINFO
+    bit-unpacked, other block types skipped by length), then per
+    frame: sync + header codes parsed, CRC-8 verified, subframes
+    decoded (CONSTANT, VERBATIM, FIXED orders 0-4 with partitioned-
+    Rice residuals — unary quotient, k-bit remainder, zigzag unfold,
+    fixed-predictor reconstruction), frame CRC-16 verified. Mono
+    16-bit only (the synthesizer's shape); multichannel/LPC raise."""
+
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC)")
+    pos = 4
+    info = None
+    while True:
+        hdr = data[pos]
+        last = hdr >> 7
+        btype = hdr & 0x7F
+        ln = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        if btype == 0:  # STREAMINFO
+            si = _Bits(data[pos + 4 : pos + 4 + ln])
+            si.read(16 + 16 + 24 + 24)
+            rate = si.read(20)
+            nch = si.read(3) + 1
+            bps = si.read(5) + 1
+            total = si.read(36)
+            info = (rate, nch, bps, total)
+        pos += 4 + ln
+        if last:
+            break
+    if info is None:
+        raise ValueError("missing STREAMINFO")
+    rate, nch, bps, total = info
+    if nch != 1 or bps != 16:
+        raise ValueError("only mono 16-bit FLAC supported")
+
+    out: list[int] = []
+    while len(out) < total:
+        frame_start = pos
+        br = _Bits(data[pos:])
+        if br.read(14) != 0b11111111111110:
+            raise ValueError("bad frame sync")
+        br.read(2)  # reserved + blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        bps_code = br.read(3)
+        br.read(1)
+        if ch_code != 0:
+            raise ValueError("only mono frames supported")
+        first = br.read(8)
+        if first >= 0x80:  # multi-byte UTF-8 coded number
+            extra = 0
+            v = first
+            while v & 0x40:
+                extra += 1
+                v <<= 1
+            for _ in range(extra):
+                br.read(8)
+        if bs_code == 0b0110:
+            n = br.read(8) + 1
+        elif bs_code == 0b0111:
+            n = br.read(16) + 1
+        else:
+            raise ValueError("blocksize code unsupported")
+        if sr_code in (0b1100, 0b1101, 0b1110):
+            br.read({0b1100: 8, 0b1101: 16, 0b1110: 16}[sr_code])
+        header_len = (br.pos + 7) // 8
+        crc8 = br.read(8)
+        if _crc8_flac(data[frame_start : frame_start + header_len]) != crc8:
+            raise ValueError("frame header CRC-8 mismatch")
+
+        sub = br.read(8)
+        if sub & 0x81:
+            raise ValueError("padding/wasted bits unsupported")
+        typ = (sub >> 1) & 0x3F
+        mask16 = (1 << 16) - 1
+
+        def s16(v: int) -> int:
+            return v - 0x10000 if v >= 0x8000 else v
+
+        if typ == 0b000000:  # CONSTANT
+            val = s16(br.read(16))
+            block = [val] * n
+        elif typ == 0b000001:  # VERBATIM
+            block = [s16(br.read(16)) for _ in range(n)]
+        elif 0b001000 <= typ <= 0b001100:  # FIXED order 0-4
+            order = typ & 0x07
+            block = [s16(br.read(16)) for _ in range(order)]
+            method = br.read(2)
+            if method != 0:
+                raise ValueError("only 4-bit Rice method supported")
+            part_order = br.read(4)
+            coefs = _FLAC_FIXED[order]
+            n_parts = 1 << part_order
+            for p in range(n_parts):
+                k = br.read(4)
+                if k == 0b1111:
+                    raise ValueError("escaped partitions unsupported")
+                cnt = (n >> part_order) - (order if p == 0 else 0)
+                for _ in range(cnt):
+                    q = br.read_unary()
+                    u = (q << k) | br.read(k)
+                    r = (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+                    pred = sum(
+                        c * block[len(block) - 1 - j]
+                        for j, c in enumerate(coefs)
+                    )
+                    block.append(pred + r)
+        else:
+            raise ValueError("LPC subframes unsupported")
+        br.align()
+        frame_len = br.pos // 8
+        crc16 = br.read(16)
+        if _crc16_flac(
+            data[frame_start : frame_start + frame_len]
+        ) != crc16:
+            raise ValueError("frame CRC-16 mismatch")
+        pos = frame_start + frame_len + 2
+        out.extend(block)
+    import numpy as np
+
+    return rate, np.array(out, dtype="i8")
+
+
+def decode_flac(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "doc_id") -> DataFrame:
+    """REAL FLAC decode (from-spec Rice/fixed-predictor codec, no
+    external libraries) via Arrow-batched mapInPandas, emitting the
+    same integer-exact signal stats as :func:`decode_wav` — the
+    compressed-audio counterpart of the WAV gate."""
+    import numpy as np
+
+    parse_one = _parse_flac
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: [] for k in ("doc_id", "sample_rate", "n_channels",
+                                "n_samples", "sum_sq", "max_abs")
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                rate, s = parse_one(bytes(b))
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(1)
+                rows["n_samples"].append(len(s))
+                rows["sum_sq"].append(int((s * s).sum()))
+                rows["max_abs"].append(
+                    int(np.abs(s).max()) if len(s) else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FLAC_SCHEMA)
+
+
 def decode_wav_clipping(df: DataFrame, payload_col: str = "payload",
                         id_col: str = "doc_id",
                         threshold: int = 1000) -> DataFrame:
@@ -1499,6 +1824,7 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
         "jpeg": synth_jpeg_bytes,
         "jpeg_color": synth_jpeg_color_bytes,
         "mp4": synth_mp4_bytes,
+        "flac": synth_flac_bytes,
     }[kind]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

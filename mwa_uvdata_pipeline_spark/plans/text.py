@@ -3651,6 +3651,51 @@ def m_mp4_meta_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m_flac_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n,
+                      (doc_id * 7) % 2048 - 1024 AS a,
+                      doc_id % 17 - 8 AS b
+               FROM documents),
+    s AS (SELECT doc_id, n, a + b * i AS v
+          FROM d, UNNEST(range(0, n)) u(i))
+    SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(MAX(n) AS INTEGER) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(v)) AS INTEGER) AS max_abs
+    FROM s GROUP BY doc_id
+    """,
+    doc="REAL compressed-audio decode FROM SPEC, zero new "
+        "dependencies — FLAC, the lossless codec real speech/music "
+        "corpora ship in: per-doc files are synthesized as genuine "
+        "spec streams (fLaC magic, bit-packed STREAMINFO, frame "
+        "headers with UTF-8 coded numbers and CRC-8, whole-frame "
+        "CRC-16) and decoded byte-for-byte — metadata-block walk, "
+        "header code parsing, then subframe decode across all three "
+        "non-LPC types: VERBATIM (raw), CONSTANT (zero-slope docs), "
+        "and FIXED order 0-4 with partitioned-Rice residuals (unary "
+        "quotient + k-bit remainder, zigzag unfold, fixed-predictor "
+        "reconstruction — the ramp content makes order-1 residuals "
+        "the constant slope, so every Rice arm is exercised with a "
+        "closed-form answer). Lossless means the oracle is the ramp "
+        "formula itself; a Rice/predictor/CRC bug anywhere breaks "
+        "exact equality (corruption tests pin both CRCs). LPC "
+        "subframes and multichannel raise — the import-gated seam "
+        "for library-backed audio. Same Arrow-batched mapInPandas "
+        "scale shape as m_wav_native.",
+)
+def m_flac_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_flac,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_flac(synth_payloads(docs, "flac"))
+
+
+@register(
     "m_wav_resample",
     sql="""
     WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),

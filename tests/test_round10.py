@@ -409,6 +409,133 @@ class TestJpegColorDecoder:
             _jpeg_decode(data)
 
 
+class TestFlacDecoder:
+    """FLAC from spec: round-trip across all three synthesized
+    subframe types, fixed orders 0-4, both CRCs, and a HAND-DERIVED
+    Rice bitstream (decoder-independent, like the PNG filter vectors
+    and the JPEG AC stream)."""
+
+    def test_round_trip_all_subframe_types(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac,
+            synth_flac_bytes,
+        )
+
+        # doc 0: verbatim (0 % 7 == 0); doc 8: constant (b = 0);
+        # doc 3: fixed order 1 with nonzero slope
+        kinds_seen = set()
+        for doc_id in (0, 8, 3, 42, 999):
+            rate, s = _parse_flac(synth_flac_bytes(doc_id))
+            n = 64 + doc_id % 64
+            a = (doc_id * 7) % 2048 - 1024
+            b = doc_id % 17 - 8
+            want = np.array([a + b * i for i in range(n)], dtype="i8")
+            assert rate == 8000
+            assert (s == want).all(), doc_id
+            kinds_seen.add(
+                "verbatim" if doc_id % 7 == 0
+                else ("constant" if b == 0 else "fixed")
+            )
+        assert kinds_seen == {"verbatim", "constant", "fixed"}
+
+    @pytest.mark.parametrize("order", [0, 1, 2, 3, 4])
+    def test_fixed_orders_reconstruct(self, order):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac,
+            synth_flac_bytes,
+        )
+
+        for doc_id in (3, 20, 50):
+            _, s = _parse_flac(
+                synth_flac_bytes(doc_id, fixed_order=order)
+            )
+            n = 64 + doc_id % 64
+            a = (doc_id * 7) % 2048 - 1024
+            b = doc_id % 17 - 8
+            assert (
+                s == np.array([a + b * i for i in range(n)], dtype="i8")
+            ).all(), (order, doc_id)
+
+    def test_hand_derived_rice_stream(self):
+        """Decoder vs a Rice stream written out BY HAND from the spec:
+        FIXED order 1, k=2, warmup s0=5, residuals [+3, -2].
+        zigzag: +3 -> 6 = q1 r2 -> unary '01' + '10'; -2 -> 3 = q0
+        r3 -> '1' + '11'. Samples: 5, 8, 6."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _Bits,
+            _crc8_flac,
+            _crc16_flac,
+            _parse_flac,
+        )
+
+        n = 3
+        si = _Bits()
+        si.write(n, 16); si.write(n, 16)
+        si.write(0, 24); si.write(0, 24)
+        si.write(8000, 20); si.write(0, 3); si.write(15, 5)
+        si.write(n, 36)
+        streaminfo = (
+            b"\x80" + (34).to_bytes(3, "big") + si.bytes() + b"\x00" * 16
+        )
+        hb = _Bits()
+        hb.write(0b11111111111110, 14)
+        hb.write(0, 2)
+        hb.write(0b0111, 4); hb.write(0b0100, 4)
+        hb.write(0b0000, 4); hb.write(0b100, 3); hb.write(0, 1)
+        hb.write(0x00, 8)
+        hb.write(n - 1, 16)
+        header = hb.bytes()
+        header += bytes([_crc8_flac(header)])
+        body = _Bits()
+        body.write((0b001000 | 1) << 1, 8)  # FIXED order 1
+        body.write(5, 16)                   # warmup s0 = 5
+        body.write(0b00, 2)                 # 4-bit Rice method
+        body.write(0, 4)                    # partition order 0
+        body.write(2, 4)                    # k = 2
+        # residual +3: zigzag 6 -> q=1: '0','1', then remainder '10'
+        body.write(0b0110, 4)
+        # residual -2: zigzag 3 -> q=0: '1', then remainder '11'
+        body.write(0b111, 3)
+        body.pad_to_byte()
+        frame = header + body.bytes()
+        frame += _crc16_flac(frame).to_bytes(2, "big")
+        rate, s = _parse_flac(b"fLaC" + streaminfo + frame)
+        assert rate == 8000
+        assert list(s) == [5, 8, 6]
+
+    def test_header_crc8_corruption_detected(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac,
+            synth_flac_bytes,
+        )
+
+        data = bytearray(synth_flac_bytes(3))
+        # flip a bit in the frame header's blocksize field (header
+        # byte 4, counting from the 0xFFF8 sync)
+        data[data.index(b"\xff\xf8") + 4] ^= 0x01
+        with pytest.raises(ValueError, match="CRC-8|sync|blocksize"):
+            _parse_flac(bytes(data))
+
+    def test_frame_crc16_corruption_detected(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac,
+            synth_flac_bytes,
+        )
+
+        data = bytearray(synth_flac_bytes(3))
+        data[-10] ^= 0x01  # inside the subframe payload
+        with pytest.raises(ValueError, match="CRC-16"):
+            _parse_flac(bytes(data))
+
+    def test_not_flac_rejected(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac,
+        )
+
+        with pytest.raises(ValueError, match="fLaC"):
+            _parse_flac(b"RIFF" + b"\x00" * 40)
+
+
 class TestMp4ContainerScan:
     def test_round_trip_and_internal_consistency(self):
         from mwa_uvdata_pipeline_spark.operators.multimodal import (
