@@ -384,11 +384,13 @@ def synth_flac_bytes(doc_id: int, fixed_order: int | None = None) -> bytes:
     b = doc_id % 17 - 8, n = 64 + doc_id % 64 samples at 8 kHz. The
     subframe type varies with the content the way a real encoder's
     would: VERBATIM when doc_id % 7 == 0 (raw samples), CONSTANT when
-    the slope is zero, else FIXED order 1 with Rice-coded residuals
-    (a linear ramp's order-1 residuals are the constant slope — every
-    Rice code exercises the unary quotient + k-bit remainder path).
-    ``fixed_order`` pins FIXED order 0-4 for tests (higher orders see
-    zero residuals on a ramp, exercising warmup + reconstruction)."""
+    the slope is zero, LPC order 2 (qlp [2, -1], shift 0 — exact on a
+    ramp) when doc_id % 11 == 0, else FIXED order 1 with Rice-coded
+    residuals (a linear ramp's order-1 residuals are the constant
+    slope — every Rice code exercises the unary quotient + k-bit
+    remainder path). ``fixed_order`` pins FIXED order 0-4 for tests
+    (higher orders see zero residuals on a ramp, exercising warmup +
+    reconstruction)."""
     n = 64 + doc_id % 64
     a = (doc_id * 7) % 2048 - 1024
     b = doc_id % 17 - 8
@@ -433,6 +435,28 @@ def synth_flac_bytes(doc_id: int, fixed_order: int | None = None) -> bytes:
     elif fixed_order is None and b == 0:
         body.write(0b00000000, 8)  # CONSTANT subframe
         body.write(a & mask16, 16)
+    elif fixed_order is None and doc_id % 11 == 0:
+        # LPC order 2, qlp = [2, -1], shift 0 — predicts a linear ramp
+        # exactly (residuals all zero), so the LPC arm (coefficient
+        # precision/shift header, shifted dot-product prediction) is
+        # exercised with the same closed-form answer
+        order = 2
+        body.write((0b100000 | (order - 1)) << 1, 8)
+        for s in samples[:order]:
+            body.write(s & mask16, 16)
+        body.write(4 - 1, 4)   # qlp precision 4 bits (stored - 1)
+        body.write(0, 5)       # shift 0
+        body.write(2 & 0xF, 4)   # coeff +2
+        body.write(-1 & 0xF, 4)  # coeff -1
+        body.write(0b00, 2)
+        body.write(0, 4)
+        k = 0
+        body.write(k, 4)
+        for i in range(order, n):
+            pred = 2 * samples[i - 1] - samples[i - 2]
+            r = samples[i] - pred
+            assert r == 0  # ramp: exact LPC prediction
+            body.write(1, 1)  # zigzag(0) = 0: quotient 0 -> just the 1
     else:
         order = 1 if fixed_order is None else fixed_order
         body.write((0b001000 | order) << 1, 8)  # FIXED, wasted=0
@@ -463,10 +487,11 @@ def _parse_flac(data: bytes):
     external codec: fLaC magic, metadata-block walk (STREAMINFO
     bit-unpacked, other block types skipped by length), then per
     frame: sync + header codes parsed, CRC-8 verified, subframes
-    decoded (CONSTANT, VERBATIM, FIXED orders 0-4 with partitioned-
-    Rice residuals — unary quotient, k-bit remainder, zigzag unfold,
-    fixed-predictor reconstruction), frame CRC-16 verified. Mono
-    16-bit only (the synthesizer's shape); multichannel/LPC raise."""
+    decoded (ALL FOUR types: CONSTANT, VERBATIM, FIXED orders 0-4,
+    and LPC with per-file coefficient precision/shift — residuals
+    partitioned-Rice either way: unary quotient, k-bit remainder,
+    zigzag unfold, predictor reconstruction), frame CRC-16 verified.
+    Mono 16-bit only (the synthesizer's shape); multichannel raises."""
 
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream (missing fLaC)")
@@ -544,14 +569,31 @@ def _parse_flac(data: bytes):
             block = [val] * n
         elif typ == 0b000001:  # VERBATIM
             block = [s16(br.read(16)) for _ in range(n)]
-        elif 0b001000 <= typ <= 0b001100:  # FIXED order 0-4
-            order = typ & 0x07
-            block = [s16(br.read(16)) for _ in range(order)]
+        elif 0b001000 <= typ <= 0b001100 or typ & 0b100000:
+            if typ & 0b100000:  # LPC, order 1-32
+                order = (typ & 0x1F) + 1
+                block = [s16(br.read(16)) for _ in range(order)]
+                precision = br.read(4) + 1
+                if precision == 16:
+                    raise ValueError("invalid qlp precision escape")
+                shift = br.read(5)
+                if shift >= 16:  # 5-bit two's complement: negative
+                    raise ValueError("negative qlp shift invalid")
+
+                def sgn(v: int, bits: int) -> int:
+                    return v - (1 << bits) if v >= 1 << (bits - 1) else v
+
+                coefs = [sgn(br.read(precision), precision)
+                         for _ in range(order)]
+            else:  # FIXED order 0-4: hardwired predictor, no shift
+                order = typ & 0x07
+                block = [s16(br.read(16)) for _ in range(order)]
+                coefs = _FLAC_FIXED[order]
+                shift = 0
             method = br.read(2)
             if method != 0:
                 raise ValueError("only 4-bit Rice method supported")
             part_order = br.read(4)
-            coefs = _FLAC_FIXED[order]
             n_parts = 1 << part_order
             for p in range(n_parts):
                 k = br.read(4)
@@ -565,10 +607,10 @@ def _parse_flac(data: bytes):
                     pred = sum(
                         c * block[len(block) - 1 - j]
                         for j, c in enumerate(coefs)
-                    )
+                    ) >> shift
                     block.append(pred + r)
         else:
-            raise ValueError("LPC subframes unsupported")
+            raise ValueError("unknown subframe type")
         br.align()
         frame_len = br.pos // 8
         crc16 = br.read(16)

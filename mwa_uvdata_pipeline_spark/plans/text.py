@@ -3672,18 +3672,20 @@ def m_mp4_meta_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spec streams (fLaC magic, bit-packed STREAMINFO, frame "
         "headers with UTF-8 coded numbers and CRC-8, whole-frame "
         "CRC-16) and decoded byte-for-byte — metadata-block walk, "
-        "header code parsing, then subframe decode across all three "
-        "non-LPC types: VERBATIM (raw), CONSTANT (zero-slope docs), "
-        "and FIXED order 0-4 with partitioned-Rice residuals (unary "
-        "quotient + k-bit remainder, zigzag unfold, fixed-predictor "
-        "reconstruction — the ramp content makes order-1 residuals "
-        "the constant slope, so every Rice arm is exercised with a "
-        "closed-form answer). Lossless means the oracle is the ramp "
-        "formula itself; a Rice/predictor/CRC bug anywhere breaks "
-        "exact equality (corruption tests pin both CRCs). LPC "
-        "subframes and multichannel raise — the import-gated seam "
-        "for library-backed audio. Same Arrow-batched mapInPandas "
-        "scale shape as m_wav_native.",
+        "header code parsing, then subframe decode across ALL FOUR "
+        "spec types: VERBATIM (raw), CONSTANT (zero-slope docs), "
+        "FIXED order 0-4, and LPC (order 2, qlp [2,-1] — per-file "
+        "coefficient precision/shift parsed from the stream, shifted "
+        "dot-product prediction; the nonzero-shift arm is pinned by "
+        "a hand-derived bitstream in tests) with partitioned-Rice "
+        "residuals (unary quotient + k-bit remainder, zigzag unfold "
+        "— the ramp content makes order-1 residuals the constant "
+        "slope, so every Rice arm is exercised with a closed-form "
+        "answer). Lossless means the oracle is the ramp formula "
+        "itself; a Rice/predictor/CRC bug anywhere breaks exact "
+        "equality (corruption tests pin both CRCs). Multichannel "
+        "raises — the remaining seam for library-backed audio. Same "
+        "Arrow-batched mapInPandas scale shape as m_wav_native.",
 )
 def m_flac_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwa_uvdata_pipeline_spark.operators.multimodal import (

@@ -503,6 +503,67 @@ class TestFlacDecoder:
         assert rate == 8000
         assert list(s) == [5, 8, 6]
 
+    def test_synth_exercises_all_four_subframe_types(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac,
+            synth_flac_bytes,
+        )
+
+        kinds = set()
+        for doc_id in range(60):
+            _parse_flac(synth_flac_bytes(doc_id))  # must decode exactly
+            b = doc_id % 17 - 8
+            kinds.add(
+                "verbatim" if doc_id % 7 == 0
+                else "constant" if b == 0
+                else "lpc" if doc_id % 11 == 0
+                else "fixed"
+            )
+        assert kinds == {"verbatim", "constant", "lpc", "fixed"}
+
+    def test_hand_derived_lpc_stream_with_shift(self):
+        """LPC arm vs hand-derived bits, NONZERO shift (the synth uses
+        shift 0): order 1, qlp=[4], shift=1 -> pred = (4*prev) >> 1.
+        Samples [3, 7, 13]: s1 pred 6, r=+1 -> zigzag 2, k=1: '01'+'0';
+        s2 pred 14, r=-1 -> zigzag 1, k=1: '1'+'1'."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _Bits,
+            _crc8_flac,
+            _crc16_flac,
+            _parse_flac,
+        )
+
+        n = 3
+        si = _Bits()
+        si.write(n, 16); si.write(n, 16)
+        si.write(0, 24); si.write(0, 24)
+        si.write(8000, 20); si.write(0, 3); si.write(15, 5)
+        si.write(n, 36)
+        streaminfo = (
+            b"\x80" + (34).to_bytes(3, "big") + si.bytes() + b"\x00" * 16
+        )
+        hb = _Bits()
+        hb.write(0b11111111111110, 14); hb.write(0, 2)
+        hb.write(0b0111, 4); hb.write(0b0100, 4)
+        hb.write(0b0000, 4); hb.write(0b100, 3); hb.write(0, 1)
+        hb.write(0x00, 8); hb.write(n - 1, 16)
+        header = hb.bytes()
+        header += bytes([_crc8_flac(header)])
+        body = _Bits()
+        body.write(0b100000 << 1, 8)  # LPC order 1, wasted = 0
+        body.write(3, 16)             # warmup s0 = 3
+        body.write(3, 4)              # precision - 1 = 3
+        body.write(1, 5)              # shift = 1
+        body.write(4, 4)              # qlp coefficient +4
+        body.write(0b00, 2); body.write(0, 4); body.write(1, 4)  # k=1
+        body.write(0b010, 3)          # residual +1
+        body.write(0b11, 2)           # residual -1
+        body.pad_to_byte()
+        frame = header + body.bytes()
+        frame += _crc16_flac(frame).to_bytes(2, "big")
+        rate, s = _parse_flac(b"fLaC" + streaminfo + frame)
+        assert list(s) == [3, 7, 13]
+
     def test_header_crc8_corruption_detected(self):
         from mwa_uvdata_pipeline_spark.operators.multimodal import (
             _parse_flac,
