@@ -495,6 +495,13 @@ def _parse_flac(data: bytes):
 
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream (missing fLaC)")
+    try:
+        return _parse_flac_body(data)
+    except IndexError as exc:
+        raise ValueError("truncated FLAC stream") from exc
+
+
+def _parse_flac_body(data: bytes):
     pos = 4
     info = None
     while True:
@@ -1734,7 +1741,10 @@ def _parse_mp4(data: bytes):
 
     if data[4:8] != b"ftyp":
         raise ValueError("not an ISO BMFF file (missing ftyp)")
-    walk(0, len(data))
+    try:
+        walk(0, len(data))
+    except struct.error as exc:  # a header sliced short by truncation
+        raise ValueError("truncated box payload") from exc
     missing = [k for k, v in out.items() if v is None]
     if missing:
         raise ValueError(f"missing boxes for: {missing}")

@@ -588,6 +588,17 @@ class TestFlacDecoder:
         with pytest.raises(ValueError, match="CRC-16"):
             _parse_flac(bytes(data))
 
+    def test_truncated_stream_raises_valueerror(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac,
+            synth_flac_bytes,
+        )
+
+        data = synth_flac_bytes(3)
+        for cut in (len(data) - 5, len(data) // 2, 45):
+            with pytest.raises(ValueError):
+                _parse_flac(data[:cut])
+
     def test_not_flac_rejected(self):
         from mwa_uvdata_pipeline_spark.operators.multimodal import (
             _parse_flac,
@@ -684,8 +695,11 @@ class TestMp4ContainerScan:
         )
 
         data = synth_mp4_bytes(4)
-        with pytest.raises(ValueError, match="size|truncated"):
-            _parse_mp4(data[: len(data) - 20])
+        # every truncation point must surface as ValueError (box-size
+        # checks for clean cuts, the struct wrap for mid-header cuts)
+        for cut in (len(data) - 20, len(data) // 2, 30, 9):
+            with pytest.raises(ValueError):
+                _parse_mp4(data[:cut])
 
 
 class TestStreamQuantileDrift:
