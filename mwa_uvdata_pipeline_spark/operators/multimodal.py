@@ -1751,6 +1751,98 @@ def _parse_mp4(data: bytes):
     return out
 
 
+MP4_SAMPLE_SCHEMA = (
+    "doc_id long, sample_idx int, byte_offset long, n_bytes long, "
+    "byte_sum long"
+)
+
+
+def _mp4_sample_slices(data: bytes, every: int = 4):
+    """Selective sample extraction from a parsed MP4: stsz gives the
+    per-sample sizes, their running sum gives each sample's byte
+    offset inside mdat, and every ``every``-th sample's REAL payload
+    bytes are sliced and summed — the 'decode frame k without reading
+    the rest' access pattern container triage exists to enable.
+    Returns [(idx, offset, size, byte_sum)]."""
+    import struct
+
+    import numpy as np
+
+    sizes: list[int] = []
+    mdat_off = None
+    pos = 0
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        if size < 8 or pos + size > len(data):
+            raise ValueError(f"bad box size for {typ!r}")
+        if typ in {b"moov", b"trak", b"mdia", b"minf", b"stbl"}:
+            pos = body  # descend
+            continue
+        if typ == b"stsz":
+            fixed, cnt = struct.unpack(">II", data[body + 4 : body + 12])
+            if fixed:
+                sizes = [fixed] * cnt
+            else:
+                sizes = list(
+                    struct.unpack(
+                        f">{cnt}I", data[body + 12 : body + 12 + 4 * cnt]
+                    )
+                )
+        elif typ == b"mdat":
+            mdat_off = body
+        pos += size
+    if not sizes or mdat_off is None:
+        raise ValueError("missing stsz or mdat")
+    payload = np.frombuffer(
+        data, dtype="u1", count=sum(sizes), offset=mdat_off
+    ).astype("i8")
+    out = []
+    off = 0
+    for i, sz in enumerate(sizes):
+        if i % every == 0:
+            out.append((i, off, sz, int(payload[off : off + sz].sum())))
+        off += sz
+    return out
+
+
+def sample_mp4_payload(df: DataFrame, every: int = 4,
+                       payload_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling on the REAL container (the north-star
+    frame-sample op upgraded from synthetic metadata to actual byte
+    access): per doc, every ``every``-th sample's offset is derived
+    from the stsz table and its genuine payload bytes are sliced out
+    of mdat and summed — one output row per selected sample, fan-out
+    inside the executor generator. At scale this is the pattern that
+    reads k bytes of a multi-GB video instead of the whole file."""
+    parse_one = _mp4_sample_slices
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "sample_idx", "byte_offset",
+                          "n_bytes", "byte_sum")
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                for i, off, sz, bsum in parse_one(bytes(b), every):
+                    rows["doc_id"].append(doc_id)
+                    rows["sample_idx"].append(i)
+                    rows["byte_offset"].append(off)
+                    rows["n_bytes"].append(sz)
+                    rows["byte_sum"].append(bsum)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, MP4_SAMPLE_SCHEMA
+    )
+
+
 def decode_mp4_meta(df: DataFrame, payload_col: str = "payload",
                     id_col: str = "doc_id") -> DataFrame:
     """REAL MP4/ISO-BMFF container scan via Arrow-batched

@@ -3698,6 +3698,61 @@ def m_flac_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m_mp4_frame_sample",
+    sql="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 29 AS ns FROM documents),
+    s AS (SELECT d.doc_id, i,
+                 100 + ((d.doc_id * 13 + i * 7) % 900) AS sz
+          FROM d, UNNEST(range(0, d.ns)) u(i)),
+    o AS (SELECT doc_id, i, sz,
+                 COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS off
+          FROM s),
+    calc AS (SELECT doc_id, i, off, sz,
+                    (doc_id + off) % 256 AS r,
+                    sz // 256 AS fc, sz % 256 AS rem
+             FROM o WHERE i % 4 = 0)
+    SELECT doc_id, CAST(i AS INTEGER) AS sample_idx,
+           CAST(off AS BIGINT) AS byte_offset,
+           CAST(sz AS BIGINT) AS n_bytes,
+           CAST(fc * 32640 +
+                CASE WHEN r + rem <= 256
+                     THEN rem * r + rem * (rem - 1) // 2
+                     ELSE (256 - r) * r
+                          + (256 - r) * (256 - r - 1) // 2
+                          + (rem - (256 - r))
+                            * (rem - (256 - r) - 1) // 2
+                END AS BIGINT) AS byte_sum
+    FROM calc
+    """,
+    doc="Frame sampling on the REAL MP4 container (the north-star "
+        "frame-sample op upgraded from synthetic metadata to actual "
+        "byte access): every 4th sample's byte offset is derived "
+        "from the stsz sample table (running size sum) and its "
+        "GENUINE payload bytes are sliced out of mdat and summed — "
+        "one row per selected sample, fan-out inside the executor "
+        "generator. The mdat content is the mod-256 ramp "
+        "(doc_id + j), so the oracle states each selected slice's "
+        "byte sum as the exact closed form of a wrapped arithmetic "
+        "ramp (full 32640-cycles + the split partial) — an offset "
+        "error of even one byte shifts the residue class and breaks "
+        "the hash. This gates the access pattern container triage "
+        "exists to enable at 100 TB: read the k bytes of frame k, "
+        "not the file; at scale the slice becomes a ranged read "
+        "against object storage with the sample table as the index.",
+)
+def m_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        sample_mp4_payload,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return sample_mp4_payload(synth_payloads(docs, "mp4"), every=4)
+
+
+@register(
     "m_wav_resample",
     sql="""
     WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),

@@ -688,6 +688,46 @@ class TestMp4ContainerScan:
         assert meta["sum_sample_bytes"] == 350
         assert meta["mdat_bytes"] == 350
 
+    def test_sample_slices_match_python_rederivation(self):
+        """Frame sampling: offsets from the stsz running sum, byte
+        sums from the REAL payload — re-derived in plain Python."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _mp4_sample_slices,
+            synth_mp4_bytes,
+        )
+
+        for doc_id in (0, 7, 29, 42):
+            ns = 2 + doc_id % 29
+            sizes = [100 + ((doc_id * 13 + i * 7) % 900)
+                     for i in range(ns)]
+            want, off = [], 0
+            for i, sz in enumerate(sizes):
+                if i % 4 == 0:
+                    want.append((i, off, sz, sum(
+                        (doc_id + off + j) % 256 for j in range(sz)
+                    )))
+                off += sz
+            assert _mp4_sample_slices(synth_mp4_bytes(doc_id)) == want
+
+    def test_sample_slice_offset_error_detectable(self):
+        """The mod-256 ramp content makes a one-byte offset error
+        change the byte sum (different residue class) for any slice
+        whose length is not a multiple of 256."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _mp4_sample_slices,
+            synth_mp4_bytes,
+        )
+
+        doc_id = 7
+        good = _mp4_sample_slices(synth_mp4_bytes(doc_id))
+        for i, off, sz, bsum in good:
+            if sz % 256 == 0:
+                continue
+            shifted = sum(
+                (doc_id + off + 1 + j) % 256 for j in range(sz)
+            )
+            assert shifted != bsum, (i, off, sz)
+
     def test_truncated_rejected(self):
         from mwa_uvdata_pipeline_spark.operators.multimodal import (
             _parse_mp4,
