@@ -3683,9 +3683,10 @@ def m_mp4_meta_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slope, so every Rice arm is exercised with a closed-form "
         "answer). Lossless means the oracle is the ramp formula "
         "itself; a Rice/predictor/CRC bug anywhere breaks exact "
-        "equality (corruption tests pin both CRCs). Multichannel "
-        "raises — the remaining seam for library-backed audio. Same "
-        "Arrow-batched mapInPandas scale shape as m_wav_native.",
+        "equality (corruption tests pin both CRCs). Stereo (all four "
+        "channel assignments incl. mid-side) is gated separately by "
+        "m_flac_stereo_native; >2 channels remains the library seam. "
+        "Same Arrow-batched mapInPandas scale shape as m_wav_native.",
 )
 def m_flac_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwa_uvdata_pipeline_spark.operators.multimodal import (
@@ -3750,6 +3751,153 @@ def m_mp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return sample_mp4_payload(synth_payloads(docs, "mp4"), every=4)
+
+
+@register(
+    "m_flac_stereo_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n,
+                      (doc_id * 7) % 2048 - 1024 AS al,
+                      doc_id % 17 - 8 AS bl,
+                      (doc_id * 11) % 2048 - 1024 AS ar,
+                      doc_id % 13 - 6 AS br
+               FROM documents),
+    s AS (SELECT doc_id, n, 0 AS channel, al + bl * i AS v
+          FROM d, UNNEST(range(0, n)) u(i)
+          UNION ALL
+          SELECT doc_id, n, 1 AS channel, ar + br * i AS v
+          FROM d, UNNEST(range(0, n)) u(i))
+    SELECT doc_id, CAST(channel AS INTEGER) AS channel,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(MAX(n) AS INTEGER) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(v)) AS INTEGER) AS max_abs,
+           CAST(SUM(v) AS BIGINT) AS sum_s
+    FROM s GROUP BY doc_id, channel
+    """,
+    doc="REAL STEREO FLAC decode FROM SPEC — the multichannel seam "
+        "m_flac_native documented as remaining, now closed for the "
+        "2-channel case: per-doc files carry two 16-bit ramp channels "
+        "whose frame channel assignment cycles through ALL FOUR spec "
+        "modes (independent L/R, left-side, right-side, and mid-side "
+        "decorrelation — mid = (L+R)>>1 floor, side = L-R, "
+        "reconstructed via the shared-parity identity "
+        "L+R = (mid<<1)|(side&1)), with the side subframe carrying "
+        "bps+1 = 17 bits per spec §9.2.1 — the one subframe-width "
+        "subtlety stereo adds, exercised in both FIXED-order-1-with-"
+        "genuine-Rice-residuals and 17-bit VERBATIM arms. "
+        "Decorrelation is lossless, so decoded L/R equal the ramp "
+        "formulas exactly and the oracle is closed-form per (doc, "
+        "channel); sum_s is sign- and channel-sensitive, so a channel "
+        "swap or a reconstruction error breaks the gate where the "
+        "sign-blind sum_sq would survive. A hand-derived mid-side "
+        "vector (odd L+R, exercising the parity carry) pins the "
+        "reconstruction decoder-independently in tests. Same "
+        "Arrow-batched map-only scale shape as m_flac_native.",
+)
+def m_flac_stereo_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_flac_stereo,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_flac_stereo(synth_payloads(docs, "flac_stereo"))
+
+
+@register(
+    "m_mjpeg_frame_decode",
+    sql="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 5 AS ns FROM documents),
+    f AS (SELECT doc_id, i, doc_id * 31 + i * 7 AS fid
+          FROM d, UNNEST(range(0, ns)) u(i)
+          WHERE i % 2 = 0),
+    g AS (SELECT doc_id, i, fid, 1 + fid % 4 AS wb, 1 + fid % 3 AS hb
+          FROM f),
+    blk AS (SELECT doc_id, i, wb, hb, bx, by,
+                   (fid * 7 + bx * 31 + by * 17) % 256 AS v
+            FROM g, UNNEST(range(0, wb)) ux(bx),
+                    UNNEST(range(0, hb)) uy(by))
+    SELECT doc_id, CAST(i AS INTEGER) AS sample_idx,
+           CAST(MAX(wb) * 8 AS INTEGER) AS width,
+           CAST(MAX(hb) * 8 AS INTEGER) AS height,
+           CAST(SUM(v * 64) AS BIGINT) AS sum_luma,
+           CAST(SUM(v * 64 * (by * wb + bx + 1)) AS BIGINT) AS wsum_luma,
+           CAST(COUNT(*) AS INTEGER) AS n_blocks
+    FROM blk GROUP BY doc_id, i
+    """,
+    doc="JPEG frames DECODED out of the REAL MP4 container — the "
+        "composition that turns the r10 codec family into the full "
+        "video-pipeline access pattern on 100% from-spec code: each "
+        "doc's MJPEG-style MP4 carries 2 + doc_id % 5 genuine "
+        "SOI..EOI baseline JPEG bitstreams concatenated in mdat with "
+        "stsz holding their true byte lengths; every 2nd sample's "
+        "range is located via the stsz running offset, sliced, and "
+        "fed UNCHANGED to the m_jpeg_native decoder (container index "
+        "-> ranged read -> frame decode). Frame f reuses the "
+        "grayscale synthesizer at fid = doc_id*31 + f*7, so each "
+        "sampled frame's pixel stats have the same closed form as "
+        "m_jpeg_native under substitution — a one-byte stsz offset "
+        "error shears every downstream JPEG (no longer a valid "
+        "stream at all), and the block-position-weighted luma sum "
+        "catches in-frame placement bugs. At scale the slice is a "
+        "ranged object-store read; frame decode stays O(bytes) map "
+        "work with zero shuffle.",
+)
+def m_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_mp4_jpeg_frames,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_mp4_jpeg_frames(synth_payloads(docs, "mjpeg_mp4"),
+                                  every=2)
+
+
+@register(
+    "m_jpeg_422_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS mbw, 1 + doc_id % 2 AS mbh
+               FROM documents),
+    blk AS (SELECT doc_id, mbw, mbh, mx, my,
+                   (doc_id * 13 + mx * 17 + my * 19) % 256 AS yv,
+                   (doc_id * 7 + mx * 23 + my * 11) % 256 AS cbv,
+                   (doc_id * 17 + mx * 29 + my * 13) % 256 AS crv
+            FROM d, UNNEST(range(0, mbw)) ux(mx),
+                    UNNEST(range(0, mbh)) uy(my))
+    SELECT doc_id,
+           CAST(MAX(mbw) * 16 AS INTEGER) AS width,
+           CAST(MAX(mbh) * 8 AS INTEGER) AS height,
+           CAST(SUM(yv * 128) AS BIGINT) AS sum_y,
+           CAST(SUM(cbv * 64) AS BIGINT) AS sum_cb,
+           CAST(SUM(crv * 64) AS BIGINT) AS sum_cr,
+           CAST(SUM(yv * 128 * (my * mbw + mx + 1)) AS BIGINT) AS wsum_y,
+           CAST(COUNT(*) AS INTEGER) AS n_mcus
+    FROM blk GROUP BY doc_id
+    """,
+    doc="REAL 4:2:2 color baseline JPEG decode FROM SPEC — the "
+        "horizontally-subsampled layout broadcast/video-derived "
+        "stills use (r10 verdict item #6's chosen variant), and the "
+        "decoder's previously-unexercised ASYMMETRIC sampling walk "
+        "(hs=2, vs=1: 16x8 MCUs of 2 Y blocks + Cb + Cr — 4:2:0 "
+        "exercised 2x2, grayscale 1x1, this adds hs != vs). "
+        "Macroblock-constant planes with the exactly-dividing DC "
+        "step keep every decoded plane equal to its closed form at "
+        "its CODED resolution (luma 128 px/MCU, chroma 64); the "
+        "16x8-grid MCU-position-weighted luma sum breaks if a "
+        "4:2:0-shaped walk is applied to the 4:2:2 stream. Decoder "
+        "REUSED unchanged — only the synthesizer and the gate "
+        "geometry are new. Same Arrow-batched map-only scale shape.",
+)
+def m_jpeg_422_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_jpeg_422,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_jpeg_422(synth_payloads(docs, "jpeg_422"))
 
 
 @register(

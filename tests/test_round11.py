@@ -1,0 +1,314 @@
+"""Round 11: stereo FLAC (all four channel assignments, mid-side
+hand vector), JPEG truncation surface + T.81 non-interleaved
+single-component scans, 4:2:2 JPEG, and JPEG-frames-in-MP4 —
+pure-Python codec pins; the Spark side is oracle-gated via the three
+new registry entries."""
+
+import numpy as np
+import pytest
+
+
+class TestFlacStereo:
+    """Stereo decode from spec: lossless decorrelation means every
+    mode must reproduce the ramp channels bit-exactly."""
+
+    def test_round_trip_all_four_channel_modes(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac_multi,
+            synth_flac_stereo_bytes,
+        )
+
+        modes_seen = set()
+        for doc_id in range(80):
+            rate, nch, chans = _parse_flac_multi(
+                synth_flac_stereo_bytes(doc_id)
+            )
+            n = 64 + doc_id % 64
+            al = (doc_id * 7) % 2048 - 1024
+            bl = doc_id % 17 - 8
+            ar = (doc_id * 11) % 2048 - 1024
+            br = doc_id % 13 - 6
+            left = np.array([al + bl * i for i in range(n)], dtype="i8")
+            right = np.array([ar + br * i for i in range(n)], dtype="i8")
+            assert rate == 8000 and nch == 2
+            assert (chans[0] == left).all(), doc_id
+            assert (chans[1] == right).all(), doc_id
+            modes_seen.add(doc_id % 4)
+        assert modes_seen == {0, 1, 2, 3}
+
+    def test_verbatim_17bit_side_arm_exercised(self):
+        """doc_id % 5 == 0 writes the second subframe VERBATIM at its
+        own width; doc 15 is mode 3 (mid-side), so its side subframe
+        is 17-bit verbatim."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac_multi,
+            synth_flac_stereo_bytes,
+        )
+
+        rate, nch, chans = _parse_flac_multi(synth_flac_stereo_bytes(15))
+        n = 64 + 15 % 64
+        assert len(chans[0]) == len(chans[1]) == n
+
+    def test_hand_derived_mid_side_vector(self):
+        """Mid-side reconstruction vs bits written out BY HAND:
+        L=[5,2], R=[2,1] -> mid=[(7)>>1, (3)>>1]=[3,1],
+        side=[3,1]; L+R is ODD both samples, so the parity carry
+        L+R = (mid<<1)|(side&1) is exercised. Two VERBATIM
+        subframes: mid at 16 bits, side at 17 (spec §9.2.1)."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _Bits,
+            _crc8_flac,
+            _crc16_flac,
+            _parse_flac_multi,
+        )
+
+        n = 2
+        si = _Bits()
+        si.write(n, 16); si.write(n, 16)
+        si.write(0, 24); si.write(0, 24)
+        si.write(8000, 20); si.write(1, 3); si.write(15, 5)
+        si.write(n, 36)
+        streaminfo = (
+            b"\x80" + (34).to_bytes(3, "big") + si.bytes() + b"\x00" * 16
+        )
+        hb = _Bits()
+        hb.write(0b11111111111110, 14)
+        hb.write(0, 2)
+        hb.write(0b0111, 4)   # blocksize: 16-bit at end
+        hb.write(0b0100, 4)   # 8 kHz
+        hb.write(0b1010, 4)   # MID-SIDE
+        hb.write(0b100, 3); hb.write(0, 1)
+        hb.write(0x00, 8)
+        hb.write(n - 1, 16)
+        header = hb.bytes()
+        header += bytes([_crc8_flac(header)])
+        body = _Bits()
+        body.write(0b00000010, 8)  # VERBATIM mid
+        body.write(3, 16)
+        body.write(1, 16)
+        body.write(0b00000010, 8)  # VERBATIM side, 17 bits
+        body.write(3, 17)
+        body.write(1, 17)
+        body.pad_to_byte()
+        frame = header + body.bytes()
+        frame += _crc16_flac(frame).to_bytes(2, "big")
+        rate, nch, chans = _parse_flac_multi(
+            b"fLaC" + streaminfo + frame
+        )
+        assert rate == 8000 and nch == 2
+        assert list(chans[0]) == [5, 2]
+        assert list(chans[1]) == [2, 1]
+
+    def test_negative_side_17bit_sign_extension(self):
+        """A mid-side frame where side is NEGATIVE (R > L) pins the
+        17-bit two's-complement sign read: L=[1], R=[4] -> mid=2,
+        side=-3 (stored as 2^17 - 3)."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _Bits,
+            _crc8_flac,
+            _crc16_flac,
+            _parse_flac_multi,
+        )
+
+        n = 1
+        si = _Bits()
+        si.write(n, 16); si.write(n, 16)
+        si.write(0, 24); si.write(0, 24)
+        si.write(8000, 20); si.write(1, 3); si.write(15, 5)
+        si.write(n, 36)
+        streaminfo = (
+            b"\x80" + (34).to_bytes(3, "big") + si.bytes() + b"\x00" * 16
+        )
+        hb = _Bits()
+        hb.write(0b11111111111110, 14); hb.write(0, 2)
+        hb.write(0b0111, 4); hb.write(0b0100, 4)
+        hb.write(0b1010, 4); hb.write(0b100, 3); hb.write(0, 1)
+        hb.write(0x00, 8); hb.write(n - 1, 16)
+        header = hb.bytes()
+        header += bytes([_crc8_flac(header)])
+        body = _Bits()
+        body.write(0b00000010, 8)
+        body.write(2, 16)                       # mid = 2
+        body.write(0b00000010, 8)
+        body.write((-3) & ((1 << 17) - 1), 17)  # side = -3
+        body.pad_to_byte()
+        frame = header + body.bytes()
+        frame += _crc16_flac(frame).to_bytes(2, "big")
+        _, _, chans = _parse_flac_multi(b"fLaC" + streaminfo + frame)
+        assert list(chans[0]) == [1]
+        assert list(chans[1]) == [4]
+
+    def test_stereo_decorrelation_in_mono_stream_raises(self):
+        """A mono STREAMINFO with a mid-side frame code is invalid."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac_multi,
+            synth_flac_bytes,
+            synth_flac_stereo_bytes,
+        )
+
+        mono = synth_flac_bytes(3)
+        stereo = synth_flac_stereo_bytes(3)  # mode 3 = mid-side
+        # graft the stereo frame onto the mono STREAMINFO
+        hacked = mono[: 4 + 4 + 34] + stereo[4 + 4 + 34 :]
+        with pytest.raises(ValueError):
+            _parse_flac_multi(hacked)
+
+    def test_truncated_stereo_raises_clean_value_error(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac_multi,
+            synth_flac_stereo_bytes,
+        )
+
+        data = synth_flac_stereo_bytes(7)
+        with pytest.raises(ValueError, match="truncated FLAC"):
+            _parse_flac_multi(data[: len(data) - 20])
+
+    def test_stereo_crc16_corruption_detected(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac_multi,
+            synth_flac_stereo_bytes,
+        )
+
+        data = bytearray(synth_flac_stereo_bytes(9))
+        data[-1] ^= 0x01  # flip a CRC-16 bit
+        with pytest.raises(ValueError, match="CRC-16"):
+            _parse_flac_multi(bytes(data))
+
+    def test_mono_wrapper_contract_unchanged(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac,
+            synth_flac_stereo_bytes,
+        )
+
+        with pytest.raises(ValueError, match="expected mono"):
+            _parse_flac(synth_flac_stereo_bytes(2))
+
+
+class TestJpegRound11:
+    """The two r10-advice fixes plus the 4:2:2 sampling variant."""
+
+    def test_truncated_entropy_segment_raises_value_error(self):
+        """r10 advice #1: a byte-truncated entropy segment must
+        surface as a clean ValueError, matching FLAC/MP4."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_jpeg,
+            synth_jpeg_bytes,
+        )
+
+        data = synth_jpeg_bytes(11)
+        # cut inside the entropy segment (EOI plus some coded bytes)
+        with pytest.raises(ValueError, match="truncated JPEG entropy"):
+            _parse_jpeg(data[: len(data) - 4])
+
+    def test_single_component_scan_is_non_interleaved(self):
+        """r10 advice #2 (T.81 A.2.2): a grayscale frame DECLARING
+        2x2 sampling decodes on the component's own ceil(w/8) x
+        ceil(h/8) grid — identical pixels to the 1x1 declaration,
+        not a 4x-larger MCU walk."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_jpeg,
+            synth_jpeg_bytes,
+        )
+
+        data = synth_jpeg_bytes(7)
+        w1, h1, img1 = _parse_jpeg(data)
+        # patch the SOF0 component sampling byte 0x11 -> 0x22
+        i = data.index(b"\xff\xc0")
+        body = i + 4  # marker + length
+        assert data[body + 7] == 0x11
+        patched = data[: body + 7] + b"\x22" + data[body + 8 :]
+        w2, h2, img2 = _parse_jpeg(patched)
+        assert (w1, h1) == (w2, h2)
+        assert (img1 == img2).all()
+
+    def test_422_decodes_to_closed_form(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_jpeg_ycbcr,
+            synth_jpeg_422_bytes,
+        )
+
+        for doc_id in range(12):
+            w, h, Y, Cb, Cr = _parse_jpeg_ycbcr(
+                synth_jpeg_422_bytes(doc_id)
+            )
+            mbw, mbh = 1 + doc_id % 3, 1 + doc_id % 2
+            assert (w, h) == (mbw * 16, mbh * 8)
+            assert Y.shape == (h, w)
+            assert Cb.shape == (h, w // 2)  # coded (subsampled) res
+            sy = sum(
+                ((doc_id * 13 + mx * 17 + my * 19) % 256) * 128
+                for mx in range(mbw) for my in range(mbh)
+            )
+            assert int(Y.sum()) == sy, doc_id
+
+    def test_422_mcu_placement_weighted(self):
+        """Two MCUs with different constants: the left half of the
+        luma plane must equal the (mx=0) constant, the right half the
+        (mx=1) constant — a 4:2:0-shaped walk would interleave them
+        wrongly."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_jpeg_ycbcr,
+            synth_jpeg_422_bytes,
+        )
+
+        doc_id = 1  # mbw = 2, mbh = 2
+        w, h, Y, _, _ = _parse_jpeg_ycbcr(synth_jpeg_422_bytes(doc_id))
+        for my in range(2):
+            for mx in range(2):
+                want = (doc_id * 13 + mx * 17 + my * 19) % 256
+                tile = Y[my * 8 : my * 8 + 8, mx * 16 : mx * 16 + 16]
+                assert (tile == want).all(), (mx, my)
+
+
+class TestMjpegInMp4:
+    """Container index -> ranged read -> frame decode, end-to-end on
+    from-spec code with both decoders reused unchanged."""
+
+    def test_sampled_frames_decode_to_closed_form(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _mp4_stsz_mdat,
+            _parse_jpeg,
+            synth_mjpeg_mp4_bytes,
+        )
+
+        for doc_id in range(15):
+            data = synth_mjpeg_mp4_bytes(doc_id)
+            sizes, mo = _mp4_stsz_mdat(data)
+            assert len(sizes) == 2 + doc_id % 5
+            off = mo
+            for i, sz in enumerate(sizes):
+                if i % 2 == 0:
+                    fid = doc_id * 31 + i * 7
+                    w, h, img = _parse_jpeg(data[off : off + sz])
+                    wb, hb = 1 + fid % 4, 1 + fid % 3
+                    assert (w, h) == (wb * 8, hb * 8)
+                    want = sum(
+                        ((fid * 7 + bx * 31 + by * 17) % 256) * 64
+                        for bx in range(wb) for by in range(hb)
+                    )
+                    assert int(img.sum()) == want, (doc_id, i)
+                off += sz
+
+    def test_container_still_parses_with_general_meta_walk(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_mp4,
+            synth_mjpeg_mp4_bytes,
+        )
+
+        meta = _parse_mp4(synth_mjpeg_mp4_bytes(6))
+        assert meta["n_samples"] == 2 + 6 % 5
+        assert meta["mdat_bytes"] == meta["sum_sample_bytes"]
+
+    def test_one_byte_offset_shear_breaks_the_frame(self):
+        """The failure mode the gate exists to catch: a slice shifted
+        by one byte is no longer a valid JPEG at all (SOI gone)."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _mp4_stsz_mdat,
+            _parse_jpeg,
+            synth_mjpeg_mp4_bytes,
+        )
+
+        data = synth_mjpeg_mp4_bytes(4)
+        sizes, mo = _mp4_stsz_mdat(data)
+        with pytest.raises(ValueError):
+            _parse_jpeg(data[mo + 1 : mo + 1 + sizes[0]])

@@ -78,26 +78,37 @@ class TestRotationCodeChangeAware:
         is for fresh checkouts only) and cover every driver-verified
         entry.
 
-        Tolerated gap (r9 verdict #1): an entry whose ONLY green row
-        is in the NEWEST CORRECTNESS file may be unstamped — the
-        driver writes that file after the build session ends, so the
-        stamp can only happen at next round's start. Entries with a
-        green row in any OLDER round must be stamped, always.
+        Tolerated gap (r9 verdict #1, tightened per r10 advice): an
+        entry whose ONLY green rows are in the NEWEST CORRECTNESS
+        file may be unstamped — the driver writes that file after the
+        build session ends, so the stamp can only happen at next
+        round's start. An entry with a green row in any OLDER round
+        must be stamped, always — even if it was ALSO re-verified in
+        the newest round (the old green row was stampable last round).
         """
         import json
+        import re
         from pathlib import Path
 
         import mwa_uvdata_pipeline_spark.plans as P
 
         P.load_all()
-        path = Path(__file__).resolve().parents[1] / "VERIFIED.json"
-        rec = json.loads(path.read_text())
-        last = P._last_verified_round()
-        newest = max(last.values(), default=0)
+        root = Path(__file__).resolve().parents[1]
+        rec = json.loads((root / "VERIFIED.json").read_text())
+        green_rounds: dict[str, set[int]] = {}
+        for path in sorted(root.glob("CORRECTNESS_r*.json")):
+            m = re.search(r"r(\d+)", path.stem)
+            rnd = int(m.group(1)) if m else 0
+            for name, row in json.loads(path.read_text()).items():
+                if isinstance(row, dict) and row.get("hash_match"):
+                    green_rounds.setdefault(name, set()).add(rnd)
+        newest = max(
+            (r for rs in green_rounds.values() for r in rs), default=0
+        )
         missing = {
             name
-            for name in set(last) & set(P.PLANS) - set(rec)
-            if last[name] < newest
+            for name in set(green_rounds) & set(P.PLANS) - set(rec)
+            if min(green_rounds[name]) < newest
         }
         assert not missing, f"unstamped verified entries: {missing}"
 
