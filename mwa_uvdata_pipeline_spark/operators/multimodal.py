@@ -1038,40 +1038,36 @@ def _paeth_vec(a, b, c):
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def synth_png_bytes(doc_id: int, filter_type: int | None = None) -> bytes:
-    """Deterministic 8-bit RGB PNG for ``doc_id``, built FROM SPEC
-    (signature, IHDR/IDAT/IEND chunks with real CRC-32s, zlib-deflated
-    scanlines): a (5 + doc_id % 11) x (3 + doc_id % 6) image with
-    pixel formula r=(3*doc_id+7x+11y)%256, g=(doc_id+x*y)%256,
-    b=(5x+3y+2*doc_id)%256 — integer-exact so the decoded channel sums
-    are oracle-computable from the formula alone. Scanline ``y`` uses
-    filter type (doc_id + y) % 5, so every doc with height >= 5
-    exercises ALL FIVE spec filters (None/Sub/Up/Average/Paeth) and
-    any unfilter bug breaks the channel sums. ``filter_type`` pins one
-    filter for every row (golden-bytes tests)."""
-    import struct
-    import zlib
+#: Adam7 pass grid (PNG spec §8.2): (x_origin, y_origin, x_step,
+#: y_step) for each of the seven passes, in transmission order. A
+#: pass whose reduced image is empty for the picture's dimensions
+#: contributes ZERO bytes to the datastream (no filter bytes either).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
+
+def _png_filter_rows(img, ft_of_row) -> bytearray:
+    """Filter an (h, w, bpp) uint8 (sub-)image into PNG scanline bytes
+    (filter byte + filtered row, per spec §9), row ``yy`` using filter
+    ``ft_of_row(yy)``. Shared by the sequential and Adam7 synthesizers
+    — per spec each interlace pass filters as an independent reduced
+    image, which falls out of calling this once per pass (the ``prev``
+    row resets to zeros)."""
     import numpy as np
 
-    w = 5 + doc_id % 11
-    h = 3 + doc_id % 6
-    x = np.arange(w, dtype="i8")[None, :]
-    y = np.arange(h, dtype="i8")[:, None]
-    img = np.stack(
-        [
-            (doc_id * 3 + x * 7 + y * 11) % 256,
-            (doc_id + x * y) % 256,
-            (x * 5 + y * 3 + doc_id * 2) % 256,
-        ],
-        axis=2,
-    ).astype("u1")
-    bpp = 3
+    h, w, bpp = img.shape
     raw = bytearray()
     prev = np.zeros(w * bpp, dtype="i4")
     for yy in range(h):
         row = img[yy].reshape(-1).astype("i4")
-        ft = (doc_id + yy) % 5 if filter_type is None else filter_type
+        ft = ft_of_row(yy)
         left = np.concatenate([np.zeros(bpp, "i4"), row[:-bpp]])
         if ft == 0:
             filt = row
@@ -1087,75 +1083,127 @@ def synth_png_bytes(doc_id: int, filter_type: int | None = None) -> bytes:
         raw.append(ft)
         raw.extend(filt.astype("u1").tobytes())
         prev = row
+    return raw
 
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + typ
-            + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+def _png_pixels(doc_id: int):
+    """The shared deterministic pixel field (see synth_png_bytes) as a
+    (h, w, 3) uint8 array — one formula, two serializations (sequential
+    and Adam7), so the interlaced entry's oracle is byte-identical to
+    m_png_native's."""
+    import numpy as np
+
+    w = 5 + doc_id % 11
+    h = 3 + doc_id % 6
+    x = np.arange(w, dtype="i8")[None, :]
+    y = np.arange(h, dtype="i8")[:, None]
+    return np.stack(
+        [
+            (doc_id * 3 + x * 7 + y * 11) % 256,
+            (doc_id + x * y) % 256,
+            (x * 5 + y * 3 + doc_id * 2) % 256,
+        ],
+        axis=2,
+    ).astype("u1")
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
     return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
     )
 
 
-def _parse_png(data: bytes):
-    """From-spec PNG decode -> (w, h, int64 HxWx3 pixel array). No PIL:
-    walks the chunk stream verifying each CRC-32, parses IHDR (8-bit
-    RGB truecolor, non-interlaced only), concatenates IDAT, inflates
-    with stdlib zlib, and unfilters scanlines per spec §9 — None and
-    Up vectorized across the row; Sub/Average/Paeth carry a true
-    left-neighbor dependency so they reconstruct byte-serially within
-    the row (rows are the parallel unit at scale, not bytes)."""
+def synth_png_adam7_bytes(doc_id: int) -> bytes:
+    """Deterministic ADAM7-INTERLACED PNG for ``doc_id`` — the same
+    pixel field as :func:`synth_png_bytes` serialized the other legal
+    way (IHDR interlace=1): seven reduced images, each filtered as an
+    independent sub-image, concatenated into one zlib stream. Pass
+    ``p`` row ``yy`` uses filter (doc_id + p + yy) % 5 so the filter
+    mix differs from the sequential file and every pass boundary
+    resets the Up/Paeth ``prev`` row. Images narrower/shorter than a
+    pass's grid make that pass EMPTY (zero bytes — the spec subtlety
+    Adam7 adds); every synthesized size leaves pass 3 populated only
+    when h >= 5, so the corpus exercises both arms."""
     import struct
     import zlib
 
     import numpy as np
 
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG (bad signature)")
-    pos = 8
-    dims = None
-    idat = bytearray()
-    while pos + 12 <= len(data):
-        (ln,) = struct.unpack(">I", data[pos : pos + 4])
-        typ = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + ln]
-        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
-        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in chunk {typ!r}")
-        if typ == b"IHDR":
-            w, h, depth, ctype, comp, filt, inter = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
-                raise ValueError("only 8-bit RGB non-interlaced PNG")
-            dims = (w, h)
-        elif typ == b"IDAT":
-            idat.extend(body)
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln
-    if dims is None:
-        raise ValueError("missing IHDR")
-    w, h = dims
-    bpp = 3
+    img = _png_pixels(doc_id)
+    h, w = img.shape[:2]
+    raw = bytearray()
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _png_filter_rows(
+            np.ascontiguousarray(sub), lambda yy, p=p: (doc_id + p + yy) % 5
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synth_png_bytes(doc_id: int, filter_type: int | None = None) -> bytes:
+    """Deterministic 8-bit RGB PNG for ``doc_id``, built FROM SPEC
+    (signature, IHDR/IDAT/IEND chunks with real CRC-32s, zlib-deflated
+    scanlines): a (5 + doc_id % 11) x (3 + doc_id % 6) image with
+    pixel formula r=(3*doc_id+7x+11y)%256, g=(doc_id+x*y)%256,
+    b=(5x+3y+2*doc_id)%256 — integer-exact so the decoded channel sums
+    are oracle-computable from the formula alone. Scanline ``y`` uses
+    filter type (doc_id + y) % 5, so every doc with height >= 5
+    exercises ALL FIVE spec filters (None/Sub/Up/Average/Paeth) and
+    any unfilter bug breaks the channel sums. ``filter_type`` pins one
+    filter for every row (golden-bytes tests)."""
+    import struct
+    import zlib
+
+    img = _png_pixels(doc_id)
+    h, w = img.shape[:2]
+    raw = _png_filter_rows(
+        img,
+        lambda yy: (doc_id + yy) % 5 if filter_type is None else filter_type,
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, off: int, w: int, h: int, bpp: int):
+    """Unfilter ``h`` scanlines of ``w`` pixels starting at
+    ``raw[off]`` (one reduced image — the whole picture when
+    sequential, one pass when Adam7; the spec treats each pass as an
+    independent image, so ``prev`` starts at zeros here). Returns
+    ((h, w*bpp) int array, bytes consumed). None and Up are
+    vectorized across the row; Sub/Average/Paeth carry a true
+    left-neighbor dependency so they reconstruct byte-serially within
+    the row (rows are the parallel unit at scale, not bytes)."""
+    import numpy as np
+
     stride = w * bpp
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("decompressed IDAT length mismatch")
+    need = h * (stride + 1)
+    if off + need > len(raw):
+        raise ValueError("truncated PNG image data")
     out = np.zeros((h, stride), dtype="i4")
     prev = np.zeros(stride, dtype="i4")
     for yy in range(h):
-        off = yy * (stride + 1)
-        ft = raw[off]
-        filt = np.frombuffer(raw, "u1", stride, off + 1).astype("i4")
+        base = off + yy * (stride + 1)
+        ft = raw[base]
+        filt = np.frombuffer(raw, "u1", stride, base + 1).astype("i4")
         if ft == 0:
             recon = filt
         elif ft == 2:  # Up: no intra-row dependency
@@ -1179,7 +1227,74 @@ def _parse_png(data: bytes):
             raise ValueError(f"bad filter type {ft}")
         out[yy] = recon
         prev = recon
-    return w, h, out.reshape(h, w, bpp).astype("i8")
+    return out, need
+
+
+def _parse_png(data: bytes):
+    """From-spec PNG decode -> (w, h, int64 HxWx3 pixel array). No PIL:
+    walks the chunk stream verifying each CRC-32, parses IHDR (8-bit
+    RGB truecolor, sequential OR Adam7-interlaced), concatenates IDAT,
+    inflates with stdlib zlib, and unfilters scanlines per spec §9 via
+    :func:`_png_unfilter` — once for the whole image when sequential;
+    for Adam7, once per non-empty pass (spec §8.2: an empty pass
+    contributes zero bytes), scattering each reduced image back onto
+    the (y0::dy, x0::dx) grid."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    dims = None
+    inter = 0
+    idat = bytearray()
+    while pos + 12 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in chunk {typ!r}")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt) != (8, 2, 0, 0) or inter not in (
+                0,
+                1,
+            ):
+                raise ValueError("only 8-bit RGB PNG (interlace 0 or 1)")
+            dims = (w, h)
+        elif typ == b"IDAT":
+            idat.extend(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if dims is None:
+        raise ValueError("missing IHDR")
+    w, h = dims
+    bpp = 3
+    raw = zlib.decompress(bytes(idat))
+    if inter == 0:
+        out, used = _png_unfilter(raw, 0, w, h, bpp)
+        if used != len(raw):
+            raise ValueError("decompressed IDAT length mismatch")
+        return w, h, out.reshape(h, w, bpp).astype("i8")
+    img = np.zeros((h, w, bpp), dtype="i8")
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, (w - x0 + dx - 1) // dx)
+        ph = max(0, (h - y0 + dy - 1) // dy)
+        if pw == 0 or ph == 0:
+            continue
+        sub, used = _png_unfilter(raw, off, pw, ph, bpp)
+        off += used
+        img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if off != len(raw):
+        raise ValueError("decompressed IDAT length mismatch")
+    return w, h, img
 
 
 #: JPEG emits block-structure stats (see decode_jpeg for why weighted).
@@ -2414,6 +2529,117 @@ def decode_scene_cuts(docs: DataFrame, threshold: int = 16,
     return docs.select(id_col).mapInPandas(batches, CUTS_SCHEMA)
 
 
+def synth_mixed_bytes(doc_id: int) -> bytes:
+    """One row of a HETEROGENEOUS media corpus: doc_id % 5 selects the
+    container actually written (png/jpeg/flac/wav/mp4), so a scan over
+    the column sees all five magics interleaved — the shape a real
+    multimodal lake has, where format is a per-object property the
+    reader must sniff, not a partition you can trust."""
+    return (
+        synth_png_bytes,
+        synth_jpeg_bytes,
+        synth_flac_bytes,
+        synth_wav_bytes,
+        synth_mp4_bytes,
+    )[doc_id % 5](doc_id)
+
+
+def sniff_payload_kind(data: bytes) -> str:
+    """Identify a media payload from its magic bytes alone (the only
+    trustworthy signal at ingest — extensions lie): PNG signature,
+    JPEG SOI, fLaC stream marker, RIFF/WAVE, ISO-BMFF ftyp. Raises
+    ValueError for anything unrecognized so corrupt objects surface
+    as clean task errors, same failure surface as the decoders."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    if data[:4] == b"fLaC":
+        return "flac"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if data[4:8] == b"ftyp":
+        return "mp4"
+    raise ValueError("unrecognized payload magic")
+
+
+INGEST_SCHEMA = (
+    "doc_id long, kind string, width int, height int, n_units long, "
+    "value_sum long"
+)
+
+
+def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "doc_id") -> DataFrame:
+    """END-TO-END multimodal ingest over a MIXED-format binary column:
+    sniff each payload's magic, route it to the matching from-spec
+    decoder (PNG unfilter+inflate, baseline JPEG, FLAC, WAV PCM, MP4
+    container scan), and emit one UNIFIED row per object — kind,
+    pixel dims where the format has them (NULL for audio), a size in
+    the format's natural unit (pixels / samples / container samples),
+    and an integer content checksum (channel-sum over decoded values;
+    stsz byte total for the container-only format). This is the first
+    operator a 100-TB curation pipeline runs: one pass, per-object
+    dispatch, no per-format job. Scale: Arrow-batched mapInPandas,
+    zero shuffle; payload bytes never leave the executor, and the
+    per-row work is exactly one decoder invocation — the dispatch
+    itself is O(16 bytes)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "kind", "width", "height", "n_units",
+                          "value_sum")
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(b)
+                kind = sniff_payload_kind(data)
+                if kind == "png":
+                    w, h, img = _parse_png(data)
+                    width, height = w, h
+                    n_units, value_sum = w * h, int(img.sum())
+                elif kind == "jpeg":
+                    w, h, img = _parse_jpeg(data)
+                    width, height = w, h
+                    n_units, value_sum = w * h, int(img.sum())
+                elif kind == "flac":
+                    _, s = _parse_flac(data)
+                    width = height = None
+                    n_units, value_sum = len(s), int(s.sum())
+                elif kind == "wav":
+                    with wave.open(io.BytesIO(data), "rb") as wv:
+                        s = np.frombuffer(
+                            wv.readframes(wv.getnframes()), dtype="<i2"
+                        ).astype("i8")
+                    width = height = None
+                    n_units, value_sum = len(s), int(s.sum())
+                else:  # mp4: container triage, no frame decode
+                    meta = _parse_mp4(data)
+                    width, height = meta["width"], meta["height"]
+                    n_units = meta["n_samples"]
+                    value_sum = meta["sum_sample_bytes"]
+                rows["doc_id"].append(doc_id)
+                rows["kind"].append(kind)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["n_units"].append(n_units)
+                rows["value_sum"].append(value_sum)
+            out = pd.DataFrame(rows)
+            out["width"] = pd.array(rows["width"], dtype="Int32")
+            out["height"] = pd.array(rows["height"], dtype="Int32")
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, INGEST_SCHEMA
+    )
+
+
 def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
     """Attach deterministic WAV/PPM payload bytes per doc_id — built
     executor-side in mapInPandas so payload bytes never touch the
@@ -2429,6 +2655,8 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
         "flac": synth_flac_bytes,
         "flac_stereo": synth_flac_stereo_bytes,
         "mjpeg_mp4": synth_mjpeg_mp4_bytes,
+        "png_adam7": synth_png_adam7_bytes,
+        "mixed": synth_mixed_bytes,
     }[kind]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -3901,6 +3901,145 @@ def m_jpeg_422_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m_png_adam7_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 5 + doc_id % 11 AS w, 3 + doc_id % 6 AS h
+               FROM documents),
+    px AS (SELECT doc_id, w, h,
+                  (doc_id * 3 + x * 7 + y * 11) % 256 AS r,
+                  (doc_id + x * y) % 256 AS g,
+                  (x * 5 + y * 3 + doc_id * 2) % 256 AS b
+           FROM d, UNNEST(range(0, w)) ux(x), UNNEST(range(0, h)) uy(y))
+    SELECT doc_id, CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="ADAM7-INTERLACED PNG decode FROM SPEC — the other legal PNG "
+        "serialization real web corpora contain (r10 verdict item "
+        "#6's unchosen half, closed): the SAME pixel field as "
+        "m_png_native is written with interlace=1 — seven reduced "
+        "images per spec §8.2, each filtered as an INDEPENDENT "
+        "sub-image (prev-row state resets at every pass boundary), "
+        "empty passes contributing zero bytes (every doc here has "
+        "h <= 8, so passes with y-origin >= h are absent and the "
+        "decoder must not consume bytes for them) — and decoded by "
+        "walking the pass sequence through one inflated stream, "
+        "unfiltering each pass and scattering it onto the "
+        "(y0::dy, x0::dx) grid. The oracle is byte-identical to "
+        "m_png_native's closed-form pixel formula, so a pass-order, "
+        "pass-geometry, or scatter bug breaks the channel sums while "
+        "a correct decoder reproduces the sequential image exactly; "
+        "the pass layout is additionally pinned by a HAND-LAID 5x3 "
+        "interlaced byte stream in tests (membership of all seven "
+        "passes derived by hand). Same Arrow-batched mapInPandas "
+        "seam and scale posture as m_png_native.",
+)
+def m_png_adam7_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_png,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_png(synth_payloads(docs, "png_adam7"))
+
+
+@register(
+    "m_ingest_dispatch",
+    sql="""
+    WITH png AS (SELECT doc_id, 5 + doc_id % 11 AS w, 3 + doc_id % 6 AS h
+                 FROM documents WHERE doc_id % 5 = 0),
+    png_px AS (SELECT doc_id, w, h,
+                      (doc_id * 3 + x * 7 + y * 11) % 256
+                      + (doc_id + x * y) % 256
+                      + (x * 5 + y * 3 + doc_id * 2) % 256 AS s
+               FROM png, UNNEST(range(0, w)) ux(x),
+                         UNNEST(range(0, h)) uy(y)),
+    png_r AS (SELECT doc_id, 'png' AS kind,
+                     CAST(MAX(w) AS INTEGER) AS width,
+                     CAST(MAX(h) AS INTEGER) AS height,
+                     CAST(MAX(w) * MAX(h) AS BIGINT) AS n_units,
+                     CAST(SUM(s) AS BIGINT) AS value_sum
+              FROM png_px GROUP BY doc_id),
+    jp AS (SELECT doc_id, 1 + doc_id % 4 AS wb, 1 + doc_id % 3 AS hb
+           FROM documents WHERE doc_id % 5 = 1),
+    jp_blk AS (SELECT doc_id, wb, hb,
+                      (doc_id * 7 + bx * 31 + by * 17) % 256 AS v
+               FROM jp, UNNEST(range(0, wb)) ux(bx),
+                        UNNEST(range(0, hb)) uy(by)),
+    jp_r AS (SELECT doc_id, 'jpeg' AS kind,
+                    CAST(MAX(wb) * 8 AS INTEGER) AS width,
+                    CAST(MAX(hb) * 8 AS INTEGER) AS height,
+                    CAST(MAX(wb) * 8 * MAX(hb) * 8 AS BIGINT) AS n_units,
+                    CAST(SUM(v * 64) AS BIGINT) AS value_sum
+             FROM jp_blk GROUP BY doc_id),
+    fl AS (SELECT doc_id, 64 + doc_id % 64 AS n,
+                  (doc_id * 7) % 2048 - 1024 AS a, doc_id % 17 - 8 AS b
+           FROM documents WHERE doc_id % 5 = 2),
+    fl_r AS (SELECT doc_id, 'flac' AS kind,
+                    CAST(NULL AS INTEGER) AS width,
+                    CAST(NULL AS INTEGER) AS height,
+                    CAST(n AS BIGINT) AS n_units,
+                    CAST(n * a + b * n * (n - 1) // 2 AS BIGINT)
+                        AS value_sum
+             FROM fl),
+    wv AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+           WHERE doc_id % 5 = 3),
+    wv_s AS (SELECT doc_id, n, (doc_id * 7 + i * 13) % 2048 - 1024 AS v
+             FROM wv, UNNEST(range(0, n)) u(i)),
+    wv_r AS (SELECT doc_id, 'wav' AS kind,
+                    CAST(NULL AS INTEGER) AS width,
+                    CAST(NULL AS INTEGER) AS height,
+                    CAST(MAX(n) AS BIGINT) AS n_units,
+                    CAST(SUM(v) AS BIGINT) AS value_sum
+             FROM wv_s GROUP BY doc_id),
+    m4 AS (SELECT doc_id, 16 * (1 + doc_id % 20) AS w,
+                  16 * (1 + doc_id % 12) AS h, 2 + doc_id % 29 AS ns
+           FROM documents WHERE doc_id % 5 = 4),
+    m4_s AS (SELECT doc_id, w, h, ns,
+                    100 + ((doc_id * 13 + i * 7) % 900) AS sz
+             FROM m4, UNNEST(range(0, ns)) u(i)),
+    m4_r AS (SELECT doc_id, 'mp4' AS kind,
+                    CAST(MAX(w) AS INTEGER) AS width,
+                    CAST(MAX(h) AS INTEGER) AS height,
+                    CAST(MAX(ns) AS BIGINT) AS n_units,
+                    CAST(SUM(sz) AS BIGINT) AS value_sum
+             FROM m4_s GROUP BY doc_id)
+    SELECT * FROM png_r UNION ALL SELECT * FROM jp_r
+    UNION ALL SELECT * FROM fl_r UNION ALL SELECT * FROM wv_r
+    UNION ALL SELECT * FROM m4_r
+    """,
+    doc="END-TO-END MULTIMODAL INGEST over a MIXED-format corpus — "
+        "the composition that turns the codec family into the first "
+        "pass of a real curation pipeline: one binary column where "
+        "doc_id % 5 selects which container was actually written "
+        "(png/jpeg/flac/wav/mp4 interleaved), each payload sniffed "
+        "by MAGIC BYTES (never by the id — a sniff or dispatch bug "
+        "mislabels the kind column and breaks the gate) and routed "
+        "to its from-spec decoder in one mapInPandas pass: PNG "
+        "inflate+unfilter, baseline JPEG Huffman+IDCT, FLAC Rice, "
+        "WAV PCM, MP4 container scan. Output is the unified ingest "
+        "row (kind, pixel dims or NULL, natural-unit count, integer "
+        "content checksum); the oracle restates all five branches' "
+        "closed forms and unions them. Scale: ONE pass over the "
+        "corpus with zero shuffle and per-object dispatch — the "
+        "alternative (five format-filtered jobs) scans the lake "
+        "five times; dispatch cost is O(16 bytes) per object.",
+)
+def m_ingest_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        ingest_dispatch,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return ingest_dispatch(synth_payloads(docs, "mixed"))
+
+
+@register(
     "m_wav_resample",
     sql="""
     WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),

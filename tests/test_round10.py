@@ -121,14 +121,17 @@ class TestPngDecoderRejections:
         with pytest.raises(ValueError, match="CRC"):
             _parse_png(bytes(data))
 
-    def test_interlaced_rejected(self):
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    def test_unknown_interlace_method_rejected(self):
+        """Round 11 closed the Adam7 seam, so interlace=1 now decodes
+        (tests/test_round11.py); any OTHER interlace value stays a
+        clean rejection."""
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)
         data = (
             b"\x89PNG\r\n\x1a\n"
             + _chunk(b"IHDR", ihdr)
             + _chunk(b"IEND", b"")
         )
-        with pytest.raises(ValueError, match="non-interlaced"):
+        with pytest.raises(ValueError, match="interlace"):
             _parse_png(data)
 
     def test_bad_filter_type_rejected(self):
@@ -147,7 +150,7 @@ class TestPngDecoderRejections:
             + _chunk(b"IDAT", zlib.compress(raw))
             + _chunk(b"IEND", b"")
         )
-        with pytest.raises(ValueError, match="length mismatch"):
+        with pytest.raises(ValueError, match="truncated|length mismatch"):
             _parse_png(data)
 
 

@@ -312,3 +312,180 @@ class TestMjpegInMp4:
         sizes, mo = _mp4_stsz_mdat(data)
         with pytest.raises(ValueError):
             _parse_jpeg(data[mo + 1 : mo + 1 + sizes[0]])
+
+
+class TestAdam7:
+    """Adam7-interlaced PNG: same pixel field, the other legal
+    serialization — pass geometry, per-pass filter state, and empty
+    passes pinned by hand."""
+
+    def test_adam7_equals_sequential_all_size_combos(self):
+        """66 doc_ids cover every (w mod 11, h mod 6) size class; a
+        correct interlaced decoder reproduces the sequential image
+        bit-exactly for all of them."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_png,
+            synth_png_adam7_bytes,
+            synth_png_bytes,
+        )
+
+        for doc_id in range(66):
+            w1, h1, seq = _parse_png(synth_png_bytes(doc_id))
+            w2, h2, ilc = _parse_png(synth_png_adam7_bytes(doc_id))
+            assert (w1, h1) == (w2, h2)
+            assert (seq == ilc).all(), doc_id
+
+    @staticmethod
+    def _wrap(w, h, raw):
+        import struct
+        import zlib
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _png_chunk,
+        )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    def test_hand_laid_5x3_pass_layout(self):
+        """The full 5x3 Adam7 datastream laid out BY HAND from the
+        spec's pass grid (membership derived manually: pass 3 is
+        EMPTY because its y-origin 4 >= h; pass 6 row 0 uses filter
+        2 = Up so a decoder that carries filter state across the
+        pass boundary — instead of resetting prev to zeros — decodes
+        the wrong pixels there)."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_png,
+        )
+
+        def px(x, y):
+            return bytes([10 * x + y, 20 + x, x + 7 * y])
+
+        raw = bytearray()
+        raw += b"\x00" + px(0, 0)                       # pass 1: (0,0)
+        raw += b"\x00" + px(4, 0)                       # pass 2: (4,0)
+        # pass 3: y0=4 >= 3 -> EMPTY, zero bytes
+        raw += b"\x00" + px(2, 0)                       # pass 4: (2,0)
+        raw += b"\x00" + px(0, 2) + px(2, 2) + px(4, 2)  # pass 5
+        raw += b"\x02" + px(1, 0) + px(3, 0)            # pass 6 row 0 (Up)
+        raw += b"\x00" + px(1, 2) + px(3, 2)            # pass 6 row 1
+        raw += b"\x00" + b"".join(px(x, 1) for x in range(5))  # pass 7
+        w, h, img = _parse_png(self._wrap(5, 3, raw))
+        assert (w, h) == (5, 3)
+        for y in range(3):
+            for x in range(5):
+                assert tuple(img[y, x]) == tuple(px(x, y)), (x, y)
+
+    def test_single_pixel_image_only_pass_one(self):
+        """1x1: pass 1 holds the pixel; passes 2-7 are all empty and
+        must consume zero bytes."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_png,
+        )
+
+        w, h, img = _parse_png(self._wrap(1, 1, b"\x00\x09\x14\x00"))
+        assert (w, h) == (1, 1)
+        assert tuple(img[0, 0]) == (9, 20, 0)
+
+    def test_truncated_pass_raises_clean_valueerror(self):
+        """Dropping the final pass's scanline must surface as a clean
+        ValueError (same failure surface as FLAC/MP4/JPEG)."""
+        import pytest
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_png,
+        )
+
+        raw = b"\x00\x09\x14\x00"[:-2]  # 1x1 stream cut mid-scanline
+        with pytest.raises(ValueError):
+            _parse_png(self._wrap(1, 1, raw))
+
+    def test_trailing_garbage_raises(self):
+        """Extra bytes after the last pass break the stream-length
+        cross-check."""
+        import pytest
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_png,
+        )
+
+        with pytest.raises(ValueError):
+            _parse_png(self._wrap(1, 1, b"\x00\x09\x14\x00\xff"))
+
+
+class TestIngestDispatch:
+    """Magic-byte sniffing + unified dispatch over a mixed corpus."""
+
+    def test_sniff_routes_every_synth_kind(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            sniff_payload_kind,
+            synth_flac_bytes,
+            synth_jpeg_bytes,
+            synth_mp4_bytes,
+            synth_png_adam7_bytes,
+            synth_png_bytes,
+            synth_wav_bytes,
+        )
+
+        assert sniff_payload_kind(synth_png_bytes(3)) == "png"
+        assert sniff_payload_kind(synth_png_adam7_bytes(3)) == "png"
+        assert sniff_payload_kind(synth_jpeg_bytes(3)) == "jpeg"
+        assert sniff_payload_kind(synth_flac_bytes(3)) == "flac"
+        assert sniff_payload_kind(synth_wav_bytes(3)) == "wav"
+        assert sniff_payload_kind(synth_mp4_bytes(3)) == "mp4"
+
+    def test_sniff_rejects_unknown_magic(self):
+        import pytest
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            sniff_payload_kind,
+        )
+
+        with pytest.raises(ValueError):
+            sniff_payload_kind(b"\x00\x01\x02\x03not a media file....")
+
+    def test_mixed_corpus_interleaves_all_five_kinds(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            sniff_payload_kind,
+            synth_mixed_bytes,
+        )
+
+        expected = ["png", "jpeg", "flac", "wav", "mp4"]
+        for doc_id in range(15):
+            got = sniff_payload_kind(synth_mixed_bytes(doc_id))
+            assert got == expected[doc_id % 5], doc_id
+
+    def test_dispatch_rows_unified_schema(self, spark):
+        """One Spark pass over a mixed corpus: kind from the bytes,
+        dims NULL exactly for the audio formats, checksum equal to
+        each format's closed form."""
+        from mwa_uvdata_pipeline_spark.plans import PLANS, load_all
+
+        load_all()
+        rows = {
+            r["doc_id"]: r
+            for r in PLANS["m_ingest_dispatch"]
+            .spark(spark, "/root/testdata/sf0.001")
+            .collect()
+        }
+        kinds = {r["kind"] for r in rows.values()}
+        assert kinds == {"png", "jpeg", "flac", "wav", "mp4"}
+        for doc_id, r in rows.items():
+            if r["kind"] in ("flac", "wav"):
+                assert r["width"] is None and r["height"] is None
+            else:
+                assert r["width"] and r["height"]
+        # flac branch closed form: sum of the ramp a + b*i
+        for doc_id, r in rows.items():
+            if r["kind"] != "flac":
+                continue
+            n = 64 + doc_id % 64
+            a = (doc_id * 7) % 2048 - 1024
+            b = doc_id % 17 - 8
+            assert r["n_units"] == n
+            assert r["value_sum"] == n * a + b * n * (n - 1) // 2
