@@ -584,6 +584,66 @@ def synth_flac_stereo_bytes(doc_id: int) -> bytes:
     return b"fLaC" + streaminfo + frame
 
 
+def synth_flac_multichannel_bytes(doc_id: int) -> bytes:
+    """Deterministic MULTICHANNEL FLAC file for ``doc_id``, from spec:
+    nch = 3 + doc_id % 6 channels (3..8 — covering 5.1 and 7.1
+    layouts), each a 16-bit ramp ch_c[i] = a_c + b_c*i with
+    a_c = (doc_id*7 + c*29) % 2048 - 1024 and
+    b_c = (doc_id + 3*c) % 17 - 8, n = 64 + doc_id % 64 at 8 kHz.
+    Per spec §9.1.3 channel assignments 0-7 mean nch INDEPENDENT
+    subframes in channel order (stereo decorrelation exists only for
+    nch=2), so ch_code = nch - 1 and each channel encodes on its own:
+    FIXED order-1 with genuine Rice residuals, except channel c where
+    (doc_id + c) % 5 == 0 goes VERBATIM — the subframe mix varies
+    per channel within one frame, which only a per-channel decode
+    loop handles."""
+    n = 64 + doc_id % 64
+    nch = 3 + doc_id % 6
+    chans = [
+        [
+            (doc_id * 7 + c * 29) % 2048 - 1024
+            + ((doc_id + 3 * c) % 17 - 8) * i
+            for i in range(n)
+        ]
+        for c in range(nch)
+    ]
+
+    si = _Bits()
+    si.write(n, 16)
+    si.write(n, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(8000, 20)
+    si.write(nch - 1, 3)
+    si.write(15, 5)
+    si.write(n, 36)
+    streaminfo = b"\x80" + (34).to_bytes(3, "big") + si.bytes() + b"\x00" * 16
+
+    hb = _Bits()
+    hb.write(0b11111111111110, 14)
+    hb.write(0, 2)
+    hb.write(0b0111, 4)
+    hb.write(0b0100, 4)
+    hb.write(nch - 1, 4)     # independent channels: code = nch - 1
+    hb.write(0b100, 3)
+    hb.write(0, 1)
+    hb.write(0x00, 8)
+    hb.write(n - 1, 16)
+    header = hb.bytes()
+    header += bytes([_crc8_flac(header)])
+
+    body = _Bits()
+    for c, sig in enumerate(chans):
+        if (doc_id + c) % 5 == 0:
+            _flac_write_verbatim(body, sig, 16)
+        else:
+            _flac_write_fixed1(body, sig, 16)
+    body.pad_to_byte()
+    frame = header + body.bytes()
+    frame += _crc16_flac(frame).to_bytes(2, "big")
+    return b"fLaC" + streaminfo + frame
+
+
 def _parse_flac(data: bytes):
     """From-spec FLAC decode -> (sample_rate, int64 sample array). No
     external codec: fLaC magic, metadata-block walk (STREAMINFO
@@ -638,8 +698,8 @@ def _parse_flac_body(data: bytes):
     if info is None:
         raise ValueError("missing STREAMINFO")
     rate, nch, bps, total = info
-    if nch not in (1, 2) or bps != 16:
-        raise ValueError("only mono/stereo 16-bit FLAC supported")
+    if not 1 <= nch <= 8 or bps != 16:
+        raise ValueError("only 1-8 channel 16-bit FLAC supported")
 
     outs: list[list[int]] = [[] for _ in range(nch)]
     while len(outs[0]) < total:
@@ -816,8 +876,9 @@ FLAC_STEREO_SCHEMA = (
 
 def decode_flac_stereo(df: DataFrame, payload_col: str = "payload",
                        id_col: str = "doc_id") -> DataFrame:
-    """REAL stereo FLAC decode (from-spec, all four channel
-    assignments including mid-side decorrelation) via Arrow-batched
+    """REAL multichannel FLAC decode (from-spec: stereo with all four
+    channel assignments including mid-side decorrelation, and 3-8
+    independent channels per spec §9.1.3) via Arrow-batched
     mapInPandas — one row per (doc, channel) with integer-exact
     stats. ``sum_s`` is sign- and channel-sensitive, so a channel
     swap or a decorrelation reconstruction error breaks the gate
@@ -2657,6 +2718,7 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
         "mjpeg_mp4": synth_mjpeg_mp4_bytes,
         "png_adam7": synth_png_adam7_bytes,
         "mixed": synth_mixed_bytes,
+        "flac_multi": synth_flac_multichannel_bytes,
     }[kind]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
