@@ -567,3 +567,89 @@ class TestFlacMultichannel:
         # spec's own field range, so nothing >8 can even be encoded.
         for doc_id in (5, 11):
             _parse_flac_multi(synth_flac_multichannel_bytes(doc_id))
+
+
+class TestDecodeMediaNative:
+    """decode_media(deterministic=False) now runs the REAL from-spec
+    decoders — the NotImplementedError seam is scoped to unknown
+    containers only."""
+
+    def test_native_meta_per_kind(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _decode_media_native,
+            synth_flac_bytes,
+            synth_jpeg_bytes,
+            synth_mp4_bytes,
+            synth_png_adam7_bytes,
+            synth_png_bytes,
+            synth_wav_bytes,
+        )
+
+        d = 7
+        assert _decode_media_native(synth_png_bytes(d)) == (
+            5 + d % 11, 3 + d % 6, 1)
+        assert _decode_media_native(synth_png_adam7_bytes(d)) == (
+            5 + d % 11, 3 + d % 6, 1)
+        assert _decode_media_native(synth_jpeg_bytes(d)) == (
+            (1 + d % 4) * 8, (1 + d % 3) * 8, 1)
+        assert _decode_media_native(synth_mp4_bytes(d)) == (
+            16 * (1 + d % 20), 16 * (1 + d % 12), 2 + d % 29)
+        assert _decode_media_native(synth_wav_bytes(d)) == (None, None, 1)
+        assert _decode_media_native(synth_flac_bytes(d)) == (None, None, 1)
+
+    def test_unknown_container_still_the_library_seam(self):
+        import pytest
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _decode_media_native,
+        )
+
+        with pytest.raises(NotImplementedError, match="unrecognized"):
+            _decode_media_native(b"\x00\x00\x00\x18moof" + b"\x00" * 64)
+
+    def test_spark_non_deterministic_path(self, spark):
+        """The operator itself, non-deterministic, over a mixed
+        corpus: real dims for image/video kinds, NULL dims for
+        audio, one row per input."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            decode_media,
+            synth_payloads,
+        )
+
+        docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+        rows = decode_media(
+            synth_payloads(docs, "mixed"), deterministic=False
+        ).collect()
+        assert len(rows) == 20
+        for r in rows:
+            if r["doc_id"] % 5 in (2, 3):  # flac, wav
+                assert r["width"] is None and r["height"] is None
+                assert r["n_frames"] == 1
+            else:
+                assert r["width"] > 0 and r["height"] > 0
+
+    def test_deterministic_default_unchanged(self, spark):
+        """The md5-derived path (the oracle-gated one) is untouched:
+        same values as the driver-side digest helper."""
+        import hashlib
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _meta_from_digest,
+            decode_media,
+            synth_payloads,
+        )
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            synth_mixed_bytes,
+        )
+
+        docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+        rows = {
+            r["doc_id"]: r
+            for r in decode_media(synth_payloads(docs, "mixed")).collect()
+        }
+        for d in range(10):
+            w, h, nf = _meta_from_digest(
+                hashlib.md5(synth_mixed_bytes(d)).hexdigest()
+            )
+            assert (rows[d]["width"], rows[d]["height"],
+                    rows[d]["n_frames"]) == (w, h, nf)
