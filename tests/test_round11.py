@@ -1,8 +1,10 @@
 """Round 11: stereo FLAC (all four channel assignments, mid-side
-hand vector), JPEG truncation surface + T.81 non-interleaved
-single-component scans, 4:2:2 JPEG, and JPEG-frames-in-MP4 —
-pure-Python codec pins; the Spark side is oracle-gated via the three
-new registry entries."""
+hand vector), 3-8 channel FLAC, JPEG truncation surface + T.81
+non-interleaved single-component scans, 4:2:2 JPEG,
+JPEG-frames-in-MP4, Adam7 interlaced PNG (hand-laid pass layout),
+the mixed-corpus magic-byte ingest dispatcher, and decode_media's
+native non-deterministic path — pure-Python codec pins; the Spark
+side is oracle-gated via the six new registry entries."""
 
 import numpy as np
 import pytest
