@@ -212,3 +212,87 @@ class TestFlacProperties:
         except ValueError:
             return  # detected: the expected outcome
         assert list(got[0]) != chans[0], "silent corruption"
+
+
+class TestMp4ContainerVariants:
+    """The box walk against layouts real files have but the
+    synthesizer never emits: unknown skippable boxes and the 64-bit
+    large-size form."""
+
+    @staticmethod
+    def _parts(data: bytes):
+        """Split a synth MP4 into its three top-level boxes."""
+        import struct
+
+        out, pos = [], 0
+        while pos < len(data):
+            (size,) = struct.unpack(">I", data[pos : pos + 4])
+            out.append(data[pos : pos + size])
+            pos += size
+        return out
+
+    @settings(max_examples=25, deadline=None)
+    @given(doc_id=st.integers(0, 500), data=st.data())
+    def test_unknown_top_level_boxes_are_skipped(self, doc_id, data):
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_mp4,
+            synth_mp4_bytes,
+        )
+
+        base = synth_mp4_bytes(doc_id)
+        want = _parse_mp4(base)
+        ftyp, moov, mdat = self._parts(base)
+        fillers = []
+        for typ in (b"free", b"skip", b"udta", b"uuid"):
+            n = data.draw(st.integers(0, 40))
+            fillers.append(
+                struct.pack(">I", 8 + n) + typ + bytes(n)
+            )
+        # inject after ftyp, between moov and mdat, and trailing
+        blob = (
+            ftyp + fillers[0] + moov + fillers[1] + mdat
+            + fillers[2] + fillers[3]
+        )
+        assert _parse_mp4(blob) == want
+
+    @settings(max_examples=25, deadline=None)
+    @given(doc_id=st.integers(0, 500))
+    def test_large_size_mdat_form(self, doc_id):
+        """Rewrite mdat in the size==1 / 64-bit largesize form (what
+        >4 GiB files use); the reported payload size must be
+        unchanged."""
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_mp4,
+            synth_mp4_bytes,
+        )
+
+        base = synth_mp4_bytes(doc_id)
+        want = _parse_mp4(base)
+        ftyp, moov, mdat = self._parts(base)
+        payload = mdat[8:]
+        big = (
+            struct.pack(">I", 1) + b"mdat"
+            + struct.pack(">Q", 16 + len(payload)) + payload
+        )
+        got = _parse_mp4(ftyp + moov + big)
+        assert got == want
+
+    def test_truncated_unknown_box_still_clean_error(self):
+        import struct
+
+        import pytest
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_mp4,
+            synth_mp4_bytes,
+        )
+
+        base = synth_mp4_bytes(3)
+        # a trailing unknown box whose declared size overruns the file
+        bad = base + struct.pack(">I", 64) + b"free" + bytes(8)
+        with pytest.raises(ValueError, match="box"):
+            _parse_mp4(bad)
