@@ -83,6 +83,9 @@ def _decode_media_native(data: bytes) -> tuple:
     if kind == "jpeg":
         w, h, _comps = _jpeg_decode(data)
         return w, h, 1
+    if kind == "ppm":
+        w, h, _ = _parse_ppm(data)
+        return w, h, 1
     if kind == "mp4":
         meta = _parse_mp4(data)
         return meta["width"], meta["height"], meta["n_samples"]
@@ -2628,26 +2631,29 @@ def decode_scene_cuts(docs: DataFrame, threshold: int = 16,
 
 
 def synth_mixed_bytes(doc_id: int) -> bytes:
-    """One row of a HETEROGENEOUS media corpus: doc_id % 5 selects the
-    container actually written (png/jpeg/flac/wav/mp4), so a scan over
-    the column sees all five magics interleaved — the shape a real
-    multimodal lake has, where format is a per-object property the
-    reader must sniff, not a partition you can trust."""
+    """One row of a HETEROGENEOUS media corpus: doc_id % 6 selects the
+    container actually written (png/jpeg/flac/wav/mp4/ppm — every
+    format the native decoders cover), so a scan over the column sees
+    all six magics interleaved — the shape a real multimodal lake
+    has, where format is a per-object property the reader must sniff,
+    not a partition you can trust."""
     return (
         synth_png_bytes,
         synth_jpeg_bytes,
         synth_flac_bytes,
         synth_wav_bytes,
         synth_mp4_bytes,
-    )[doc_id % 5](doc_id)
+        synth_ppm_bytes,
+    )[doc_id % 6](doc_id)
 
 
 def sniff_payload_kind(data: bytes) -> str:
     """Identify a media payload from its magic bytes alone (the only
     trustworthy signal at ingest — extensions lie): PNG signature,
-    JPEG SOI, fLaC stream marker, RIFF/WAVE, ISO-BMFF ftyp. Raises
-    ValueError for anything unrecognized so corrupt objects surface
-    as clean task errors, same failure surface as the decoders."""
+    JPEG SOI, fLaC stream marker, RIFF/WAVE, ISO-BMFF ftyp, PPM P6.
+    Raises ValueError for anything unrecognized so corrupt objects
+    surface as clean task errors, same failure surface as the
+    decoders."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if data[:2] == b"\xff\xd8":
@@ -2658,6 +2664,8 @@ def sniff_payload_kind(data: bytes) -> str:
         return "wav"
     if data[4:8] == b"ftyp":
         return "mp4"
+    if data[:2] == b"P6" and data[2:3] in b" \t\r\n":
+        return "ppm"
     raise ValueError("unrecognized payload magic")
 
 
@@ -2717,6 +2725,10 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
                         ).astype("i8")
                     width = height = None
                     n_units, value_sum = len(s), int(s.sum())
+                elif kind == "ppm":
+                    w, h, img = _parse_ppm(data)
+                    width, height = w, h
+                    n_units, value_sum = w * h, int(img.sum())
                 else:  # mp4: container triage, no frame decode
                     meta = _parse_mp4(data)
                     width, height = meta["width"], meta["height"]

@@ -3998,7 +3998,7 @@ def m_png_adam7_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m_ingest_dispatch",
     sql="""
     WITH png AS (SELECT doc_id, 5 + doc_id % 11 AS w, 3 + doc_id % 6 AS h
-                 FROM documents WHERE doc_id % 5 = 0),
+                 FROM documents WHERE doc_id % 6 = 0),
     png_px AS (SELECT doc_id, w, h,
                       (doc_id * 3 + x * 7 + y * 11) % 256
                       + (doc_id + x * y) % 256
@@ -4012,7 +4012,7 @@ def m_png_adam7_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                      CAST(SUM(s) AS BIGINT) AS value_sum
               FROM png_px GROUP BY doc_id),
     jp AS (SELECT doc_id, 1 + doc_id % 4 AS wb, 1 + doc_id % 3 AS hb
-           FROM documents WHERE doc_id % 5 = 1),
+           FROM documents WHERE doc_id % 6 = 1),
     jp_blk AS (SELECT doc_id, wb, hb,
                       (doc_id * 7 + bx * 31 + by * 17) % 256 AS v
                FROM jp, UNNEST(range(0, wb)) ux(bx),
@@ -4025,7 +4025,7 @@ def m_png_adam7_native(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM jp_blk GROUP BY doc_id),
     fl AS (SELECT doc_id, 64 + doc_id % 64 AS n,
                   (doc_id * 7) % 2048 - 1024 AS a, doc_id % 17 - 8 AS b
-           FROM documents WHERE doc_id % 5 = 2),
+           FROM documents WHERE doc_id % 6 = 2),
     fl_r AS (SELECT doc_id, 'flac' AS kind,
                     CAST(NULL AS INTEGER) AS width,
                     CAST(NULL AS INTEGER) AS height,
@@ -4034,7 +4034,7 @@ def m_png_adam7_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS value_sum
              FROM fl),
     wv AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
-           WHERE doc_id % 5 = 3),
+           WHERE doc_id % 6 = 3),
     wv_s AS (SELECT doc_id, n, (doc_id * 7 + i * 13) % 2048 - 1024 AS v
              FROM wv, UNNEST(range(0, n)) u(i)),
     wv_r AS (SELECT doc_id, 'wav' AS kind,
@@ -4045,7 +4045,7 @@ def m_png_adam7_native(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM wv_s GROUP BY doc_id),
     m4 AS (SELECT doc_id, 16 * (1 + doc_id % 20) AS w,
                   16 * (1 + doc_id % 12) AS h, 2 + doc_id % 29 AS ns
-           FROM documents WHERE doc_id % 5 = 4),
+           FROM documents WHERE doc_id % 6 = 4),
     m4_s AS (SELECT doc_id, w, h, ns,
                     100 + ((doc_id * 13 + i * 7) % 900) AS sz
              FROM m4, UNNEST(range(0, ns)) u(i)),
@@ -4054,27 +4054,43 @@ def m_png_adam7_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                     CAST(MAX(h) AS INTEGER) AS height,
                     CAST(MAX(ns) AS BIGINT) AS n_units,
                     CAST(SUM(sz) AS BIGINT) AS value_sum
-             FROM m4_s GROUP BY doc_id)
+             FROM m4_s GROUP BY doc_id),
+    pm AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+           FROM documents WHERE doc_id % 6 = 5),
+    pm_px AS (SELECT doc_id, w, h,
+                     (doc_id + x * 3 + y * 5) % 256
+                     + (doc_id * 2 + x) % 256
+                     + (x * y + doc_id) % 256 AS s
+              FROM pm, UNNEST(range(0, w)) ux(x),
+                       UNNEST(range(0, h)) uy(y)),
+    pm_r AS (SELECT doc_id, 'ppm' AS kind,
+                    CAST(MAX(w) AS INTEGER) AS width,
+                    CAST(MAX(h) AS INTEGER) AS height,
+                    CAST(MAX(w) * MAX(h) AS BIGINT) AS n_units,
+                    CAST(SUM(s) AS BIGINT) AS value_sum
+             FROM pm_px GROUP BY doc_id)
     SELECT * FROM png_r UNION ALL SELECT * FROM jp_r
     UNION ALL SELECT * FROM fl_r UNION ALL SELECT * FROM wv_r
-    UNION ALL SELECT * FROM m4_r
+    UNION ALL SELECT * FROM m4_r UNION ALL SELECT * FROM pm_r
     """,
     doc="END-TO-END MULTIMODAL INGEST over a MIXED-format corpus — "
         "the composition that turns the codec family into the first "
         "pass of a real curation pipeline: one binary column where "
-        "doc_id % 5 selects which container was actually written "
-        "(png/jpeg/flac/wav/mp4 interleaved), each payload sniffed "
-        "by MAGIC BYTES (never by the id — a sniff or dispatch bug "
-        "mislabels the kind column and breaks the gate) and routed "
-        "to its from-spec decoder in one mapInPandas pass: PNG "
+        "doc_id % 6 selects which container was actually written "
+        "(png/jpeg/flac/wav/mp4/ppm interleaved — every format the "
+        "native decoders cover), each payload sniffed by MAGIC BYTES "
+        "(never by the id — a sniff or dispatch bug mislabels the "
+        "kind column and breaks the gate) and routed to its "
+        "from-spec decoder in one mapInPandas pass: PNG "
         "inflate+unfilter, baseline JPEG Huffman+IDCT, FLAC Rice, "
-        "WAV PCM, MP4 container scan. Output is the unified ingest "
-        "row (kind, pixel dims or NULL, natural-unit count, integer "
-        "content checksum); the oracle restates all five branches' "
-        "closed forms and unions them. Scale: ONE pass over the "
-        "corpus with zero shuffle and per-object dispatch — the "
-        "alternative (five format-filtered jobs) scans the lake "
-        "five times; dispatch cost is O(16 bytes) per object.",
+        "WAV PCM, MP4 container scan, PPM header+plane. Output is "
+        "the unified ingest row (kind, pixel dims or NULL, "
+        "natural-unit count, integer content checksum); the oracle "
+        "restates all six branches' closed forms and unions them. "
+        "Scale: ONE pass over the corpus with zero shuffle and "
+        "per-object dispatch — the alternative (six format-filtered "
+        "jobs) scans the lake six times; dispatch cost is O(16 "
+        "bytes) per object.",
 )
 def m_ingest_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwa_uvdata_pipeline_spark.operators.multimodal import (

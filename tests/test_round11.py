@@ -440,6 +440,10 @@ class TestIngestDispatch:
         assert sniff_payload_kind(synth_flac_bytes(3)) == "flac"
         assert sniff_payload_kind(synth_wav_bytes(3)) == "wav"
         assert sniff_payload_kind(synth_mp4_bytes(3)) == "mp4"
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            synth_ppm_bytes,
+        )
+        assert sniff_payload_kind(synth_ppm_bytes(3)) == "ppm"
 
     def test_sniff_rejects_unknown_magic(self):
         import pytest
@@ -457,10 +461,10 @@ class TestIngestDispatch:
             synth_mixed_bytes,
         )
 
-        expected = ["png", "jpeg", "flac", "wav", "mp4"]
-        for doc_id in range(15):
+        expected = ["png", "jpeg", "flac", "wav", "mp4", "ppm"]
+        for doc_id in range(18):
             got = sniff_payload_kind(synth_mixed_bytes(doc_id))
-            assert got == expected[doc_id % 5], doc_id
+            assert got == expected[doc_id % 6], doc_id
 
     def test_dispatch_rows_unified_schema(self, spark):
         """One Spark pass over a mixed corpus: kind from the bytes,
@@ -476,7 +480,7 @@ class TestIngestDispatch:
             .collect()
         }
         kinds = {r["kind"] for r in rows.values()}
-        assert kinds == {"png", "jpeg", "flac", "wav", "mp4"}
+        assert kinds == {"png", "jpeg", "flac", "wav", "mp4", "ppm"}
         for doc_id, r in rows.items():
             if r["kind"] in ("flac", "wav"):
                 assert r["width"] is None and r["height"] is None
@@ -624,7 +628,7 @@ class TestDecodeMediaNative:
         ).collect()
         assert len(rows) == 20
         for r in rows:
-            if r["doc_id"] % 5 in (2, 3):  # flac, wav
+            if r["doc_id"] % 6 in (2, 3):  # flac, wav
                 assert r["width"] is None and r["height"] is None
                 assert r["n_frames"] == 1
             else:
