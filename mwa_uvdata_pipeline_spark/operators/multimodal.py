@@ -1081,12 +1081,19 @@ def _parse_ppm(data: bytes):
     while len(fields) < 3:
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
+        if pos >= len(data):
+            raise ValueError("truncated PPM header")
         if data[pos : pos + 1] == b"#":  # comment to EOL
-            pos = data.index(b"\n", pos) + 1
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PPM header")
+            pos = nl + 1
             continue
         end = pos
-        while not data[end : end + 1].isspace():
+        while end < len(data) and not data[end : end + 1].isspace():
             end += 1
+        if end >= len(data):
+            raise ValueError("truncated PPM header")
         fields.append(data[pos:end])
         pos = end
     pos += 1  # single whitespace after maxval
@@ -2664,7 +2671,7 @@ def sniff_payload_kind(data: bytes) -> str:
         return "wav"
     if data[4:8] == b"ftyp":
         return "mp4"
-    if data[:2] == b"P6" and data[2:3] in b" \t\r\n":
+    if len(data) > 2 and data[:2] == b"P6" and data[2:3].isspace():
         return "ppm"
     raise ValueError("unrecognized payload magic")
 

@@ -659,3 +659,47 @@ class TestDecodeMediaNative:
             )
             assert (rows[d]["width"], rows[d]["height"],
                     rows[d]["n_frames"]) == (w, h, nf)
+
+
+class TestPpmTruncationSurface:
+    """Regression: a truncated PPM header used to spin the byte scan
+    forever (reachable since the sniffer routes P6 payloads) — the
+    worst failure mode inside a Spark task. It must raise."""
+
+    def test_bare_magic_not_sniffed_as_ppm(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            sniff_payload_kind,
+        )
+
+        with pytest.raises(ValueError, match="magic"):
+            sniff_payload_kind(b"P6")
+
+    def test_header_truncations_raise(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_ppm,
+        )
+
+        for blob in (b"P6 ", b"P6 4", b"P6 4 3", b"P6 4 3 255",
+                     b"P6 #no newline ever"):
+            with pytest.raises(ValueError):
+                _parse_ppm(blob)
+
+    def test_short_raster_raises(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_ppm,
+        )
+
+        with pytest.raises(ValueError):
+            _parse_ppm(b"P6 4 3 255\n" + b"\x00" * 5)  # needs 36
+
+    def test_comment_and_valid_header_still_parse(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_ppm,
+        )
+
+        w, h, img = _parse_ppm(
+            b"P6 # a comment\n2 1 255\n" + bytes([1, 2, 3, 4, 5, 6])
+        )
+        assert (w, h) == (2, 1)
+        assert img[0, 0].tolist() == [1, 2, 3]
+        assert img[0, 1].tolist() == [4, 5, 6]
