@@ -1362,10 +1362,15 @@ def _parse_png(data: bytes):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         typ = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + ln]
-        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        crc_raw = data[pos + 8 + ln : pos + 12 + ln]
+        if len(crc_raw) < 4:  # chunk length overruns the payload
+            raise ValueError(f"truncated chunk {typ!r}")
+        (crc,) = struct.unpack(">I", crc_raw)
         if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in chunk {typ!r}")
         if typ == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("bad IHDR length")
             w, h, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -1384,7 +1389,10 @@ def _parse_png(data: bytes):
         raise ValueError("missing IHDR")
     w, h = dims
     bpp = 3
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError("corrupt PNG IDAT stream") from exc
     if inter == 0:
         out, used = _png_unfilter(raw, 0, w, h, bpp)
         if used != len(raw):

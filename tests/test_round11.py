@@ -703,3 +703,56 @@ class TestPpmTruncationSurface:
         assert (w, h) == (2, 1)
         assert img[0, 0].tolist() == [1, 2, 3]
         assert img[0, 1].tolist() == [4, 5, 6]
+
+
+class TestPngCorruptionSurface:
+    """Corrupt PNG byte streams must all surface as clean ValueError
+    from the task (never zlib.error / struct.error)."""
+
+    def test_corrupt_idat_stream_is_value_error(self):
+        import struct
+        import zlib
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_png,
+            _png_chunk,
+        )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", b"\xff\xfe definitely not deflate")
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="IDAT"):
+            _parse_png(blob)
+
+    def test_chunk_length_overrun_is_value_error(self):
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_png,
+            _png_chunk,
+        )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+        good = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        # a chunk whose declared length runs past the end of the file
+        bad = good + struct.pack(">I", 4096) + b"IDAT" + b"\x00" * 8
+        with pytest.raises(ValueError, match="truncated|CRC"):
+            _parse_png(bad)
+
+    def test_short_ihdr_with_valid_crc_is_value_error(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_png,
+            _png_chunk,
+        )
+
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", b"\x00" * 10)  # CRC valid, length not
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="IHDR"):
+            _parse_png(blob)
