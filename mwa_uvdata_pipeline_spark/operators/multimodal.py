@@ -1779,6 +1779,8 @@ def _jpeg_decode(data: bytes):
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("expected marker")
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG header")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -1792,6 +1794,8 @@ def _jpeg_decode(data: bytes):
                 if pq != 0:
                     raise ValueError("16-bit DQT unsupported")
                 qt[tq] = list(body[i + 1 : i + 65])
+                if len(qt[tq]) < 64:
+                    raise ValueError("truncated DQT segment")
                 i += 65
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
@@ -1800,6 +1804,8 @@ def _jpeg_decode(data: bytes):
                 bits = list(body[i + 1 : i + 17])
                 nsym = sum(bits)
                 vals = list(body[i + 17 : i + 17 + nsym])
+                if len(bits) < 16 or len(vals) < nsym:
+                    raise ValueError("truncated DHT segment")
                 table = {}
                 code = 0
                 k = 0
@@ -1812,6 +1818,8 @@ def _jpeg_decode(data: bytes):
                 huff[(tc, th)] = table
                 i += 17 + nsym
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise ValueError("truncated SOF0 segment")
             prec, h, w, nf = body[0], int.from_bytes(body[1:3], "big"), \
                 int.from_bytes(body[3:5], "big"), body[5]
             if prec != 8 or nf not in (1, 3):
@@ -1827,6 +1835,8 @@ def _jpeg_decode(data: bytes):
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline SOF0 supported")
         elif marker == 0xDA:  # SOS — entropy data follows the header
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated SOS segment")
             ns = body[0]
             for c in range(ns):
                 cid, tdta = body[1 + 2 * c : 3 + 2 * c]

@@ -296,3 +296,73 @@ class TestMp4ContainerVariants:
         bad = base + struct.pack(">I", 64) + b"free" + bytes(8)
         with pytest.raises(ValueError, match="box"):
             _parse_mp4(bad)
+
+
+class TestTruncationSweep:
+    """EVERY prefix of every native format must either decode (only
+    possible for the full payload) or raise ValueError — never leak
+    IndexError / struct.error / zlib.error, and never hang. This is
+    the task-failure contract a 100-TB scan relies on: a corrupt
+    object fails its row cleanly instead of killing or wedging the
+    executor."""
+
+    @pytest.mark.parametrize(
+        "name",
+        ["png", "png_adam7", "jpeg", "jpeg_color", "jpeg_422",
+         "flac", "flac_stereo", "flac_multi", "wav", "ppm", "mp4",
+         "mjpeg_mp4"],
+    )
+    def test_every_prefix_fails_clean(self, name):
+        import wave
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        synth = {
+            "png": M.synth_png_bytes,
+            "png_adam7": M.synth_png_adam7_bytes,
+            "jpeg": M.synth_jpeg_bytes,
+            "jpeg_color": M.synth_jpeg_color_bytes,
+            "jpeg_422": M.synth_jpeg_422_bytes,
+            "flac": M.synth_flac_bytes,
+            "flac_stereo": M.synth_flac_stereo_bytes,
+            "flac_multi": M.synth_flac_multichannel_bytes,
+            "wav": M.synth_wav_bytes,
+            "ppm": M.synth_ppm_bytes,
+            "mp4": M.synth_mp4_bytes,
+            "mjpeg_mp4": M.synth_mjpeg_mp4_bytes,
+        }[name]
+        parse = {
+            "png": M._parse_png,
+            "png_adam7": M._parse_png,
+            "jpeg": M._parse_jpeg,
+            "jpeg_color": M._parse_jpeg_ycbcr,
+            "jpeg_422": M._parse_jpeg_ycbcr,
+            "flac": M._parse_flac,
+            "flac_stereo": M._parse_flac_multi,
+            "flac_multi": M._parse_flac_multi,
+            "wav": None,  # stdlib wave below
+            "ppm": M._parse_ppm,
+            "mp4": M._parse_mp4,
+            "mjpeg_mp4": M._parse_mp4,
+        }[name]
+        data = synth(7)
+        ok_types = (ValueError,)
+        if name == "wav":
+            import io
+
+            def parse(b):  # noqa: F811 - local stdlib shim
+                with wave.open(io.BytesIO(b), "rb") as wv:
+                    wv.readframes(wv.getnframes())
+
+            ok_types = (ValueError, wave.Error, EOFError)
+        step = max(1, len(data) // 400)  # cap the sweep for big files
+        for cut in range(0, len(data), step):
+            try:
+                parse(data[:cut])
+            except ok_types:
+                continue
+            except Exception as exc:  # noqa: BLE001 - the assertion
+                raise AssertionError(
+                    f"{name} prefix {cut}/{len(data)} leaked "
+                    f"{type(exc).__name__}: {exc}"
+                ) from exc
