@@ -2744,10 +2744,14 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
                     width = height = None
                     n_units, value_sum = len(s), int(s.sum())
                 elif kind == "wav":
-                    with wave.open(io.BytesIO(data), "rb") as wv:
-                        s = np.frombuffer(
-                            wv.readframes(wv.getnframes()), dtype="<i2"
-                        ).astype("i8")
+                    try:
+                        with wave.open(io.BytesIO(data), "rb") as wv:
+                            s = np.frombuffer(
+                                wv.readframes(wv.getnframes()),
+                                dtype="<i2",
+                            ).astype("i8")
+                    except (wave.Error, EOFError) as exc:
+                        raise ValueError("corrupt WAV payload") from exc
                     width = height = None
                     n_units, value_sum = len(s), int(s.sum())
                 elif kind == "ppm":

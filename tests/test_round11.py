@@ -756,3 +756,24 @@ class TestPngCorruptionSurface:
         )
         with pytest.raises(ValueError, match="IHDR"):
             _parse_png(blob)
+
+
+class TestIngestWavSurface:
+    def test_corrupt_riff_is_value_error(self, spark):
+        """A payload that sniffs as WAV but has a mangled fmt chunk
+        must fail its task with the family's ValueError, not
+        wave.Error."""
+        import pandas as pd
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            ingest_dispatch,
+            synth_wav_bytes,
+        )
+
+        blob = bytearray(synth_wav_bytes(3))
+        blob[12:16] = b"junk"  # clobber the fmt chunk id
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "payload": [bytes(blob)]})
+        )
+        with pytest.raises(Exception, match="corrupt WAV payload"):
+            ingest_dispatch(df).collect()
