@@ -1850,6 +1850,12 @@ def _jpeg_decode(data: bytes):
         raise ValueError("missing SOF0")
     if {cid for cid, _, _ in scan} != set(frame):
         raise ValueError("scan components must match the frame")
+    for _cid, (_hs, _vs, tq) in frame.items():
+        if tq not in qt:
+            raise ValueError("missing quantization table")
+    for _cid, td, ta in scan:
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("missing Huffman table")
 
     w, h = dims
     hmax = max(hs for hs, _, _ in frame.values())

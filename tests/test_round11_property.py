@@ -366,3 +366,57 @@ class TestTruncationSweep:
                     f"{name} prefix {cut}/{len(data)} leaked "
                     f"{type(exc).__name__}: {exc}"
                 ) from exc
+
+
+class TestBitFlipSurface:
+    """Single-bit corruption anywhere in a payload must either still
+    decode (JPEG has no checksums — a flipped entropy bit can yield a
+    different valid image) or raise ValueError; internal exception
+    types (KeyError from a clobbered table selector was a real leak)
+    must never escape the task."""
+
+    @pytest.mark.parametrize("variant", ["gray", "420", "422"])
+    def test_jpeg_every_nth_bit(self, variant):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        synth, parse = {
+            "gray": (M.synth_jpeg_bytes, M._parse_jpeg),
+            "420": (M.synth_jpeg_color_bytes, M._parse_jpeg_ycbcr),
+            "422": (M.synth_jpeg_422_bytes, M._parse_jpeg_ycbcr),
+        }[variant]
+        data = bytes(synth(9))
+        for bit in range(0, len(data) * 8, 5):
+            blob = bytearray(data)
+            blob[bit // 8] ^= 1 << (7 - bit % 8)
+            try:
+                parse(bytes(blob))
+            except ValueError:
+                continue
+            except Exception as exc:  # noqa: BLE001 - the assertion
+                raise AssertionError(
+                    f"{variant} bit {bit} leaked "
+                    f"{type(exc).__name__}: {exc}"
+                ) from exc
+
+    @pytest.mark.parametrize("fmt", ["png", "png_adam7", "mp4"])
+    def test_other_formats_every_nth_bit(self, fmt):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        synth, parse = {
+            "png": (M.synth_png_bytes, M._parse_png),
+            "png_adam7": (M.synth_png_adam7_bytes, M._parse_png),
+            "mp4": (M.synth_mp4_bytes, M._parse_mp4),
+        }[fmt]
+        data = bytes(synth(9))
+        for bit in range(0, len(data) * 8, 7):
+            blob = bytearray(data)
+            blob[bit // 8] ^= 1 << (7 - bit % 8)
+            try:
+                parse(bytes(blob))
+            except ValueError:
+                continue
+            except Exception as exc:  # noqa: BLE001 - the assertion
+                raise AssertionError(
+                    f"{fmt} bit {bit} leaked "
+                    f"{type(exc).__name__}: {exc}"
+                ) from exc
