@@ -2750,13 +2750,16 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
                     width = height = None
                     n_units, value_sum = len(s), int(s.sum())
                 elif kind == "wav":
+                    # stdlib wave leaks bare RuntimeError (py3.11
+                    # chunk parsing) and EOFError on corrupt headers,
+                    # beyond its own wave.Error
                     try:
                         with wave.open(io.BytesIO(data), "rb") as wv:
                             s = np.frombuffer(
                                 wv.readframes(wv.getnframes()),
                                 dtype="<i2",
                             ).astype("i8")
-                    except (wave.Error, EOFError) as exc:
+                    except (wave.Error, EOFError, RuntimeError) as exc:
                         raise ValueError("corrupt WAV payload") from exc
                     width = height = None
                     n_units, value_sum = len(s), int(s.sum())

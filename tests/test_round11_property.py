@@ -420,3 +420,38 @@ class TestBitFlipSurface:
                     f"{fmt} bit {bit} leaked "
                     f"{type(exc).__name__}: {exc}"
                 ) from exc
+
+
+class TestWavBitFlipViaIngest:
+    def test_wav_bit_flips_fail_clean_through_dispatch_logic(self):
+        """Drive corrupt WAV bytes through the same parse+wrap the
+        ingest dispatcher uses: every flip either decodes or raises
+        ValueError (stdlib wave's bare RuntimeError is wrapped)."""
+        import io
+        import wave
+
+        import numpy as np
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        def parse(data):
+            try:
+                with wave.open(io.BytesIO(data), "rb") as wv:
+                    np.frombuffer(
+                        wv.readframes(wv.getnframes()), dtype="<i2"
+                    )
+            except (wave.Error, EOFError, RuntimeError) as exc:
+                raise ValueError("corrupt WAV payload") from exc
+
+        data = bytes(M.synth_wav_bytes(9))
+        for bit in range(0, len(data) * 8, 5):
+            blob = bytearray(data)
+            blob[bit // 8] ^= 1 << (7 - bit % 8)
+            try:
+                parse(bytes(blob))
+            except ValueError:
+                continue
+            except Exception as exc:  # noqa: BLE001 - the assertion
+                raise AssertionError(
+                    f"bit {bit} leaked {type(exc).__name__}"
+                ) from exc
