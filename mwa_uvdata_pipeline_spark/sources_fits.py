@@ -283,15 +283,34 @@ def write_uvfits(pdf: pd.DataFrame, path: str, jd_zero: float) -> None:
         f.write(b"\x00" * _pad(len(body)))
 
 
+def _hcard(h: dict, key: str, name: str, cast=int):
+    """Required numeric header card with a clean error surface — in a
+    100-TB scan a missing or mangled card is FILE corruption and must
+    fail the task as ValueError, not leak KeyError/TypeError from the
+    arithmetic that consumes it."""
+    if key not in h:
+        raise ValueError(f"{name}: missing header card {key}")
+    try:
+        return cast(h[key])
+    except (TypeError, ValueError) as exc:
+        raise ValueError(
+            f"{name}: non-numeric header card {key}"
+        ) from exc
+
+
 def parse_uvfits(name: str, buf: bytes) -> pd.DataFrame:
     """Parse one random-groups uvfits byte string to long-format rows."""
     h, off = parse_header(buf)
     if not (h.get("GROUPS") and h.get("NAXIS1") == 0):
         raise ValueError(f"{name}: not a random-groups uvfits file")
-    if h["BITPIX"] != -32:
+    if _hcard(h, "BITPIX", name) != -32:
         raise ValueError(f"{name}: only BITPIX=-32 supported")
-    pcount, gcount = h["PCOUNT"], h["GCOUNT"]
-    axes = [h[f"NAXIS{i}"] for i in range(2, h["NAXIS"] + 1)]
+    pcount = _hcard(h, "PCOUNT", name)
+    gcount = _hcard(h, "GCOUNT", name)
+    axes = [
+        _hcard(h, f"NAXIS{i}", name)
+        for i in range(2, _hcard(h, "NAXIS", name) + 1)
+    ]
     nelem = int(np.prod(axes))
     total = gcount * (pcount + nelem)
     a = np.frombuffer(buf, dtype=">f4", count=total, offset=off).reshape(
@@ -324,7 +343,8 @@ def parse_uvfits(name: str, buf: bytes) -> pd.DataFrame:
             )
 
     # FITS axis 2 varies fastest -> C-order is reversed axis list
-    npol, nchan = int(h["NAXIS3"]), int(h["NAXIS4"])
+    npol = _hcard(h, "NAXIS3", name)
+    nchan = _hcard(h, "NAXIS4", name)
     data = a[:, pcount:].reshape([gcount] + axes[::-1])
     data = data.reshape(gcount, nchan, npol, 3)  # degenerate RA/DEC drop
 
@@ -338,9 +358,17 @@ def parse_uvfits(name: str, buf: bytes) -> pd.DataFrame:
     div = np.where(large, 2048, 256)
     ant1 = blo // div - 1
     ant2 = blo % div - 1
-    pol0, pold = int(h["CRVAL3"]), int(h["CDELT3"])
-    pol_names = [POL_CODES[pol0 + i * pold] for i in range(npol)]
-    f0, fd, fpix = float(h["CRVAL4"]), float(h["CDELT4"]), float(h["CRPIX4"])
+    pol0 = _hcard(h, "CRVAL3", name)
+    pold = _hcard(h, "CDELT3", name)
+    try:
+        pol_names = [POL_CODES[pol0 + i * pold] for i in range(npol)]
+    except KeyError as exc:
+        raise ValueError(
+            f"{name}: unknown polarization code {exc}"
+        ) from exc
+    f0 = _hcard(h, "CRVAL4", name, float)
+    fd = _hcard(h, "CDELT4", name, float)
+    fpix = _hcard(h, "CRPIX4", name, float)
     freqs = f0 + (np.arange(nchan) + 1 - fpix) * fd
 
     g = np.repeat(np.arange(gcount), nchan * npol)
@@ -538,19 +566,28 @@ def parse_gpubox(name: str, buf: bytes) -> pd.DataFrame:
     """Parse a gpubox-style dump: iterate IMAGE HDUs to EOF, apply
     BSCALE/BZERO, decode the triangular baseline ordering."""
     prim, off = parse_header(buf)
-    nant, npol, nc = prim["NANT"], prim["NPOL"], prim["NCHAN"]
+    nant = _hcard(prim, "NANT", name)
+    npol = _hcard(prim, "NPOL", name)
+    nc = _hcard(prim, "NCHAN", name)
+    if "POLS" not in prim:
+        raise ValueError(f"{name}: missing header card POLS")
     pols = np.array(str(prim["POLS"]).split(","), dtype=object)
+    if len(pols) != npol:
+        raise ValueError(
+            f"{name}: POLS lists {len(pols)} names but NPOL={npol}"
+        )
     bls = _bl_table(nant)
     nbl = len(bls)
     frames = []
     ti = 0
     while off < len(buf):
         h, off = parse_header(buf, off)
-        if h.get("XTENSION", "").strip() != "IMAGE":
+        if str(h.get("XTENSION", "")).strip() != "IMAGE":
             raise ValueError(f"{name}: unexpected extension at HDU {ti + 1}")
-        if h["BITPIX"] != 32:
+        if _hcard(h, "BITPIX", name) != 32:
             raise ValueError(f"{name}: only BITPIX=32 gpubox supported")
-        n1, n2 = h["NAXIS1"], h["NAXIS2"]
+        n1 = _hcard(h, "NAXIS1", name)
+        n2 = _hcard(h, "NAXIS2", name)
         count = n1 * n2
         data = np.frombuffer(buf, dtype=">i4", count=count, offset=off)
         off += count * 4 + _pad(count * 4)

@@ -39,6 +39,7 @@ parallelism.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -455,6 +456,8 @@ def read_hdf5_bytes(buf: bytes) -> dict[str, np.ndarray]:
     """Parse an HDF5 byte image → flat {"/Group/dataset": ndarray}."""
     if buf[:8] != SIGNATURE:
         raise ValueError("not an HDF5 file")
+    if len(buf) < 72:
+        raise ValueError("truncated HDF5 superblock")
     if buf[8] != 0:
         raise ValueError(f"unsupported superblock version {buf[8]}")
     root_oh_addr = struct.unpack_from("<Q", buf, 64)[0]
@@ -494,7 +497,16 @@ def read_hdf5_bytes(buf: bytes) -> dict[str, np.ndarray]:
             raise ValueError(f"unsupported layout class {layout[1]}")
         out[prefix] = arr
 
-    walk(root_oh_addr, "")
+    # Corrupt or truncated bytes surface from the structure walk as
+    # short unpacks, dangling addresses, mangled dtype codes, missing
+    # required messages, or broken deflate chunks — all FILE
+    # corruption, folded into the clean ValueError every native
+    # reader raises so a bad object fails its Spark task row cleanly.
+    try:
+        walk(root_oh_addr, "")
+    except (struct.error, IndexError, KeyError, TypeError,
+            OverflowError, zlib.error) as exc:
+        raise ValueError("corrupt or truncated HDF5 stream") from exc
     return out
 
 
@@ -601,13 +613,27 @@ def parse_uvh5(name: str, buf: bytes) -> pd.DataFrame:
     columns, shared with the uvfits reader)."""
     t = read_hdf5_bytes(bytes(buf))
     h = {k.split("/")[-1]: v for k, v in t.items() if k.startswith("/Header")}
+    for ds in ("/Data/visdata", "/Data/flags", "/Data/nsamples"):
+        if ds not in t:
+            raise ValueError(f"{name}: missing dataset {ds}")
+    for key in ("Nblts", "Nfreqs", "polarization_array", "time_array",
+                "ant_1_array", "ant_2_array", "freq_array", "uvw_array"):
+        if key not in h:
+            raise ValueError(f"{name}: missing header dataset {key}")
     vis = t["/Data/visdata"]
     flags = t["/Data/flags"]
     nsamples = t["/Data/nsamples"]
+    if vis.ndim != 3:
+        raise ValueError(f"{name}: visdata is not (Nblts, Nfreqs, Npols)")
     nblts, nfreqs, npols = vis.shape
     if int(h["Nblts"]) != nblts or int(h["Nfreqs"]) != nfreqs:
         raise ValueError(f"{name}: header/data shape mismatch")
-    pols = [POL_NAME[int(c)] for c in h["polarization_array"]]
+    try:
+        pols = [POL_NAME[int(c)] for c in h["polarization_array"]]
+    except KeyError as exc:
+        raise ValueError(
+            f"{name}: unknown polarization code {exc}"
+        ) from exc
     bi, ci, pi = np.meshgrid(
         np.arange(nblts), np.arange(nfreqs), np.arange(npols), indexing="ij"
     )
