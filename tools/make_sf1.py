@@ -5,9 +5,21 @@ join fan-outs stay 1:1 per replica (orders/lineitem shift orderkey
 together; lineitem's part/supp refs shift with part/supplier;
 events shift event_id/user_id so per-user session state stays
 bounded; documents shift doc_id so payload-synthesis work scales).
-region/nation stay as-is (true dims). Output is written OUTSIDE the
-repo (default /tmp/sf1) — the soak's numbers go to SCALE.md, the
-data does not get committed.
+region/nation stay as-is (true dims).
+
+Grown corpora are PERTURBED the same way tools/scale_probe.py
+perturbs them, and for the same reason: naive replication makes
+every document a 10-way exact near-dup, so dedup answers (pair
+lists, containment candidates) grow ~quadratically BY CONSTRUCTION
+and the soak measures answer growth, not plan growth (the first sf1
+soak read dedup_containment at 62x for exactly this reason —
+re-read with perturbation it is linear). Copy i tags every
+non-leading token with c{i} (disjoint shingles = genuinely new
+text, n_chars recomputed) and flips embedding dimension signs by
+the bits of i (norm-preserving spread across LSH/IVF buckets).
+
+Output is written OUTSIDE the repo (default /tmp/sf1) — the soak's
+numbers go to SCALE.md, the data does not get committed.
 
 Usage: python tools/make_sf1.py [out_dir] [factor]
 """
@@ -70,11 +82,35 @@ def main() -> int:
             shifted = {c: spans[(st, sc)] for c, st, sc in shifts}
             cols = [c[0] for c in con.execute(
                 f"DESCRIBE SELECT * FROM {src}").fetchall()]
-            exprs = ", ".join(
-                f"CAST({c} + r.i * {shifted[c]} AS BIGINT) AS {c}"
-                if c in shifted else c
-                for c in cols
-            )
+
+            def expr(c: str) -> str:
+                if c in shifted:
+                    return (
+                        f"CAST({c} + r.i * {shifted[c]} AS BIGINT) AS {c}"
+                    )
+                if t == "documents" and c == "text":
+                    # copy 0 verbatim; copy i tags non-leading tokens
+                    return (
+                        "CASE WHEN r.i = 0 THEN text ELSE "
+                        "regexp_replace(text, ' ', ' c' || r.i, 'g') "
+                        "END AS text"
+                    )
+                if t == "documents" and c == "n_chars":
+                    return (
+                        "CAST(length(CASE WHEN r.i = 0 THEN text ELSE "
+                        "regexp_replace(text, ' ', ' c' || r.i, 'g') "
+                        "END) AS BIGINT) AS n_chars"
+                    )
+                if t == "embeddings" and c == "embedding":
+                    # flip dim j's sign when bit (j mod 4) of i is set
+                    return (
+                        "CAST(list_transform(embedding, (x, j) -> "
+                        "CASE WHEN ((r.i >> ((j - 1) % 4)) & 1) = 1 "
+                        "THEN -x ELSE x END) AS FLOAT[]) AS embedding"
+                    )
+                return c
+
+            exprs = ", ".join(expr(c) for c in cols)
             sel = (
                 f"SELECT {exprs} FROM {src}, "
                 f"(SELECT UNNEST(range(0, {factor})) AS i) r"
