@@ -457,3 +457,183 @@ class TestDispatcherCoversNewVariants:
         )
 
         assert sniff_payload_kind(synth_flac_wasted_bytes(3)) == "flac"
+
+
+class TestNewVariantFuzzSurface:
+    """The r11 clean-failure contract extended to the three round-12
+    paths: no prefix and no single-bit flip of any payload may raise
+    anything but ValueError. The committed sweeps are sampled (every
+    3rd bit / every prefix — the payloads are ~100-400 bytes);
+    exhaustive every-bit sweeps of all four shapes ran clean during
+    development."""
+
+    CASES = {
+        "jpeg_rst": ("synth_jpeg_rst_bytes", "_parse_jpeg", 9),
+        "png_gray": ("synth_png_types_bytes", "_parse_png", 18),
+        "png_palette": ("synth_png_types_bytes", "_parse_png", 19),
+        "flac_wasted": ("synth_flac_wasted_bytes", "_parse_flac", 9),
+    }
+
+    @pytest.mark.parametrize("case", sorted(CASES))
+    def test_every_prefix_fails_clean(self, case):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        synth_name, parse_name, doc = self.CASES[case]
+        data = bytes(getattr(M, synth_name)(doc))
+        parse = getattr(M, parse_name)
+        for cut in range(len(data)):
+            try:
+                parse(data[:cut])
+            except ValueError:
+                continue
+            except Exception as exc:  # noqa: BLE001 - the assertion
+                raise AssertionError(
+                    f"{case} prefix {cut}/{len(data)} leaked "
+                    f"{type(exc).__name__}: {exc}"
+                ) from exc
+
+    @pytest.mark.parametrize("case", sorted(CASES))
+    def test_every_nth_bit_flip_fails_clean(self, case):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        synth_name, parse_name, doc = self.CASES[case]
+        data = bytes(getattr(M, synth_name)(doc))
+        parse = getattr(M, parse_name)
+        for bit in range(0, len(data) * 8, 3):
+            blob = bytearray(data)
+            blob[bit // 8] ^= 1 << (7 - bit % 8)
+            try:
+                parse(bytes(blob))
+            except ValueError:
+                continue
+            except Exception as exc:  # noqa: BLE001 - the assertion
+                raise AssertionError(
+                    f"{case} bit {bit} leaked "
+                    f"{type(exc).__name__}: {exc}"
+                ) from exc
+
+
+class TestFreeCombinations:
+    """Feature combinations the round-12 work enables without new
+    decoder code — pinned so a refactor can't silently regress them:
+    Adam7 interlace composes with the new color types (the unfilter
+    machinery runs at the coded bpp in BOTH serialization paths),
+    and restart intervals compose with interleaved color scans (the
+    restart hook sits at the shared MCU loop)."""
+
+    @staticmethod
+    def _interlaced_png(plane, ctype, chunks):
+        import struct
+        import zlib
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        h, w = plane.shape
+        raw = bytearray()
+        for x0, y0, dx, dy in M._ADAM7:
+            pw = max(0, (w - x0 + dx - 1) // dx)
+            ph = max(0, (h - y0 + dy - 1) // dy)
+            if pw == 0 or ph == 0:
+                continue
+            sub = plane[y0::dy, x0::dx]
+            raw += M._png_filter_rows(sub[:, :, None], lambda yy: 0)
+        out = b"\x89PNG\r\n\x1a\n" + M._png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+        )
+        for typ, body in chunks:
+            out += M._png_chunk(typ, body)
+        out += M._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        return out + M._png_chunk(b"IEND", b"")
+
+    def test_adam7_grayscale(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        vals = np.array(
+            [[10, 20, 30], [40, 50, 60], [70, 80, 90]], dtype="u1"
+        )
+        w, h, img = M._parse_png(self._interlaced_png(vals, 0, []))
+        exp = np.repeat(vals.astype("i8")[:, :, None], 3, axis=2)
+        assert (w, h) == (3, 3)
+        assert (img == exp).all()
+
+    def test_adam7_palette(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        idx = np.array(
+            [[0, 1, 2], [3, 0, 1], [2, 3, 0]], dtype="u1"
+        )
+        pal = bytes(
+            [1, 2, 3, 10, 20, 30, 100, 110, 120, 200, 210, 220]
+        )
+        w, h, img = M._parse_png(
+            self._interlaced_png(idx, 3, [(b"PLTE", pal)])
+        )
+        palarr = np.frombuffer(pal, "u1").reshape(-1, 3).astype("i8")
+        assert (img == palarr[idx]).all()
+
+    def test_color_420_jpeg_with_restart_interval(self):
+        """Two 16x16 MCUs, DRI=1, one RST0: per-COMPONENT predictors
+        all reset at the marker, so the second MCU's absolute-coded
+        planes decode to their own constants."""
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        (dc_bits, dc_vals), (ac_bits, ac_vals) = M._jpeg_tables()
+        dcc = M._huff_codes(dc_bits, dc_vals)
+        acc = M._huff_codes(ac_bits, ac_vals)
+        bw = M._BitWriter()
+        preds = {1: 0, 2: 0, 3: 0}
+
+        def put(cid, v):
+            qdc = (8 * (v - 128)) // M._JPEG_QZZ[0]
+            diff = qdc - preds[cid]
+            preds[cid] = qdc
+            size = abs(diff).bit_length()
+            c, ln = dcc[size]
+            bw.write(c, ln)
+            if size:
+                bits = diff if diff >= 0 else diff + (1 << size) - 1
+                bw.write(bits, size)
+            c, ln = acc[0x00]
+            bw.write(c, ln)
+
+        for i, (yv, cb, cr) in enumerate(
+            [(200, 40, 120), (100, 80, 160)]
+        ):
+            if i == 1:
+                bw.restart(0)
+                preds = {1: 0, 2: 0, 3: 0}
+            for _ in range(4):
+                put(1, yv)
+            put(2, cb)
+            put(3, cr)
+        entropy = bw.flush()
+
+        def seg(m, b):
+            return struct.pack(">HH", m, len(b) + 2) + b
+
+        jpg = (
+            b"\xff\xd8"
+            + seg(
+                0xFFDB,
+                bytes([0x00]) + bytes(M._JPEG_QZZ)
+                + bytes([0x01]) + bytes(M._JPEG_QZZ),
+            )
+            + seg(
+                0xFFC0,
+                struct.pack(">BHHB", 8, 16, 32, 3)
+                + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+            )
+            + seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+            + seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+            + seg(0xFFDD, struct.pack(">H", 1))
+            + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+            + entropy
+            + b"\xff\xd9"
+        )
+        w, h, Y, Cb, Cr = M._parse_jpeg_ycbcr(jpg)
+        assert (w, h) == (32, 16)
+        assert (Y[:, :16] == 200).all() and (Y[:, 16:] == 100).all()
+        assert (Cb[:, :8] == 40).all() and (Cb[:, 8:] == 80).all()
+        assert (Cr[:, :8] == 120).all() and (Cr[:, 8:] == 160).all()
