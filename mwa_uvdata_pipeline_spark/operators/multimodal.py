@@ -897,24 +897,42 @@ def _parse_flac_body(data: bytes):
                     coefs = _FLAC_FIXED[order]
                     shift = 0
                 method = br.read(2)
-                if method != 0:
-                    raise ValueError("only 4-bit Rice method supported")
+                if method > 1:
+                    raise ValueError("reserved residual coding method")
+                # method 0 = 4-bit Rice parameters, method 1 = Rice2
+                # (5-bit parameters, spec §9.2.7 — what real encoders
+                # emit for wide residuals); the all-ones parameter is
+                # the ESCAPE: that partition's residuals are stored
+                # verbatim at a 5-bit declared width (width 0 = all
+                # zero, no bits).
+                pbits = 4 if method == 0 else 5
+                escape = (1 << pbits) - 1
                 part_order = br.read(4)
                 n_parts = 1 << part_order
+
+                def append_resid(r: int) -> None:
+                    pred = sum(
+                        c * block[len(block) - 1 - j]
+                        for j, c in enumerate(coefs)
+                    ) >> shift
+                    block.append(pred + r)
+
                 for p in range(n_parts):
-                    k = br.read(4)
-                    if k == 0b1111:
-                        raise ValueError("escaped partitions unsupported")
+                    k = br.read(pbits)
                     cnt = (n >> part_order) - (order if p == 0 else 0)
+                    if k == escape:
+                        width = br.read(5)
+                        for _ in range(cnt):
+                            append_resid(
+                                sgn(br.read(width), width)
+                                if width else 0
+                            )
+                        continue
                     for _ in range(cnt):
                         q = br.read_unary()
                         u = (q << k) | br.read(k)
                         r = (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
-                        pred = sum(
-                            c * block[len(block) - 1 - j]
-                            for j, c in enumerate(coefs)
-                        ) >> shift
-                        block.append(pred + r)
+                        append_resid(r)
                 return block
             raise ValueError("unknown subframe type")
 

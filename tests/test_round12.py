@@ -393,6 +393,148 @@ class TestFlacWastedBits:
             _parse_flac(good[:-8] + bytes([good[-8] ^ 0x80]) + good[-7:])
 
 
+class TestFlacResidualCodings:
+    """The residual-coding arms real encoders emit but the
+    synthesizers never exercise — partition order > 0 (every real
+    FLAC uses 3-6), the Rice2 method (5-bit parameters), and escaped
+    partitions (verbatim residuals at a declared width) — each
+    pinned by a hand-built stream whose decode is the closed-form
+    signal."""
+
+    @staticmethod
+    def _build(n, samples, write_resid):
+        """Mono 16-bit single-frame FLAC around one FIXED order-1
+        subframe whose residual section is written by the caller."""
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        si = M._Bits()
+        si.write(n, 16)
+        si.write(n, 16)
+        si.write(0, 24)
+        si.write(0, 24)
+        si.write(8000, 20)
+        si.write(0, 3)
+        si.write(15, 5)
+        si.write(n, 36)
+        streaminfo = (
+            b"\x80" + (34).to_bytes(3, "big") + si.bytes() + b"\x00" * 16
+        )
+        hb = M._Bits()
+        hb.write(0b11111111111110, 14)
+        hb.write(0, 2)
+        hb.write(0b0111, 4)
+        hb.write(0b0100, 4)
+        hb.write(0b0000, 4)
+        hb.write(0b100, 3)
+        hb.write(0, 1)
+        hb.write(0x00, 8)
+        hb.write(n - 1, 16)
+        header = hb.bytes()
+        header += bytes([M._crc8_flac(header)])
+        body = M._Bits()
+        body.write((0b001000 | 1) << 1, 8)
+        body.write(samples[0] & 0xFFFF, 16)
+        write_resid(body, samples)
+        body.pad_to_byte()
+        frame = header + body.bytes()
+        frame += M._crc16_flac(frame).to_bytes(2, "big")
+        return b"fLaC" + streaminfo + frame
+
+    @staticmethod
+    def _rice(body, r, k):
+        u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+        body.write(0, u >> k)
+        body.write(1, 1)
+        body.write(u & ((1 << k) - 1), k)
+
+    def test_partition_order_one(self):
+        """Two partitions: the FIRST holds (n >> po) - order
+        residuals, later ones (n >> po) — the off-by-one real
+        decoders get wrong."""
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        n = 8
+        samples = [100 + 3 * i for i in range(n)]
+
+        def resid(body, s):
+            body.write(0b00, 2)
+            body.write(1, 4)  # partition order 1
+            body.write(2, 4)  # partition 0: k=2, 3 residuals
+            for i in range(1, 4):
+                self._rice(body, s[i] - s[i - 1], 2)
+            body.write(2, 4)  # partition 1: k=2, 4 residuals
+            for i in range(4, 8):
+                self._rice(body, s[i] - s[i - 1], 2)
+
+        _, got = M._parse_flac(self._build(n, samples, resid))
+        assert list(got) == samples
+
+    def test_rice2_method(self):
+        """Method 01: 5-bit Rice parameters (spec §9.2.7)."""
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        n = 8
+        samples = [100 + 3 * i for i in range(n)]
+
+        def resid(body, s):
+            body.write(0b01, 2)
+            body.write(0, 4)
+            body.write(2, 5)  # 5-bit parameter field
+            for i in range(1, n):
+                self._rice(body, s[i] - s[i - 1], 2)
+
+        _, got = M._parse_flac(self._build(n, samples, resid))
+        assert list(got) == samples
+
+    @pytest.mark.parametrize("method", [0, 1])
+    def test_escaped_partition_signed_width(self, method):
+        """The all-ones parameter escapes to verbatim residuals at a
+        5-bit declared width — signed, so negative residuals must
+        sign-extend (the alternating signal breaks an unsigned
+        read)."""
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        zig = [100, 95, 108, 91, 116, 84, 110, 90]  # diffs in [-32,31]
+
+        def resid(body, s):
+            pbits = 4 if method == 0 else 5
+            body.write(method, 2)
+            body.write(0, 4)
+            body.write((1 << pbits) - 1, pbits)  # escape
+            body.write(6, 5)  # residual width
+            for i in range(1, len(s)):
+                body.write((s[i] - s[i - 1]) & 0x3F, 6)
+
+        _, got = M._parse_flac(self._build(len(zig), zig, resid))
+        assert list(got) == zig
+
+    def test_escaped_partition_width_zero(self):
+        """Width 0 = all residuals zero, zero bits read — a constant
+        signal after the order-1 warmup."""
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        const = [42] * 8
+
+        def resid(body, s):
+            body.write(0b00, 2)
+            body.write(0, 4)
+            body.write(0b1111, 4)
+            body.write(0, 5)
+
+        _, got = M._parse_flac(self._build(8, const, resid))
+        assert list(got) == const
+
+    def test_reserved_method_rejects(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        def resid(body, s):
+            body.write(0b10, 2)  # reserved
+            body.write(0, 4)
+
+        with pytest.raises(ValueError, match="reserved residual"):
+            M._parse_flac(self._build(4, [1, 2, 3, 4], resid))
+
+
 class TestAdviceRegressions:
     """r11 ADVICE items verified at the behavior level."""
 
