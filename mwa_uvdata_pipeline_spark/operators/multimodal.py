@@ -2712,27 +2712,48 @@ def _parse_mp4(data: bytes):
             if typ in containers:
                 walk(body, pos + size)
             elif typ == b"mvhd":
+                # v1 (ISO 14496-12 §8.2.2): creation/modification/
+                # duration widen to 64 bits, shifting timescale to
+                # body+20 and duration to body+24.
                 ver = data[body]
-                if ver != 0:
-                    raise ValueError("mvhd v1 unsupported")
-                ts, dur = struct.unpack(
-                    ">II", data[body + 12 : body + 20]
-                )
+                if ver == 0:
+                    ts, dur = struct.unpack(
+                        ">II", data[body + 12 : body + 20]
+                    )
+                elif ver == 1:
+                    (ts,) = struct.unpack(
+                        ">I", data[body + 20 : body + 24]
+                    )
+                    (dur,) = struct.unpack(
+                        ">Q", data[body + 24 : body + 32]
+                    )
+                else:
+                    raise ValueError("bad mvhd version")
+                if ts == 0:
+                    raise ValueError("zero mvhd timescale")
                 out["duration_ms"] = dur * 1000 // ts
             elif typ == b"tkhd":
-                if data[body] != 0:
-                    raise ValueError("tkhd v1 unsupported")
+                if data[body] > 1:
+                    raise ValueError("bad tkhd version")
+                # width/height are the LAST 8 bytes of the box in
+                # both versions — the v1 widening happens before them
                 wfx, hfx = struct.unpack(
                     ">II", data[pos + size - 8 : pos + size]
                 )
                 out["width"] = wfx >> 16
                 out["height"] = hfx >> 16
             elif typ == b"mdhd":
-                if data[body] != 0:
-                    raise ValueError("mdhd v1 unsupported")
-                (out["timescale"],) = struct.unpack(
-                    ">I", data[body + 12 : body + 16]
-                )
+                ver = data[body]
+                if ver == 0:
+                    (out["timescale"],) = struct.unpack(
+                        ">I", data[body + 12 : body + 16]
+                    )
+                elif ver == 1:
+                    (out["timescale"],) = struct.unpack(
+                        ">I", data[body + 20 : body + 24]
+                    )
+                else:
+                    raise ValueError("bad mdhd version")
             elif typ == b"stsz":
                 fixed, cnt = struct.unpack(
                     ">II", data[body + 4 : body + 12]

@@ -535,6 +535,100 @@ class TestFlacResidualCodings:
             M._parse_flac(self._build(4, [1, 2, 3, 4], resid))
 
 
+class TestMp4VersionOneBoxes:
+    """ISO 14496-12 version-1 full boxes (64-bit creation/
+    modification/duration) — what modern muxers emit for long media;
+    previously rejected. The v1 layouts shift timescale/duration, so
+    a v0-offset read of a v1 box yields garbage, not an error — the
+    value assertions below are the real gate."""
+
+    @staticmethod
+    def _v1_mp4(ts=1000, dur=42_000, w=320, h=240, ns=5):
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        sizes = [100 + i * 7 for i in range(ns)]
+        ftyp = M._mp4_box(
+            b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom"
+        )
+        mvhd = M._mp4_full(
+            b"mvhd", 1, 0,
+            struct.pack(">QQIQ", 0, 0, ts, dur)
+            + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10
+            + struct.pack(
+                ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+            )
+            + b"\x00" * 24 + struct.pack(">I", 2),
+        )
+        tkhd = M._mp4_full(
+            b"tkhd", 1, 7,
+            struct.pack(">QQIIQ", 0, 0, 1, 0, dur) + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + struct.pack(
+                ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+            )
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = M._mp4_full(
+            b"mdhd", 1, 0,
+            struct.pack(">QQIQ", 0, 0, 90000, ns * 3000)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = M._mp4_full(
+            b"hdlr", 0, 0,
+            struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00",
+        )
+        stsz = M._mp4_full(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, ns)
+            + b"".join(struct.pack(">I", s) for s in sizes),
+        )
+        stts = M._mp4_full(
+            b"stts", 0, 0, struct.pack(">III", 1, ns, 3000)
+        )
+        stbl = M._mp4_box(b"stbl", stsz + stts)
+        minf = M._mp4_box(b"minf", stbl)
+        mdia = M._mp4_box(b"mdia", mdhd + hdlr + minf)
+        trak = M._mp4_box(b"trak", tkhd + mdia)
+        moov = M._mp4_box(b"moov", mvhd + trak)
+        mdat = M._mp4_box(b"mdat", bytes(sum(sizes)))
+        return ftyp + moov + mdat
+
+    def test_v1_boxes_parse_with_correct_values(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        meta = M._parse_mp4(self._v1_mp4())
+        assert meta["duration_ms"] == 42_000
+        assert (meta["width"], meta["height"]) == (320, 240)
+        assert meta["timescale"] == 90_000
+        assert meta["n_samples"] == 5
+
+    def test_zero_timescale_raises_clean(self):
+        """A zeroed mvhd timescale previously leaked
+        ZeroDivisionError — unreachable by the single-bit fuzz
+        (the synth timescale has several set bits)."""
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        blob = bytearray(self._v1_mp4())
+        at = bytes(blob).index(b"mvhd") + 4 + 4 + 16
+        blob[at : at + 4] = struct.pack(">I", 0)
+        with pytest.raises(ValueError, match="timescale"):
+            M._parse_mp4(bytes(blob))
+
+    def test_bad_versions_reject(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        good = self._v1_mp4()
+        for box in (b"mvhd", b"tkhd", b"mdhd"):
+            blob = bytearray(good)
+            blob[bytes(good).index(box) + 4] = 2  # version 2
+            with pytest.raises(ValueError):
+                M._parse_mp4(bytes(blob))
+
+
 class TestAdviceRegressions:
     """r11 ADVICE items verified at the behavior level."""
 
