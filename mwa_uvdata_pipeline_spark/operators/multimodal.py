@@ -1535,13 +1535,14 @@ def _parse_png(data: bytes):
             )
             if (
                 depth != 8
-                or ctype not in (0, 2, 3)
+                or ctype not in (0, 2, 3, 4, 6)
                 or comp != 0
                 or filt != 0
                 or inter not in (0, 1)
             ):
                 raise ValueError(
-                    "only 8-bit gray/RGB/palette PNG (interlace 0 or 1)"
+                    "only 8-bit gray/RGB/palette/gray+alpha/RGBA PNG "
+                    "(interlace 0 or 1)"
                 )
             dims = (w, h)
             color_type = ctype
@@ -1557,12 +1558,15 @@ def _parse_png(data: bytes):
     if dims is None:
         raise ValueError("missing IHDR")
     w, h = dims
-    # gray (type 0) and palette (type 3) code ONE byte per pixel; the
-    # channel count only matters after unfiltering, so the whole
-    # filter/interlace machinery below runs at the CODED bpp and a
-    # single conversion at the end widens to RGB (gray replicated,
-    # palette looked up in PLTE per spec §11.2.3).
-    bpp = 3 if color_type == 2 else 1
+    # The filter/interlace machinery below runs at the CODED bytes
+    # per pixel (spec §9: filters operate on bytes, the left
+    # neighbor is bpp bytes back) and one conversion at the end
+    # produces RGB: gray replicated, palette looked up in PLTE per
+    # spec §11.2.3, alpha PARSED-AND-DROPPED (the PIL convert("RGB")
+    # convention — the channel passes through the whole unfilter
+    # path, so a filter bug in it still corrupts the RGB bytes and
+    # breaks the gate).
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     try:
@@ -1570,12 +1574,20 @@ def _parse_png(data: bytes):
     except zlib.error as exc:
         raise ValueError("corrupt PNG IDAT stream") from exc
     def to_rgb(coded):
-        """Widen the CODED (h, w, bpp) image to RGB: truecolor passes
-        through, grayscale replicates the sample into all three
-        channels, palette indexes PLTE (range-checked — an index past
-        the palette is file corruption, not a reader crash)."""
+        """Convert the CODED (h, w, bpp) image to RGB: truecolor
+        passes through, grayscale replicates the sample into all
+        three channels, palette indexes PLTE (range-checked — an
+        index past the palette is file corruption, not a reader
+        crash), and the alpha types drop their alpha channel after
+        it rode the whole unfilter path."""
         if color_type == 2:
             return coded.astype("i8")
+        if color_type == 6:  # RGBA: drop alpha
+            return coded[:, :, :3].astype("i8")
+        if color_type == 4:  # gray+alpha: replicate gray, drop alpha
+            return np.repeat(
+                coded[:, :, 0].astype("i8")[:, :, None], 3, axis=2
+            )
         plane = coded.reshape(h, w)
         if color_type == 0:
             return np.repeat(

@@ -4035,9 +4035,12 @@ def m_jpeg_rst_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bpp=3 (the left neighbor is the previous byte), exercised "
         "across all five filters via the (doc_id+y)%5 rotation. "
         "PLTE is CRC-checked like every chunk; an index past the "
-        "palette raises the clean ValueError (tested), and 16-bit / "
-        "alpha types keep their clean rejection. Same map-only "
-        "Arrow-batched scale shape as m_png_native.",
+        "palette raises the clean ValueError (tested). The alpha "
+        "types (4/6) decode too — alpha rides the unfilter path and "
+        "drops at RGB conversion (unit-tested; this gate pins the "
+        "1-byte/px types) — and 16-bit depths keep their clean "
+        "rejection. Same map-only Arrow-batched scale shape as "
+        "m_png_native.",
 )
 def m_png_types_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwa_uvdata_pipeline_spark.operators.multimodal import (

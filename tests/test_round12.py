@@ -265,18 +265,66 @@ class TestPngColorTypes:
         with pytest.raises(ValueError, match="PLTE"):
             _parse_png(data)
 
-    def test_unsupported_types_still_reject_cleanly(self):
+    def test_unsupported_depths_still_reject_cleanly(self):
         from mwa_uvdata_pipeline_spark.operators.multimodal import (
             _parse_png,
         )
 
         for ihdr in (
-            (1, 1, 16, 2, 0, 0, 0),  # 16-bit
-            (1, 1, 8, 6, 0, 0, 0),  # RGBA
-            (1, 1, 8, 4, 0, 0, 0),  # gray+alpha
+            (1, 1, 16, 2, 0, 0, 0),  # 16-bit truecolor
+            (1, 1, 16, 0, 0, 0, 0),  # 16-bit gray
+            (1, 1, 8, 5, 0, 0, 0),  # undefined color type
         ):
             with pytest.raises(ValueError, match="only 8-bit"):
                 _parse_png(self._png(ihdr, [], b"\x00\x00"))
+
+    @pytest.mark.parametrize("ctype,inter", [
+        (6, 0), (6, 1), (4, 0), (4, 1),
+    ])
+    def test_alpha_types_decode_alpha_dropped(self, ctype, inter):
+        """RGBA (type 6, the screenshot/web-graphic shape) and
+        gray+alpha (type 4) decode with the alpha channel riding the
+        whole unfilter path (bpp=4/2 left-neighbor geometry) and
+        dropped at RGB conversion — both serializations."""
+        import struct
+        import zlib
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        rng = np.random.RandomState(3 + ctype + inter)
+        nch = 4 if ctype == 6 else 2
+        img = rng.randint(0, 256, (5, 7, nch)).astype("u1")
+        h, w = img.shape[:2]
+        if inter == 0:
+            raw = M._png_filter_rows(img, lambda yy: yy % 5)
+        else:
+            raw = bytearray()
+            for x0, y0, dx, dy in M._ADAM7:
+                pw = max(0, (w - x0 + dx - 1) // dx)
+                ph = max(0, (h - y0 + dy - 1) // dy)
+                if pw == 0 or ph == 0:
+                    continue
+                raw += M._png_filter_rows(
+                    img[y0::dy, x0::dx], lambda yy: yy % 5
+                )
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + M._png_chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, inter),
+            )
+            + M._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + M._png_chunk(b"IEND", b"")
+        )
+        gw, gh, got = M._parse_png(data)
+        if ctype == 6:
+            exp = img[:, :, :3].astype("i8")
+        else:
+            exp = np.repeat(
+                img[:, :, 0].astype("i8")[:, :, None], 3, axis=2
+            )
+        assert (gw, gh) == (w, h)
+        assert (got == exp).all()
 
     def test_bad_plte_length_raises(self):
         from mwa_uvdata_pipeline_spark.operators.multimodal import (
