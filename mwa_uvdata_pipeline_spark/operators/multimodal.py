@@ -295,11 +295,39 @@ def synth_wav_bytes(doc_id: int) -> bytes:
     return buf.getvalue()
 
 
+def _pcm_samples(raw: bytes, sw: int):
+    """Raw PCM frame bytes -> int64 sample array for the widths WAV
+    files actually carry: 1 (unsigned per RIFF convention, centered
+    by -128), 2 (16-bit LE signed), 3 (24-bit LE signed — padded to
+    4 bytes then arithmetic-shifted to sign-extend), 4 (32-bit LE
+    signed)."""
+    import numpy as np
+
+    if sw == 2:
+        return np.frombuffer(raw, dtype="<i2").astype("i8")
+    if sw == 1:
+        return np.frombuffer(raw, dtype="u1").astype("i8") - 128
+    if sw == 4:
+        return np.frombuffer(raw, dtype="<i4").astype("i8")
+    if sw == 3:
+        if len(raw) % 3:
+            raise ValueError("24-bit PCM data not a multiple of 3")
+        b = np.frombuffer(raw, dtype="u1").reshape(-1, 3)
+        padded = np.zeros((b.shape[0], 4), dtype="u1")
+        padded[:, 1:] = b  # place in the HIGH 3 bytes of an i4 ...
+        return (
+            padded.view("<i4").reshape(-1).astype("i8") >> 8
+        )  # ... then >>8 sign-extends
+    raise ValueError(f"unsupported PCM sample width {sw}")
+
+
 def decode_wav(df: DataFrame, payload_col: str = "payload",
                id_col: str = "doc_id") -> DataFrame:
     """REAL WAV decode via stdlib ``wave`` in Arrow-batched
     mapInPandas: parses the RIFF container, reads PCM frames with
-    numpy, and emits integer-exact signal stats (energy, peak)."""
+    numpy at any RIFF sample width (8/16/24/32-bit via
+    :func:`_pcm_samples`), and emits integer-exact signal stats
+    (energy, peak)."""
     import io
     import wave
 
@@ -317,11 +345,7 @@ def decode_wav(df: DataFrame, payload_col: str = "payload",
                         w.getnchannels(), w.getsampwidth(),
                         w.getframerate(), w.getnframes(),
                     )
-                    if sw != 2:
-                        raise ValueError(f"doc {doc_id}: only 16-bit PCM")
-                    s = np.frombuffer(
-                        w.readframes(nfr), dtype="<i2"
-                    ).astype("i8")
+                    s = _pcm_samples(w.readframes(nfr), sw)
                 rows["doc_id"].append(doc_id)
                 rows["sample_rate"].append(rate)
                 rows["n_channels"].append(nch)

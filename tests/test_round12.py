@@ -583,6 +583,62 @@ class TestFlacResidualCodings:
             M._parse_flac(self._build(4, [1, 2, 3, 4], resid))
 
 
+class TestWavSampleWidths:
+    """decode_wav's PCM reader at every RIFF width real corpora
+    carry: 8-bit unsigned (centered), 16-bit, 24-bit (the studio
+    format — sign-extension through the 3-byte pad is the part that
+    goes wrong), 32-bit. The threshold/index-calibrated ops (VAD,
+    clipping, Walsh) stay 16-bit by design."""
+
+    @staticmethod
+    def _wav(samples, sw, nch=1, rate=8000):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(sw)
+            w.setframerate(rate)
+            if sw == 1:
+                raw = (np.asarray(samples) + 128).astype("u1").tobytes()
+            elif sw == 2:
+                raw = np.asarray(samples).astype("<i2").tobytes()
+            elif sw == 3:
+                a = np.asarray(samples).astype("<i4")
+                raw = a.view("u1").reshape(-1, 4)[:, :3].tobytes()
+            else:
+                raw = np.asarray(samples).astype("<i4").tobytes()
+            w.writeframes(raw)
+        return buf.getvalue()
+
+    @pytest.mark.parametrize("sw,vals", [
+        (1, [-128, -1, 0, 1, 127]),
+        (2, [-32768, -5, 0, 7, 32767]),
+        (3, [-8388608, -70000, -1, 0, 1, 70000, 8388607]),
+        (4, [-2147483648, -1, 0, 1, 2147483647]),
+    ])
+    def test_pcm_samples_every_width(self, sw, vals):
+        import io
+        import wave
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        with wave.open(io.BytesIO(self._wav(vals, sw)), "rb") as w:
+            got = M._pcm_samples(
+                w.readframes(w.getnframes()), w.getsampwidth()
+            )
+        assert list(got) == vals
+
+    def test_bad_widths_and_lengths_reject(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        with pytest.raises(ValueError, match="multiple of 3"):
+            M._pcm_samples(b"\x00" * 7, 3)
+        with pytest.raises(ValueError, match="sample width"):
+            M._pcm_samples(b"", 5)
+
+
 class TestMp4VersionOneBoxes:
     """ISO 14496-12 version-1 full boxes (64-bit creation/
     modification/duration) — what modern muxers emit for long media;
