@@ -832,8 +832,10 @@ def _parse_flac_body(data: bytes):
     if info is None:
         raise ValueError("missing STREAMINFO")
     rate, nch, bps, total = info
-    if not 1 <= nch <= 8 or bps != 16:
-        raise ValueError("only 1-8 channel 16-bit FLAC supported")
+    if not 1 <= nch <= 8 or bps not in (8, 16, 24, 32):
+        raise ValueError(
+            "only 1-8 channel 8/16/24/32-bit FLAC supported"
+        )
 
     outs: list[list[int]] = [[] for _ in range(nch)]
     while len(outs[0]) < total:
@@ -856,12 +858,21 @@ def _parse_flac_body(data: bytes):
                 v <<= 1
             for _ in range(extra):
                 br.read(8)
-        if bs_code == 0b0110:
+        # full spec §9.1.1 blocksize table — real encoders emit the
+        # fixed codes (0b1100 = 4096 is flac(1)'s default), reserving
+        # the end-coded forms for the short last frame
+        if bs_code == 0b0000:
+            raise ValueError("reserved blocksize code")
+        elif bs_code == 0b0001:
+            n = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            n = 576 << (bs_code - 2)
+        elif bs_code == 0b0110:
             n = br.read(8) + 1
         elif bs_code == 0b0111:
             n = br.read(16) + 1
         else:
-            raise ValueError("blocksize code unsupported")
+            n = 256 << (bs_code - 8)
         if sr_code in (0b1100, 0b1101, 0b1110):
             br.read({0b1100: 8, 0b1101: 16, 0b1110: 16}[sr_code])
         header_len = (br.pos + 7) // 8
@@ -2155,8 +2166,10 @@ def _jpeg_decode(data: bytes):
             for c in range(nf):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 hs, vs = hv >> 4, hv & 15
-                if not (1 <= hs <= 2 and 1 <= vs <= 2):
-                    raise ValueError("sampling factors beyond 2x2")
+                # T.81 B.2.2 allows 1-4; the MCU walk is generic in
+                # (hs, vs) so nothing else changes (4:1:1 = 4x1)
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError("sampling factors beyond 4x4")
                 frame[cid] = (hs, vs, tq)
             dims = (w, h)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,

@@ -583,6 +583,150 @@ class TestFlacResidualCodings:
             M._parse_flac(self._build(4, [1, 2, 3, 4], resid))
 
 
+class TestFlacHeaderCodes:
+    """Frame-header codes real encoders emit: the FIXED blocksize
+    table (flac(1)'s default frame is code 0b1100 = 4096; the
+    end-coded forms are reserved for the short last frame) and
+    24-bit sample depth (the studio master width)."""
+
+    def test_24bit_with_fixed_blocksize_code(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        n = 256  # blocksize code 0b1000
+        samples = [(-(1 << 22) + 37 * i) for i in range(n)]
+        si = M._Bits()
+        si.write(n, 16)
+        si.write(n, 16)
+        si.write(0, 24)
+        si.write(0, 24)
+        si.write(8000, 20)
+        si.write(0, 3)
+        si.write(23, 5)  # bps - 1 = 23
+        si.write(n, 36)
+        streaminfo = (
+            b"\x80" + (34).to_bytes(3, "big") + si.bytes() + b"\x00" * 16
+        )
+        hb = M._Bits()
+        hb.write(0b11111111111110, 14)
+        hb.write(0, 2)
+        hb.write(0b1000, 4)  # FIXED blocksize: 256, no end-coded size
+        hb.write(0b0100, 4)
+        hb.write(0b0000, 4)
+        hb.write(0b110, 3)  # bps code: 24-bit
+        hb.write(0, 1)
+        hb.write(0x00, 8)
+        header = hb.bytes()
+        header += bytes([M._crc8_flac(header)])
+        body = M._Bits()
+        body.write((0b001000 | 1) << 1, 8)
+        body.write(samples[0] & 0xFFFFFF, 24)
+        body.write(0b00, 2)
+        body.write(0, 4)
+        k = 6
+        body.write(k, 4)
+        for i in range(1, n):
+            r = samples[i] - samples[i - 1]
+            u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+            body.write(0, u >> k)
+            body.write(1, 1)
+            body.write(u & ((1 << k) - 1), k)
+        body.pad_to_byte()
+        frame = header + body.bytes()
+        frame += M._crc16_flac(frame).to_bytes(2, "big")
+        rate, s = M._parse_flac(b"fLaC" + streaminfo + frame)
+        assert rate == 8000
+        assert list(s) == samples
+
+    def test_reserved_blocksize_code_rejects(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        good = bytearray(M.synth_flac_bytes(3))
+        # frame header starts right after fLaC + 4-byte block header
+        # + 34-byte STREAMINFO; blocksize code is bits 16-19 of the
+        # frame header (sync 14 + reserved 2) — byte 2's high nibble
+        at = 4 + 4 + 34 + 2
+        good[at] = (good[at] & 0x0F)  # blocksize code -> 0b0000
+        with pytest.raises(ValueError):
+            M._parse_flac(bytes(good))
+
+
+class TestJpeg411Sampling:
+    """T.81 allows sampling factors 1-4; 4:1:1 (Y 4x1) is the DV /
+    consumer-video chroma layout. The MCU walk is generic in
+    (hs, vs), so only the validation cap moved — this pins the 4x1
+    geometry end to end."""
+
+    def test_single_mcu_411(self):
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        (dc_bits, dc_vals), (ac_bits, ac_vals) = M._jpeg_tables()
+        dcc = M._huff_codes(dc_bits, dc_vals)
+        acc = M._huff_codes(ac_bits, ac_vals)
+        bw = M._BitWriter()
+        preds = {1: 0, 2: 0, 3: 0}
+
+        def put(cid, v):
+            qdc = (8 * (v - 128)) // M._JPEG_QZZ[0]
+            diff = qdc - preds[cid]
+            preds[cid] = qdc
+            size = abs(diff).bit_length()
+            c, ln = dcc[size]
+            bw.write(c, ln)
+            if size:
+                bits = diff if diff >= 0 else diff + (1 << size) - 1
+                bw.write(bits, size)
+            c, ln = acc[0x00]
+            bw.write(c, ln)
+
+        for _ in range(4):
+            put(1, 150)
+        put(2, 60)
+        put(3, 90)
+        entropy = bw.flush()
+
+        def seg(m, b):
+            return struct.pack(">HH", m, len(b) + 2) + b
+
+        jpg = (
+            b"\xff\xd8"
+            + seg(
+                0xFFDB,
+                bytes([0x00]) + bytes(M._JPEG_QZZ)
+                + bytes([0x01]) + bytes(M._JPEG_QZZ),
+            )
+            + seg(
+                0xFFC0,
+                struct.pack(">BHHB", 8, 8, 32, 3)
+                + bytes([1, 0x41, 0, 2, 0x11, 1, 3, 0x11, 1]),
+            )
+            + seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+            + seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+            + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+            + entropy
+            + b"\xff\xd9"
+        )
+        w, h, comps = M._jpeg_decode(jpg)
+        assert (w, h) == (32, 8)
+        shapes = {cid: (hs, vs, p.shape) for cid, hs, vs, p in comps}
+        assert shapes[1] == (4, 1, (8, 32))
+        assert shapes[2] == (1, 1, (8, 8))
+        for (cid, _, _, p), v in zip(comps, (150, 60, 90)):
+            assert (p == v).all(), cid
+
+    def test_factors_beyond_four_still_reject(self):
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        good = bytearray(M.synth_jpeg_bytes(3))  # 4x1 blocks: 32x8
+        at = bytes(good).index(struct.pack(">BHHB", 8, 8, 32, 1))
+        good[at + 6 + 1] = 0x51  # hs=5
+        with pytest.raises(ValueError, match="sampling factors"):
+            M._parse_jpeg(bytes(good))
+
+
 class TestWavSampleWidths:
     """decode_wav's PCM reader at every RIFF width real corpora
     carry: 8-bit unsigned (centered), 16-bit, 24-bit (the studio
