@@ -2130,12 +2130,21 @@ def _jpeg_decode(data: bytes):
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 15
-                if pq != 0:
-                    raise ValueError("16-bit DQT unsupported")
-                qt[tq] = list(body[i + 1 : i + 65])
-                if len(qt[tq]) < 64:
+                if pq > 1:
+                    raise ValueError("bad DQT precision")
+                width = 2 if pq else 1  # pq=1: 16-bit entries (T.81
+                # B.2.4.1 — what quality-100 encoders emit)
+                vals = body[i + 1 : i + 1 + 64 * width]
+                if len(vals) < 64 * width:
                     raise ValueError("truncated DQT segment")
-                i += 65
+                if pq:
+                    qt[tq] = [
+                        int.from_bytes(vals[2 * j : 2 * j + 2], "big")
+                        for j in range(64)
+                    ]
+                else:
+                    qt[tq] = list(vals)
+                i += 1 + 64 * width
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
             while i < len(body):

@@ -727,6 +727,51 @@ class TestJpeg411Sampling:
             M._parse_jpeg(bytes(good))
 
 
+class TestJpeg16BitDqt:
+    """DQT precision 1 (16-bit quant entries, T.81 B.2.4.1 — what
+    quality-100 encoders emit). Same table values widened must
+    decode identically to the 8-bit stream."""
+
+    def test_16bit_dqt_decodes_identically(self):
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        good = M.synth_jpeg_bytes(5)
+        dqt8 = (
+            struct.pack(">HH", 0xFFDB, 2 + 1 + 64)
+            + bytes([0x00]) + bytes(M._JPEG_QZZ)
+        )
+        assert dqt8 in good
+        dqt16 = (
+            struct.pack(">HH", 0xFFDB, 2 + 1 + 128)
+            + bytes([0x10])
+            + b"".join(struct.pack(">H", q) for q in M._JPEG_QZZ)
+        )
+        w, h, img = M._parse_jpeg(good.replace(dqt8, dqt16))
+        w0, h0, img0 = M._parse_jpeg(good)
+        assert (w, h) == (w0, h0)
+        assert (img == img0).all()
+
+    def test_bad_precision_rejects(self):
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        good = M.synth_jpeg_bytes(5)
+        dqt8 = (
+            struct.pack(">HH", 0xFFDB, 2 + 1 + 64)
+            + bytes([0x00]) + bytes(M._JPEG_QZZ)
+        )
+        bad = good.replace(
+            dqt8,
+            struct.pack(">HH", 0xFFDB, 2 + 1 + 64)
+            + bytes([0x20]) + bytes(M._JPEG_QZZ),
+        )
+        with pytest.raises(ValueError, match="DQT precision"):
+            M._parse_jpeg(bad)
+
+
 class TestWavSampleWidths:
     """decode_wav's PCM reader at every RIFF width real corpora
     carry: 8-bit unsigned (centered), 16-bit, 24-bit (the studio
