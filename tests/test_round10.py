@@ -396,7 +396,9 @@ class TestJpegColorDecoder:
         )
         assert b[0, 0] == 255  # clamped: 255 + 1.772*127 > 255
 
-    def test_sampling_beyond_2x2_rejected(self):
+    def test_sampling_beyond_4x4_rejected(self):
+        # the cap moved from 2 to the spec's 4 in round 12 (4:1:1
+        # support); factor 5 is still out of range
         from mwa_uvdata_pipeline_spark.operators.multimodal import (
             _jpeg_decode,
         )
@@ -405,7 +407,7 @@ class TestJpegColorDecoder:
             b"\xff\xd8"
             + _jpeg_seg(
                 0xFFC0,
-                struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x31, 0]),
+                struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x51, 0]),
             )
         )
         with pytest.raises(ValueError, match="sampling"):
