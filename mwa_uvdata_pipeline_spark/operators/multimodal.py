@@ -945,29 +945,31 @@ def _parse_flac_body(data: bytes):
                 part_order = br.read(4)
                 n_parts = 1 << part_order
 
-                def append_resid(r: int) -> None:
-                    pred = sum(
-                        c * block[len(block) - 1 - j]
-                        for j, c in enumerate(coefs)
-                    ) >> shift
-                    block.append(pred + r)
-
                 for p in range(n_parts):
                     k = br.read(pbits)
                     cnt = (n >> part_order) - (order if p == 0 else 0)
                     if k == escape:
                         width = br.read(5)
                         for _ in range(cnt):
-                            append_resid(
+                            r = (
                                 sgn(br.read(width), width)
                                 if width else 0
                             )
+                            pred = sum(
+                                c * block[len(block) - 1 - j]
+                                for j, c in enumerate(coefs)
+                            ) >> shift
+                            block.append(pred + r)
                         continue
                     for _ in range(cnt):
                         q = br.read_unary()
                         u = (q << k) | br.read(k)
                         r = (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
-                        append_resid(r)
+                        pred = sum(
+                            c * block[len(block) - 1 - j]
+                            for j, c in enumerate(coefs)
+                        ) >> shift
+                        block.append(pred + r)
                 return block
             raise ValueError("unknown subframe type")
 
