@@ -637,6 +637,68 @@ class TestFlacHeaderCodes:
         assert rate == 8000
         assert list(s) == samples
 
+    def test_multi_frame_stream(self):
+        """A real FLAC file is MANY frames — full fixed-size frames
+        plus a short end-coded last frame; every synthesizer emits
+        one frame, so the frame-advance loop (CRC16 consume, pos
+        bump, sample append across frames) was unpinned until now."""
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        def frame(frame_no, samples, bs_code, bs_end_bits=None):
+            n = len(samples)
+            hb = M._Bits()
+            hb.write(0b11111111111110, 14)
+            hb.write(0, 2)
+            hb.write(bs_code, 4)
+            hb.write(0b0100, 4)
+            hb.write(0b0000, 4)
+            hb.write(0b100, 3)
+            hb.write(0, 1)
+            hb.write(frame_no, 8)
+            if bs_end_bits:
+                hb.write(n - 1, bs_end_bits)
+            header = hb.bytes()
+            header += bytes([M._crc8_flac(header)])
+            body = M._Bits()
+            body.write((0b001000 | 1) << 1, 8)
+            body.write(samples[0] & 0xFFFF, 16)
+            body.write(0b00, 2)
+            body.write(0, 4)
+            k = 4
+            body.write(k, 4)
+            for i in range(1, n):
+                r = samples[i] - samples[i - 1]
+                u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+                body.write(0, u >> k)
+                body.write(1, 1)
+                body.write(u & ((1 << k) - 1), k)
+            body.pad_to_byte()
+            f = header + body.bytes()
+            return f + M._crc16_flac(f).to_bytes(2, "big")
+
+        s0 = [7 * i - 300 for i in range(256)]  # fixed code 0b1000
+        s1 = [s0[-1] + 5 * i for i in range(100)]  # short last frame
+        si = M._Bits()
+        si.write(256, 16)
+        si.write(256, 16)
+        si.write(0, 24)
+        si.write(0, 24)
+        si.write(8000, 20)
+        si.write(0, 3)
+        si.write(15, 5)
+        si.write(356, 36)
+        streaminfo = (
+            b"\x80" + (34).to_bytes(3, "big") + si.bytes() + b"\x00" * 16
+        )
+        blob = (
+            b"fLaC" + streaminfo
+            + frame(0, s0, 0b1000)
+            + frame(1, s1, 0b0110, 8)
+        )
+        rate, s = M._parse_flac(blob)
+        assert rate == 8000
+        assert list(s) == s0 + s1
+
     def test_reserved_blocksize_code_rejects(self):
         from mwa_uvdata_pipeline_spark.operators import multimodal as M
 
