@@ -1240,9 +1240,12 @@ def _parse_ppm(data: bytes):
         pos = end
     pos += 1  # single whitespace after maxval
     w, h, maxval = (int(f) for f in fields)
-    if maxval != 255:
-        raise ValueError("only 8-bit PPM")
-    img = np.frombuffer(data, dtype="u1", count=w * h * 3, offset=pos)
+    # full Netpbm range: maxval < 256 is one byte per sample,
+    # 256-65535 two bytes BIG-endian (the spec's explicit ordering)
+    if not 1 <= maxval <= 65535:
+        raise ValueError("bad PPM maxval")
+    dt = "u1" if maxval < 256 else ">u2"
+    img = np.frombuffer(data, dtype=dt, count=w * h * 3, offset=pos)
     return w, h, img.reshape(h, w, 3).astype("i8")
 
 

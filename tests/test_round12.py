@@ -984,6 +984,83 @@ class TestMp4VersionOneBoxes:
                 M._parse_mp4(bytes(blob))
 
 
+class TestPpmMaxval:
+    """Full Netpbm maxval range: one byte per sample below 256, two
+    bytes BIG-endian at 256-65535 (16-bit scanner output)."""
+
+    def test_16bit_maxval_big_endian(self):
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        vals = [0, 1, 256, 1000, 40000, 65535]  # 2x1 image, 6 samples
+        body = b"".join(struct.pack(">H", v) for v in vals)
+        w, h, img = M._parse_ppm(b"P6\n2 1\n65535\n" + body)
+        assert (w, h) == (2, 1)
+        assert img.reshape(-1).tolist() == vals
+
+    def test_low_maxval_single_byte(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        w, h, img = M._parse_ppm(b"P6\n1 1\n15\n" + bytes([1, 7, 15]))
+        assert img.reshape(-1).tolist() == [1, 7, 15]
+
+    def test_bad_maxval_rejects(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        for mv in (b"0", b"65536", b"99999"):
+            with pytest.raises(ValueError, match="maxval"):
+                M._parse_ppm(b"P6\n1 1\n" + mv + b"\n" + bytes(6))
+
+
+class TestPngAncillaryChunks:
+    """Ancillary chunks (tRNS, gAMA, tEXt...) are CRC-verified and
+    skipped — consistent with the alpha-dropped convention; a
+    corrupt ancillary chunk still fails the file."""
+
+    def test_trns_and_gama_skipped(self):
+        import struct
+        import zlib
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        pal = bytes([10, 20, 30, 40, 50, 60])
+        scan = bytes([0, 0, 1])  # indices [0, 1], None filter
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + M._png_chunk(
+                b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+            )
+            + M._png_chunk(b"gAMA", struct.pack(">I", 45455))
+            + M._png_chunk(b"PLTE", pal)
+            + M._png_chunk(b"tRNS", bytes([128, 255]))
+            + M._png_chunk(b"IDAT", zlib.compress(scan))
+            + M._png_chunk(b"IEND", b"")
+        )
+        w, h, img = M._parse_png(data)
+        assert img.reshape(-1).tolist() == [10, 20, 30, 40, 50, 60]
+
+    def test_corrupt_ancillary_crc_still_fails(self):
+        import struct
+        import zlib
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        data = bytearray(
+            b"\x89PNG\r\n\x1a\n"
+            + M._png_chunk(
+                b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+            )
+            + M._png_chunk(b"gAMA", struct.pack(">I", 45455))
+            + M._png_chunk(b"IDAT", zlib.compress(bytes([0, 7])))
+            + M._png_chunk(b"IEND", b"")
+        )
+        at = bytes(data).index(b"gAMA") + 4  # corrupt the gAMA body
+        data[at] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            M._parse_png(bytes(data))
+
+
 class TestAdviceRegressions:
     """r11 ADVICE items verified at the behavior level."""
 
