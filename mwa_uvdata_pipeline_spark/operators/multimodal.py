@@ -1555,6 +1555,7 @@ def _parse_png(data: bytes):
     dims = None
     inter = 0
     color_type = 2
+    bit_depth = 8
     plte = None
     idat = bytearray()
     while pos + 12 <= len(data):
@@ -1574,18 +1575,20 @@ def _parse_png(data: bytes):
                 ">IIBBBBB", body
             )
             if (
-                depth != 8
+                depth not in (8, 16)
                 or ctype not in (0, 2, 3, 4, 6)
+                or (depth == 16 and ctype == 3)  # spec: palette <= 8
                 or comp != 0
                 or filt != 0
                 or inter not in (0, 1)
             ):
                 raise ValueError(
-                    "only 8-bit gray/RGB/palette/gray+alpha/RGBA PNG "
-                    "(interlace 0 or 1)"
+                    "only 8/16-bit gray/RGB/palette/gray+alpha/RGBA "
+                    "PNG (interlace 0 or 1; palette is 8-bit)"
                 )
             dims = (w, h)
             color_type = ctype
+            bit_depth = depth
         elif typ == b"PLTE":
             if len(body) == 0 or len(body) % 3 or len(body) > 768:
                 raise ValueError("bad PLTE length")
@@ -1600,13 +1603,15 @@ def _parse_png(data: bytes):
     w, h = dims
     # The filter/interlace machinery below runs at the CODED bytes
     # per pixel (spec §9: filters operate on bytes, the left
-    # neighbor is bpp bytes back) and one conversion at the end
-    # produces RGB: gray replicated, palette looked up in PLTE per
+    # neighbor is bpp bytes back — at 16-bit depth that is
+    # 2*channels bytes) and one conversion at the end produces the
+    # sample image: gray replicated, palette looked up in PLTE per
     # spec §11.2.3, alpha PARSED-AND-DROPPED (the PIL convert("RGB")
     # convention — the channel passes through the whole unfilter
     # path, so a filter bug in it still corrupts the RGB bytes and
-    # breaks the gate).
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    # breaks the gate), 16-bit byte pairs combined BIG-endian.
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = channels * (bit_depth // 8)
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     try:
@@ -1614,19 +1619,27 @@ def _parse_png(data: bytes):
     except zlib.error as exc:
         raise ValueError("corrupt PNG IDAT stream") from exc
     def to_rgb(coded):
-        """Convert the CODED (h, w, bpp) image to RGB: truecolor
-        passes through, grayscale replicates the sample into all
-        three channels, palette indexes PLTE (range-checked — an
-        index past the palette is file corruption, not a reader
-        crash), and the alpha types drop their alpha channel after
-        it rode the whole unfilter path."""
+        """Convert the CODED (h, w, bpp) image to RGB samples:
+        truecolor passes through, grayscale replicates the sample
+        into all three channels, palette indexes PLTE
+        (range-checked — an index past the palette is file
+        corruption, not a reader crash), the alpha types drop their
+        alpha channel after it rode the whole unfilter path, and at
+        16-bit depth each sample is its big-endian byte pair
+        (values 0-65535)."""
+        if bit_depth == 16:
+            pairs = coded.astype("i8").reshape(h, w, channels, 2)
+            coded = (pairs[..., 0] << 8) | pairs[..., 1]
         if color_type == 2:
-            return coded.astype("i8")
+            return coded.reshape(h, w, 3).astype("i8")
         if color_type == 6:  # RGBA: drop alpha
-            return coded[:, :, :3].astype("i8")
+            return coded.reshape(h, w, 4)[:, :, :3].astype("i8")
         if color_type == 4:  # gray+alpha: replicate gray, drop alpha
             return np.repeat(
-                coded[:, :, 0].astype("i8")[:, :, None], 3, axis=2
+                coded.reshape(h, w, 2)[:, :, 0]
+                .astype("i8")[:, :, None],
+                3,
+                axis=2,
             )
         plane = coded.reshape(h, w)
         if color_type == 0:

@@ -4038,7 +4038,10 @@ def m_jpeg_rst_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "palette raises the clean ValueError (tested). The alpha "
         "types (4/6) decode too — alpha rides the unfilter path and "
         "drops at RGB conversion (unit-tested; this gate pins the "
-        "1-byte/px types) — and 16-bit depths keep their clean "
+        "1-byte/px types). 16-bit depth decodes too (big-endian "
+        "byte pairs, filters at bpp=2*channels — unit-tested all "
+        "four non-palette types, both serializations); sub-byte "
+        "depths and the spec-invalid 16-bit palette keep clean "
         "rejection. Same map-only Arrow-batched scale shape as "
         "m_png_native.",
 )

@@ -265,18 +265,67 @@ class TestPngColorTypes:
         with pytest.raises(ValueError, match="PLTE"):
             _parse_png(data)
 
-    def test_unsupported_depths_still_reject_cleanly(self):
+    def test_unsupported_shapes_still_reject_cleanly(self):
         from mwa_uvdata_pipeline_spark.operators.multimodal import (
             _parse_png,
         )
 
         for ihdr in (
-            (1, 1, 16, 2, 0, 0, 0),  # 16-bit truecolor
-            (1, 1, 16, 0, 0, 0, 0),  # 16-bit gray
+            (1, 1, 4, 0, 0, 0, 0),  # sub-byte depth
+            (1, 1, 16, 3, 0, 0, 0),  # 16-bit palette (invalid per spec)
             (1, 1, 8, 5, 0, 0, 0),  # undefined color type
         ):
-            with pytest.raises(ValueError, match="only 8-bit"):
+            with pytest.raises(ValueError, match="only 8/16-bit"):
                 _parse_png(self._png(ihdr, [], b"\x00\x00"))
+
+    @pytest.mark.parametrize("ctype,nch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+    @pytest.mark.parametrize("inter", [0, 1])
+    def test_16bit_depth_decodes(self, ctype, nch, inter):
+        """16-bit depth (scientific/medical imagery): the filters run
+        at bpp = 2*channels bytes per spec, then big-endian byte
+        pairs combine into 0-65535 samples — all four non-palette
+        color types, both serializations."""
+        import struct
+        import zlib
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        rng = np.random.RandomState(11 + ctype + inter)
+        img = rng.randint(0, 65536, (5, 7, nch)).astype("i8")
+        h, w = img.shape[:2]
+        hi = (img >> 8).astype("u1")
+        lo = (img & 0xFF).astype("u1")
+        byts = np.stack([hi, lo], axis=3).reshape(h, w, nch * 2)
+        if inter == 0:
+            raw = M._png_filter_rows(byts, lambda yy: yy % 5)
+        else:
+            raw = bytearray()
+            for x0, y0, dx, dy in M._ADAM7:
+                pw = max(0, (w - x0 + dx - 1) // dx)
+                ph = max(0, (h - y0 + dy - 1) // dy)
+                if pw == 0 or ph == 0:
+                    continue
+                raw += M._png_filter_rows(
+                    byts[y0::dy, x0::dx], lambda yy: yy % 5
+                )
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + M._png_chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, inter),
+            )
+            + M._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + M._png_chunk(b"IEND", b"")
+        )
+        gw, gh, got = M._parse_png(data)
+        if ctype == 2:
+            exp = img
+        elif ctype == 6:
+            exp = img[:, :, :3]
+        else:
+            exp = np.repeat(img[:, :, 0][:, :, None], 3, axis=2)
+        assert (gw, gh) == (w, h)
+        assert (got == exp).all()
 
     @pytest.mark.parametrize("ctype,inter", [
         (6, 0), (6, 1), (4, 0), (4, 1),
