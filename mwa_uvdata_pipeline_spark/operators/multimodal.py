@@ -1016,7 +1016,10 @@ def _parse_flac_body(data: bytes):
             out.extend(block)
     import numpy as np
 
-    return rate, nch, [np.array(o, dtype="i8") for o in outs]
+    # A final frame coded with a fixed blocksize code may overshoot
+    # the STREAMINFO total; reference decoders truncate to total
+    # (libFLAC behavior), so sum_sq/n_samples stay comparable.
+    return rate, nch, [np.array(o[:total], dtype="i8") for o in outs]
 
 
 def decode_flac(df: DataFrame, payload_col: str = "payload",
@@ -1843,7 +1846,7 @@ def synth_jpeg_rst_bytes(doc_id: int) -> bytes:
     """Deterministic grayscale baseline JFIF JPEG WITH RESTART
     INTERVALS for ``doc_id`` — the DRI/RSTn layout virtually every
     camera/webcam JPEG carries (T.81 B.2.4.4 + E.1.4): a DRI segment
-    declares Ri = 1 + doc_id % 3 MCUs per interval, the entropy
+    declares Ri = 1 + doc_id % 2 MCUs per interval, the entropy
     stream is split at every interval boundary by a byte-aligned
     RSTn marker cycling RST0..RST7, and the DC predictor RESETS to
     zero at each marker, so the encoder codes the first block of
@@ -2112,8 +2115,9 @@ def _jpeg_decode(data: bytes):
     comps is a list of (component_id, Hs, Vs, plane) with each plane
     an int64 array at the component's NATURAL (subsampled)
     resolution. Supports 1- or 3-component interleaved baseline scans
-    with sampling factors up to 2x2 (covers grayscale, 4:4:4 and
-    4:2:0 — the shapes real corpora carry). No PIL: marker walk
+    with sampling factors in the spec's full 1-4 range (grayscale,
+    4:4:4, 4:2:0, 4:2:2, 4:1:1 — every shape real corpora carry).
+    No PIL: marker walk
     (length-framed segments, APPn/COM skipped), DQT (8-bit, zigzag),
     DHT (arbitrary canonical tables — nothing about the synthesizer's
     tables is assumed), then entropy decode per T.81 F.2: MCU
@@ -3163,13 +3167,16 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
                 elif kind == "wav":
                     # stdlib wave leaks bare RuntimeError (py3.11
                     # chunk parsing) and EOFError on corrupt headers,
-                    # beyond its own wave.Error
+                    # beyond its own wave.Error. Width-aware via
+                    # _pcm_samples (8/16/24/32-bit), same as the
+                    # decode_wav gate — a hardcoded '<i2' here would
+                    # silently mis-sum 8/24/32-bit real-corpus WAVs.
                     try:
                         with wave.open(io.BytesIO(data), "rb") as wv:
-                            s = np.frombuffer(
+                            s = _pcm_samples(
                                 wv.readframes(wv.getnframes()),
-                                dtype="<i2",
-                            ).astype("i8")
+                                wv.getsampwidth(),
+                            )
                     except (wave.Error, EOFError, RuntimeError) as exc:
                         raise ValueError("corrupt WAV payload") from exc
                     width = height = None
