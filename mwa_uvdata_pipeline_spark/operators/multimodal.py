@@ -74,12 +74,15 @@ def _decode_media_native(data: bytes) -> tuple:
     except ValueError as exc:
         raise NotImplementedError(
             "unrecognized container: native decode covers "
-            "png/jpeg/flac/wav/mp4/ppm; install PIL/ffmpeg for the "
-            "rest "
+            "png/gif/jpeg/flac/wav/mp4/ppm; install PIL/ffmpeg for "
+            "the rest "
             "or use deterministic=True"
         ) from exc
     if kind == "png":
         w, h, _ = _parse_png(data)
+        return w, h, 1
+    if kind == "gif":
+        w, h, _ = _parse_gif(data)
         return w, h, 1
     if kind == "jpeg":
         w, h, _comps = _jpeg_decode(data)
@@ -1674,6 +1677,355 @@ def _parse_png(data: bytes):
     return w, h, to_rgb(img)
 
 
+def _gif_lzw_encode(indices, m: int) -> bytes:
+    """GIF-variant LZW encoder (GIF89a spec appendix F) for the
+    synthesizer: variable code width starting at m+1 bits, codes
+    packed LSB-FIRST, a leading CLEAR code, dictionary keyed on
+    (prefix_code, next_index), width bumped when the DECODER's next
+    free slot reaches 1 << width (the encoder runs one entry ahead,
+    hence the +1), capped at 12 bits."""
+    clear, end = 1 << m, (1 << m) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = m + 1
+    table: dict[tuple[int, int], int] = {}
+    enc_next = end + 1  # encoder's next free code
+    dec_next = end + 1  # SIMULATED decoder slot counter — the width
+    # schedule must follow the DECODER's dictionary, which gains one
+    # entry per code processed after the first (including the final
+    # data code, for which the encoder itself adds nothing)
+    emitted = 0
+
+    def emit_data(code: int) -> None:
+        nonlocal emitted, dec_next, width
+        emit(code, width)
+        emitted += 1
+        if emitted >= 2 and dec_next < 4096:
+            dec_next += 1
+            if dec_next == (1 << width) and width < 12:
+                width += 1
+
+    emit(clear, width)
+    it = iter(indices)
+    prev = int(next(it))
+    for k in it:
+        k = int(k)
+        if (prev, k) in table:
+            prev = table[(prev, k)]
+            continue
+        emit_data(prev)
+        if enc_next < 4096:
+            table[(prev, k)] = enc_next
+            enc_next += 1
+        prev = k
+    emit_data(prev)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, m: int, npix: int):
+    """GIF-variant LZW decoder: LSB-first variable-width codes,
+    CLEAR resets the dictionary, END terminates; the next-free-slot
+    special case (code == next) is the classic KwKwK sequence. The
+    output must land on EXACTLY npix indices at the END code — any
+    overshoot, undershoot, out-of-range code, or bit exhaustion is a
+    clean ValueError (the ingest family's failure contract)."""
+    if not 2 <= m <= 8:
+        raise ValueError("bad LZW minimum code size")
+    clear, end = 1 << m, (1 << m) + 1
+    pos = nbits = acc = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, nbits, acc
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    width = m + 1
+    seqs: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    nxt = end + 1
+    out = bytearray()
+    prev: int | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            width = m + 1
+            seqs = seqs[: end + 1]
+            nxt = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("LZW stream must start with a root")
+            out.extend(seqs[code])
+        else:
+            if code < nxt:
+                entry = seqs[code]
+            elif code == nxt:
+                entry = seqs[prev] + seqs[prev][:1]
+            else:
+                raise ValueError("LZW code beyond dictionary")
+            out.extend(entry)
+            if nxt < 4096:
+                seqs.append(seqs[prev] + entry[:1])
+                nxt += 1
+                if nxt == (1 << width) and width < 12:
+                    width += 1
+        if len(out) > npix:
+            raise ValueError("LZW output exceeds image size")
+        prev = code
+    if len(out) != npix:
+        raise ValueError("LZW output short of image size")
+    return bytes(out)
+
+
+#: GIF interlace passes (GIF89a spec appendix E): (start row, step)
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_rows(h: int) -> list[int]:
+    """Row order in which an interlaced GIF stores the image."""
+    return [y for y0, dy in _GIF_PASSES for y in range(y0, h, dy)]
+
+
+def synth_gif_bytes(doc_id: int) -> bytes:
+    """Deterministic GIF89a for ``doc_id``, synthesized from spec:
+    header + logical screen descriptor, GLOBAL COLOR TABLE of
+    2^(1 + 1 + doc_id % 3) entries (4/8/16), a Graphic Control
+    Extension (the block virtually every real GIF carries — the
+    decoder must skip extensions by sub-block framing), one image
+    descriptor (INTERLACED for odd doc_ids), real LZW-compressed
+    index data in length-prefixed sub-blocks, trailer. Pixel index
+    (doc_id + x*7 + y*11) % ncolors over a (5 + doc_id % 11) x
+    (3 + doc_id % 6) canvas; palette entry i is
+    ((doc_id*5 + i*17) % 256, (doc_id*3 + i*29) % 256,
+    (doc_id*7 + i*13) % 256), so the decoded channel sums are the
+    closed-form double sum the oracle restates."""
+    w = 5 + doc_id % 11
+    h = 3 + doc_id % 6
+    nbits_ct = 1 + doc_id % 3  # GCT size field: 2^(field+1) entries
+    ncolors = 2 << nbits_ct
+    m = nbits_ct + 1  # LZW minimum code size (= bits per index)
+    interlace = doc_id % 2 == 1
+
+    idx = [
+        [(doc_id + x * 7 + y * 11) % ncolors for x in range(w)]
+        for y in range(h)
+    ]
+    rows = _gif_interlace_rows(h) if interlace else range(h)
+    flat = [k for y in rows for k in idx[y]]
+    lzw = _gif_lzw_encode(flat, m)
+    subs = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        subs += bytes([len(chunk)]) + chunk
+    subs += b"\x00"
+
+    gct = bytearray()
+    for i in range(ncolors):
+        gct += bytes([
+            (doc_id * 5 + i * 17) % 256,
+            (doc_id * 3 + i * 29) % 256,
+            (doc_id * 7 + i * 13) % 256,
+        ])
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | nbits_ct, 0, 0])  # GCT flag+size, bg, aspect
+        + bytes(gct)
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, no transparency
+        + b"\x2c" + bytes(4)  # image descriptor at (0, 0)
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x40 if interlace else 0x00])
+        + bytes([m]) + bytes(subs)
+        + b"\x3b"
+    )
+
+
+def _parse_gif(data: bytes):
+    """From-spec GIF decode -> (w, h, int64 HxWx3 RGB array): header
+    + logical screen descriptor, global/local color table, extension
+    blocks skipped by sub-block framing, the FIRST image decoded
+    (LZW + optional interlace reorder + palette lookup, composed
+    onto a background-color canvas); later frames of an animation
+    are structurally walked (their data skipped) so the trailer is
+    still verified. Every structural defect raises ValueError."""
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    w = int.from_bytes(data[6:8], "little")
+    h = int.from_bytes(data[8:10], "little")
+    if w == 0 or h == 0:
+        raise ValueError("zero GIF canvas dimension")
+    packed, bg = data[10], data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if len(data) < pos + 3 * n:
+            raise ValueError("truncated global color table")
+        gct = np.frombuffer(
+            data[pos : pos + 3 * n], dtype="u1"
+        ).reshape(n, 3)
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(data):
+                raise ValueError("truncated GIF sub-blocks")
+            ln = data[p]
+            p += 1
+            if ln == 0:
+                return p
+            if p + ln > len(data):
+                raise ValueError("truncated GIF sub-blocks")
+            p += ln
+
+    img = None
+    while True:
+        if pos >= len(data):
+            raise ValueError("missing GIF trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension")
+            pos = skip_subblocks(pos + 1)
+            continue
+        if block != 0x2C:
+            raise ValueError("unknown GIF block introducer")
+        if len(data) < pos + 9:
+            raise ValueError("truncated image descriptor")
+        left = int.from_bytes(data[pos : pos + 2], "little")
+        top = int.from_bytes(data[pos + 2 : pos + 4], "little")
+        iw = int.from_bytes(data[pos + 4 : pos + 6], "little")
+        ih = int.from_bytes(data[pos + 6 : pos + 8], "little")
+        ipacked = data[pos + 8]
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            if len(data) < pos + 3 * n:
+                raise ValueError("truncated local color table")
+            table = np.frombuffer(
+                data[pos : pos + 3 * n], dtype="u1"
+            ).reshape(n, 3)
+            pos += 3 * n
+        if img is not None:  # later animation frame: walk + skip
+            if pos >= len(data):
+                raise ValueError("truncated image data")
+            pos = skip_subblocks(pos + 1)
+            continue
+        if iw == 0 or ih == 0 or left + iw > w or top + ih > h:
+            raise ValueError("image exceeds the logical screen")
+        if table is None:
+            raise ValueError("no color table for image")
+        if pos >= len(data):
+            raise ValueError("missing LZW minimum code size")
+        m = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            if pos >= len(data):
+                raise ValueError("truncated GIF sub-blocks")
+            ln = data[pos]
+            pos += 1
+            if ln == 0:
+                break
+            if pos + ln > len(data):
+                raise ValueError("truncated GIF sub-blocks")
+            lzw += data[pos : pos + ln]
+            pos += ln
+        flat = np.frombuffer(
+            _gif_lzw_decode(bytes(lzw), m, iw * ih), dtype="u1"
+        )
+        if int(flat.max()) >= len(table):
+            raise ValueError("palette index out of range")
+        frame = np.empty((ih, iw), dtype="u1")
+        if ipacked & 0x40:  # interlaced: scatter stored rows back
+            order = _gif_interlace_rows(ih)
+            frame[order, :] = flat.reshape(ih, iw)
+        else:
+            frame[:, :] = flat.reshape(ih, iw)
+        # compose in RGB space: the background resolves through the
+        # GLOBAL table, the frame through ITS OWN (possibly local)
+        # table — composing in index space would cross the tables
+        if gct is not None:
+            if bg >= len(gct):
+                raise ValueError("background index out of range")
+            img = np.broadcast_to(
+                gct[bg].astype("i8"), (h, w, 3)
+            ).copy()
+        else:
+            # no GCT: the background color is undefined, so the
+            # first frame must cover the whole logical screen
+            if (left, top, iw, ih) != (0, 0, w, h):
+                raise ValueError(
+                    "partial first frame without a global color table"
+                )
+            img = np.zeros((h, w, 3), dtype="i8")
+        img[top : top + ih, left : left + iw] = (
+            table[frame].astype("i8")
+        )
+    if img is None:
+        raise ValueError("GIF carries no image")
+    return w, h, img
+
+
+def decode_gif(df: DataFrame, payload_col: str = "payload",
+               id_col: str = "doc_id") -> DataFrame:
+    """REAL GIF decode (from-spec LZW, interlace, palette — no PIL)
+    via Arrow-batched mapInPandas, emitting the same per-channel
+    integer sums as :func:`decode_png` — the last common still-image
+    format with a fully public spec."""
+    parse_one = _parse_gif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "width", "height", "sum_r",
+                          "sum_g", "sum_b")
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, img = parse_one(bytes(b))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(img[:, :, 0].sum()))
+                rows["sum_g"].append(int(img[:, :, 1].sum()))
+                rows["sum_b"].append(int(img[:, :, 2].sum()))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, PNG_SCHEMA)
+
+
 #: JPEG emits block-structure stats (see decode_jpeg for why weighted).
 JPEG_SCHEMA = (
     "doc_id long, width int, height int, sum_luma long, wsum_luma long, "
@@ -1916,6 +2268,253 @@ def synth_jpeg_rst_bytes(doc_id: int) -> bytes:
     )
 
 
+def _jpeg_prog_tables():
+    """Huffman tables for the PROGRESSIVE synthesizer: same shape as
+    :func:`_jpeg_tables` but the AC table additionally carries the
+    EOBn symbols (run<<4 | 0 for run 1-14) that progressive AC scans
+    use to code EOB RUNS spanning blocks (T.81 G.1.2.2) — baseline
+    only ever emits EOB0. All AC codes length 8 (Kraft: 176/256)."""
+    dc_bits = [0] * 16
+    dc_bits[3] = 12
+    dc_vals = list(range(12))
+    ac_bits = [0] * 16
+    ac_bits[7] = 176
+    ac_vals = [r << 4 for r in range(15)] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ] + [0xF0]
+    return (dc_bits, dc_vals), (ac_bits, ac_vals)
+
+
+def _emit_ac_first(bw, ac_codes, bands, al):
+    """Encode ONE progressive AC-first scan (T.81 G.1.2.2) over
+    ``bands`` (per block: the band's quantized coefficients, NOT yet
+    point-transformed). Accumulates EOB runs across blocks — the
+    encoder-side mirror of the decoder's EOBRUN handling."""
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        while eobrun:
+            run = min(eobrun, 32767)
+            r = run.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(run - (1 << r), r)
+            eobrun -= run
+
+    for band in bands:
+        pt = [
+            (abs(t) >> al) * (1 if t >= 0 else -1) for t in band
+        ]  # point transform: magnitude shift, sign kept (T.81 A.4)
+        last = -1
+        for i, t in enumerate(pt):
+            if t:
+                last = i
+        if last < 0:
+            eobrun += 1
+            continue
+        flush_eob()
+        r = 0
+        for i, t in enumerate(pt[: last + 1]):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                r -= 16
+            s = abs(t).bit_length()
+            code, ln = ac_codes[(r << 4) | s]
+            bw.write(code, ln)
+            bw.write(t if t >= 0 else t + (1 << s) - 1, s)
+            r = 0
+        if last < len(band) - 1:
+            eobrun += 1
+    flush_eob()
+
+
+def _emit_ac_refine(bw, ac_codes, bands, al):
+    """Encode ONE progressive AC-refinement scan (T.81 G.1.2.3,
+    mirroring the reference encoder algorithm): history-nonzero
+    coefficients emit one buffered correction bit each; coefficients
+    newly significant at this precision emit run/size symbols with
+    size 1 plus a raw sign bit; trailing zeros and their buffered
+    correction bits fold into a cross-block EOB run whose bits are
+    emitted right after the EOBn symbol."""
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pending
+        while eobrun:
+            run = min(eobrun, 32767)
+            r = run.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(run - (1 << r), r)
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+            eobrun -= run
+
+    for band in bands:
+        absv = [abs(t) >> al for t in band]
+        eob = -1  # index of the LAST newly-significant coefficient
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r = 0
+        br_bits: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                flush_eob()
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                r -= 16
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+            if t > 1:  # already nonzero in an earlier scan
+                br_bits.append(t & 1)
+                continue
+            flush_eob()
+            code, ln = ac_codes[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(0 if band[i] < 0 else 1, 1)
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            pending.extend(br_bits)
+    flush_eob()
+
+
+#: zigzag index of natural position (4,4) — the one AC coefficient the
+#: progressive synthesizer sets. basis[4,x]*basis[4,y] = ±1/8 exactly,
+#: so a dequantized value divisible by 8 yields INTEGER pixel deltas
+#: (no rounding, no clamp) and the oracle stays closed-form.
+_JPEG_PROG_ACK = _zigzag_order().index(36)
+
+#: the ±1 sign pattern of cos((2x+1)·4π/16), x = 0..7
+_JPEG_PROG_SIGNS = (1, -1, -1, 1, 1, -1, -1, 1)
+
+
+def synth_jpeg_progressive_bytes(doc_id: int) -> bytes:
+    """Deterministic PROGRESSIVE (SOF2) grayscale JFIF JPEG for
+    ``doc_id`` — spectral selection + successive approximation per
+    T.81 G.2, the encoding most web-scraped JPEGs use. Five scans:
+
+    1. DC first       (Ss=0 Se=0  Ah=0 Al=1): diff-coded (v-128)>>1
+    2. AC first 1-35  (Ah=0 Al=1): band is ALL ZERO -> one EOB RUN
+       covering every block (exercises multi-block EOBn + ext bits)
+    3. AC first 36-63 (Ah=0 Al=1): the single coefficient at zigzag
+       39 (natural (4,4)) coded at half precision — quantized values
+       a in {-2..2} become {-1, 0, 1}, so |a|=1 blocks stay INVISIBLE
+       until the refinement scan
+    4. DC refine      (Ah=1 Al=0): one raw bit (v-128)&1 per block
+    5. AC refine 36-63(Ah=1 Al=0): correction bits for |a|=2 blocks,
+       newly-significant insertions for |a|=1 blocks, EOB runs
+       carrying buffered correction bits across blocks
+
+    Content: (2 + doc_id%3) x (1 + doc_id%2) blocks, block-constant
+    v = (doc_id*13 + bx*41 + by*27) % 224 + 16 plus one AC term at
+    (4,4) with quantized a = (doc_id + bx*3 + by*5) % 5 - 2 and quant
+    step 16: pixel(x,y) = v + s(x)s(y)·2a with s the ±1 pattern of
+    cos((2x+1)π/4) — exact integers in [12, 243], so the full decode
+    equals the closed form bit-for-bit, while scans 1+3 ALONE decode
+    to provably different pixels (the refinement-matters hand vector
+    in tests)."""
+    import struct
+
+    wb = 2 + doc_id % 3
+    hb = 1 + doc_id % 2
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_prog_tables()
+    dc_codes = _huff_codes(dc_bits, dc_vals)
+    ac_codes = _huff_codes(ac_bits, ac_vals)
+    ack = _JPEG_PROG_ACK
+
+    blocks = []  # full 64-entry quantized zigzag coef vectors
+    for by in range(hb):
+        for bx in range(wb):
+            v = (doc_id * 13 + bx * 41 + by * 27) % 224 + 16
+            a = (doc_id + bx * 3 + by * 5) % 5 - 2
+            coef = [0] * 64
+            coef[0] = v - 128  # DC quant step 8 divides 8(v-128)
+            coef[ack] = a
+            blocks.append(coef)
+
+    # scan 1: DC first, Al=1 — codes (v-128)>>1 as differences
+    bw = _BitWriter()
+    pred = 0
+    for coef in blocks:
+        t = coef[0] >> 1
+        diff = t - pred
+        pred = t
+        size = abs(diff).bit_length()
+        code, ln = dc_codes[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(diff if diff >= 0 else diff + (1 << size) - 1,
+                     size)
+    scan1 = bw.flush()
+
+    # scan 2: AC first band 1..35 at Al=1 — all zero, pure EOB run
+    bw = _BitWriter()
+    _emit_ac_first(bw, ac_codes, [c[1:36] for c in blocks], 1)
+    scan2 = bw.flush()
+
+    # scan 3: AC first band 36..63 at Al=1
+    bw = _BitWriter()
+    _emit_ac_first(bw, ac_codes, [c[36:64] for c in blocks], 1)
+    scan3 = bw.flush()
+
+    # scan 4: DC refinement — one raw bit per block, no Huffman
+    bw = _BitWriter()
+    for coef in blocks:
+        bw.write(coef[0] & 1, 1)
+    scan4 = bw.flush()
+
+    # scan 5: AC refinement band 36..63 at Al=0
+    bw = _BitWriter()
+    _emit_ac_refine(bw, ac_codes, [c[36:64] for c in blocks], 0)
+    scan5 = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    w, h = wb * 8, hb * 8
+    app0 = (b"JFIF\x00" + bytes([1, 1, 0])
+            + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    dqt = bytes([0x00]) + bytes(_JPEG_QZZ)
+    sof2 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, app0)
+        + seg(0xFFDB, dqt)
+        + seg(0xFFC2, sof2)
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFC4, dht_ac)
+        + sos(0, 0, 0, 1) + scan1
+        + sos(1, 35, 0, 1) + scan2
+        + sos(36, 63, 0, 1) + scan3
+        + sos(0, 0, 1, 0) + scan4
+        + sos(36, 63, 1, 0) + scan5
+        + b"\xff\xd9"
+    )
+
+
 def synth_jpeg_color_bytes(doc_id: int) -> bytes:
     """Deterministic 4:2:0 COLOR baseline JFIF JPEG for ``doc_id``,
     from spec: three components (Y sampling 2x2, Cb/Cr 1x1 — the
@@ -2110,21 +2709,220 @@ class _BitReader:
         self.pos += 2
 
 
+def _jpeg_decode_sym(br: _BitReader, table) -> int:
+    """Decode one Huffman symbol (shared by the baseline and
+    progressive entropy decoders)."""
+    code, ln = 0, 0
+    while ln <= 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        if (code, ln) in table:
+            return table[(code, ln)]
+    raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.12 EXTEND: map an s-bit magnitude field to its signed
+    value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_progressive_scan(data, pos, scan, ss, se, ah, al, ri, st):
+    """Decode ONE progressive scan (T.81 G.2) into ``st['coefs']``.
+
+    ``st`` is the cross-scan decoder state: frame geometry, the
+    Huffman tables as parsed so far, per-component DC predictors, the
+    set of components whose DC-first scan has run, and the
+    zigzag-space coefficient store. Returns the byte position just
+    past this scan's entropy segment (the next marker's 0xFF).
+
+    Scan kinds (G.1.1.1.1):
+    - DC first (Ss=Se=0, Ah=0): Huffman difference coding exactly as
+      baseline, the reconstructed value stored ``<< Al`` (the point
+      transform is an arithmetic shift, T.81 A.4).
+    - DC refinement (Ah>0): ONE raw bit per data unit, OR-ed in at
+      weight ``1 << Al`` — no Huffman table involved.
+    - AC first (Ss>0, Ah=0): run/size coding per G.1.2.2 where an
+      EOB symbol starts an EOB RUN of ``(1 << r) + ext`` blocks that
+      spans data units; decoded values stored ``<< Al``.
+    - AC refinement (Ah>0): the G.1.2.3 correction procedure —
+      history-nonzero coefficients consume one correction bit each
+      (adding ``1 << Al`` toward larger magnitude when set),
+      newly-significant coefficients arrive as run/size symbols with
+      size 1 and a raw sign bit, and EOB runs carry the correction
+      bits of the blocks they span.
+
+    DC scans may interleave components over the MCU grid; AC scans
+    are single-component over the component's own block grid
+    (G.1.1.1). Restart markers byte-align, verify the modulo-8 RSTn
+    sequence, and reset BOTH the DC predictors and the EOB run.
+    """
+    frame, huff = st["frame"], st["huff"]
+    coefs, preds = st["coefs"], st["preds"]
+    for cid, _td, _ta in scan:
+        if cid not in frame:
+            raise ValueError("scan component not in frame")
+    br = _BitReader(data, pos)
+    eobrun = 0
+    rst = [0, 0]  # [units decoded since last restart, next RSTn]
+
+    def maybe_restart() -> None:
+        nonlocal eobrun
+        if ri and rst[0] == ri:
+            br.restart(rst[1])
+            rst[1] = (rst[1] + 1) & 7
+            rst[0] = 0
+            eobrun = 0
+            for c in preds:
+                preds[c] = 0
+        rst[0] += 1
+
+    if ss == 0:  # DC scan (possibly interleaved)
+        if se != 0:
+            raise ValueError("DC scan must have Se = 0")
+        if ah == 0:
+            for cid, td, _ta in scan:
+                if (0, td) not in huff:
+                    raise ValueError("missing Huffman table")
+                preds[cid] = 0  # predictors reset at scan start
+
+        def dc_unit(cid: int, td: int, by: int, bx: int) -> None:
+            blk = coefs[cid][by, bx]
+            if ah == 0:
+                s = _jpeg_decode_sym(br, huff[(0, td)])
+                if s > 15:
+                    raise ValueError("bad DC coefficient category")
+                preds[cid] += _jpeg_extend(br.bits(s), s)
+                blk[0] = preds[cid] << al
+            elif br.bit():
+                blk[0] |= 1 << al
+
+        if len(scan) == 1:
+            cid, td, _ta = scan[0]
+            by_n, bx_n = st["cgrid"][cid]
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    maybe_restart()
+                    dc_unit(cid, td, by, bx)
+        else:
+            for my in range(st["mcus_y"]):
+                for mx in range(st["mcus_x"]):
+                    maybe_restart()
+                    for cid, td, _ta in scan:
+                        hs, vs, _ = frame[cid]
+                        for v in range(vs):
+                            for hh in range(hs):
+                                dc_unit(cid, td, my * vs + v,
+                                        mx * hs + hh)
+        if ah == 0:
+            st["dc_done"].update(cid for cid, _, _ in scan)
+        return br.pos
+
+    # AC scan: single-component, non-interleaved (T.81 G.1.1.1)
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if se > 63 or ss > se:
+        raise ValueError("bad spectral selection bounds")
+    cid, _td, ta = scan[0]
+    if cid not in st["dc_done"]:
+        raise ValueError("AC scan before the component's DC scan")
+    if (1, ta) not in huff:
+        raise ValueError("missing Huffman table")
+    ac_tab = huff[(1, ta)]
+    by_n, bx_n = st["cgrid"][cid]
+    p1, m1 = 1 << al, -1 << al
+    for by in range(by_n):
+        for bx in range(bx_n):
+            maybe_restart()
+            blk = coefs[cid][by, bx]
+            if ah == 0:  # AC first (G.1.2.2)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _jpeg_decode_sym(br, ac_tab)
+                    r, sz = rs >> 4, rs & 15
+                    if sz == 0:
+                        if r < 15:  # EOBn: run of (1<<r)+ext blocks
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    blk[k] = _jpeg_extend(br.bits(sz), sz) << al
+                    k += 1
+                continue
+            # AC refinement (G.1.2.3): correction bits + insertions
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _jpeg_decode_sym(br, ac_tab)
+                    r, sz = rs >> 4, rs & 15
+                    val = 0
+                    if sz == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # ZRL: skip 16 zero-history positions below
+                    else:
+                        if sz != 1:
+                            raise ValueError(
+                                "bad AC refinement coefficient size"
+                            )
+                        val = p1 if br.bit() else m1
+                    while k <= se:
+                        if blk[k] != 0:
+                            if br.bit() and not (blk[k] & p1):
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if val:
+                        if k > se:
+                            raise ValueError(
+                                "refinement run past band end"
+                            )
+                        blk[k] = val
+                    k += 1
+            if eobrun:
+                # end-of-band: the rest of THIS block still carries
+                # correction bits for its history-nonzero positions
+                while k <= se:
+                    if blk[k] != 0 and br.bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+    return br.pos
+
+
 def _jpeg_decode(data: bytes):
-    """From-spec BASELINE JPEG decode core -> (w, h, comps) where
+    """From-spec JPEG decode core -> (w, h, comps) where
     comps is a list of (component_id, Hs, Vs, plane) with each plane
     an int64 array at the component's NATURAL (subsampled)
-    resolution. Supports 1- or 3-component interleaved baseline scans
-    with sampling factors in the spec's full 1-4 range (grayscale,
-    4:4:4, 4:2:0, 4:2:2, 4:1:1 — every shape real corpora carry).
-    No PIL: marker walk
+    resolution. Supports 1- or 3-component BASELINE (SOF0) frames and
+    PROGRESSIVE (SOF2) frames — spectral selection + successive
+    approximation per T.81 G.2, the encoding the majority of
+    web-scraped JPEGs use — with sampling factors in the spec's full
+    1-4 range (grayscale, 4:4:4, 4:2:0, 4:2:2, 4:1:1 — every shape
+    real corpora carry). No PIL: marker walk
     (length-framed segments, APPn/COM skipped), DQT (8-bit, zigzag),
     DHT (arbitrary canonical tables — nothing about the synthesizer's
-    tables is assumed), then entropy decode per T.81 F.2: MCU
+    tables is assumed; progressive streams may redefine tables
+    between scans), then entropy decode per T.81 F.2: MCU
     interleaving in scan-component order with per-component DC
     predictors, Huffman DC category + signed extend, AC run/size with
-    ZRL and EOB, dequantize (per-component table), dezigzag, full 2D
-    float IDCT, level shift, clamp."""
+    ZRL and EOB (EOB RUNS spanning blocks in progressive scans —
+    :func:`_jpeg_progressive_scan`), dequantize (per-component
+    table), dezigzag, full 2D float IDCT, level shift, clamp."""
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -2136,6 +2934,9 @@ def _jpeg_decode(data: bytes):
     frame: dict[int, tuple[int, int, int]] = {}  # cid -> (Hs, Vs, Tq)
     scan: list[tuple[int, int, int]] = []  # (cid, Td, Ta) in scan order
     ri = 0  # DRI restart interval in MCUs (0 = no restarts)
+    progressive = False
+    pstate: dict | None = None  # cross-scan progressive decoder state
+    scans_done = 0
     pos = 2
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -2144,7 +2945,9 @@ def _jpeg_decode(data: bytes):
             raise ValueError("truncated JPEG header")
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI
+        if marker == 0xD9:  # EOI — ends a progressive stream's scans
+            if progressive and scans_done:
+                break
             raise ValueError("EOI before SOS")
         (ln,) = (int.from_bytes(data[pos : pos + 2], "big"),)
         body = data[pos + 2 : pos + ln]
@@ -2187,13 +2990,15 @@ def _jpeg_decode(data: bytes):
                     code <<= 1
                 huff[(tc, th)] = table
                 i += 17 + nsym
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if dims is not None:
+                raise ValueError("multiple SOF segments")
             if len(body) < 6 or len(body) < 6 + 3 * body[5]:
-                raise ValueError("truncated SOF0 segment")
+                raise ValueError("truncated SOF segment")
             prec, h, w, nf = body[0], int.from_bytes(body[1:3], "big"), \
                 int.from_bytes(body[3:5], "big"), body[5]
             if prec != 8 or nf not in (1, 3):
-                raise ValueError("only 8-bit 1- or 3-component baseline")
+                raise ValueError("only 8-bit 1- or 3-component frames")
             for c in range(nf):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 hs, vs = hv >> 4, hv & 15
@@ -2203,27 +3008,118 @@ def _jpeg_decode(data: bytes):
                     raise ValueError("sampling factors beyond 4x4")
                 frame[cid] = (hs, vs, tq)
             dims = (w, h)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline SOF0 supported")
+            raise ValueError(
+                "only baseline SOF0 and progressive SOF2 supported"
+            )
         elif marker == 0xDD:  # DRI: define restart interval (T.81 B.2.4.4)
             if len(body) < 2:
                 raise ValueError("truncated DRI segment")
             ri = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows the header
-            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
                 raise ValueError("truncated SOS segment")
             ns = body[0]
+            this_scan = []
             for c in range(ns):
                 cid, tdta = body[1 + 2 * c : 3 + 2 * c]
-                scan.append((cid, tdta >> 4, tdta & 15))
-            pos += ln
-            break
+                this_scan.append((cid, tdta >> 4, tdta & 15))
+            if not progressive:
+                scan = this_scan
+                pos += ln
+                break
+            # progressive: decode this scan NOW, then keep walking —
+            # DHT/DRI segments may legitimately appear between scans
+            if dims is None:
+                raise ValueError("SOS before SOF")
+            if pstate is None:
+                w, h = dims
+                hmax = max(hs for hs, _, _ in frame.values())
+                vmax = max(vs for _, vs, _ in frame.values())
+                mx_n = (w + 8 * hmax - 1) // (8 * hmax)
+                my_n = (h + 8 * vmax - 1) // (8 * vmax)
+                pstate = {
+                    "frame": frame,
+                    "huff": huff,
+                    "mcus_x": mx_n,
+                    "mcus_y": my_n,
+                    # MCU-padded coefficient store in ZIGZAG space;
+                    # AC scans only touch the component's own
+                    # ceil(cw/8) x ceil(ch/8) grid (cgrid)
+                    "coefs": {
+                        cid: np.zeros(
+                            (my_n * vs, mx_n * hs, 64), dtype="i8"
+                        )
+                        for cid, (hs, vs, _) in frame.items()
+                    },
+                    "cgrid": {
+                        cid: (
+                            ((h * vs + vmax - 1) // vmax + 7) // 8,
+                            ((w * hs + hmax - 1) // hmax + 7) // 8,
+                        )
+                        for cid, (hs, vs, _) in frame.items()
+                    },
+                    "preds": {cid: 0 for cid in frame},
+                    "dc_done": set(),
+                }
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            try:
+                pos = _jpeg_progressive_scan(
+                    data, pos + ln, this_scan, ss, se,
+                    ahal >> 4, ahal & 15, ri, pstate,
+                )
+            except IndexError as exc:  # entropy segment sliced short
+                raise ValueError(
+                    "truncated JPEG entropy segment"
+                ) from exc
+            scans_done += 1
+            continue
         pos += ln
     else:
-        raise ValueError("missing SOS")
+        raise ValueError(
+            "missing EOI after progressive scans" if scans_done
+            else "missing SOS"
+        )
     if dims is None:
-        raise ValueError("missing SOF0")
+        raise ValueError("missing SOF")
+    if progressive:
+        # every component must have DC data; reconstruct from the
+        # accumulated coefficient store: dequantize (zigzag-wise),
+        # dezigzag, one broadcast 8x8 IDCT over ALL blocks per
+        # component, level shift, clamp, crop to natural resolution
+        if pstate["dc_done"] != set(frame):
+            raise ValueError("missing DC scan for a component")
+        for _cid, (_hs, _vs, tq) in frame.items():
+            if tq not in qt:
+                raise ValueError("missing quantization table")
+        w, h = dims
+        hmax = max(hs for hs, _, _ in frame.values())
+        vmax = max(vs for _, vs, _ in frame.values())
+        u = np.arange(8, dtype="f8")
+        cu = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+        basis = 0.5 * cu[:, None] * np.cos(
+            (2.0 * u[None, :] + 1.0) * u[:, None] * np.pi / 16.0
+        )
+        zz_arr = np.array(zz)
+        comps = []
+        for cid, (hs, vs, tq) in frame.items():
+            q = np.array(qt[tq], dtype="f8")
+            arr = pstate["coefs"][cid].astype("f8") * q
+            by_n, bx_n = arr.shape[:2]
+            blocks = np.zeros((by_n, bx_n, 64), dtype="f8")
+            blocks[..., zz_arr] = arr
+            f = basis.T @ blocks.reshape(by_n, bx_n, 8, 8) @ basis
+            pix = np.clip(np.round(f + 128.0), 0, 255).astype("i8")
+            plane = pix.transpose(0, 2, 1, 3).reshape(
+                by_n * 8, bx_n * 8
+            )
+            cw = (w * hs + hmax - 1) // hmax
+            ch = (h * vs + vmax - 1) // vmax
+            comps.append((cid, hs, vs, plane[:ch, :cw]))
+        return w, h, comps
     if {cid for cid, _, _ in scan} != set(frame):
         raise ValueError("scan components must match the frame")
     for _cid, (_hs, _vs, tq) in frame.items():
@@ -2239,17 +3135,8 @@ def _jpeg_decode(data: bytes):
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
 
-    def decode_sym(br: _BitReader, table) -> int:
-        code, ln = 0, 0
-        while ln <= 16:
-            code = (code << 1) | br.bit()
-            ln += 1
-            if (code, ln) in table:
-                return table[(code, ln)]
-        raise ValueError("invalid Huffman code")
-
-    def extend(v: int, s: int) -> int:
-        return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+    decode_sym = _jpeg_decode_sym
+    extend = _jpeg_extend
 
     u = np.arange(8, dtype="f8")
     cu = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
@@ -2436,6 +3323,61 @@ def decode_jpeg(df: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(batches, JPEG_SCHEMA)
+
+
+JPEG_DETAIL_SCHEMA = (
+    "doc_id long, width int, height int, sum_luma long, "
+    "wsum_luma long, qsum_luma long, n_blocks int"
+)
+
+
+def decode_jpeg_detail(df: DataFrame, payload_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Grayscale JPEG decode (baseline OR progressive — the decoder
+    dispatches on SOF0/SOF2) emitting, beyond decode_jpeg's sums, a
+    block-index-weighted QUADRATIC pixel sum
+    qsum = sum over blocks of (block_idx+1) * sum_xy ((x%8)^2+1) *
+    ((y%8)^2+1) * pixel. The quadratic in-block weight is the point:
+    the (4,4) DCT basis sign pattern s(x) annihilates constant and
+    linear weights (sum s = sum (x+1)s = 0) but NOT x^2+1
+    (sum (x^2+1)s(x) = 8), so an AC coefficient lost, mis-refined, or
+    mis-placed by the progressive scan machinery moves qsum_luma even
+    though plain and block-weighted pixel sums are provably blind to
+    it. Arrow-batched mapInPandas, map-only, zero shuffle."""
+    parse_one = _parse_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "width", "height", "sum_luma",
+                          "wsum_luma", "qsum_luma", "n_blocks")
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, img = parse_one(bytes(b))
+                wb, hb = (w + 7) // 8, (h + 7) // 8
+                bidx = (
+                    np.repeat(np.arange(hb), 8)[:h, None] * wb
+                    + np.repeat(np.arange(wb), 8)[None, :w]
+                )
+                qx = (np.arange(w) % 8) ** 2 + 1
+                qy = (np.arange(h) % 8) ** 2 + 1
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_luma"].append(int(img.sum()))
+                rows["wsum_luma"].append(int((img * (bidx + 1)).sum()))
+                rows["qsum_luma"].append(int(
+                    (img * (bidx + 1) * qy[:, None] * qx[None, :]).sum()
+                ))
+                rows["n_blocks"].append(wb * hb)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, JPEG_DETAIL_SCHEMA
+    )
 
 
 JPEG_COLOR_SCHEMA = (
@@ -3096,12 +4038,15 @@ def synth_mixed_bytes(doc_id: int) -> bytes:
 def sniff_payload_kind(data: bytes) -> str:
     """Identify a media payload from its magic bytes alone (the only
     trustworthy signal at ingest — extensions lie): PNG signature,
-    JPEG SOI, fLaC stream marker, RIFF/WAVE, ISO-BMFF ftyp, PPM P6.
+    JPEG SOI, fLaC stream marker, RIFF/WAVE, ISO-BMFF ftyp, PPM P6,
+    GIF87a/GIF89a.
     Raises ValueError for anything unrecognized so corrupt objects
     surface as clean task errors, same failure surface as the
     decoders."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
     if data[:4] == b"fLaC":
@@ -3125,7 +4070,8 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
                     id_col: str = "doc_id") -> DataFrame:
     """END-TO-END multimodal ingest over a MIXED-format binary column:
     sniff each payload's magic, route it to the matching from-spec
-    decoder (PNG unfilter+inflate, baseline JPEG, FLAC, WAV PCM, MP4
+    decoder (PNG unfilter+inflate, GIF LZW+palette, baseline or
+    progressive JPEG, FLAC, WAV PCM, MP4
     container scan), and emit one UNIFIED row per object — kind,
     pixel dims where the format has them (NULL for audio), a size in
     the format's natural unit (pixels / samples / container samples),
@@ -3154,6 +4100,10 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
                 kind = sniff_payload_kind(data)
                 if kind == "png":
                     w, h, img = _parse_png(data)
+                    width, height = w, h
+                    n_units, value_sum = w * h, int(img.sum())
+                elif kind == "gif":
+                    w, h, img = _parse_gif(data)
                     width, height = w, h
                     n_units, value_sum = w * h, int(img.sum())
                 elif kind == "jpeg":
@@ -3227,6 +4177,8 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
         "jpeg_rst": synth_jpeg_rst_bytes,
         "png_types": synth_png_types_bytes,
         "flac_wasted": synth_flac_wasted_bytes,
+        "jpeg_progressive": synth_jpeg_progressive_bytes,
+        "gif": synth_gif_bytes,
     }[kind]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -3873,6 +3873,7 @@ def m_flac_multichannel_native(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS INTEGER) AS n_blocks
     FROM blk GROUP BY doc_id, i
     """,
+    bench=True,  # r12 verdict #5: codec throughput on the roster
     doc="JPEG frames DECODED out of the REAL MP4 container — the "
         "composition that turns the r10 codec family into the full "
         "video-pipeline access pattern on 100% from-spec code: each "
@@ -3964,6 +3965,7 @@ def m_jpeg_422_native(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS INTEGER) AS n_blocks
     FROM blk GROUP BY doc_id
     """,
+    bench=True,  # r12 verdict #5: codec throughput on the roster
     doc="Baseline JPEG decode with RESTART INTERVALS (T.81 B.2.4.4 "
         "DRI + E.1.4/E.2.4 RSTn) — the highest-frequency real-corpus "
         "variant the decoder previously rejected: virtually every "
@@ -4101,6 +4103,109 @@ def m_flac_wasted_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m_jpeg_progressive_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+               FROM documents),
+    blk AS (SELECT doc_id, wb, hb, bx, by,
+                   (doc_id * 13 + bx * 41 + by * 27) % 224 + 16 AS v,
+                   (doc_id + bx * 3 + by * 5) % 5 - 2 AS a
+            FROM d, UNNEST(range(0, wb)) ux(bx),
+                    UNNEST(range(0, hb)) uy(by))
+    SELECT doc_id,
+           CAST(MAX(wb) * 8 AS INTEGER) AS width,
+           CAST(MAX(hb) * 8 AS INTEGER) AS height,
+           CAST(SUM(v * 64) AS BIGINT) AS sum_luma,
+           CAST(SUM(v * 64 * (by * wb + bx + 1)) AS BIGINT)
+               AS wsum_luma,
+           CAST(SUM((by * wb + bx + 1) * (21904 * v + 128 * a))
+               AS BIGINT) AS qsum_luma,
+           CAST(COUNT(*) AS INTEGER) AS n_blocks
+    FROM blk GROUP BY doc_id
+    """,
+    doc="PROGRESSIVE JPEG decode FROM SPEC (T.81 G.2 spectral "
+        "selection + successive approximation) — the encoding the "
+        "MAJORITY of web-scraped JPEGs use and the last spec-"
+        "feasible still-image gap (the r12 verdict's #2; the decoder "
+        "previously rejected SOF2 outright). Per-doc five-scan "
+        "streams: DC first at Al=1, an all-zero low band coded as "
+        "one multi-block EOB RUN, the high band carrying a single "
+        "(4,4) coefficient at half precision (odd-magnitude values "
+        "INVISIBLE until refinement), a raw-bit DC refinement, and "
+        "an AC refinement mixing correction bits, newly-significant "
+        "insertions, and EOB runs that carry buffered correction "
+        "bits across blocks. Content is block-constant plus that one "
+        "AC term whose (4,4) basis is EXACTLY +/-1/8, so pixels are "
+        "closed-form integers (no rounding, no clamping) and the "
+        "oracle is pure SQL; the quadratic-weight qsum_luma column "
+        "exists because plain and block-weighted sums are provably "
+        "blind to this coefficient (the +/- pattern cancels), while "
+        "qsum moves by 128a. Scans 1+3 alone decode to DIFFERENT "
+        "pinned pixels — tests prove the refinement bits land. "
+        "Decoder core (Huffman, IDCT, dequantize, MCU walk) REUSED "
+        "from baseline; new: the cross-scan coefficient store and "
+        "the G.1.2.2/G.1.2.3 band decoders. Same Arrow-batched "
+        "map-only zero-shuffle scale shape as m_jpeg_native.",
+)
+def m_jpeg_progressive_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_jpeg_detail,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_jpeg_detail(synth_payloads(docs, "jpeg_progressive"))
+
+
+@register(
+    "m_gif_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 5 + doc_id % 11 AS w, 3 + doc_id % 6 AS h,
+                      4 << (doc_id % 3) AS nc
+               FROM documents),
+    px AS (SELECT doc_id, w, h, (doc_id + x * 7 + y * 11) % nc AS i
+           FROM d, UNNEST(range(0, w)) ux(x),
+                   UNNEST(range(0, h)) uy(y))
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM((doc_id * 5 + i * 17) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 3 + i * 29) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 7 + i * 13) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL GIF decode FROM SPEC (GIF89a) — the last common still-"
+        "image format in scraped corpora with a fully public spec "
+        "(r12 verdict #6): per-doc payloads carry a genuine logical "
+        "screen descriptor, a GLOBAL COLOR TABLE of 4/8/16 entries, "
+        "a Graphic Control Extension the decoder must skip by "
+        "sub-block framing (real GIFs virtually always carry one), "
+        "and VARIABLE-WIDTH LZW image data in length-prefixed "
+        "sub-blocks — codes packed LSB-first, dictionary resets on "
+        "CLEAR, the KwKwK next-slot case, and a width schedule that "
+        "follows the DECODER's dictionary (the encoder simulates the "
+        "decoder's slot counter; tracking its own table desyncs the "
+        "END code width — caught during development by round-trip, "
+        "pinned in tests). Odd doc_ids are INTERLACED (the four-pass "
+        "row scatter). The oracle restates the palette-lookup double "
+        "sum in SQL; a lookup, LZW, or interlace bug breaks the "
+        "channel sums. Same Arrow-batched map-only zero-shuffle "
+        "scale shape as the rest of the codec family; PLTE machinery "
+        "shared with m_png_types_native conceptually but the GIF "
+        "path is fully independent code (LSB-first vs PNG's "
+        "byte-stream filters).",
+)
+def m_gif_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_gif(synth_payloads(docs, "gif"))
+
+
+@register(
     "m_png_adam7_native",
     sql="""
     WITH d AS (SELECT doc_id, 5 + doc_id % 11 AS w, 3 + doc_id % 6 AS h
@@ -4226,6 +4331,7 @@ def m_png_adam7_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT * FROM fl_r UNION ALL SELECT * FROM wv_r
     UNION ALL SELECT * FROM m4_r UNION ALL SELECT * FROM pm_r
     """,
+    bench=True,  # r12 verdict #5: codec throughput on the roster
     doc="END-TO-END MULTIMODAL INGEST over a MIXED-format corpus — "
         "the composition that turns the codec family into the first "
         "pass of a real curation pipeline: one binary column where "

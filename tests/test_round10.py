@@ -282,17 +282,23 @@ class TestJpegDecoder:
                 for bx in range(2) for by in range(2)}
         assert vals == want
 
-    def test_progressive_rejected(self):
+    def test_lossless_and_arithmetic_sofs_rejected(self):
+        """SOF2 (progressive) is DECODED as of round 13 — see
+        tests/test_round13.py — so this pin moved to the frame types
+        that stay out of scope: lossless (SOF3) and arithmetic-coded
+        (SOF9) frames still fail clean."""
         from mwa_uvdata_pipeline_spark.operators.multimodal import _parse_jpeg
 
-        data = (
-            b"\xff\xd8"
-            + _jpeg_seg(
-                0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        for marker in (0xFFC3, 0xFFC9):
+            data = (
+                b"\xff\xd8"
+                + _jpeg_seg(
+                    marker,
+                    struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]),
+                )
             )
-        )
-        with pytest.raises(ValueError, match="baseline"):
-            _parse_jpeg(data)
+            with pytest.raises(ValueError, match="SOF"):
+                _parse_jpeg(data)
 
     def test_truncated_entropy_detected(self):
         from mwa_uvdata_pipeline_spark.operators.multimodal import _parse_jpeg
