@@ -778,3 +778,91 @@ class TestGifFuzzSurface:
                 raise AssertionError(
                     f"bit {bit} leaked {type(exc).__name__}: {exc}"
                 ) from exc
+
+
+class TestProgressiveColorEndToEnd:
+    """The full shape real progressive JPEGs take: a 4:2:0 COLOR
+    frame whose DC scans are interleaved (ns=3) and whose AC scans
+    run per component over each component's OWN block grid (chroma
+    at its subsampled resolution), with successive approximation on
+    both. Composes every progressive mechanism in one stream; EOBRUN
+    state must reset between scans (it is per-scan, not per-frame)."""
+
+    def test_seven_scan_color_stream(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        (dc_bits, dc_vals), (ac_bits, ac_vals) = M._jpeg_prog_tables()
+        dc_codes = M._huff_codes(dc_bits, dc_vals)
+        ac_codes = M._huff_codes(ac_bits, ac_vals)
+        ack = M._JPEG_PROG_ACK
+        S = M._JPEG_PROG_SIGNS
+
+        yv = [41, 81, 121, 201]
+        ya = [1, -2, 0, 2]  # quantized (4,4) coef per Y block
+        cbv, crv = 100, 161
+        y_coefs = []
+        for v, a in zip(yv, ya):
+            c = [0] * 64
+            c[0] = v - 128
+            c[ack] = a
+            y_coefs.append(c)
+
+        # scan 1: DC first, interleaved, Al=1
+        bw = M._BitWriter()
+        _dc_first_bits(bw, dc_codes, [(v - 128) >> 1 for v in yv])
+        _dc_first_bits(bw, dc_codes, [(cbv - 128) >> 1])
+        _dc_first_bits(bw, dc_codes, [(crv - 128) >> 1])
+        s1 = bw.flush()
+        # scans 2-4: AC first per component, Al=1
+        bw = M._BitWriter()
+        M._emit_ac_first(bw, ac_codes, [c[1:64] for c in y_coefs], 1)
+        s2 = bw.flush()
+        bw = M._BitWriter()
+        M._emit_ac_first(bw, ac_codes, [[0] * 63], 1)
+        s3 = bw.flush()
+        bw = M._BitWriter()
+        M._emit_ac_first(bw, ac_codes, [[0] * 63], 1)
+        s4 = bw.flush()
+        # scan 5: DC refine, interleaved, Al=0 (one raw bit per unit)
+        bw = M._BitWriter()
+        for t in [v - 128 for v in yv] + [cbv - 128, crv - 128]:
+            bw.write(t & 1, 1)
+        s5 = bw.flush()
+        # scans 6-8: AC refine per component, Al=0
+        bw = M._BitWriter()
+        M._emit_ac_refine(bw, ac_codes, [c[1:64] for c in y_coefs], 0)
+        s6 = bw.flush()
+        bw = M._BitWriter()
+        M._emit_ac_refine(bw, ac_codes, [[0] * 63], 0)
+        s7 = bw.flush()
+        bw = M._BitWriter()
+        M._emit_ac_refine(bw, ac_codes, [[0] * 63], 0)
+        s8 = bw.flush()
+
+        all3 = [(1, 0x00), (2, 0x00), (3, 0x00)]
+        blob = (
+            _prog_headers([(1, 0x22, 0), (2, 0x11, 0), (3, 0x11, 0)],
+                          16, 16)
+            + _sos(all3, 0, 0, 0, 1) + s1
+            + _sos([(1, 0x00)], 1, 63, 0, 1) + s2
+            + _sos([(2, 0x00)], 1, 63, 0, 1) + s3
+            + _sos([(3, 0x00)], 1, 63, 0, 1) + s4
+            + _sos(all3, 0, 0, 1, 0) + s5
+            + _sos([(1, 0x00)], 1, 63, 1, 0) + s6
+            + _sos([(2, 0x00)], 1, 63, 1, 0) + s7
+            + _sos([(3, 0x00)], 1, 63, 1, 0) + s8
+            + b"\xff\xd9"
+        )
+        w, h, Y, Cb, Cr = M._parse_jpeg_ycbcr(blob)
+        assert (w, h) == (16, 16)
+        exp_y = np.zeros((16, 16), dtype="i8")
+        for bi, (v, a) in enumerate(zip(yv, ya)):
+            by, bx = divmod(bi, 2)
+            for y in range(8):
+                for x in range(8):
+                    exp_y[by * 8 + y, bx * 8 + x] = (
+                        v + S[x] * S[y] * 2 * a
+                    )
+        assert (Y == exp_y).all()
+        assert (Cb == cbv).all() and Cb.shape == (8, 8)
+        assert (Cr == crv).all() and Cr.shape == (8, 8)
