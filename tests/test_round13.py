@@ -866,3 +866,83 @@ class TestProgressiveColorEndToEnd:
         assert (Y == exp_y).all()
         assert (Cb == cbv).all() and Cb.shape == (8, 8)
         assert (Cr == crv).all() and Cr.shape == (8, 8)
+
+
+class TestProgressiveMultiLevelApproximation:
+    """Real encoders may chain MORE than one refinement: first scan
+    at Al=2, refinements at Al=1 then Al=0 (T.81 allows any chain
+    with Ah = previous Al). Pins the general-Al paths: DC refine ORs
+    at bit Al; AC refine adds ±(1<<Al) correction magnitudes and
+    inserts newly-significant values at each level."""
+
+    def test_three_level_dc_and_ac(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        (dc_bits, dc_vals), (ac_bits, ac_vals) = M._jpeg_prog_tables()
+        dc_codes = M._huff_codes(dc_bits, dc_vals)
+        ac_codes = M._huff_codes(ac_bits, ac_vals)
+        ack = M._JPEG_PROG_ACK
+        # DC -51 = ...11001101b exercises nonzero bits at every level;
+        # AC values 5 (101b) and -6 (110b) become newly significant at
+        # DIFFERENT levels: |5|>>2=1 (level 2), |6|>>2=1 too; use 1 and
+        # -6 so one appears only at the last level
+        cases = [(-51, 5), (77, -6), (3, 1), (-128, 0)]
+        blocks = []
+        for dc, ac in cases:
+            c = [0] * 64
+            c[0] = dc
+            c[ack] = ac
+            blocks.append(c)
+        wb, hb = 2, 2
+
+        bw = M._BitWriter()
+        pred = 0
+        for c in blocks:
+            t = c[0] >> 2  # Al=2 first scan
+            diff = t - pred
+            pred = t
+            size = abs(diff).bit_length()
+            code, ln = dc_codes[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(diff if diff >= 0 else diff + (1 << size) - 1,
+                         size)
+        s_dc0 = bw.flush()
+        refines = []
+        for al in (1, 0):  # DC refinement levels
+            bw = M._BitWriter()
+            for c in blocks:
+                bw.write((c[0] >> al) & 1, 1)
+            refines.append(bw.flush())
+        bw = M._BitWriter()
+        M._emit_ac_first(bw, ac_codes, [c[1:64] for c in blocks], 2)
+        s_ac0 = bw.flush()
+        ac_refines = []
+        for al in (1, 0):
+            bw = M._BitWriter()
+            M._emit_ac_refine(bw, ac_codes, [c[1:64] for c in blocks],
+                              al)
+            ac_refines.append(bw.flush())
+
+        blob = (
+            _prog_headers([(1, 0x11, 0)], 16, 16)
+            + _sos([(1, 0x00)], 0, 0, 0, 2) + s_dc0
+            + _sos([(1, 0x00)], 1, 63, 0, 2) + s_ac0
+            + _sos([(1, 0x00)], 0, 0, 2, 1) + refines[0]
+            + _sos([(1, 0x00)], 1, 63, 2, 1) + ac_refines[0]
+            + _sos([(1, 0x00)], 0, 0, 1, 0) + refines[1]
+            + _sos([(1, 0x00)], 1, 63, 1, 0) + ac_refines[1]
+            + b"\xff\xd9"
+        )
+        S = M._JPEG_PROG_SIGNS
+        w, h, img = M._parse_jpeg(blob)
+        assert (w, h) == (16, 16)
+        exp = np.zeros((16, 16), dtype="i8")
+        for bi, (dc, ac) in enumerate(cases):
+            by, bx = divmod(bi, wb)
+            for y in range(8):
+                for x in range(8):
+                    exp[by * 8 + y, bx * 8 + x] = np.clip(
+                        dc + 128 + S[x] * S[y] * 2 * ac, 0, 255
+                    )
+        assert (img == exp).all()
