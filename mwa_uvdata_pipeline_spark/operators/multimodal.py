@@ -2762,6 +2762,8 @@ def _jpeg_progressive_scan(data, pos, scan, ss, se, ah, al, ri, st):
     for cid, _td, _ta in scan:
         if cid not in frame:
             raise ValueError("scan component not in frame")
+    if len({cid for cid, _, _ in scan}) != len(scan):
+        raise ValueError("duplicate scan component")
     br = _BitReader(data, pos)
     eobrun = 0
     rst = [0, 0]  # [units decoded since last restart, next RSTn]
@@ -3120,7 +3122,10 @@ def _jpeg_decode(data: bytes):
             ch = (h * vs + vmax - 1) // vmax
             comps.append((cid, hs, vs, plane[:ch, :cw]))
         return w, h, comps
-    if {cid for cid, _, _ in scan} != set(frame):
+    if {cid for cid, _, _ in scan} != set(frame) or len(scan) != len(
+        frame
+    ):  # the length check rejects duplicate scan components, which
+        # would otherwise silently double-decode units per MCU
         raise ValueError("scan components must match the frame")
     for _cid, (_hs, _vs, tq) in frame.items():
         if tq not in qt:

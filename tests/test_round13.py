@@ -946,3 +946,38 @@ class TestProgressiveMultiLevelApproximation:
                         dc + 128 + S[x] * S[y] * 2 * ac, 0, 255
                     )
         assert (img == exp).all()
+
+
+class TestDuplicateScanComponents:
+    """A scan listing the same component twice is malformed (T.81
+    B.2.3 requires distinct Cs_j); without validation the MCU loop
+    silently double-decodes units. Both frame types reject."""
+
+    def test_baseline_duplicate_rejects(self):
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        blob = bytearray(M.synth_jpeg_color_bytes(3))
+        # find SOS (FF DA); scan components start at body+1
+        at = blob.index(b"\xff\xda")
+        ns = blob[at + 4]
+        assert ns == 3
+        # duplicate component 1 into component 2's slot
+        blob[at + 5 + 2] = blob[at + 5]
+        blob[at + 6 + 2] = blob[at + 6]
+        with pytest.raises(ValueError, match="scan components"):
+            M._parse_jpeg_ycbcr(bytes(blob))
+        del struct
+
+    def test_progressive_duplicate_rejects(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        blob = (
+            _prog_headers([(1, 0x22, 0), (2, 0x11, 0), (3, 0x11, 0)],
+                          16, 16)
+            + _sos([(1, 0x00), (1, 0x00), (3, 0x00)], 0, 0, 0, 1)
+            + b"\x00" + b"\xff\xd9"
+        )
+        with pytest.raises(ValueError, match="duplicate scan"):
+            M._parse_jpeg_ycbcr(blob)
