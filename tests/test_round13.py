@@ -981,3 +981,53 @@ class TestDuplicateScanComponents:
         )
         with pytest.raises(ValueError, match="duplicate scan"):
             M._parse_jpeg_ycbcr(blob)
+
+
+class TestGifLocalColorTable:
+    """A frame carrying its OWN color table composes in RGB space:
+    background pixels resolve through the GLOBAL table, frame pixels
+    through the LOCAL one — index-space composition would cross the
+    two tables."""
+
+    def test_partial_frame_with_lct_over_gct_background(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        gct = bytes([10, 20, 30,  40, 50, 60,  70, 80, 90,  5, 6, 7])
+        lct = bytes([200, 201, 202,  210, 211, 212,
+                     220, 221, 222,  230, 231, 232])
+        lzw = M._gif_lzw_encode([3, 0], 2)  # 2x1 frame, indices 3, 0
+        subs = bytes([len(lzw)]) + lzw + b"\x00"
+        blob = (
+            b"GIF89a" + (4).to_bytes(2, "little")
+            + (2).to_bytes(2, "little")
+            + bytes([0x80 | 1, 1, 0])  # GCT of 4, background index 1
+            + gct
+            + b"\x2c"
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + bytes([0x80 | 1])  # LCT flag, size 4
+            + lct + bytes([2]) + subs + b"\x3b"  # LZW min code AFTER LCT
+        )
+        w, h, img = M._parse_gif(blob)
+        assert (w, h) == (4, 2)
+        assert tuple(img[0, 0]) == (40, 50, 60)  # GCT background
+        assert tuple(img[1, 1]) == (230, 231, 232)  # LCT index 3
+        assert tuple(img[1, 2]) == (200, 201, 202)  # LCT index 0
+        assert tuple(img[1, 3]) == (40, 50, 60)  # background again
+
+    def test_lct_frame_without_gct_must_cover_canvas(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        lct = bytes(range(12))
+        lzw = M._gif_lzw_encode([0], 2)
+        subs = bytes([len(lzw)]) + lzw + b"\x00"
+        blob = (
+            b"GIF89a" + (2).to_bytes(2, "little")
+            + (1).to_bytes(2, "little")
+            + bytes([0x00, 0, 0])  # no GCT
+            + b"\x2c" + bytes(4)
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + bytes([0x80 | 1]) + lct + bytes([2]) + subs + b"\x3b"
+        )
+        with pytest.raises(ValueError, match="partial first frame"):
+            M._parse_gif(blob)
