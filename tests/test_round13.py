@@ -1031,3 +1031,56 @@ class TestGifLocalColorTable:
         )
         with pytest.raises(ValueError, match="partial first frame"):
             M._parse_gif(blob)
+
+
+class TestProgressiveNonInterleavedDC:
+    """T.81 G.1.1.1 also allows a COLOR frame's DC data to arrive as
+    three separate single-component scans (ns=1 each, over each
+    component's own grid) instead of one interleaved scan — some
+    encoders emit exactly this script."""
+
+    def test_three_separate_dc_scans(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        (dc_bits, dc_vals), _ = M._jpeg_prog_tables()
+        dc_codes = M._huff_codes(dc_bits, dc_vals)
+        yv = [50, 90, 130, 170]
+        cbv, crv = 110, 140
+
+        def dc_scan(vals):
+            bw = M._BitWriter()
+            _dc_first_bits(bw, dc_codes, [v - 128 for v in vals])
+            return bw.flush()
+
+        blob = (
+            _prog_headers([(1, 0x22, 0), (2, 0x11, 0), (3, 0x11, 0)],
+                          16, 16)
+            + _sos([(1, 0x00)], 0, 0, 0, 0) + dc_scan(yv)
+            + _sos([(2, 0x00)], 0, 0, 0, 0) + dc_scan([cbv])
+            + _sos([(3, 0x00)], 0, 0, 0, 0) + dc_scan([crv])
+            + b"\xff\xd9"
+        )
+        w, h, Y, Cb, Cr = M._parse_jpeg_ycbcr(blob)
+        assert (w, h) == (16, 16)
+        exp_y = np.zeros((16, 16), dtype="i8")
+        exp_y[:8, :8], exp_y[:8, 8:] = yv[0], yv[1]
+        exp_y[8:, :8], exp_y[8:, 8:] = yv[2], yv[3]
+        assert (Y == exp_y).all()
+        assert (Cb == cbv).all() and (Cr == crv).all()
+
+
+class TestGif87a:
+    def test_gif87a_signature_accepted(self):
+        """Pre-89a files (no extensions) still appear in old corpora;
+        the decoder takes either signature."""
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        blob = bytearray(M.synth_gif_bytes(6))
+        assert blob[:6] == b"GIF89a"
+        blob[4] = ord("7")  # GIF87a
+        # drop the GCE (87a has no extension blocks)
+        at = blob.index(b"\x21\xf9")
+        del blob[at : at + 8]
+        w, h, img = M._parse_gif(bytes(blob))
+        assert (w, h) == (5 + 6 % 11, 3 + 6 % 6)
+        assert M.sniff_payload_kind(bytes(blob)) == "gif"
