@@ -199,3 +199,19 @@ class TestGifLzwProperties:
             _gif_lzw_decode(enc, 2, 4)
         with pytest.raises(ValueError, match="exceeds"):
             _gif_lzw_decode(enc, 2, 2)
+
+
+class TestGifLzwDictionaryCap:
+    def test_deferred_clear_round_trip(self):
+        """Random bytes at m=8 emit ~one code per symbol, so 9000
+        symbols saturate the 4096-entry dictionary: both sides must
+        stop adding entries (codes stay at width 12, GIF's deferred
+        clear) and still agree. Sub-cap sequences (m=2) round-trip in
+        the same sweep."""
+        import random
+
+        rng = random.Random(13)
+        for m in (2, 8):
+            seq = [rng.randrange(1 << m) for _ in range(9000)]
+            enc = _gif_lzw_encode(seq, m)
+            assert list(_gif_lzw_decode(enc, m, len(seq))) == seq
