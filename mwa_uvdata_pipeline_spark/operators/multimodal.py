@@ -74,8 +74,8 @@ def _decode_media_native(data: bytes) -> tuple:
     except ValueError as exc:
         raise NotImplementedError(
             "unrecognized container: native decode covers "
-            "png/gif/jpeg/flac/wav/mp4/ppm; install PIL/ffmpeg for "
-            "the rest "
+            "png/gif/tiff/jpeg/flac/wav/mp4/ppm; install PIL/ffmpeg "
+            "for the rest "
             "or use deterministic=True"
         ) from exc
     if kind == "png":
@@ -83,6 +83,9 @@ def _decode_media_native(data: bytes) -> tuple:
         return w, h, 1
     if kind == "gif":
         w, h, _ = _parse_gif(data)
+        return w, h, 1
+    if kind == "tiff":
+        w, h, _ = _parse_tiff(data)
         return w, h, 1
     if kind == "jpeg":
         w, h, _comps = _jpeg_decode(data)
@@ -2005,6 +2008,406 @@ def decode_gif(df: DataFrame, payload_col: str = "payload",
     integer sums as :func:`decode_png` — the last common still-image
     format with a fully public spec."""
     parse_one = _parse_gif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "width", "height", "sum_r",
+                          "sum_g", "sum_b")
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, img = parse_one(bytes(b))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(img[:, :, 0].sum()))
+                rows["sum_g"].append(int(img[:, :, 1].sum()))
+                rows["sum_b"].append(int(img[:, :, 2].sum()))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, PNG_SCHEMA)
+
+
+def _packbits_encode(raw: bytes) -> bytes:
+    """Apple PackBits (TIFF 6.0 §9): literal runs (n, n+1 bytes) and
+    repeat runs (257-n, one byte) — the synthesizer's compressor.
+    Emits repeat runs for 3+ equal bytes, literals otherwise."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and raw[i + run] == raw[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, raw[i]])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (
+                i + 2 < n and raw[i] == raw[i + 1] == raw[i + 2]
+            )
+        ):
+            i += 1
+        out += bytes([i - lit - 1]) + raw[lit:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits decode to EXACTLY ``expected`` bytes (TIFF 6.0 §9:
+    n 0..127 copies n+1 literals, n 129..255 repeats the next byte
+    257-n times, 128 is a no-op). Any mismatch raises ValueError."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) != expected:
+        raise ValueError("PackBits output length mismatch")
+    return bytes(out)
+
+
+def _tiff_lzw_encode(raw: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13) for the synthesizer: byte
+    roots 0-255, Clear=256, EOI=257, MSB-first bit packing, initial
+    width 9, and the spec's EARLY CHANGE — the width bumps when the
+    decoder's next free slot reaches (1 << width) - 1, one code
+    earlier than GIF. Same lesson as _gif_lzw_encode: the width
+    schedule simulates the DECODER's slot counter (one entry per
+    emitted code after the first), not the encoder's own table. A
+    Clear is emitted before the table would overflow (spec: at code
+    4094)."""
+    clear, end = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    width = 9
+    table: dict[tuple[int, int], int] = {}
+    enc_next = end + 1
+    dec_next = end + 1
+    emitted = 0
+
+    def emit_data(code: int) -> None:
+        nonlocal emitted, dec_next, width
+        emit(code, width)
+        emitted += 1
+        if emitted >= 2 and dec_next < 4095:
+            dec_next += 1
+            if dec_next == (1 << width) - 1 and width < 12:
+                width += 1
+
+    def reset() -> None:
+        nonlocal table, enc_next, dec_next, width, emitted
+        table = {}
+        enc_next = end + 1
+        dec_next = end + 1
+        width = 9
+        emitted = 0
+
+    emit(clear, width)
+    it = iter(raw)
+    prev = next(it)
+    for k in it:
+        if (prev, k) in table:
+            prev = table[(prev, k)]
+            continue
+        emit_data(prev)
+        if enc_next >= 4093:  # spec: Clear before the table fills
+            emit(clear, width)
+            reset()
+        else:
+            table[(prev, k)] = enc_next
+            enc_next += 1
+        prev = k
+    emit_data(prev)
+    emit(end, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW decode to EXACTLY ``expected`` bytes:
+    MSB-first codes, width 9-12 with the EARLY CHANGE at
+    (1 << width) - 1, Clear resets, EOI terminates. Overshoot,
+    undershoot, out-of-range codes, and bit exhaustion raise
+    ValueError."""
+    clear, end = 256, 257
+    pos = nbits = acc = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, nbits, acc
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        v = (acc >> nbits) & ((1 << width) - 1)
+        return v
+
+    width = 9
+    seqs: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    nxt = end + 1
+    out = bytearray()
+    prev: int | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            width = 9
+            seqs = seqs[: end + 1]
+            nxt = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("LZW stream must start with a root")
+            out.extend(seqs[code])
+        else:
+            if code < nxt:
+                entry = seqs[code]
+            elif code == nxt:
+                entry = seqs[prev] + seqs[prev][:1]
+            else:
+                raise ValueError("LZW code beyond dictionary")
+            out.extend(entry)
+            if nxt < 4095:
+                seqs.append(seqs[prev] + entry[:1])
+                nxt += 1
+                if nxt == (1 << width) - 1 and width < 12:
+                    width += 1
+        if len(out) > expected:
+            raise ValueError("LZW output exceeds strip size")
+        prev = code
+    if len(out) != expected:
+        raise ValueError("LZW output short of strip size")
+    return bytes(out)
+
+
+def synth_tiff_bytes(doc_id: int) -> bytes:
+    """Deterministic TIFF 6.0 for ``doc_id``: real header + IFD
+    (ascending tags), 8-bit chunky RGB, TWO strips (RowsPerStrip =
+    ceil(h/2), so strip assembly is exercised), compression cycling
+    by doc_id % 3 (1 = none, 32773 = PackBits, 5 = LZW with the
+    early-change width rule), and byte order alternating II/MM by
+    doc_id % 2. Pixel (x, y) channel c = (doc_id*(3+c) + x*(7+2*c) +
+    y*(11+c)) % 256 — the closed form the oracle restates."""
+    import struct
+
+    order = "<" if doc_id % 2 == 0 else ">"
+    w = 5 + doc_id % 11
+    h = 3 + doc_id % 6
+    comp = (1, 32773, 5)[doc_id % 3]
+    raw = bytearray()
+    for y in range(h):
+        for x in range(w):
+            for c in range(3):
+                raw.append(
+                    (doc_id * (3 + c) + x * (7 + 2 * c) + y * (11 + c))
+                    % 256
+                )
+    rows_per_strip = (h + 1) // 2
+    strips = []
+    for s0 in range(0, h, rows_per_strip):
+        part = bytes(
+            raw[s0 * w * 3 : min(s0 + rows_per_strip, h) * w * 3]
+        )
+        if comp == 32773:
+            part = _packbits_encode(part)
+        elif comp == 5:
+            part = _tiff_lzw_encode(part)
+        strips.append(part)
+
+    # layout: header(8) | bits-per-sample array(6) | strip offset
+    # array(8) | strip bytecount array(8) | strip data | IFD
+    bps_off = 8
+    soff_off = bps_off + 6
+    scnt_off = soff_off + 4 * len(strips)
+    data_off = scnt_off + 4 * len(strips)
+    offs = []
+    pos = data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    ifd_off = pos
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        if typ == 3 and count == 1:  # SHORT inline, left-justified
+            return struct.pack(
+                f"{order}HHI", tag, typ, count
+            ) + struct.pack(f"{order}HH", value, 0)
+        return struct.pack(f"{order}HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 3, 1, w),  # ImageWidth
+        entry(257, 3, 1, h),  # ImageLength
+        entry(258, 3, 3, bps_off),  # BitsPerSample -> array
+        entry(259, 3, 1, comp),  # Compression
+        entry(262, 3, 1, 2),  # Photometric: RGB
+        entry(273, 4, len(strips), soff_off),  # StripOffsets
+        entry(277, 3, 1, 3),  # SamplesPerPixel
+        entry(278, 3, 1, rows_per_strip),  # RowsPerStrip
+        entry(279, 4, len(strips), scnt_off),  # StripByteCounts
+    ]
+    ifd = struct.pack(f"{order}H", len(entries)) + b"".join(entries)
+    ifd += struct.pack(f"{order}I", 0)
+    head = struct.pack(
+        f"{order}2sHI",
+        b"II" if order == "<" else b"MM",
+        42,
+        ifd_off,
+    )
+    body = (
+        struct.pack(f"{order}HHH", 8, 8, 8)
+        + b"".join(struct.pack(f"{order}I", o) for o in offs)
+        + b"".join(struct.pack(f"{order}I", len(s)) for s in strips)
+        + b"".join(strips)
+    )
+    return head + body + ifd
+
+
+def _parse_tiff(data: bytes):
+    """From-spec TIFF 6.0 decode -> (w, h, int64 HxWx3 RGB array):
+    either byte order, first IFD, 8-bit grayscale (BlackIsZero,
+    replicated to RGB) or chunky RGB, strip assembly, compressions
+    1 (none), 32773 (PackBits), 5 (LZW with early change). Every
+    structural defect raises ValueError."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] == b"II\x2a\x00":
+        order = "<"
+    elif data[:4] == b"MM\x00\x2a":
+        order = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order header)")
+    if len(data) < 8:
+        raise ValueError("truncated TIFF header")
+    (ifd_off,) = struct.unpack(f"{order}I", data[4:8])
+
+    def u16(at: int) -> int:
+        if at + 2 > len(data):
+            raise ValueError("truncated TIFF structure")
+        return struct.unpack(f"{order}H", data[at : at + 2])[0]
+
+    def u32(at: int) -> int:
+        if at + 4 > len(data):
+            raise ValueError("truncated TIFF structure")
+        return struct.unpack(f"{order}I", data[at : at + 4])[0]
+
+    n_entries = u16(ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        at = ifd_off + 2 + 12 * i
+        tag, typ = u16(at), u16(at + 2)
+        count = u32(at + 4)
+        tags[tag] = (typ, count, at + 8)
+
+    def values(tag: int, default=None) -> list[int] | None:
+        if tag not in tags:
+            return default
+        typ, count, vat = tags[tag]
+        if typ == 3:  # SHORT
+            size, rd = 2, u16
+        elif typ == 4:  # LONG
+            size, rd = 4, u32
+        else:
+            raise ValueError(f"unsupported TIFF field type {typ}")
+        base = vat if size * count <= 4 else u32(vat)
+        return [rd(base + size * j) for j in range(count)]
+
+    def one(tag: int, default=None) -> int | None:
+        v = values(tag, None)
+        if not v:  # absent tag OR a (corrupt) zero-count field
+            return default
+        return v[0]
+
+    w = one(256)
+    h = one(257)
+    if not w or not h:
+        raise ValueError("missing TIFF dimensions")
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bps = values(258, [1])
+    if photo not in (1, 2):
+        raise ValueError(
+            "only BlackIsZero grayscale and RGB TIFFs supported"
+        )
+    if (photo == 2) != (spp == 3) or any(b != 8 for b in bps) or len(
+        bps
+    ) != spp:
+        raise ValueError("unsupported TIFF sample layout")
+    if comp not in (1, 32773, 5):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    rows_per_strip = one(278, h)
+    offs = values(273)
+    cnts = values(279)
+    if not offs or not cnts or len(offs) != len(cnts):
+        raise ValueError("missing TIFF strip tables")
+    n_strips = (h + rows_per_strip - 1) // rows_per_strip if (
+        rows_per_strip
+    ) else 0
+    if rows_per_strip == 0 or len(offs) != n_strips:
+        raise ValueError("strip count disagrees with RowsPerStrip")
+
+    out = bytearray()
+    for s, (off, cnt) in enumerate(zip(offs, cnts)):
+        rows = min(rows_per_strip, h - s * rows_per_strip)
+        expected = rows * w * spp
+        if off + cnt > len(data):
+            raise ValueError("strip beyond end of file")
+        strip = data[off : off + cnt]
+        if comp == 1:
+            if len(strip) != expected:
+                raise ValueError("uncompressed strip size mismatch")
+            out += strip
+        elif comp == 32773:
+            out += _packbits_decode(strip, expected)
+        else:
+            out += _tiff_lzw_decode(strip, expected)
+    arr = np.frombuffer(bytes(out), dtype="u1").reshape(h, w, spp)
+    if spp == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return w, h, arr.astype("i8")
+
+
+def decode_tiff(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "doc_id") -> DataFrame:
+    """REAL TIFF decode (from-spec IFD walk, strip assembly,
+    none/PackBits/LZW compressions, both byte orders — no PIL) via
+    Arrow-batched mapInPandas, emitting the same per-channel integer
+    sums as :func:`decode_png` — the scanned-document format of real
+    corpora."""
+    parse_one = _parse_tiff
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -4044,7 +4447,7 @@ def sniff_payload_kind(data: bytes) -> str:
     """Identify a media payload from its magic bytes alone (the only
     trustworthy signal at ingest — extensions lie): PNG signature,
     JPEG SOI, fLaC stream marker, RIFF/WAVE, ISO-BMFF ftyp, PPM P6,
-    GIF87a/GIF89a.
+    GIF87a/GIF89a, TIFF II*/MM*.
     Raises ValueError for anything unrecognized so corrupt objects
     surface as clean task errors, same failure surface as the
     decoders."""
@@ -4052,6 +4455,8 @@ def sniff_payload_kind(data: bytes) -> str:
         return "png"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return "tiff"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
     if data[:4] == b"fLaC":
@@ -4075,8 +4480,8 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
                     id_col: str = "doc_id") -> DataFrame:
     """END-TO-END multimodal ingest over a MIXED-format binary column:
     sniff each payload's magic, route it to the matching from-spec
-    decoder (PNG unfilter+inflate, GIF LZW+palette, baseline or
-    progressive JPEG, FLAC, WAV PCM, MP4
+    decoder (PNG unfilter+inflate, GIF LZW+palette, TIFF strip
+    assembly, baseline or progressive JPEG, FLAC, WAV PCM, MP4
     container scan), and emit one UNIFIED row per object — kind,
     pixel dims where the format has them (NULL for audio), a size in
     the format's natural unit (pixels / samples / container samples),
@@ -4109,6 +4514,10 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
                     n_units, value_sum = w * h, int(img.sum())
                 elif kind == "gif":
                     w, h, img = _parse_gif(data)
+                    width, height = w, h
+                    n_units, value_sum = w * h, int(img.sum())
+                elif kind == "tiff":
+                    w, h, img = _parse_tiff(data)
                     width, height = w, h
                     n_units, value_sum = w * h, int(img.sum())
                 elif kind == "jpeg":
@@ -4184,6 +4593,7 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
         "flac_wasted": synth_flac_wasted_bytes,
         "jpeg_progressive": synth_jpeg_progressive_bytes,
         "gif": synth_gif_bytes,
+        "tiff": synth_tiff_bytes,
     }[kind]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -4206,6 +4206,56 @@ def m_gif_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m_tiff_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 5 + doc_id % 11 AS w, 3 + doc_id % 6 AS h
+               FROM documents),
+    px AS (SELECT doc_id, w, h, x, y
+           FROM d, UNNEST(range(0, w)) ux(x),
+                   UNNEST(range(0, h)) uy(y))
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM((doc_id * 3 + x * 7 + y * 11) % 256) AS BIGINT)
+               AS sum_r,
+           CAST(SUM((doc_id * 4 + x * 9 + y * 12) % 256) AS BIGINT)
+               AS sum_g,
+           CAST(SUM((doc_id * 5 + x * 11 + y * 13) % 256) AS BIGINT)
+               AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL TIFF decode FROM SPEC (TIFF 6.0) — the scanned-document "
+        "format real corpora carry alongside web images: per-doc "
+        "payloads are genuine TIFFs with BOTH byte orders "
+        "(II little / MM big by doc parity), a well-formed IFD "
+        "(ascending tags, SHORT/LONG fields, out-of-line value "
+        "arrays), 8-bit chunky RGB split across TWO strips "
+        "(RowsPerStrip = ceil(h/2), so strip assembly and per-strip "
+        "expected-size accounting are exercised), and compression "
+        "cycling none / PackBits / LZW by doc_id % 3. The TIFF LZW "
+        "is the spec's §13 variant — byte roots, MSB-first packing, "
+        "and the EARLY CHANGE (width bumps at (1<<width)-1, one code "
+        "before GIF's rule); the encoder reuses round 13's GIF "
+        "lesson and schedules widths off the DECODER's slot counter, "
+        "and emits a mid-stream Clear before the 4094 table cap as "
+        "the spec requires. PackBits covers both literal and repeat "
+        "runs with exact output-length accounting. The oracle "
+        "restates the per-channel pixel formula in SQL; a strip, "
+        "IFD, endianness, or codec bug breaks the channel sums. Same "
+        "Arrow-batched map-only zero-shuffle scale shape as the rest "
+        "of the codec family.",
+)
+def m_tiff_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_tiff,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_tiff(synth_payloads(docs, "tiff"))
+
+
+@register(
     "m_png_adam7_native",
     sql="""
     WITH d AS (SELECT doc_id, 5 + doc_id % 11 AS w, 3 + doc_id % 6 AS h

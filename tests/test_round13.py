@@ -1084,3 +1084,167 @@ class TestGif87a:
         w, h, img = M._parse_gif(bytes(blob))
         assert (w, h) == (5 + 6 % 11, 3 + 6 % 6)
         assert M.sniff_payload_kind(bytes(blob)) == "gif"
+
+
+class TestTiffDecode:
+    """From-spec TIFF 6.0: IFD walk, both byte orders, strip
+    assembly, none/PackBits/LZW (early-change) compressions."""
+
+    @staticmethod
+    def _expected(doc_id):
+        W, H = 5 + doc_id % 11, 3 + doc_id % 6
+        exp = np.zeros((H, W, 3), dtype="i8")
+        for y in range(H):
+            for x in range(W):
+                for c in range(3):
+                    exp[y, x, c] = (
+                        doc_id * (3 + c) + x * (7 + 2 * c)
+                        + y * (11 + c)
+                    ) % 256
+        return exp
+
+    @pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 4, 5, 17, 40])
+    def test_round_trip_exact(self, doc_id):
+        """doc parity selects II/MM; doc_id % 3 selects
+        none/PackBits/LZW — eight draws cover every combination."""
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        w, h, img = M._parse_tiff(M.synth_tiff_bytes(doc_id))
+        exp = self._expected(doc_id)
+        assert (h, w) == exp.shape[:2]
+        assert (img == exp).all()
+
+    def test_packbits_hand_vector(self):
+        """The TIFF 6.0 §9 worked example: Apple's documented
+        PackBits stream decodes to the documented bytes."""
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        enc = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+        exp = (
+            b"\xaa\xaa\xaa" + b"\x80\x00\x2a" + b"\xaa" * 4
+            + b"\x80\x00\x2a\x22" + b"\xaa" * 10
+        )
+        assert M._packbits_decode(enc, len(exp)) == exp
+        # and the encoder round-trips the same data
+        assert M._packbits_decode(
+            M._packbits_encode(exp), len(exp)
+        ) == exp
+
+    def test_lzw_width_boundaries_round_trip(self):
+        """Random bytes force one dictionary entry per symbol, so a
+        3000-byte stream crosses the 9->10 (at 511, the EARLY
+        change) and 10->11 (at 1023) width boundaries; 12000 bytes
+        cross 11->12 and the mid-stream Clear at the 4094 cap."""
+        import random
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        rng = random.Random(99)
+        for n in (300, 3000, 12000):
+            raw = bytes(rng.randrange(256) for _ in range(n))
+            assert M._tiff_lzw_decode(M._tiff_lzw_encode(raw), n) == raw
+
+    def test_gray_tiff_replicates_channels(self):
+        """8-bit BlackIsZero grayscale: one sample per pixel,
+        replicated to RGB so the unified channel sums apply."""
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        w, h = 3, 2
+        raw = bytes([10, 20, 30, 40, 50, 60])
+        ifd_off = 8 + len(raw)
+
+        def entry(tag, typ, count, value):
+            if typ == 3:
+                return struct.pack("<HHI", tag, typ, count) + \
+                    struct.pack("<HH", value, 0)
+            return struct.pack("<HHII", tag, typ, count, value)
+
+        entries = [
+            entry(256, 3, 1, w),
+            entry(257, 3, 1, h),
+            entry(258, 3, 1, 8),
+            entry(259, 3, 1, 1),
+            entry(262, 3, 1, 1),  # BlackIsZero
+            entry(273, 4, 1, 8),
+            entry(277, 3, 1, 1),
+            entry(278, 3, 1, h),
+            entry(279, 4, 1, len(raw)),
+        ]
+        blob = (
+            struct.pack("<2sHI", b"II", 42, ifd_off) + raw
+            + struct.pack("<H", len(entries)) + b"".join(entries)
+            + struct.pack("<I", 0)
+        )
+        gw, gh, img = M._parse_tiff(blob)
+        assert (gw, gh) == (w, h)
+        assert (img[:, :, 0] == img[:, :, 1]).all()
+        assert (img[:, :, 2].flatten() == [10, 20, 30, 40, 50, 60]).all()
+
+    def test_validation_errors(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        good = bytearray(M.synth_tiff_bytes(0))
+        bad = bytearray(good)
+        bad[0] = ord("X")
+        with pytest.raises(ValueError, match="byte-order"):
+            M._parse_tiff(bytes(bad))
+        with pytest.raises(ValueError):
+            M._parse_tiff(bytes(good[:20]))
+
+    def test_dispatch_routes_tiff(self, spark):
+        import pandas as pd
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        blob = M.synth_tiff_bytes(11)
+        assert M.sniff_payload_kind(blob) == "tiff"
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [11], "payload": [blob]})
+        )
+        row = M.ingest_dispatch(df).collect()[0]
+        exp = self._expected(11)
+        assert row["kind"] == "tiff"
+        assert (row["width"], row["height"]) == (exp.shape[1],
+                                                 exp.shape[0])
+        assert row["value_sum"] == int(exp.sum())
+
+
+class TestTiffFuzzSurface:
+    """Clean-failure contract for the TIFF path (sampled every 3rd
+    bit; exhaustive every-bit sweeps of five shapes covering both
+    byte orders and all three compressions ran clean in
+    development)."""
+
+    @pytest.mark.parametrize("doc", [0, 1, 2])
+    def test_every_prefix_fails_clean(self, doc):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        data = bytes(M.synth_tiff_bytes(doc))
+        for cut in range(len(data)):
+            try:
+                M._parse_tiff(data[:cut])
+            except ValueError:
+                continue
+            except Exception as exc:  # noqa: BLE001
+                raise AssertionError(
+                    f"prefix {cut} leaked {type(exc).__name__}: {exc}"
+                ) from exc
+
+    @pytest.mark.parametrize("doc", [0, 1, 2])
+    def test_every_nth_bit_flip_fails_clean(self, doc):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        data = bytes(M.synth_tiff_bytes(doc))
+        for bit in range(0, len(data) * 8, 3):
+            blob = bytearray(data)
+            blob[bit // 8] ^= 1 << (7 - bit % 8)
+            try:
+                M._parse_tiff(bytes(blob))
+            except ValueError:
+                continue
+            except Exception as exc:  # noqa: BLE001
+                raise AssertionError(
+                    f"bit {bit} leaked {type(exc).__name__}: {exc}"
+                ) from exc
