@@ -74,8 +74,8 @@ def _decode_media_native(data: bytes) -> tuple:
     except ValueError as exc:
         raise NotImplementedError(
             "unrecognized container: native decode covers "
-            "png/gif/tiff/jpeg/flac/wav/mp4/ppm; install PIL/ffmpeg "
-            "for the rest "
+            "png/gif/tiff/bmp/jpeg/flac/wav/mp4/ppm; install "
+            "PIL/ffmpeg for the rest "
             "or use deterministic=True"
         ) from exc
     if kind == "png":
@@ -86,6 +86,9 @@ def _decode_media_native(data: bytes) -> tuple:
         return w, h, 1
     if kind == "tiff":
         w, h, _ = _parse_tiff(data)
+        return w, h, 1
+    if kind == "bmp":
+        w, h, _ = _parse_bmp(data)
         return w, h, 1
     if kind == "jpeg":
         w, h, _comps = _jpeg_decode(data)
@@ -2429,6 +2432,155 @@ def decode_tiff(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(batches, PNG_SCHEMA)
 
 
+def synth_bmp_bytes(doc_id: int) -> bytes:
+    """Deterministic Windows BMP for ``doc_id``: BITMAPFILEHEADER +
+    BITMAPINFOHEADER (40), rows padded to 4-byte boundaries,
+    BOTTOM-UP storage (the default) except doc_id % 4 >= 2 which
+    writes the top-down negative-height variant. Even doc_ids are
+    24-bit BGR truecolor; odd doc_ids are 8-bit paletted with a
+    NON-power-of-two palette (16 + doc_id % 17 entries via
+    biClrUsed) of BGRA quads. Width 4 + doc_id % 9 forces non-zero
+    row padding in most draws. Pixel formulas are the closed form
+    the oracle restates."""
+    import struct
+
+    w = 4 + doc_id % 9
+    h = 3 + doc_id % 5
+    top_down = doc_id % 4 >= 2
+    bpp = 24 if doc_id % 2 == 0 else 8
+    nc = 16 + doc_id % 17 if bpp == 8 else 0
+    stride = ((w * bpp + 31) // 32) * 4
+
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            if bpp == 24:
+                r = (doc_id * 7 + x * 5 + y * 3) % 256
+                g = (doc_id * 11 + x * 3 + y * 7) % 256
+                b = (doc_id * 13 + x * 9 + y * 5) % 256
+                row += bytes([b, g, r])  # BGR on disk
+            else:
+                row.append((doc_id + x * 3 + y * 5) % nc)
+        row += bytes(stride - len(row))
+        rows.append(bytes(row))
+    if not top_down:
+        rows.reverse()  # bottom-up: last scanline first
+    pix = b"".join(rows)
+
+    pal = b""
+    if bpp == 8:
+        pal = b"".join(
+            bytes([
+                (doc_id * 7 + i * 13) % 256,  # blue
+                (doc_id * 3 + i * 29) % 256,  # green
+                (doc_id * 5 + i * 17) % 256,  # red
+                0,
+            ])
+            for i in range(nc)
+        )
+    data_off = 14 + 40 + len(pal)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, -h if top_down else h, 1, bpp, 0,
+        len(pix), 2835, 2835, nc, 0,
+    )
+    head = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(pix), 0, 0, data_off
+    )
+    return head + info + pal + pix
+
+
+def _parse_bmp(data: bytes):
+    """From-spec Windows BMP decode -> (w, h, int64 HxWx3 RGB):
+    BITMAPINFOHEADER and its V4/V5 extensions (the extra fields are
+    skipped — the first 40 bytes align), BI_RGB only, 8-bit paletted
+    (BGRA quads, biClrUsed honored, indices range-checked) and
+    24-bit BGR, 4-byte row padding, bottom-up or negative-height
+    top-down. Every structural defect raises ValueError."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM signature)")
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
+    (data_off,) = struct.unpack("<I", data[10:14])
+    (hdr,) = struct.unpack("<I", data[14:18])
+    if hdr not in (40, 52, 56, 108, 124):
+        raise ValueError(f"unsupported BMP header size {hdr}")
+    w, h_signed = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (comp,) = struct.unpack("<I", data[30:34])
+    (clr_used,) = struct.unpack("<I", data[46:50])
+    if w <= 0 or h_signed == 0:
+        raise ValueError("bad BMP dimensions")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if planes != 1 or comp != 0:
+        raise ValueError("only uncompressed BI_RGB BMPs supported")
+    if bpp not in (8, 24):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    stride = ((w * bpp + 31) // 32) * 4
+    if data_off + stride * h > len(data):
+        raise ValueError("truncated BMP pixel data")
+
+    pal = None
+    if bpp == 8:
+        nc = clr_used or 256
+        pal_at = 14 + hdr
+        if pal_at + 4 * nc > min(data_off, len(data)):
+            raise ValueError("truncated BMP palette")
+        quads = np.frombuffer(
+            data[pal_at : pal_at + 4 * nc], dtype="u1"
+        ).reshape(nc, 4)
+        pal = quads[:, [2, 1, 0]]  # BGRA -> RGB
+
+    img = np.zeros((h, w, 3), dtype="i8")
+    for row_i in range(h):
+        y = row_i if top_down else h - 1 - row_i
+        at = data_off + row_i * stride
+        if bpp == 24:
+            px = np.frombuffer(
+                data[at : at + w * 3], dtype="u1"
+            ).reshape(w, 3)
+            img[y] = px[:, [2, 1, 0]]  # BGR -> RGB
+        else:
+            idx = np.frombuffer(data[at : at + w], dtype="u1")
+            if int(idx.max()) >= len(pal):
+                raise ValueError("palette index out of range")
+            img[y] = pal[idx]
+    return w, h, img
+
+
+def decode_bmp(df: DataFrame, payload_col: str = "payload",
+               id_col: str = "doc_id") -> DataFrame:
+    """REAL BMP decode (from-spec header/palette/row-padding walk, no
+    PIL) via Arrow-batched mapInPandas, emitting the same per-channel
+    integer sums as :func:`decode_png`."""
+    parse_one = _parse_bmp
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "width", "height", "sum_r",
+                          "sum_g", "sum_b")
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, img = parse_one(bytes(b))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(img[:, :, 0].sum()))
+                rows["sum_g"].append(int(img[:, :, 1].sum()))
+                rows["sum_b"].append(int(img[:, :, 2].sum()))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, PNG_SCHEMA)
+
+
 #: JPEG emits block-structure stats (see decode_jpeg for why weighted).
 JPEG_SCHEMA = (
     "doc_id long, width int, height int, sum_luma long, wsum_luma long, "
@@ -4447,7 +4599,7 @@ def sniff_payload_kind(data: bytes) -> str:
     """Identify a media payload from its magic bytes alone (the only
     trustworthy signal at ingest — extensions lie): PNG signature,
     JPEG SOI, fLaC stream marker, RIFF/WAVE, ISO-BMFF ftyp, PPM P6,
-    GIF87a/GIF89a, TIFF II*/MM*.
+    GIF87a/GIF89a, TIFF II*/MM*, BMP "BM"+known-header-size.
     Raises ValueError for anything unrecognized so corrupt objects
     surface as clean task errors, same failure surface as the
     decoders."""
@@ -4457,6 +4609,13 @@ def sniff_payload_kind(data: bytes) -> str:
         return "gif"
     if data[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
         return "tiff"
+    if (
+        data[:2] == b"BM"
+        and len(data) >= 18
+        and int.from_bytes(data[14:18], "little")
+        in (12, 40, 52, 56, 108, 124)
+    ):  # "BM" alone is weak magic; require a known info-header size
+        return "bmp"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
     if data[:4] == b"fLaC":
@@ -4481,8 +4640,8 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
     """END-TO-END multimodal ingest over a MIXED-format binary column:
     sniff each payload's magic, route it to the matching from-spec
     decoder (PNG unfilter+inflate, GIF LZW+palette, TIFF strip
-    assembly, baseline or progressive JPEG, FLAC, WAV PCM, MP4
-    container scan), and emit one UNIFIED row per object — kind,
+    assembly, BMP rows, baseline or progressive JPEG, FLAC, WAV PCM,
+    MP4 container scan), and emit one UNIFIED row per object — kind,
     pixel dims where the format has them (NULL for audio), a size in
     the format's natural unit (pixels / samples / container samples),
     and an integer content checksum (channel-sum over decoded values;
@@ -4518,6 +4677,10 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
                     n_units, value_sum = w * h, int(img.sum())
                 elif kind == "tiff":
                     w, h, img = _parse_tiff(data)
+                    width, height = w, h
+                    n_units, value_sum = w * h, int(img.sum())
+                elif kind == "bmp":
+                    w, h, img = _parse_bmp(data)
                     width, height = w, h
                     n_units, value_sum = w * h, int(img.sum())
                 elif kind == "jpeg":
@@ -4594,6 +4757,7 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
         "jpeg_progressive": synth_jpeg_progressive_bytes,
         "gif": synth_gif_bytes,
         "tiff": synth_tiff_bytes,
+        "bmp": synth_bmp_bytes,
     }[kind]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -4256,6 +4256,65 @@ def m_tiff_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m_bmp_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h,
+                      16 + doc_id % 17 AS nc
+               FROM documents),
+    px AS (SELECT doc_id, w, h, nc, x, y
+           FROM d, UNNEST(range(0, w)) ux(x),
+                   UNNEST(range(0, h)) uy(y)),
+    u AS (
+        SELECT doc_id, w, h,
+               (doc_id * 7 + x * 5 + y * 3) % 256 AS r,
+               (doc_id * 11 + x * 3 + y * 7) % 256 AS g,
+               (doc_id * 13 + x * 9 + y * 5) % 256 AS b
+        FROM px WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, w, h,
+               (doc_id * 5 + ((doc_id + x * 3 + y * 5) % nc) * 17)
+                   % 256 AS r,
+               (doc_id * 3 + ((doc_id + x * 3 + y * 5) % nc) * 29)
+                   % 256 AS g,
+               (doc_id * 7 + ((doc_id + x * 3 + y * 5) % nc) * 13)
+                   % 256 AS b
+        FROM px WHERE doc_id % 2 = 1)
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b
+    FROM u GROUP BY doc_id
+    """,
+    doc="REAL BMP decode FROM SPEC — the bitmap format legacy "
+        "corpora and Windows-origin datasets carry: per-doc payloads "
+        "are genuine BITMAPFILEHEADER + BITMAPINFOHEADER files whose "
+        "four classic bug surfaces are all exercised across the "
+        "corpus — BOTTOM-UP row storage (default) vs the "
+        "negative-height top-down variant (doc_id % 4 selects), BGR "
+        "byte order on disk, rows padded to 4-byte boundaries "
+        "(width 4 + doc_id % 9 forces nonzero padding in most "
+        "draws), and for odd doc_ids an 8-bit palette of BGRA quads "
+        "with a NON-power-of-two size via biClrUsed (16 + doc_id % "
+        "17 entries, indices range-checked). V4/V5 header sizes are "
+        "accepted (their first 40 bytes align). The oracle restates "
+        "both pixel formulas branch-by-parity in SQL; a row-order, "
+        "padding, channel-order, or palette bug breaks the channel "
+        "sums. Same Arrow-batched map-only zero-shuffle scale shape "
+        "as the rest of the codec family.",
+)
+def m_bmp_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_bmp(synth_payloads(docs, "bmp"))
+
+
+@register(
     "m_png_adam7_native",
     sql="""
     WITH d AS (SELECT doc_id, 5 + doc_id % 11 AS w, 3 + doc_id % 6 AS h

@@ -1248,3 +1248,114 @@ class TestTiffFuzzSurface:
                 raise AssertionError(
                     f"bit {bit} leaked {type(exc).__name__}: {exc}"
                 ) from exc
+
+
+class TestBmpDecode:
+    """From-spec BMP: bottom-up vs top-down rows, BGR order, 4-byte
+    row padding, non-power-of-two biClrUsed palettes."""
+
+    @staticmethod
+    def _expected(doc_id):
+        W, H = 4 + doc_id % 9, 3 + doc_id % 5
+        nc = 16 + doc_id % 17
+        exp = np.zeros((H, W, 3), dtype="i8")
+        for y in range(H):
+            for x in range(W):
+                if doc_id % 2 == 0:
+                    exp[y, x] = [
+                        (doc_id * 7 + x * 5 + y * 3) % 256,
+                        (doc_id * 11 + x * 3 + y * 7) % 256,
+                        (doc_id * 13 + x * 9 + y * 5) % 256,
+                    ]
+                else:
+                    i = (doc_id + x * 3 + y * 5) % nc
+                    exp[y, x] = [
+                        (doc_id * 5 + i * 17) % 256,
+                        (doc_id * 3 + i * 29) % 256,
+                        (doc_id * 7 + i * 13) % 256,
+                    ]
+        return exp
+
+    @pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 4, 5, 20, 37])
+    def test_round_trip_exact(self, doc_id):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        w, h, img = M._parse_bmp(M.synth_bmp_bytes(doc_id))
+        exp = self._expected(doc_id)
+        assert (h, w) == exp.shape[:2]
+        assert (img == exp).all()
+
+    def test_orientation_matters(self):
+        """Flipping the height sign without re-ordering rows must
+        change the decode (pins that orientation is honored, not
+        ignored)."""
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        blob = bytearray(M.synth_bmp_bytes(0))  # bottom-up, h=3
+        import struct
+
+        (h,) = struct.unpack("<i", blob[22:26])
+        blob[22:26] = struct.pack("<i", -h)  # claim top-down
+        _w, _h, img = M._parse_bmp(bytes(blob))
+        assert (img != self._expected(0)).any()
+        assert (img == self._expected(0)[::-1]).all()
+
+    def test_v5_header_accepted(self):
+        """A 124-byte BITMAPV5HEADER whose first 40 bytes match the
+        classic layout decodes identically."""
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        import struct
+
+        base = M.synth_bmp_bytes(0)
+        head, info, pix = base[:14], base[14:54], base[54:]
+        pad = 124 - 40
+        info = struct.pack("<I", 124) + info[4:] + bytes(pad)
+        data_off = 14 + 124
+        head = struct.pack(
+            "<2sIHHI", b"BM", data_off + len(pix), 0, 0, data_off
+        )
+        _w, _h, img = M._parse_bmp(head + info + pix)
+        assert (img == self._expected(0)).all()
+
+    def test_dispatch_routes_bmp(self, spark):
+        import pandas as pd
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        blob = M.synth_bmp_bytes(9)
+        assert M.sniff_payload_kind(blob) == "bmp"
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [9], "payload": [blob]})
+        )
+        row = M.ingest_dispatch(df).collect()[0]
+        exp = self._expected(9)
+        assert row["kind"] == "bmp"
+        assert row["value_sum"] == int(exp.sum())
+
+    def test_bm_without_known_header_not_sniffed(self):
+        """'BM' alone is weak magic — a text blob starting with BM
+        must stay unrecognized, not crash the BMP parser."""
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        with pytest.raises(ValueError, match="unrecognized"):
+            M.sniff_payload_kind(b"BMW is a carmaker, not a bitmap.")
+
+
+class TestBmpFuzzSurface:
+    @pytest.mark.parametrize("doc", [0, 1, 2, 3])
+    def test_every_nth_bit_flip_fails_clean(self, doc):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        data = bytes(M.synth_bmp_bytes(doc))
+        for bit in range(0, len(data) * 8, 3):
+            blob = bytearray(data)
+            blob[bit // 8] ^= 1 << (7 - bit % 8)
+            try:
+                M._parse_bmp(bytes(blob))
+            except ValueError:
+                continue
+            except Exception as exc:  # noqa: BLE001
+                raise AssertionError(
+                    f"bit {bit} leaked {type(exc).__name__}: {exc}"
+                ) from exc
