@@ -252,3 +252,49 @@ class TestTiffProperties:
         assert M._packbits_decode(
             M._packbits_encode(raw), len(raw)
         ) == raw
+
+
+class TestBmpProperties:
+    @settings(max_examples=40, deadline=None)
+    @given(data=st.data())
+    def test_round_trip_hand_built_arbitrary_pixels(self, data):
+        """Arbitrary truecolor pixel fields through a hand-built BMP
+        (random orientation, widths forcing every padding residue)
+        decode pixel-exactly."""
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        w = data.draw(st.integers(1, 9))
+        h = data.draw(st.integers(1, 6))
+        top_down = data.draw(st.booleans())
+        px = [
+            [
+                tuple(data.draw(st.integers(0, 255)) for _ in range(3))
+                for _ in range(w)
+            ]
+            for _ in range(h)
+        ]
+        stride = ((w * 24 + 31) // 32) * 4
+        rows = []
+        for y in range(h):
+            row = bytearray()
+            for x in range(w):
+                r, g, b = px[y][x]
+                row += bytes([b, g, r])
+            row += bytes(stride - len(row))
+            rows.append(bytes(row))
+        if not top_down:
+            rows.reverse()
+        pix = b"".join(rows)
+        info = struct.pack(
+            "<IiiHHIIiiII",
+            40, w, -h if top_down else h, 1, 24, 0,
+            len(pix), 0, 0, 0, 0,
+        )
+        head = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+        gw, gh, img = M._parse_bmp(head + info + pix)
+        assert (gw, gh) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                assert tuple(img[y, x]) == px[y][x]
