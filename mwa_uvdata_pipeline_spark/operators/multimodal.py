@@ -847,7 +847,10 @@ def _parse_flac_body(data: bytes):
         )
 
     outs: list[list[int]] = [[] for _ in range(nch)]
-    while len(outs[0]) < total:
+    # STREAMINFO total = 0 is the spec's legal "unknown length"
+    # (pipe-mode encoders emit it): decode frames until end of file
+    # instead of treating it as a zero-sample target
+    while (pos < len(data)) if total == 0 else (len(outs[0]) < total):
         frame_start = pos
         br = _Bits(data[pos:])
         if br.read(14) != 0b11111111111110:
@@ -1028,7 +1031,9 @@ def _parse_flac_body(data: bytes):
     # A final frame coded with a fixed blocksize code may overshoot
     # the STREAMINFO total; reference decoders truncate to total
     # (libFLAC behavior), so sum_sq/n_samples stay comparable.
-    return rate, nch, [np.array(o[:total], dtype="i8") for o in outs]
+    # total = 0 means unknown length: keep everything decoded.
+    end = total if total else None
+    return rate, nch, [np.array(o[:end], dtype="i8") for o in outs]
 
 
 def decode_flac(df: DataFrame, payload_col: str = "payload",
@@ -1912,6 +1917,7 @@ def _parse_gif(data: bytes):
             p += ln
 
     img = None
+    t_idx = None  # transparent index from the pending GCE, if any
     while True:
         if pos >= len(data):
             raise ValueError("missing GIF trailer")
@@ -1922,6 +1928,15 @@ def _parse_gif(data: bytes):
         if block == 0x21:  # extension: label byte + sub-blocks
             if pos >= len(data):
                 raise ValueError("truncated GIF extension")
+            # a Graphic Control Extension's transparency flag/index
+            # applies to the NEXT image (GIF89a §23) — capture it
+            # before the generic sub-block skip
+            if (
+                data[pos] == 0xF9
+                and pos + 5 < len(data)
+                and data[pos + 1] >= 4
+            ):
+                t_idx = data[pos + 5] if data[pos + 2] & 1 else None
             pos = skip_subblocks(pos + 1)
             continue
         if block != 0x2C:
@@ -1971,34 +1986,52 @@ def _parse_gif(data: bytes):
         flat = np.frombuffer(
             _gif_lzw_decode(bytes(lzw), m, iw * ih), dtype="u1"
         )
-        if int(flat.max()) >= len(table):
-            raise ValueError("palette index out of range")
         frame = np.empty((ih, iw), dtype="u1")
         if ipacked & 0x40:  # interlaced: scatter stored rows back
             order = _gif_interlace_rows(ih)
             frame[order, :] = flat.reshape(ih, iw)
         else:
             frame[:, :] = flat.reshape(ih, iw)
+        tmask = None if t_idx is None else frame == t_idx
+        opaque = frame if tmask is None else frame[~tmask]
+        # transparent pixels are never looked up, so they are exempt
+        # from the palette range check (encoders legally emit
+        # transparent indices at/above the table size)
+        if opaque.size and int(opaque.max()) >= len(table):
+            raise ValueError("palette index out of range")
         # compose in RGB space: the background resolves through the
         # GLOBAL table, the frame through ITS OWN (possibly local)
-        # table — composing in index space would cross the tables
+        # table — composing in index space would cross the tables.
+        # The background byte is validated only when background
+        # pixels are actually RENDERED (partial frame or transparent
+        # pixels) — real encoders emit junk bg bytes on full-canvas
+        # frames and reference decoders accept them.
+        bg_shows = (left, top, iw, ih) != (0, 0, w, h) or (
+            tmask is not None and bool(tmask.any())
+        )
         if gct is not None:
-            if bg >= len(gct):
+            if bg_shows and bg >= len(gct):
                 raise ValueError("background index out of range")
-            img = np.broadcast_to(
-                gct[bg].astype("i8"), (h, w, 3)
-            ).copy()
+            bg_rgb = (
+                gct[bg].astype("i8") if bg_shows
+                else np.zeros(3, dtype="i8")
+            )
+            img = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
         else:
             # no GCT: the background color is undefined, so the
-            # first frame must cover the whole logical screen
-            if (left, top, iw, ih) != (0, 0, w, h):
+            # first frame must cover the whole logical screen with
+            # opaque pixels
+            if bg_shows:
                 raise ValueError(
                     "partial first frame without a global color table"
                 )
             img = np.zeros((h, w, 3), dtype="i8")
-        img[top : top + ih, left : left + iw] = (
-            table[frame].astype("i8")
-        )
+        rgb = table[np.where(tmask, 0, frame) if tmask is not None
+                    else frame].astype("i8")
+        if tmask is not None:
+            rgb[tmask] = img[top : top + ih, left : left + iw][tmask]
+        img[top : top + ih, left : left + iw] = rgb
+        t_idx = None  # a GCE governs only the block that follows it
     if img is None:
         raise ValueError("GIF carries no image")
     return w, h, img
@@ -2008,28 +2041,9 @@ def decode_gif(df: DataFrame, payload_col: str = "payload",
                id_col: str = "doc_id") -> DataFrame:
     """REAL GIF decode (from-spec LZW, interlace, palette — no PIL)
     via Arrow-batched mapInPandas, emitting the same per-channel
-    integer sums as :func:`decode_png` — the last common still-image
-    format with a fully public spec."""
-    parse_one = _parse_gif
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows: dict[str, list] = {
-                k: []
-                for k in ("doc_id", "width", "height", "sum_r",
-                          "sum_g", "sum_b")
-            }
-            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
-                w, h, img = parse_one(bytes(b))
-                rows["doc_id"].append(doc_id)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["sum_r"].append(int(img[:, :, 0].sum()))
-                rows["sum_g"].append(int(img[:, :, 1].sum()))
-                rows["sum_b"].append(int(img[:, :, 2].sum()))
-            yield pd.DataFrame(rows)
-
-    return df.select(id_col, payload_col).mapInPandas(batches, PNG_SCHEMA)
+    integer sums as :func:`decode_png` (shared
+    :func:`_rgb_sum_decoder` body)."""
+    return _rgb_sum_decoder(_parse_gif)(df, payload_col, id_col)
 
 
 def _packbits_encode(raw: bytes) -> bytes:
@@ -2172,6 +2186,8 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
             nbits += 8
         nbits -= width
         v = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1  # keep acc bounded: without this the
+        # shifts above are O(stream) and the decode goes quadratic
         return v
 
     width = 9
@@ -2237,11 +2253,20 @@ def synth_tiff_bytes(doc_id: int) -> bytes:
                     % 256
                 )
     rows_per_strip = (h + 1) // 2
+    predictor = 2 if comp == 5 else 1  # LZW docs use the libtiff
+    # pairing: horizontal differencing before compression
     strips = []
     for s0 in range(0, h, rows_per_strip):
         part = bytes(
             raw[s0 * w * 3 : min(s0 + rows_per_strip, h) * w * 3]
         )
+        if predictor == 2:
+            import numpy as np
+
+            a = np.frombuffer(part, dtype="u1").reshape(-1, w, 3)
+            d = a.astype("i2")
+            d[:, 1:, :] -= a[:, :-1, :].astype("i2")
+            part = (d % 256).astype("u1").tobytes()
         if comp == 32773:
             part = _packbits_encode(part)
         elif comp == 5:
@@ -2279,6 +2304,8 @@ def synth_tiff_bytes(doc_id: int) -> bytes:
         entry(278, 3, 1, rows_per_strip),  # RowsPerStrip
         entry(279, 4, len(strips), scnt_off),  # StripByteCounts
     ]
+    if predictor == 2:
+        entries.append(entry(317, 3, 1, 2))  # Predictor: horizontal
     ifd = struct.pack(f"{order}H", len(entries)) + b"".join(entries)
     ifd += struct.pack(f"{order}I", 0)
     head = struct.pack(
@@ -2371,6 +2398,9 @@ def _parse_tiff(data: bytes):
         raise ValueError("unsupported TIFF sample layout")
     if comp not in (1, 32773, 5):
         raise ValueError(f"unsupported TIFF compression {comp}")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     rows_per_strip = one(278, h)
     offs = values(273)
     cnts = values(279)
@@ -2392,11 +2422,18 @@ def _parse_tiff(data: bytes):
         if comp == 1:
             if len(strip) != expected:
                 raise ValueError("uncompressed strip size mismatch")
-            out += strip
+            dec = strip
         elif comp == 32773:
-            out += _packbits_decode(strip, expected)
+            dec = _packbits_decode(strip, expected)
         else:
-            out += _tiff_lzw_decode(strip, expected)
+            dec = _tiff_lzw_decode(strip, expected)
+        if predictor == 2:  # undo horizontal differencing (TIFF 6.0
+            # §14): per row, per SAMPLE channel, cumulative sum mod 256
+            a = np.frombuffer(dec, dtype="u1").reshape(rows, w, spp)
+            dec = (
+                np.cumsum(a, axis=1, dtype="u8") % 256
+            ).astype("u1").tobytes()
+        out += dec
     arr = np.frombuffer(bytes(out), dtype="u1").reshape(h, w, spp)
     if spp == 1:
         arr = np.repeat(arr, 3, axis=2)
@@ -2408,28 +2445,9 @@ def decode_tiff(df: DataFrame, payload_col: str = "payload",
     """REAL TIFF decode (from-spec IFD walk, strip assembly,
     none/PackBits/LZW compressions, both byte orders — no PIL) via
     Arrow-batched mapInPandas, emitting the same per-channel integer
-    sums as :func:`decode_png` — the scanned-document format of real
-    corpora."""
-    parse_one = _parse_tiff
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows: dict[str, list] = {
-                k: []
-                for k in ("doc_id", "width", "height", "sum_r",
-                          "sum_g", "sum_b")
-            }
-            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
-                w, h, img = parse_one(bytes(b))
-                rows["doc_id"].append(doc_id)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["sum_r"].append(int(img[:, :, 0].sum()))
-                rows["sum_g"].append(int(img[:, :, 1].sum()))
-                rows["sum_b"].append(int(img[:, :, 2].sum()))
-            yield pd.DataFrame(rows)
-
-    return df.select(id_col, payload_col).mapInPandas(batches, PNG_SCHEMA)
+    sums as :func:`decode_png` (shared :func:`_rgb_sum_decoder`
+    body) — the scanned-document format of real corpora."""
+    return _rgb_sum_decoder(_parse_tiff)(df, payload_col, id_col)
 
 
 def synth_bmp_bytes(doc_id: int) -> bytes:
@@ -2523,13 +2541,16 @@ def _parse_bmp(data: bytes):
     if bpp not in (8, 24):
         raise ValueError(f"unsupported BMP bit depth {bpp}")
     stride = ((w * bpp + 31) // 32) * 4
+    if data_off < 14 + hdr:  # pixel data can't start inside headers
+        raise ValueError("BMP pixel offset inside the header")
     if data_off + stride * h > len(data):
         raise ValueError("truncated BMP pixel data")
 
     pal = None
     if bpp == 8:
         nc = clr_used or 256
-        pal_at = 14 + hdr
+        pal_at = 14 + hdr  # (the palette-bounds check below also
+        # rejects a pixel offset that lands inside the palette)
         if pal_at + 4 * nc > min(data_off, len(data)):
             raise ValueError("truncated BMP palette")
         quads = np.frombuffer(
@@ -2558,27 +2579,9 @@ def decode_bmp(df: DataFrame, payload_col: str = "payload",
                id_col: str = "doc_id") -> DataFrame:
     """REAL BMP decode (from-spec header/palette/row-padding walk, no
     PIL) via Arrow-batched mapInPandas, emitting the same per-channel
-    integer sums as :func:`decode_png`."""
-    parse_one = _parse_bmp
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows: dict[str, list] = {
-                k: []
-                for k in ("doc_id", "width", "height", "sum_r",
-                          "sum_g", "sum_b")
-            }
-            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
-                w, h, img = parse_one(bytes(b))
-                rows["doc_id"].append(doc_id)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["sum_r"].append(int(img[:, :, 0].sum()))
-                rows["sum_g"].append(int(img[:, :, 1].sum()))
-                rows["sum_b"].append(int(img[:, :, 2].sum()))
-            yield pd.DataFrame(rows)
-
-    return df.select(id_col, payload_col).mapInPandas(batches, PNG_SCHEMA)
+    integer sums as :func:`decode_png` (shared
+    :func:`_rgb_sum_decoder` body)."""
+    return _rgb_sum_decoder(_parse_bmp)(df, payload_col, id_col)
 
 
 #: JPEG emits block-structure stats (see decode_jpeg for why weighted).
@@ -4027,32 +4030,47 @@ def decode_jpeg_422(df: DataFrame, payload_col: str = "payload",
     )
 
 
+def _rgb_sum_decoder(parse_one):
+    """Shared Arrow-batched mapInPandas body for every still-image
+    decoder that emits (width, height, per-channel integer sums) —
+    PNG/GIF/TIFF/BMP all share this exact row shape, so one factory
+    keeps the four operators from drifting apart."""
+
+    def decode(df: DataFrame, payload_col: str = "payload",
+               id_col: str = "doc_id") -> DataFrame:
+        def batches(
+            it: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows: dict[str, list] = {
+                    k: []
+                    for k in ("doc_id", "width", "height", "sum_r",
+                              "sum_g", "sum_b")
+                }
+                for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                    w, h, img = parse_one(bytes(b))
+                    rows["doc_id"].append(doc_id)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sum_r"].append(int(img[:, :, 0].sum()))
+                    rows["sum_g"].append(int(img[:, :, 1].sum()))
+                    rows["sum_b"].append(int(img[:, :, 2].sum()))
+                yield pd.DataFrame(rows)
+
+        return df.select(id_col, payload_col).mapInPandas(
+            batches, PNG_SCHEMA
+        )
+
+    return decode
+
+
 def decode_png(df: DataFrame, payload_col: str = "payload",
                id_col: str = "doc_id") -> DataFrame:
     """REAL PNG decode (stdlib zlib + numpy, no PIL): chunk walk with
     CRC verification, inflate, per-spec scanline unfiltering, then the
     same per-channel integer sums as :func:`decode_ppm` — the codec
     upgrade of the uncompressed-image gate."""
-    parse_one = _parse_png
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows: dict[str, list] = {
-                k: []
-                for k in ("doc_id", "width", "height", "sum_r", "sum_g",
-                          "sum_b")
-            }
-            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
-                w, h, img = parse_one(bytes(b))
-                rows["doc_id"].append(doc_id)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["sum_r"].append(int(img[:, :, 0].sum()))
-                rows["sum_g"].append(int(img[:, :, 1].sum()))
-                rows["sum_b"].append(int(img[:, :, 2].sum()))
-            yield pd.DataFrame(rows)
-
-    return df.select(id_col, payload_col).mapInPandas(batches, PNG_SCHEMA)
+    return _rgb_sum_decoder(_parse_png)(df, payload_col, id_col)
 
 
 # ------------------------------------------------- MP4 container scan

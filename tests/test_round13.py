@@ -1359,3 +1359,132 @@ class TestBmpFuzzSurface:
                 raise AssertionError(
                     f"bit {bit} leaked {type(exc).__name__}: {exc}"
                 ) from exc
+
+
+class TestReviewFixes:
+    """Round-13 self-review findings, each pinned."""
+
+    def test_tiff_predictor2_round_trip_and_reject(self):
+        """LZW corpus docs now carry Predictor=2 (the libtiff
+        pairing); values decode identically to the closed form, and
+        unsupported predictor values reject instead of silently
+        mis-decoding."""
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        blob = bytearray(M.synth_tiff_bytes(2))  # II + LZW + pred 2
+        assert b"\x3d\x01" in bytes(blob)  # tag 317 LE present
+        w, h, img = M._parse_tiff(bytes(blob))
+        assert img[0, 1, 0] == (2 * 3 + 1 * 7) % 256
+        at = bytes(blob).index(
+            struct.pack("<HH", 317, 3)
+        )
+        blob[at + 8] = 3  # predictor 3 (floating point): unsupported
+        with pytest.raises(ValueError, match="predictor"):
+            M._parse_tiff(bytes(blob))
+
+    def test_tiff_lzw_decode_linear_time(self):
+        """The decoder masks its accumulator after each code —
+        decoding 320 KB must take well under a second (it was 51 s
+        when acc grew unboundedly and every shift went O(stream))."""
+        import random
+        import time
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        raw = bytes(
+            random.Random(3).randrange(256) for _ in range(320_000)
+        )
+        enc = M._tiff_lzw_encode(raw)
+        t0 = time.perf_counter()
+        assert M._tiff_lzw_decode(enc, len(raw)) == raw
+        assert time.perf_counter() - t0 < 5.0
+
+    def test_flac_unknown_length_decodes_all_frames(self):
+        """STREAMINFO total = 0 is the spec's 'unknown length'
+        (pipe-mode encoders): decode to end of file instead of
+        truncating to zero samples."""
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        blob = bytearray(M.synth_flac_bytes(5))
+        _rate, full = M._parse_flac(bytes(blob))
+        blob[8 + 13] &= 0xF0  # zero the 36-bit total-samples field
+        for i in range(14, 18):
+            blob[8 + i] = 0
+        _rate, unk = M._parse_flac(bytes(blob))
+        assert list(unk) == list(full) and len(full) > 0
+
+    def test_gif_transparency_composites_background(self):
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        gct = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 5, 6, 7])
+        lzw = M._gif_lzw_encode([1, 0], 2)
+        subs = bytes([len(lzw)]) + lzw + b"\x00"
+        blob = (
+            b"GIF89a" + (2).to_bytes(2, "little")
+            + (1).to_bytes(2, "little")
+            + bytes([0x80 | 1, 2, 0]) + gct
+            + b"\x21\xf9\x04\x01\x00\x00\x01\x00"  # transparent idx 1
+            + b"\x2c" + bytes(4)
+            + (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + bytes([0x00, 2]) + subs + b"\x3b"
+        )
+        _w, _h, img = M._parse_gif(blob)
+        assert tuple(img[0, 0]) == (70, 80, 90)  # background (idx 2)
+        assert tuple(img[0, 1]) == (10, 20, 30)  # opaque idx 0
+
+    def test_gif_junk_background_byte_tolerated_when_hidden(self):
+        """Real encoders emit junk bg bytes on full-canvas opaque
+        frames; the check applies only when background pixels
+        actually render."""
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        blob = bytearray(M.synth_gif_bytes(4))
+        blob[11] = 200  # bg far beyond the table
+        M._parse_gif(bytes(blob))  # accepted
+        # but a PARTIAL frame with the same junk byte still rejects
+        gct = bytes(range(6))  # 2 entries
+        lzw = M._gif_lzw_encode([0], 2)
+        subs = bytes([len(lzw)]) + lzw + b"\x00"
+        partial = (
+            b"GIF89a" + (2).to_bytes(2, "little")
+            + (1).to_bytes(2, "little")
+            + bytes([0x80 | 0, 3, 0]) + gct
+            + b"\x2c" + bytes(4)
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + bytes([0x00, 2]) + subs + b"\x3b"
+        )
+        with pytest.raises(ValueError, match="background"):
+            M._parse_gif(partial)
+
+    def test_gif_out_of_range_transparent_index_ok(self):
+        """A transparent index at/above the palette size is legal —
+        those pixels are never looked up."""
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        gct = bytes(range(6))  # 2 entries
+        lzw = M._gif_lzw_encode([3, 0], 2)
+        subs = bytes([len(lzw)]) + lzw + b"\x00"
+        blob = (
+            b"GIF89a" + (2).to_bytes(2, "little")
+            + (1).to_bytes(2, "little")
+            + bytes([0x80 | 0, 0, 0]) + gct
+            + b"\x21\xf9\x04\x01\x00\x00\x03\x00"
+            + b"\x2c" + bytes(4)
+            + (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + bytes([0x00, 2]) + subs + b"\x3b"
+        )
+        _w, _h, img = M._parse_gif(blob)
+        assert tuple(img[0, 0]) == (0, 1, 2)  # background idx 0
+        assert tuple(img[0, 1]) == (0, 1, 2)  # opaque idx 0
+
+    def test_bmp_pixel_offset_inside_header_rejects(self):
+        import struct
+
+        from mwa_uvdata_pipeline_spark.operators import multimodal as M
+
+        blob = bytearray(M.synth_bmp_bytes(0))
+        blob[10:14] = struct.pack("<I", 10)  # bfOffBits into header
+        with pytest.raises(ValueError, match="offset inside"):
+            M._parse_bmp(bytes(blob))
