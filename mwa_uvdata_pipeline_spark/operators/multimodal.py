@@ -349,12 +349,20 @@ def decode_wav(df: DataFrame, payload_col: str = "payload",
                                 "n_samples", "sum_sq", "max_abs")
             }
             for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
-                with wave.open(io.BytesIO(bytes(b)), "rb") as w:
-                    nch, sw, rate, nfr = (
-                        w.getnchannels(), w.getsampwidth(),
-                        w.getframerate(), w.getnframes(),
-                    )
-                    s = _pcm_samples(w.readframes(nfr), sw)
+                # stdlib wave raises its own wave.Error on non-PCM /
+                # corrupt files (plus bare EOFError / RuntimeError on
+                # some truncations) — wrap ALL of them into the codec
+                # family's clean-ValueError contract, same as the
+                # ingest_dispatch WAV branch
+                try:
+                    with wave.open(io.BytesIO(bytes(b)), "rb") as w:
+                        nch, sw, rate, nfr = (
+                            w.getnchannels(), w.getsampwidth(),
+                            w.getframerate(), w.getnframes(),
+                        )
+                        s = _pcm_samples(w.readframes(nfr), sw)
+                except (wave.Error, EOFError, RuntimeError) as exc:
+                    raise ValueError("corrupt WAV payload") from exc
                 rows["doc_id"].append(doc_id)
                 rows["sample_rate"].append(rate)
                 rows["n_channels"].append(nch)
@@ -1892,6 +1900,15 @@ def _parse_gif(data: bytes):
     h = int.from_bytes(data[8:10], "little")
     if w == 0 or h == 0:
         raise ValueError("zero GIF canvas dimension")
+    # the canvas is allocated from these header-declared dims, so
+    # bound them BEFORE any allocation: a ~40-byte file declaring a
+    # 65535x65535 screen must fail as a clean ValueError, not a
+    # ~100 GB MemoryError. GIF LZW expands at most ~4096x (max
+    # dictionary string length), so a canvas vastly larger than the
+    # payload could ever fill is structurally bogus; the floor keeps
+    # tiny legitimate files with large-ish canvases unaffected.
+    if w * h > max(1 << 22, len(data) * 4096):
+        raise ValueError("GIF canvas implausibly large for payload")
     packed, bg = data[10], data[11]
     pos = 13
     gct = None
@@ -2392,9 +2409,12 @@ def _parse_tiff(data: bytes):
         raise ValueError(
             "only BlackIsZero grayscale and RGB TIFFs supported"
         )
-    if (photo == 2) != (spp == 3) or any(b != 8 for b in bps) or len(
-        bps
-    ) != spp:
+    # spp must be exactly 1 (gray) or 3 (RGB): gray+alpha (spp=2),
+    # RGB+alpha (spp=4) and the degenerate spp=0 are all rejected
+    # here rather than surfacing as reshape errors downstream
+    if spp not in (1, 3) or (photo == 2) != (spp == 3) or any(
+        b != 8 for b in bps
+    ) or len(bps) != spp:
         raise ValueError("unsupported TIFF sample layout")
     if comp not in (1, 32773, 5):
         raise ValueError(f"unsupported TIFF compression {comp}")
@@ -4631,8 +4651,11 @@ def sniff_payload_kind(data: bytes) -> str:
         data[:2] == b"BM"
         and len(data) >= 18
         and int.from_bytes(data[14:18], "little")
-        in (12, 40, 52, 56, 108, 124)
-    ):  # "BM" alone is weak magic; require a known info-header size
+        in (40, 52, 56, 108, 124)
+    ):  # "BM" alone is weak magic; require an info-header size the
+        # parser actually accepts (OS/2 core headers, size 12, are
+        # rejected by _parse_bmp, so sniffing them as 'bmp' would
+        # split one failure into two inconsistent messages)
         return "bmp"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
