@@ -1882,14 +1882,119 @@ def synth_gif_bytes(doc_id: int) -> bytes:
     )
 
 
+def synth_gif_animated_bytes(doc_id: int) -> bytes:
+    """Deterministic 3-frame ANIMATED GIF89a for ``doc_id``, built so
+    the final composited canvas is a closed form the oracle restates:
+
+    * frame 1 — full (8 + doc_id % 8) x (6 + doc_id % 5) canvas, GCT
+      indices (doc_id + x*3 + y*5) % 8, disposal 1 (leave in place);
+    * frame 2 — rectangle at (doc_id % 3, doc_id % 2) sized
+      (3 + doc_id % 3) x (2 + doc_id % 2), indices
+      (doc_id*2 + x + y) % 8 in LOCAL coords, disposal
+      2 + doc_id % 2: even doc_ids restore the rectangle to the
+      BACKGROUND color, odd ones to the frame-1 content, before
+      frame 3 renders — so frame 2's pixel VALUES never reach the
+      final canvas, but its LZW stream must still decode to exactly
+      the right count (a decoder that leaves frame 2 in place, or
+      confuses methods 2 and 3, breaks the channel sums);
+    * frame 3 — rectangle at (2 + doc_id % 2, 1 + doc_id % 2) sized
+      (3 + doc_id % 2) x (2 + doc_id % 3) with its OWN LOCAL color
+      table, indices (doc_id + x*2 + y*3) % 8 in LOCAL coords, index
+      7 TRANSPARENT (the post-disposal canvas shows through),
+      INTERLACED for odd doc_ids, disposal 0 (the last frame's
+      disposal never runs).
+
+    GCT entry i = ((doc_id*5 + i*17) % 256, (doc_id*3 + i*29) % 256,
+    (doc_id*7 + i*13) % 256); frame-3 LCT entry i =
+    ((doc_id*7 + i*11) % 256, (doc_id + i*23) % 256,
+    (doc_id*3 + i*19) % 256); background byte doc_id % 8."""
+    w = 8 + doc_id % 8
+    h = 6 + doc_id % 5
+    m = 3  # 8-entry color tables -> 3 bits per index
+
+    def lzw_subblocks(indices: list[int]) -> bytes:
+        lzw = _gif_lzw_encode(indices, m)
+        subs = bytearray([m])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            subs += bytes([len(chunk)]) + chunk
+        return bytes(subs) + b"\x00"
+
+    def gce(disposal: int, t_idx: int | None) -> bytes:
+        packed = (disposal << 2) | (1 if t_idx is not None else 0)
+        return bytes(
+            [0x21, 0xF9, 4, packed, 0, 0, t_idx or 0, 0]
+        )
+
+    def descriptor(left: int, top: int, fw: int, fh: int,
+                   ipacked: int) -> bytes:
+        return (
+            b"\x2c"
+            + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+            + fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+            + bytes([ipacked])
+        )
+
+    gct = bytes(
+        b for i in range(8)
+        for b in ((doc_id * 5 + i * 17) % 256,
+                  (doc_id * 3 + i * 29) % 256,
+                  (doc_id * 7 + i * 13) % 256)
+    )
+    lct = bytes(
+        b for i in range(8)
+        for b in ((doc_id * 7 + i * 11) % 256,
+                  (doc_id + i * 23) % 256,
+                  (doc_id * 3 + i * 19) % 256)
+    )
+
+    f1 = [(doc_id + x * 3 + y * 5) % 8
+          for y in range(h) for x in range(w)]
+    l2, t2 = doc_id % 3, doc_id % 2
+    w2, h2 = 3 + doc_id % 3, 2 + doc_id % 2
+    f2 = [(doc_id * 2 + x + y) % 8
+          for y in range(h2) for x in range(w2)]
+    l3, t3 = 2 + doc_id % 2, 1 + doc_id % 2
+    w3, h3 = 3 + doc_id % 2, 2 + doc_id % 3
+    idx3 = [
+        [(doc_id + x * 2 + y * 3) % 8 for x in range(w3)]
+        for y in range(h3)
+    ]
+    interlace = doc_id % 2 == 1
+    rows3 = _gif_interlace_rows(h3) if interlace else range(h3)
+    f3 = [k for y in rows3 for k in idx3[y]]
+
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | 2, doc_id % 8, 0])  # 8-entry GCT, bg, aspect
+        + gct
+        + gce(1, None)
+        + descriptor(0, 0, w, h, 0x00) + lzw_subblocks(f1)
+        + gce(2 + doc_id % 2, None)
+        + descriptor(l2, t2, w2, h2, 0x00) + lzw_subblocks(f2)
+        + gce(0, 7)
+        + descriptor(
+            l3, t3, w3, h3, 0x80 | (0x40 if interlace else 0) | 2
+        )
+        + lct + lzw_subblocks(f3)
+        + b"\x3b"
+    )
+
+
 def _parse_gif(data: bytes):
     """From-spec GIF decode -> (w, h, int64 HxWx3 RGB array): header
     + logical screen descriptor, global/local color table, extension
-    blocks skipped by sub-block framing, the FIRST image decoded
-    (LZW + optional interlace reorder + palette lookup, composed
-    onto a background-color canvas); later frames of an animation
-    are structurally walked (their data skipped) so the trailer is
-    still verified. Every structural defect raises ValueError."""
+    blocks skipped by sub-block framing, EVERY frame decoded (LZW +
+    optional interlace reorder + palette lookup) and COMPOSITED onto
+    the logical-screen canvas with GIF89a §23 disposal semantics —
+    method 0/1 leaves the frame in place, 2 restores its rectangle
+    to the background color, 3 restores the canvas content from
+    before the frame was drawn; a frame's disposal runs when the
+    NEXT frame arrives, so the returned canvas is the animation as
+    last displayed. Per-frame local color tables and transparency
+    composite against the live canvas. Every structural defect
+    raises ValueError."""
     import numpy as np
 
     if data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1935,6 +2040,11 @@ def _parse_gif(data: bytes):
 
     img = None
     t_idx = None  # transparent index from the pending GCE, if any
+    disposal = 0  # disposal method from the pending GCE (GIF89a §23)
+    pending = None  # the PREVIOUS frame's deferred disposal:
+    # (method, top, left, ih, iw, saved) — applied when the next
+    # frame arrives, never after the last one, so the final canvas
+    # is the animation as last displayed
     while True:
         if pos >= len(data):
             raise ValueError("missing GIF trailer")
@@ -1946,14 +2056,17 @@ def _parse_gif(data: bytes):
             if pos >= len(data):
                 raise ValueError("truncated GIF extension")
             # a Graphic Control Extension's transparency flag/index
-            # applies to the NEXT image (GIF89a §23) — capture it
-            # before the generic sub-block skip
+            # and disposal method apply to the NEXT image (GIF89a
+            # §23) — capture them before the generic sub-block skip
             if (
                 data[pos] == 0xF9
                 and pos + 5 < len(data)
                 and data[pos + 1] >= 4
             ):
                 t_idx = data[pos + 5] if data[pos + 2] & 1 else None
+                disposal = (data[pos + 2] >> 2) & 7
+                if disposal > 3:
+                    raise ValueError("reserved GIF disposal method")
             pos = skip_subblocks(pos + 1)
             continue
         if block != 0x2C:
@@ -1975,11 +2088,6 @@ def _parse_gif(data: bytes):
                 data[pos : pos + 3 * n], dtype="u1"
             ).reshape(n, 3)
             pos += 3 * n
-        if img is not None:  # later animation frame: walk + skip
-            if pos >= len(data):
-                raise ValueError("truncated image data")
-            pos = skip_subblocks(pos + 1)
-            continue
         if iw == 0 or ih == 0 or left + iw > w or top + ih > h:
             raise ValueError("image exceeds the logical screen")
         if table is None:
@@ -2016,39 +2124,67 @@ def _parse_gif(data: bytes):
         # transparent indices at/above the table size)
         if opaque.size and int(opaque.max()) >= len(table):
             raise ValueError("palette index out of range")
-        # compose in RGB space: the background resolves through the
-        # GLOBAL table, the frame through ITS OWN (possibly local)
-        # table — composing in index space would cross the tables.
-        # The background byte is validated only when background
-        # pixels are actually RENDERED (partial frame or transparent
-        # pixels) — real encoders emit junk bg bytes on full-canvas
-        # frames and reference decoders accept them.
-        bg_shows = (left, top, iw, ih) != (0, 0, w, h) or (
-            tmask is not None and bool(tmask.any())
-        )
-        if gct is not None:
-            if bg_shows and bg >= len(gct):
-                raise ValueError("background index out of range")
-            bg_rgb = (
-                gct[bg].astype("i8") if bg_shows
-                else np.zeros(3, dtype="i8")
+        if img is None:
+            # compose in RGB space: the background resolves through
+            # the GLOBAL table, the frame through ITS OWN (possibly
+            # local) table — composing in index space would cross
+            # the tables. The background byte is validated only when
+            # background pixels are actually RENDERED (partial frame
+            # or transparent pixels) — real encoders emit junk bg
+            # bytes on full-canvas frames and reference decoders
+            # accept them.
+            bg_shows = (left, top, iw, ih) != (0, 0, w, h) or (
+                tmask is not None and bool(tmask.any())
             )
-            img = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
-        else:
-            # no GCT: the background color is undefined, so the
-            # first frame must cover the whole logical screen with
-            # opaque pixels
-            if bg_shows:
-                raise ValueError(
-                    "partial first frame without a global color table"
+            if gct is not None:
+                if bg_shows and bg >= len(gct):
+                    raise ValueError("background index out of range")
+                bg_rgb = (
+                    gct[bg].astype("i8") if bg_shows
+                    else np.zeros(3, dtype="i8")
                 )
-            img = np.zeros((h, w, 3), dtype="i8")
+                img = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+            else:
+                # no GCT: the background color is undefined, so the
+                # first frame must cover the whole logical screen
+                # with opaque pixels
+                if bg_shows:
+                    raise ValueError(
+                        "partial first frame without a global color"
+                        " table"
+                    )
+                img = np.zeros((h, w, 3), dtype="i8")
+        elif pending is not None:
+            # the previous frame's disposal runs between frames —
+            # BEFORE this frame's transparency reads the canvas
+            method, pt, pl, pih, piw, saved_prev = pending
+            if method == 2:  # restore to background color
+                if gct is None:
+                    raise ValueError(
+                        "disposal to background without a global"
+                        " color table"
+                    )
+                if bg >= len(gct):
+                    raise ValueError("background index out of range")
+                img[pt : pt + pih, pl : pl + piw] = gct[bg].astype(
+                    "i8"
+                )
+            else:  # method 3: restore the pre-frame canvas content
+                img[pt : pt + pih, pl : pl + piw] = saved_prev
+        pending = None
+        saved = (
+            img[top : top + ih, left : left + iw].copy()
+            if disposal == 3 else None
+        )
         rgb = table[np.where(tmask, 0, frame) if tmask is not None
                     else frame].astype("i8")
         if tmask is not None:
             rgb[tmask] = img[top : top + ih, left : left + iw][tmask]
         img[top : top + ih, left : left + iw] = rgb
+        if disposal in (2, 3):
+            pending = (disposal, top, left, ih, iw, saved)
         t_idx = None  # a GCE governs only the block that follows it
+        disposal = 0
     if img is None:
         raise ValueError("GIF carries no image")
     return w, h, img
@@ -4797,6 +4933,7 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
         "flac_wasted": synth_flac_wasted_bytes,
         "jpeg_progressive": synth_jpeg_progressive_bytes,
         "gif": synth_gif_bytes,
+        "gif_animated": synth_gif_animated_bytes,
         "tiff": synth_tiff_bytes,
         "bmp": synth_bmp_bytes,
     }[kind]

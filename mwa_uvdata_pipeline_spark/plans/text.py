@@ -4206,6 +4206,78 @@ def m_gif_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m_gif_animated_native",
+    sql="""
+    WITH d AS (SELECT doc_id,
+                      8 + doc_id % 8 AS w, 6 + doc_id % 5 AS h,
+                      doc_id % 3 AS l2, doc_id % 2 AS t2,
+                      3 + doc_id % 3 AS w2, 2 + doc_id % 2 AS h2,
+                      2 + doc_id % 2 AS l3, 1 + doc_id % 2 AS t3,
+                      3 + doc_id % 2 AS w3, 2 + doc_id % 3 AS h3,
+                      doc_id % 8 AS bg
+               FROM documents),
+    px AS (SELECT doc_id, w, h, bg,
+                  x >= l3 AND x < l3 + w3
+                  AND y >= t3 AND y < t3 + h3 AS in3,
+                  (doc_id + (x - l3) * 2 + (y - t3) * 3) % 8 AS p3,
+                  x >= l2 AND x < l2 + w2
+                  AND y >= t2 AND y < t2 + h2 AS in2,
+                  (doc_id + x * 3 + y * 5) % 8 AS p1
+           FROM d, UNNEST(range(0, w)) ux(x),
+                   UNNEST(range(0, h)) uy(y)),
+    pick AS (SELECT doc_id, w, h,
+                    -- 2 = frame-3 LCT; else frame-1 GCT palette
+                    CASE WHEN in3 AND p3 <> 7 THEN 2 ELSE 0 END
+                        AS src,
+                    CASE WHEN in3 AND p3 <> 7 THEN p3
+                         -- frame 2's rect was DISPOSED: method 2
+                         -- (even docs) -> background color, method
+                         -- 3 (odd docs) -> frame-1 content
+                         WHEN in2 AND doc_id % 2 = 0 THEN bg
+                         ELSE p1 END AS i
+             FROM px)
+    SELECT doc_id, CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN src = 2 THEN (doc_id*7 + i*11) % 256
+                         ELSE (doc_id*5 + i*17) % 256 END)
+                AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN src = 2 THEN (doc_id + i*23) % 256
+                         ELSE (doc_id*3 + i*29) % 256 END)
+                AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN src = 2 THEN (doc_id*3 + i*19) % 256
+                         ELSE (doc_id*7 + i*13) % 256 END)
+                AS BIGINT) AS sum_b
+    FROM pick GROUP BY doc_id
+    """,
+    doc="ANIMATED GIF compositing FROM SPEC (r13 verdict #5) — "
+        "scraped corpora are full of multi-frame GIFs, and stats "
+        "computed on frame 1 alone under-represent them: per-doc "
+        "3-frame GIF89a payloads where frame 2 is drawn and then "
+        "DISPOSED (method 2, restore-to-background, on even doc_ids; "
+        "method 3, restore-to-previous, on odd ones — GIF89a §23) "
+        "and frame 3 renders through a per-frame LOCAL color table "
+        "with a TRANSPARENT index compositing against the "
+        "post-disposal canvas (interlaced on odd doc_ids). The "
+        "decoder returns the canvas as last displayed; the oracle "
+        "restates the full composition as one CASE over the pixel "
+        "grid, so confusing disposal 2 with 3, leaving frame 2 in "
+        "place, crossing the local/global palettes, or running the "
+        "last frame's disposal each breaks the channel sums. Same "
+        "Arrow-batched map-only zero-shuffle shape as m_gif_native "
+        "(operators/multimodal.py synth_gif_animated_bytes / "
+        "_parse_gif).",
+)
+def m_gif_animated_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_gif(synth_payloads(docs, "gif_animated"))
+
+
+@register(
     "m_tiff_native",
     sql="""
     WITH d AS (SELECT doc_id, 5 + doc_id % 11 AS w, 3 + doc_id % 6 AS h

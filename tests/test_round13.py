@@ -689,9 +689,10 @@ class TestGifDecode:
         for stored_pos, display_row in enumerate(order):
             assert img[display_row, 0, 0] == stored_pos
 
-    def test_multiframe_first_decoded_rest_walked(self):
-        """Animations: frame 1 decodes, later frames are structurally
-        skipped, the trailer is still required."""
+    def test_multiframe_identical_second_frame_is_noop(self):
+        """Animations: every frame decodes (round-14 compositing); a
+        second frame identical to the first leaves the canvas
+        unchanged, and the trailer is still required."""
         from mwa_uvdata_pipeline_spark.operators import multimodal as M
 
         base = bytearray(M.synth_gif_bytes(2))

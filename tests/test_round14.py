@@ -125,3 +125,174 @@ class TestAdviceFixes:
         )
         with pytest.raises(Exception, match="corrupt WAV payload"):
             M.decode_wav(df).collect()
+
+
+def _animated_expected(doc_id: int):
+    """Independent composition of synth_gif_animated_bytes' three
+    frames — the same closed form the SQL oracle restates."""
+    w, h = 8 + doc_id % 8, 6 + doc_id % 5
+    gct = np.array(
+        [[(doc_id * 5 + i * 17) % 256, (doc_id * 3 + i * 29) % 256,
+          (doc_id * 7 + i * 13) % 256] for i in range(8)]
+    )
+    lct = np.array(
+        [[(doc_id * 7 + i * 11) % 256, (doc_id + i * 23) % 256,
+          (doc_id * 3 + i * 19) % 256] for i in range(8)]
+    )
+    img = np.zeros((h, w, 3), dtype="i8")
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = gct[(doc_id + x * 3 + y * 5) % 8]
+    l2, t2 = doc_id % 3, doc_id % 2
+    w2, h2 = 3 + doc_id % 3, 2 + doc_id % 2
+    if doc_id % 2 == 0:  # disposal 2: frame-2 rect -> background
+        img[t2 : t2 + h2, l2 : l2 + w2] = gct[doc_id % 8]
+    # odd doc_ids: disposal 3 restores frame-1 content — no net change
+    l3, t3 = 2 + doc_id % 2, 1 + doc_id % 2
+    w3, h3 = 3 + doc_id % 2, 2 + doc_id % 3
+    for y in range(h3):
+        for x in range(w3):
+            p3 = (doc_id + x * 2 + y * 3) % 8
+            if p3 != 7:  # index 7 is transparent
+                img[t3 + y, l3 + x] = lct[p3]
+    return w, h, img
+
+
+class TestGifAnimatedCompositing:
+    @pytest.mark.parametrize("doc", list(range(16)))
+    def test_composite_round_trip_exact(self, doc):
+        w, h, img = M._parse_gif(M.synth_gif_animated_bytes(doc))
+        ew, eh, eimg = _animated_expected(doc)
+        assert (w, h) == (ew, eh)
+        assert (img == eimg).all()
+
+    @pytest.mark.parametrize("doc", [0, 1])
+    def test_disposal_actually_matters(self, doc):
+        """A decoder that LEFT frame 2 in place would disagree with
+        the composite inside frame 2's rect (outside frame 3's):
+        prove such pixels exist and carry frame-2 colors there."""
+        _, _, img = M._parse_gif(M.synth_gif_animated_bytes(doc))
+        _, _, exp = _animated_expected(doc)
+        gct = np.array(
+            [[(doc * 5 + i * 17) % 256, (doc * 3 + i * 29) % 256,
+              (doc * 7 + i * 13) % 256] for i in range(8)]
+        )
+        l2, t2 = doc % 3, doc % 2
+        w2, h2 = 3 + doc % 3, 2 + doc % 2
+        l3, t3 = 2 + doc % 2, 1 + doc % 2
+        w3, h3 = 3 + doc % 2, 2 + doc % 3
+        checked = 0
+        for y in range(t2, t2 + h2):
+            for x in range(l2, l2 + w2):
+                if l3 <= x < l3 + w3 and t3 <= y < t3 + h3:
+                    continue  # frame 3 may overdraw here
+                p2 = (doc * 2 + (x - l2) + (y - t2)) % 8
+                if (gct[p2] == exp[y, x]).all():
+                    continue  # frame-2 color happens to coincide
+                assert (img[y, x] == exp[y, x]).all()
+                checked += 1
+        assert checked > 0, "no pixel distinguishes the disposals"
+
+    def test_disposal_2_vs_3_differ(self):
+        """Adjacent docs flip method 2/3; sanity-check that for an
+        even doc, treating disposal 2 as 3 would change the canvas
+        (bg color != frame-1 color somewhere in the rect)."""
+        doc = 2
+        _, _, img = M._parse_gif(M.synth_gif_animated_bytes(doc))
+        gct = np.array(
+            [[(doc * 5 + i * 17) % 256, (doc * 3 + i * 29) % 256,
+              (doc * 7 + i * 13) % 256] for i in range(8)]
+        )
+        l2, t2 = doc % 3, doc % 2
+        w2, h2 = 3 + doc % 3, 2 + doc % 2
+        l3, t3 = 2 + doc % 2, 1 + doc % 2
+        w3, h3 = 3 + doc % 2, 2 + doc % 3
+        wrong = 0
+        for y in range(t2, t2 + h2):
+            for x in range(l2, l2 + w2):
+                if l3 <= x < l3 + w3 and t3 <= y < t3 + h3:
+                    continue
+                p1 = (doc + x * 3 + y * 5) % 8
+                if (gct[p1] != gct[doc % 8]).any():
+                    assert (img[y, x] == gct[doc % 8]).all()
+                    wrong += 1
+        assert wrong > 0
+
+    def test_reserved_disposal_rejects(self):
+        blob = bytearray(M.synth_gif_animated_bytes(3))
+        at = blob.index(b"\x21\xf9")
+        blob[at + 3] = 4 << 2  # disposal method 4: reserved
+        with pytest.raises(ValueError, match="reserved GIF disposal"):
+            M._parse_gif(bytes(blob))
+
+    def test_gce_resets_between_frames(self):
+        """Frame 3 carries the only transparency GCE; frame 1's
+        disposal-1 GCE must not leak forward. Pin by checking frame 3
+        region transparency behaves (already in round trip) AND that
+        a GIF whose LAST frame has no GCE composes opaquely."""
+        doc = 4
+        base = M.synth_gif_animated_bytes(doc)
+        # strip frame 3's GCE (8 bytes before its 0x2C descriptor):
+        # find the THIRD GCE
+        at = -1
+        for _ in range(3):
+            at = base.index(b"\x21\xf9", at + 1)
+        blob = base[:at] + base[at + 8:]
+        _, _, img = M._parse_gif(blob)
+        _, _, exp = _animated_expected(doc)
+        lct = np.array(
+            [[(doc * 7 + i * 11) % 256, (doc + i * 23) % 256,
+              (doc * 3 + i * 19) % 256] for i in range(8)]
+        )
+        l3, t3 = 2 + doc % 2, 1 + doc % 2
+        w3, h3 = 3 + doc % 2, 2 + doc % 3
+        exp2 = exp.copy()
+        for y in range(h3):
+            for x in range(w3):
+                p3 = (doc + x * 2 + y * 3) % 8
+                exp2[t3 + y, l3 + x] = lct[p3]  # 7 now opaque
+        assert (img == exp2).all()
+
+    def test_dispatch_routes_animated_gif(self, spark):
+        blob = M.synth_gif_animated_bytes(5)
+        assert M.sniff_payload_kind(blob) == "gif"
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [5], "payload": [blob]})
+        )
+        row = M.ingest_dispatch(df).collect()[0]
+        ew, eh, eimg = _animated_expected(5)
+        assert row["kind"] == "gif"
+        assert (row["width"], row["height"]) == (ew, eh)
+        assert row["value_sum"] == int(eimg.sum())
+
+
+class TestGifAnimatedFuzzSurface:
+    """Clean-failure contract for the multi-frame GIF path."""
+
+    @pytest.mark.parametrize("doc", [6, 11])
+    def test_every_prefix_fails_clean(self, doc):
+        data = bytes(M.synth_gif_animated_bytes(doc))
+        for cut in range(len(data)):
+            try:
+                M._parse_gif(data[:cut])
+            except ValueError:
+                continue
+            except Exception as exc:  # noqa: BLE001
+                raise AssertionError(
+                    f"prefix {cut} leaked {type(exc).__name__}: {exc}"
+                ) from exc
+
+    @pytest.mark.parametrize("doc", [6, 11])
+    def test_every_nth_bit_flip_fails_clean(self, doc):
+        data = bytes(M.synth_gif_animated_bytes(doc))
+        for bit in range(0, len(data) * 8, 3):
+            blob = bytearray(data)
+            blob[bit // 8] ^= 1 << (7 - bit % 8)
+            try:
+                M._parse_gif(bytes(blob))
+            except ValueError:
+                continue
+            except Exception as exc:  # noqa: BLE001
+                raise AssertionError(
+                    f"bit {bit} leaked {type(exc).__name__}: {exc}"
+                ) from exc
