@@ -374,6 +374,222 @@ def decode_wav(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(batches, WAV_SCHEMA)
 
 
+# ------------------------------------------- IMA ADPCM WAV from spec
+
+#: IMA ADPCM quantizer step table (IMA "Recommended Practices for
+#: Enhancing Digital Audio Compatibility", 1992; also the Microsoft
+#: WAVE documentation for format tag 0x0011) — 89 entries.
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+
+#: Step-index adjustment per nibble magnitude (low 3 bits).
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (predictor, step index, 4-bit code)
+    -> new (predictor, step index). The shift-accumulate form is the
+    spec's exact integer arithmetic (truncation included): diff =
+    step>>3 (+ step>>2 if bit0) (+ step>>1 if bit1) (+ step if bit2),
+    negated when bit3 is set; predictor clamps to int16, index to
+    [0, 88]."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib & 7]))
+    return pred, idx
+
+
+def synth_wav_adpcm_bytes(doc_id: int) -> bytes:
+    """Deterministic mono IMA ADPCM WAV (format tag 0x0011) for
+    ``doc_id``: blockAlign 20 -> 33 samples per block (the header
+    sample + 32 nibbles), n = 40 + doc_id % 50 total samples (2-3
+    blocks, the last usually PARTIAL so the fact-chunk truncation
+    path is exercised). Block b's header predictor is
+    (doc_id*7 + b*11) % 2048 - 1024, its step index (doc_id + b*5)
+    % 89 (so high indices hit the int16 clamps), and nibble k is
+    (doc_id*3 + b*7 + k*5) % 16 — closed forms the oracle feeds to
+    its own recursive-CTE restatement of the IMA recurrence."""
+    import struct
+
+    spb = 33  # samples per block at blockAlign 20, mono
+    n = 40 + doc_id % 50
+    nblocks = (n + spb - 1) // spb
+    blocks = bytearray()
+    for b in range(nblocks):
+        pred0 = (doc_id * 7 + b * 11) % 2048 - 1024
+        idx0 = (doc_id + b * 5) % 89
+        blocks += struct.pack("<hBB", pred0, idx0, 0)
+        for byte_i in range(16):
+            lo = (doc_id * 3 + b * 7 + (2 * byte_i) * 5) % 16
+            hi = (doc_id * 3 + b * 7 + (2 * byte_i + 1) * 5) % 16
+            blocks.append(lo | (hi << 4))
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, 8000, 8000 * 20 // spb, 20, 4, 2, spb
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(data: bytes):
+    """Walk a RIFF/WAVE container -> {chunk id: payload bytes} for
+    the chunks a WAV decoder needs. From the RIFF spec: 4-byte id,
+    u32 LE size, payload, odd sizes padded to even. Every structural
+    defect raises ValueError."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    if len(data) < 12:
+        raise ValueError("truncated RIFF header")
+    chunks: dict[bytes, bytes] = {}
+    pos = 12
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated RIFF chunk header")
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + size > len(data):
+            raise ValueError("RIFF chunk beyond end of file")
+        chunks.setdefault(cid, data[pos + 8 : pos + 8 + size])
+        pos += 8 + size + (size & 1)
+    return chunks
+
+
+def _parse_wav_adpcm(data: bytes):
+    """From-spec IMA ADPCM WAV decode (format tag 0x0011, no stdlib
+    ``wave`` — it rejects every non-PCM tag) -> (sample_rate,
+    n_channels, int64 interleaved sample array): RIFF chunk walk,
+    fmt validation (4-bit samples, the blockAlign/samplesPerBlock
+    consistency equation from the Microsoft WAVE documentation),
+    REQUIRED fact chunk (the spec mandates it for compressed
+    formats), then per-block decode — each block restarts from its
+    own header predictor/step-index per channel, nibbles apply the
+    IMA step/index recurrence low-nibble-first, stereo data arrives
+    as alternating 4-byte per-channel words — and the concatenated
+    output truncates to the fact-chunk total (the final block of a
+    real stream is usually partial). Every structural defect raises
+    ValueError."""
+    import struct
+
+    import numpy as np
+
+    chunks = _riff_chunks(data)
+    fmt = chunks.get(b"fmt ")
+    if fmt is None or len(fmt) < 16:
+        raise ValueError("missing or truncated fmt chunk")
+    tag, nch, rate, _brate, balign, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if tag != 0x11:
+        raise ValueError(f"not IMA ADPCM (format tag {tag:#06x})")
+    if nch not in (1, 2):
+        raise ValueError(f"unsupported channel count {nch}")
+    if bits != 4:
+        raise ValueError(f"IMA ADPCM requires 4-bit samples, got {bits}")
+    if len(fmt) < 20:
+        raise ValueError("IMA ADPCM fmt chunk missing the extension")
+    (spb,) = struct.unpack("<H", fmt[18:20])
+    if balign < 4 * nch or (balign - 4 * nch) % (4 * nch):
+        raise ValueError("blockAlign not a whole number of data words")
+    if spb != (balign - 4 * nch) * 8 // (4 * nch) + 1:
+        raise ValueError(
+            "samplesPerBlock disagrees with blockAlign"
+        )
+    fact = chunks.get(b"fact")
+    if fact is None or len(fact) < 4:
+        raise ValueError("compressed WAV requires a fact chunk")
+    (total,) = struct.unpack("<I", fact[:4])
+    body = chunks.get(b"data")
+    if body is None:
+        raise ValueError("missing data chunk")
+    if len(body) % balign:
+        raise ValueError("data chunk not a whole number of blocks")
+    nblocks = len(body) // balign
+    if not nblocks * spb >= total > max(0, (nblocks - 1) * spb):
+        raise ValueError("fact total disagrees with the block count")
+
+    chans: list[list[int]] = [[] for _ in range(nch)]
+    state: list[tuple[int, int]] = [(0, 0)] * nch
+    for blk in range(nblocks):
+        base = blk * balign
+        for c in range(nch):
+            pred, idx, _rsv = struct.unpack(
+                "<hBB", body[base + 4 * c : base + 4 * c + 4]
+            )
+            if idx > 88:
+                raise ValueError("step index out of range")
+            state[c] = (pred, idx)
+            chans[c].append(pred)  # the header carries sample 0
+        # data words: 4 bytes (8 nibbles = 8 samples of ONE channel)
+        # per channel, channels alternating; nibbles low-first
+        for word0 in range(base + 4 * nch, base + balign, 4 * nch):
+            for c in range(nch):
+                wat = word0 + 4 * c
+                pred, idx = state[c]
+                for k in range(4):
+                    byte = body[wat + k]
+                    for nib in (byte & 0xF, byte >> 4):
+                        pred, idx = _ima_step(pred, idx, nib)
+                        chans[c].append(pred)
+                state[c] = (pred, idx)
+    arr = np.array(chans, dtype="i8")  # (nch, nblocks * spb)
+    # truncate per channel to the fact total, then interleave
+    return rate, nch, arr[:, :total].T.reshape(-1)
+
+
+def decode_wav_adpcm(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "doc_id") -> DataFrame:
+    """REAL compressed-audio decode of IMA ADPCM WAVs (format tag
+    0x0011 — the codec real scraped corpora carry where PCM would be
+    4x the bytes) via :func:`_parse_wav_adpcm` in Arrow-batched
+    mapInPandas, emitting the same integer-exact stat row as
+    :func:`decode_wav` (n_samples is per channel, matching stdlib
+    wave's frame count)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: [] for k in ("doc_id", "sample_rate", "n_channels",
+                                "n_samples", "sum_sq", "max_abs")
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                rate, nch, s = _parse_wav_adpcm(bytes(b))
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(nch)
+                rows["n_samples"].append(len(s) // nch)
+                rows["sum_sq"].append(int((s * s).sum()))
+                rows["max_abs"].append(int(np.abs(s).max()) if len(s)
+                                       else 0)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, WAV_SCHEMA
+    )
+
+
 # ---------------------------------------------------- FLAC from spec
 
 #: FLAC emits the same stat row as WAV — same gate shape.
@@ -4818,7 +5034,9 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
     sniff each payload's magic, route it to the matching from-spec
     decoder (PNG unfilter+inflate, GIF LZW+palette, TIFF strip
     assembly, BMP rows, baseline or progressive JPEG, FLAC, WAV PCM,
-    MP4 container scan), and emit one UNIFIED row per object — kind,
+    IMA ADPCM WAV — RIFF magic is shared, so the fmt tag routes
+    within the wav kind — MP4 container scan, PPM: ten formats),
+    and emit one UNIFIED row per object — kind,
     pixel dims where the format has them (NULL for audio), a size in
     the format's natural unit (pixels / samples / container samples),
     and an integer content checksum (channel-sum over decoded values;
@@ -4869,20 +5087,40 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
                     width = height = None
                     n_units, value_sum = len(s), int(s.sum())
                 elif kind == "wav":
-                    # stdlib wave leaks bare RuntimeError (py3.11
-                    # chunk parsing) and EOFError on corrupt headers,
-                    # beyond its own wave.Error. Width-aware via
-                    # _pcm_samples (8/16/24/32-bit), same as the
-                    # decode_wav gate — a hardcoded '<i2' here would
-                    # silently mis-sum 8/24/32-bit real-corpus WAVs.
-                    try:
-                        with wave.open(io.BytesIO(data), "rb") as wv:
-                            s = _pcm_samples(
-                                wv.readframes(wv.getnframes()),
-                                wv.getsampwidth(),
-                            )
-                    except (wave.Error, EOFError, RuntimeError) as exc:
-                        raise ValueError("corrupt WAV payload") from exc
+                    # RIFF magic alone can't tell PCM from ADPCM —
+                    # triage by the fmt tag: 0x0011 routes to the
+                    # from-spec IMA ADPCM decoder (stdlib wave
+                    # rejects every non-PCM tag)
+                    fmt = _riff_chunks(data).get(b"fmt ")
+                    if (
+                        fmt is not None and len(fmt) >= 2
+                        and fmt[0] | (fmt[1] << 8) == 0x11
+                    ):
+                        _rate, _nch, s = _parse_wav_adpcm(data)
+                        kind = "wav-adpcm"
+                    else:
+                        # stdlib wave leaks bare RuntimeError
+                        # (py3.11 chunk parsing) and EOFError on
+                        # corrupt headers, beyond its own
+                        # wave.Error. Width-aware via _pcm_samples
+                        # (8/16/24/32-bit), same as the decode_wav
+                        # gate — a hardcoded '<i2' here would
+                        # silently mis-sum 8/24/32-bit real-corpus
+                        # WAVs.
+                        try:
+                            with wave.open(
+                                io.BytesIO(data), "rb"
+                            ) as wv:
+                                s = _pcm_samples(
+                                    wv.readframes(wv.getnframes()),
+                                    wv.getsampwidth(),
+                                )
+                        except (
+                            wave.Error, EOFError, RuntimeError
+                        ) as exc:
+                            raise ValueError(
+                                "corrupt WAV payload"
+                            ) from exc
                     width = height = None
                     n_units, value_sum = len(s), int(s.sum())
                 elif kind == "ppm":
@@ -4916,6 +5154,7 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
     driver (the generator stands in for a real media scan)."""
     maker = {
         "wav": synth_wav_bytes,
+        "wav_adpcm": synth_wav_adpcm_bytes,
         "ppm": synth_ppm_bytes,
         "png": synth_png_bytes,
         "jpeg": synth_jpeg_bytes,

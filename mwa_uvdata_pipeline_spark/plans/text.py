@@ -3417,6 +3417,91 @@ def m_wav_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m_wav_adpcm_native",
+    sql="""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, 40 + doc_id % 50 AS n FROM documents),
+    r AS (
+      SELECT doc_id, n, 0 AS i,
+             (doc_id * 7) % 2048 - 1024 AS pred,
+             doc_id % 89 AS idx
+      FROM d
+      UNION ALL
+      SELECT doc_id, n, i + 1,
+             CASE WHEN (i + 1) % 33 = 0
+                  THEN (doc_id * 7 + ((i + 1) // 33) * 11) % 2048
+                       - 1024
+                  ELSE GREATEST(-32768, LEAST(32767,
+                       pred + CASE WHEN nib >= 8 THEN -delta
+                                   ELSE delta END)) END,
+             CASE WHEN (i + 1) % 33 = 0
+                  THEN (doc_id + ((i + 1) // 33) * 5) % 89
+                  ELSE GREATEST(0, LEAST(88,
+                       idx + CASE WHEN nib % 8 < 4 THEN -1
+                                  ELSE 2 * (nib % 8) - 6 END)) END
+      FROM (
+        SELECT doc_id, n, i, pred, idx,
+               (doc_id * 3 + ((i + 1) // 33) * 7
+                + ((i + 1) % 33 - 1) * 5) % 16 AS nib,
+               [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+                41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,
+                173,190,209,230,253,279,307,337,371,408,449,494,544,
+                598,658,724,796,876,963,1060,1166,1282,1411,1552,
+                1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,
+                4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,
+                11487,12635,13899,15289,16818,18500,20350,22385,
+                24623,27086,29794,32767][idx + 1] AS step,
+               step // 8
+               + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+               + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2
+                      ELSE 0 END
+               + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END
+                   AS delta
+        FROM r WHERE i + 1 < n
+      )
+    )
+    SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(MAX(n) AS INTEGER) AS n_samples,
+           CAST(SUM(pred * pred) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(pred)) AS INTEGER) AS max_abs
+    FROM r GROUP BY doc_id
+    """,
+    doc="LOSSY compressed-audio decode FROM SPEC, zero new "
+        "dependencies — IMA ADPCM WAV (format tag 0x0011, the codec "
+        "real scraped corpora carry where PCM would be 4x the bytes; "
+        "stdlib wave rejects every non-PCM tag, so the RIFF walk is "
+        "from-spec too): per-doc payloads carry a genuine fmt chunk "
+        "with the blockAlign/samplesPerBlock consistency equation, "
+        "the REQUIRED fact chunk, and 2-3 real ADPCM blocks — each "
+        "restarting from its own header predictor/step-index, 32 "
+        "low-nibble-first 4-bit codes applying the 89-entry "
+        "step-table recurrence with int16 predictor clamping "
+        "(header indices up to 88 drive real clamp hits) — and the "
+        "final block is usually PARTIAL, so the fact-chunk "
+        "truncation path is load-bearing. Lossy means the oracle "
+        "can't restate the source signal; instead it RE-RUNS THE "
+        "IMA RECURRENCE ITSELF as a recursive CTE over the "
+        "closed-form nibble stream (step table as a list literal, "
+        "index table as integer CASE arithmetic), so a bug in "
+        "either engine's recurrence — delta truncation, clamp "
+        "bounds, block restart, nibble order — breaks exact "
+        "equality. Same Arrow-batched map-only zero-shuffle shape "
+        "as m_wav_native (operators/multimodal.py "
+        "_parse_wav_adpcm / decode_wav_adpcm); stereo de-interleave "
+        "is pinned by hand vectors in tests/test_round14.py.",
+)
+def m_wav_adpcm_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_wav_adpcm,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_wav_adpcm(synth_payloads(docs, "wav_adpcm"))
+
+
+@register(
     "m_ppm_native",
     sql="""
     WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h

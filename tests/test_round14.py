@@ -266,6 +266,164 @@ class TestGifAnimatedCompositing:
         assert row["value_sum"] == int(eimg.sum())
 
 
+def _adpcm_stereo_blob() -> bytes:
+    """Hand-built one-block STEREO IMA ADPCM WAV: blockAlign 16 ->
+    9 samples per block per channel (header + one 4-byte word per
+    channel), fact total 9. Left starts (pred 0, idx 0) with data
+    word 0x3B 0x00 0x00 0x00 — LOW nibble first, so codes 11, 3,
+    then six zeros; right starts (pred 100, idx 5) with an all-zero
+    word."""
+    fmt = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, 16, 4, 2, 9)
+    left_hdr = struct.pack("<hBB", 0, 0, 0)
+    right_hdr = struct.pack("<hBB", 100, 5, 0)
+    left_word = bytes([0x3B, 0, 0, 0])   # nibbles: 3, 11(0xB? no —
+    # 0x3B -> low 0xB=11 first, then high 0x3=3), then six zeros
+    right_word = bytes(4)
+    block = left_hdr + right_hdr + left_word + right_word
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, 9)
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+class TestWavAdpcm:
+    def test_ima_step_hand_vector(self):
+        """IMA spec arithmetic by hand from step_table[0] = 7:
+        nibble 3 -> diff = 0+1+3 = 4, index -1 clamps to 0;
+        nibble 11 (sign bit + 3) -> same magnitude, subtracted."""
+        assert M._ima_step(0, 0, 3) == (4, 0)
+        assert M._ima_step(4, 0, 11) == (0, 0)
+
+    def test_clamps(self):
+        # predictor clamp at int16, index clamp at 88
+        p, i = M._ima_step(32700, 88, 7)  # +step 32767 -> clamp
+        assert (p, i) == (32767, 88)
+        p, i = M._ima_step(-32700, 88, 15)
+        assert (p, i) == (-32768, 88)
+
+    @pytest.mark.parametrize("doc", list(range(12)))
+    def test_mono_round_trip_matches_recurrence(self, doc):
+        rate, nch, s = M._parse_wav_adpcm(M.synth_wav_adpcm_bytes(doc))
+        assert (rate, nch) == (8000, 1)
+        spb, n = 33, 40 + doc % 50
+        exp = []
+        for b in range((n + spb - 1) // spb):
+            pred = (doc * 7 + b * 11) % 2048 - 1024
+            idx = (doc + b * 5) % 89
+            exp.append(pred)
+            for k in range(32):
+                pred, idx = M._ima_step(
+                    pred, idx, (doc * 3 + b * 7 + k * 5) % 16
+                )
+                exp.append(pred)
+        assert list(s) == exp[:n]
+        assert len(s) == n  # fact truncation applied
+
+    def test_fact_truncation_is_load_bearing(self):
+        """Doc 7 has n = 47: two blocks decode 66 samples, fact says
+        47 — the tail must be dropped."""
+        _, _, s = M._parse_wav_adpcm(M.synth_wav_adpcm_bytes(7))
+        assert len(s) == 47
+
+    def test_stereo_deinterleave_hand_vector(self):
+        rate, nch, s = M._parse_wav_adpcm(_adpcm_stereo_blob())
+        assert (rate, nch) == (8000, 2)
+        assert len(s) == 18  # 9 per channel, interleaved
+        # left channel: header 0, then nibbles 11, 3, 0 x6
+        lp, li = 0, 0
+        lexp = [0]
+        for nib in (0xB, 0x3, 0, 0, 0, 0, 0, 0):
+            lp, li = M._ima_step(lp, li, nib)
+            lexp.append(lp)
+        rp, ri = 100, 5
+        rexp = [100]
+        for nib in (0,) * 8:
+            rp, ri = M._ima_step(rp, ri, nib)
+            rexp.append(rp)
+        assert list(s[0::2]) == lexp
+        assert list(s[1::2]) == rexp
+
+    def test_validation_errors(self):
+        good = M.synth_wav_adpcm_bytes(5)
+
+        def patched(offset: int, value: bytes) -> bytes:
+            b = bytearray(good)
+            b[offset : offset + len(value)] = value
+            return bytes(b)
+
+        # PCM tag through the ADPCM parser
+        with pytest.raises(ValueError, match="not IMA ADPCM"):
+            M._parse_wav_adpcm(patched(20, struct.pack("<H", 1)))
+        # 3 channels
+        with pytest.raises(ValueError, match="channel count"):
+            M._parse_wav_adpcm(patched(22, struct.pack("<H", 3)))
+        # samplesPerBlock inconsistent with blockAlign
+        with pytest.raises(ValueError, match="samplesPerBlock"):
+            M._parse_wav_adpcm(patched(38, struct.pack("<H", 40)))
+        # header step index 89
+        data_at = good.index(b"data") + 8
+        with pytest.raises(ValueError, match="step index"):
+            M._parse_wav_adpcm(patched(data_at + 2, bytes([89])))
+        # fact total beyond what the blocks carry
+        fact_at = good.index(b"fact") + 8
+        with pytest.raises(ValueError, match="fact total"):
+            M._parse_wav_adpcm(patched(fact_at, struct.pack("<I", 999)))
+        # missing fact chunk entirely
+        b = bytearray(good)
+        fa = good.index(b"fact")
+        del b[fa : fa + 12]
+        struct.pack_into("<I", b, 4, len(b) - 8)
+        with pytest.raises(ValueError, match="fact chunk"):
+            M._parse_wav_adpcm(bytes(b))
+
+    def test_dispatch_routes_adpcm_separately_from_pcm(self, spark):
+        adpcm, pcm = M.synth_wav_adpcm_bytes(3), M.synth_wav_bytes(3)
+        assert M.sniff_payload_kind(adpcm) == "wav"
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "payload": [adpcm, pcm]})
+        )
+        rows = {r["doc_id"]: r for r in M.ingest_dispatch(df).collect()}
+        assert rows[0]["kind"] == "wav-adpcm"
+        assert rows[1]["kind"] == "wav"
+        _, _, s = M._parse_wav_adpcm(adpcm)
+        assert rows[0]["n_units"] == len(s)
+        assert rows[0]["value_sum"] == int(s.sum())
+
+    @pytest.mark.parametrize("doc", [5, 8])
+    def test_every_prefix_fails_clean(self, doc):
+        data = bytes(M.synth_wav_adpcm_bytes(doc))
+        for cut in range(len(data)):
+            try:
+                M._parse_wav_adpcm(data[:cut])
+            except ValueError:
+                continue
+            except Exception as exc:  # noqa: BLE001
+                raise AssertionError(
+                    f"prefix {cut} leaked {type(exc).__name__}: {exc}"
+                ) from exc
+
+    @pytest.mark.parametrize("doc", [5, 8])
+    def test_every_bit_flip_fails_clean_or_decodes(self, doc):
+        """ADPCM has no checksum, so most data-region flips decode to
+        a DIFFERENT valid signal — the contract is only that nothing
+        escapes except ValueError."""
+        data = bytes(M.synth_wav_adpcm_bytes(doc))
+        for bit in range(0, len(data) * 8, 3):
+            blob = bytearray(data)
+            blob[bit // 8] ^= 1 << (7 - bit % 8)
+            try:
+                M._parse_wav_adpcm(bytes(blob))
+            except ValueError:
+                continue
+            except Exception as exc:  # noqa: BLE001
+                raise AssertionError(
+                    f"bit {bit} leaked {type(exc).__name__}: {exc}"
+                ) from exc
+
+
 class TestGifAnimatedFuzzSurface:
     """Clean-failure contract for the multi-frame GIF path."""
 
