@@ -526,7 +526,12 @@ def _parse_wav_adpcm(data: bytes):
     if len(body) % balign:
         raise ValueError("data chunk not a whole number of blocks")
     nblocks = len(body) // balign
-    if not nblocks * spb >= total > max(0, (nblocks - 1) * spb):
+    # every block must contribute at least one sample; the one legal
+    # degenerate is a zero-sample stream (fact 0, empty data chunk)
+    if not (
+        nblocks * spb >= total > max(0, (nblocks - 1) * spb)
+        or (total == 0 and nblocks == 0)
+    ):
         raise ValueError("fact total disagrees with the block count")
 
     chans: list[list[int]] = [[] for _ in range(nch)]

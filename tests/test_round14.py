@@ -379,6 +379,29 @@ class TestWavAdpcm:
         with pytest.raises(ValueError, match="fact chunk"):
             M._parse_wav_adpcm(bytes(b))
 
+    def test_zero_sample_stream_decodes_empty(self):
+        """fact total 0 with an empty data chunk is the one legal
+        degenerate (self-review finding, the FLAC total=0 lesson):
+        it must decode to zero samples, not reject."""
+        fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, 20, 4, 2,
+                          33)
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, 0)
+            + b"data" + struct.pack("<I", 0)
+        )
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        rate, nch, s = M._parse_wav_adpcm(blob)
+        assert (rate, nch, len(s)) == (8000, 1, 0)
+        # but a zero fact total with blocks PRESENT still rejects
+        with pytest.raises(ValueError, match="fact total"):
+            M._parse_wav_adpcm(
+                bytes(M.synth_wav_adpcm_bytes(5)).replace(
+                    b"fact" + struct.pack("<II", 4, 45),
+                    b"fact" + struct.pack("<II", 4, 0),
+                )
+            )
+
     def test_dispatch_routes_adpcm_separately_from_pcm(self, spark):
         adpcm, pcm = M.synth_wav_adpcm_bytes(3), M.synth_wav_bytes(3)
         assert M.sniff_payload_kind(adpcm) == "wav"
