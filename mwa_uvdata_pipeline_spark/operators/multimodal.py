@@ -458,10 +458,10 @@ def _riff_chunks(data: bytes):
     defect raises ValueError."""
     import struct
 
+    # (a <12-byte input already fails here: its [8:12] slice is
+    # short of b"WAVE")
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    if len(data) < 12:
-        raise ValueError("truncated RIFF header")
     chunks: dict[bytes, bytes] = {}
     pos = 12
     while pos < len(data):
@@ -561,6 +561,30 @@ def _parse_wav_adpcm(data: bytes):
     arr = np.array(chans, dtype="i8")  # (nch, nblocks * spb)
     # truncate per channel to the fact total, then interleave
     return rate, nch, arr[:, :total].T.reshape(-1)
+
+
+def _riff_fmt_tag(data: bytes) -> int | None:
+    """LENIENT fmt-tag peek for ingest triage: walk chunks only
+    until ``fmt `` is found and return its wFormatTag, or None if
+    the walk runs off the rails first. Deliberately never raises —
+    the PCM path must keep accepting quirky-but-decodable files
+    (e.g. a truncated trailing metadata chunk AFTER ``data``) that
+    stdlib wave accepts; each decoder does its own strict
+    validation."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            if pos + 10 > len(data):
+                return None
+            return struct.unpack("<H", data[pos + 8 : pos + 10])[0]
+        pos += 8 + size + (size & 1)
+    return None
 
 
 def decode_wav_adpcm(df: DataFrame, payload_col: str = "payload",
@@ -5093,14 +5117,12 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
                     n_units, value_sum = len(s), int(s.sum())
                 elif kind == "wav":
                     # RIFF magic alone can't tell PCM from ADPCM —
-                    # triage by the fmt tag: 0x0011 routes to the
-                    # from-spec IMA ADPCM decoder (stdlib wave
-                    # rejects every non-PCM tag)
-                    fmt = _riff_chunks(data).get(b"fmt ")
-                    if (
-                        fmt is not None and len(fmt) >= 2
-                        and fmt[0] | (fmt[1] << 8) == 0x11
-                    ):
+                    # triage by a LENIENT fmt-tag peek (never
+                    # raises): 0x0011 routes to the from-spec IMA
+                    # ADPCM decoder (stdlib wave rejects every
+                    # non-PCM tag); everything else keeps the exact
+                    # pre-round acceptance surface of stdlib wave
+                    if _riff_fmt_tag(data) == 0x11:
                         _rate, _nch, s = _parse_wav_adpcm(data)
                         kind = "wav-adpcm"
                     else:

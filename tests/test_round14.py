@@ -402,6 +402,24 @@ class TestWavAdpcm:
                 )
             )
 
+    def test_dispatch_keeps_quirky_pcm_acceptance(self, spark):
+        """Self-review pin: a PCM WAV with a truncated trailing
+        metadata chunk AFTER the data chunk decodes in stdlib wave,
+        so the dispatcher's fmt-tag triage must not reject it — the
+        peek is lenient; only the ADPCM decoder walks strictly."""
+        quirky = M.synth_wav_bytes(9) + b"LIST" + struct.pack(
+            "<I", 100
+        )  # declares 100 bytes, carries none
+        with pytest.raises(ValueError):
+            M._riff_chunks(quirky)  # the strict walk rejects it
+        assert M._riff_fmt_tag(quirky) == 1  # the lenient peek works
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [9], "payload": [quirky]})
+        )
+        row = M.ingest_dispatch(df).collect()[0]
+        assert row["kind"] == "wav"
+        assert row["n_units"] == 64 + 9 % 64
+
     def test_dispatch_routes_adpcm_separately_from_pcm(self, spark):
         adpcm, pcm = M.synth_wav_adpcm_bytes(3), M.synth_wav_bytes(3)
         assert M.sniff_payload_kind(adpcm) == "wav"
