@@ -1,0 +1,162 @@
+"""One-command reproduction of the codec family's clean-failure
+contract: for every (synthesizer, parser) pair the repo ships, feed
+EVERY PREFIX of a valid payload and EVERY BIT FLIP of it through the
+parser and assert that nothing escapes except ValueError (a flip that
+still decodes is fine — formats without checksums legally decode
+corrupted payloads to different values; the contract is only that
+corrupt objects surface as clean per-task errors, never as crashes,
+hangs, or giant allocations).
+
+Per-round SCALE.md entries have recorded these sweeps as development
+evidence since round 11; this tool makes the claim reproducible in
+one command instead of ad-hoc snippets.
+
+Usage:
+    python tools/fuzz_sweep.py                # every pair, 2 docs, all bits
+    python tools/fuzz_sweep.py --stride=7     # every 7th bit (quick)
+    python tools/fuzz_sweep.py --docs=5 gif adpcm
+Prints one JSON line: {"pairs": N, "parses": M, "leaks": [...]}.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import sys
+import time
+import wave
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from mwa_uvdata_pipeline_spark.operators import multimodal as M  # noqa: E402
+
+
+def _wav_stdlib(data: bytes):
+    """The dispatcher's PCM path: stdlib wave with the family's
+    error wrap."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            return M._pcm_samples(
+                w.readframes(w.getnframes()), w.getsampwidth()
+            )
+    except (wave.Error, EOFError, RuntimeError) as exc:
+        raise ValueError("corrupt WAV payload") from exc
+
+
+def _dispatch_one(data: bytes):
+    """Pure-Python mirror of ingest_dispatch's per-payload routing
+    (sniff -> fmt-tag triage -> parser), so the mixed corpus fuzzes
+    the REAL end-to-end path without a Spark session per flip."""
+    kind = M.sniff_payload_kind(data)
+    if kind == "wav":
+        if M._riff_fmt_tag(data) == 0x11:
+            return M._parse_wav_adpcm(data)
+        return _wav_stdlib(data)
+    return {
+        "png": M._parse_png,
+        "gif": M._parse_gif,
+        "tiff": M._parse_tiff,
+        "bmp": M._parse_bmp,
+        "jpeg": M._parse_jpeg,
+        "flac": M._parse_flac,
+        "ppm": M._parse_ppm,
+        "mp4": M._parse_mp4,
+    }[kind](data)
+
+
+#: name -> (synthesizer, parser). Parsers are the same entry points
+#: the registered operators and the dispatcher call.
+PAIRS = {
+    "wav": (M.synth_wav_bytes, _wav_stdlib),
+    "wav_adpcm": (M.synth_wav_adpcm_bytes, M._parse_wav_adpcm),
+    "flac": (M.synth_flac_bytes, M._parse_flac),
+    "flac_stereo": (M.synth_flac_stereo_bytes, M._parse_flac),
+    "flac_multi": (M.synth_flac_multichannel_bytes, M._parse_flac_multi),
+    "flac_wasted": (M.synth_flac_wasted_bytes, M._parse_flac),
+    "ppm": (M.synth_ppm_bytes, M._parse_ppm),
+    "png": (M.synth_png_bytes, M._parse_png),
+    "png_adam7": (M.synth_png_adam7_bytes, M._parse_png),
+    "png_types": (M.synth_png_types_bytes, M._parse_png),
+    "gif": (M.synth_gif_bytes, M._parse_gif),
+    "gif_animated": (M.synth_gif_animated_bytes, M._parse_gif),
+    "tiff": (M.synth_tiff_bytes, M._parse_tiff),
+    "bmp": (M.synth_bmp_bytes, M._parse_bmp),
+    "jpeg": (M.synth_jpeg_bytes, M._parse_jpeg),
+    "jpeg_rst": (M.synth_jpeg_rst_bytes, M._parse_jpeg),
+    "jpeg_color": (M.synth_jpeg_color_bytes, M._parse_jpeg),
+    "jpeg_422": (M.synth_jpeg_422_bytes, M._parse_jpeg),
+    "jpeg_progressive": (M.synth_jpeg_progressive_bytes, M._parse_jpeg),
+    "mp4": (M.synth_mp4_bytes, M._parse_mp4),
+    "mjpeg_mp4": (M.synth_mjpeg_mp4_bytes, M._parse_mp4),
+    "dispatch_mixed": (M.synth_mixed_bytes, _dispatch_one),
+}
+
+
+def _sweep(parse, data: bytes, stride: int) -> tuple[int, list[str]]:
+    parses = 0
+    leaks: list[str] = []
+    for cut in range(len(data)):
+        parses += 1
+        try:
+            parse(data[:cut])
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            leaks.append(f"prefix {cut}: {type(exc).__name__}: {exc}")
+    for bit in range(0, len(data) * 8, stride):
+        blob = bytearray(data)
+        blob[bit // 8] ^= 1 << (7 - bit % 8)
+        parses += 1
+        try:
+            parse(bytes(blob))
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            leaks.append(f"bit {bit}: {type(exc).__name__}: {exc}")
+    return parses, leaks
+
+
+def main() -> int:
+    stride, docs = 1, 2
+    names = []
+    for a in sys.argv[1:]:
+        if a.startswith("--stride"):
+            stride = int(a.split("=", 1)[1])
+        elif a.startswith("--docs"):
+            docs = int(a.split("=", 1)[1])
+        else:
+            names.append(a)
+    pairs = {
+        k: v for k, v in PAIRS.items()
+        if not names or any(n in k for n in names)
+    }
+    total = 0
+    all_leaks: list[str] = []
+    t0 = time.time()
+    for name, (synth, parse) in sorted(pairs.items()):
+        t1 = time.time()
+        parses = 0
+        for doc in range(docs):
+            # spread docs so formats with doc_id-dependent shape
+            # (interlace, compression cycling) hit both arms
+            p, leaks = _sweep(parse, bytes(synth(5 + doc * 7)), stride)
+            parses += p
+            all_leaks.extend(f"{name}: {x}" for x in leaks)
+        total += parses
+        print(
+            f"{name}: {parses} parses in {time.time() - t1:.1f}s"
+            + (" LEAKS!" if any(x.startswith(name + ":")
+                                for x in all_leaks) else ""),
+            file=sys.stderr,
+        )
+    print(json.dumps({
+        "pairs": len(pairs), "docs_per_pair": docs, "stride": stride,
+        "parses": total, "seconds": round(time.time() - t0, 1),
+        "leaks": all_leaks[:20],
+    }))
+    return 1 if all_leaks else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
