@@ -465,6 +465,69 @@ class TestWavAdpcm:
                 ) from exc
 
 
+class TestDispatchAllFormatsOnePass:
+    def test_ten_formats_in_one_spark_job(self, spark):
+        """END-TO-END: one binary column carrying ONE payload of
+        every format the dispatcher routes — including the four
+        kinds outside the %6 mixed corpus (gif/tiff/bmp/adpcm) —
+        decoded in a single mapInPandas pass with per-row kinds and
+        checksums all correct."""
+        import numpy as np
+
+        makers = [
+            ("png", M.synth_png_bytes),
+            ("gif", M.synth_gif_bytes),
+            ("tiff", M.synth_tiff_bytes),
+            ("bmp", M.synth_bmp_bytes),
+            ("jpeg", M.synth_jpeg_bytes),
+            ("flac", M.synth_flac_bytes),
+            ("wav", M.synth_wav_bytes),
+            ("wav-adpcm", M.synth_wav_adpcm_bytes),
+            ("mp4", M.synth_mp4_bytes),
+            ("ppm", M.synth_ppm_bytes),
+        ]
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": list(range(len(makers))),
+            "payload": [mk(7) for _, mk in makers],
+        }))
+        rows = {r["doc_id"]: r
+                for r in M.ingest_dispatch(df).collect()}
+        assert len(rows) == len(makers)
+        parsers = {
+            "png": M._parse_png, "gif": M._parse_gif,
+            "tiff": M._parse_tiff, "bmp": M._parse_bmp,
+            "jpeg": M._parse_jpeg, "ppm": M._parse_ppm,
+        }
+        for i, (kind, mk) in enumerate(makers):
+            row = rows[i]
+            assert row["kind"] == kind, (kind, row["kind"])
+            blob = mk(7)
+            if kind in parsers:
+                w, h, img = parsers[kind](blob)
+                assert (row["width"], row["height"]) == (w, h)
+                assert row["value_sum"] == int(img.sum())
+            elif kind == "flac":
+                _, s = M._parse_flac(blob)
+                assert row["value_sum"] == int(s.sum())
+            elif kind == "wav-adpcm":
+                _, _, s = M._parse_wav_adpcm(blob)
+                assert row["n_units"] == len(s)
+                assert row["value_sum"] == int(s.sum())
+            elif kind == "wav":
+                import io
+                import wave
+
+                with wave.open(io.BytesIO(blob), "rb") as wv:
+                    s = M._pcm_samples(
+                        wv.readframes(wv.getnframes()),
+                        wv.getsampwidth(),
+                    )
+                assert row["value_sum"] == int(np.asarray(s).sum())
+            else:  # mp4
+                meta = M._parse_mp4(blob)
+                assert row["n_units"] == meta["n_samples"]
+
+
 class TestGifAnimatedFuzzSurface:
     """Clean-failure contract for the multi-frame GIF path."""
 
