@@ -1884,10 +1884,35 @@ def _parse_png(data: bytes):
     bpp = channels * (bit_depth // 8)
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
+    # the exact decompressed size is known from IHDR before inflating
+    # (per-pass scanlines: one filter byte + pw*bpp coded bytes), so
+    # inflate BOUNDED: a ~65 KB deflate stream legally expands to
+    # ~64 MB (deflate's ~1032x ceiling), and an unbounded
+    # zlib.decompress hands a hostile payload that entire allocation
+    # inside one C call before any length check runs. Reject a
+    # declared size deflate could never reach from this payload, then
+    # cap the inflate at expected+1 so even a lying stream can't
+    # produce more than one surplus byte (which the exact-length
+    # check below turns into the family's clean ValueError).
+    if inter == 0:
+        expected = h * (1 + w * bpp)
+    else:
+        expected = sum(
+            ph * (1 + pw * bpp)
+            for x0, y0, dx, dy in _ADAM7
+            for pw in (max(0, (w - x0 + dx - 1) // dx),)
+            for ph in (max(0, (h - y0 + dy - 1) // dy),)
+            if pw and ph
+        )
+    if expected > max(1 << 22, len(data) * 1032):
+        raise ValueError("PNG dimensions implausibly large for payload")
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError("corrupt PNG IDAT stream") from exc
+    if len(raw) != expected:
+        raise ValueError("decompressed IDAT length mismatch")
     def to_rgb(coded):
         """Convert the CODED (h, w, bpp) image to RGB samples:
         truecolor passes through, grayscale replicates the sample
@@ -2799,6 +2824,13 @@ def _parse_tiff(data: bytes):
         raise ValueError("unsupported TIFF sample layout")
     if comp not in (1, 32773, 5):
         raise ValueError(f"unsupported TIFF compression {comp}")
+    # strip decodes are bounded by their EXPECTED sizes, which come
+    # from these u32 dims — bound them against what the payload could
+    # ever decompress to (PackBits expands at most 128x, TIFF LZW
+    # ~2730x) BEFORE any strip work, the same guard the GIF canvas
+    # has, so a 100-byte file declaring 4-gigapixel dims fails clean
+    if w * h * spp > max(1 << 22, len(data) * 4096):
+        raise ValueError("TIFF dimensions implausibly large for payload")
     predictor = one(317, 1)
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")

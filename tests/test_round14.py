@@ -110,6 +110,69 @@ class TestAdviceFixes:
         with pytest.raises(ValueError, match="header size"):
             M._parse_bmp(blob)
 
+    def test_png_deflate_bomb_fails_before_inflate(self):
+        """Self-review finding, same class as the GIF canvas bound: a
+        ~4 KB PNG with valid CRCs declaring 60000x60000 and carrying
+        a deflate bomb must fail as a clean ValueError BEFORE the
+        unbounded inflate hands it the whole allocation (deflate
+        legally expands ~1032x in one C call)."""
+        import time
+        import zlib
+
+        def chunk(typ, body):
+            return (
+                struct.pack(">I", len(body)) + typ + body
+                + struct.pack(
+                    ">I", zlib.crc32(typ + body) & 0xFFFFFFFF
+                )
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+        blob = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(1 << 22), 9))
+            + chunk(b"IEND", b"")
+        )
+        t0 = time.time()
+        with pytest.raises(ValueError, match="implausibly large"):
+            M._parse_png(blob)
+        assert time.time() - t0 < 0.5  # fails on the header, not
+        # after a giant allocation
+
+    def test_png_overlong_stream_still_rejects(self):
+        """A stream inflating past the IHDR-derived size is capped at
+        expected+1 bytes and rejected — the lying-stream arm of the
+        bounded inflate."""
+        import zlib
+
+        def chunk(typ, body):
+            return (
+                struct.pack(">I", len(body)) + typ + body
+                + struct.pack(
+                    ">I", zlib.crc32(typ + body) & 0xFFFFFFFF
+                )
+            )
+
+        # 1x1 gray 8-bit: expected = 1*(1 + 1) = 2 bytes
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+        blob = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(1000)))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="length mismatch"):
+            M._parse_png(blob)
+
+    def test_tiff_bogus_huge_dims_fail_before_strips(self):
+        blob = bytearray(M.synth_tiff_bytes(2))  # little-endian doc
+        (ifd_off,) = struct.unpack("<I", blob[4:8])
+        for i in range(struct.unpack_from("<H", blob, ifd_off)[0]):
+            at = ifd_off + 2 + 12 * i
+            if struct.unpack_from("<H", blob, at)[0] in (256, 257):
+                struct.pack_into("<H", blob, at + 8, 60000)
+        with pytest.raises(ValueError, match="implausibly large"):
+            M._parse_tiff(bytes(blob))
+
     def test_decode_wav_wraps_wave_error(self, spark):
         # fmt tag 0x11 (IMA ADPCM): stdlib wave raises wave.Error;
         # the DIRECT decode_wav path must surface the family's
