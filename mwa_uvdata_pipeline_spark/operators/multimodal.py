@@ -42,6 +42,16 @@ FEATURE_DIM = 8
 
 FEATURES_SCHEMA = "doc_id long, features array<float>"
 
+#: Decompression-bomb guard shared by the image parsers — the same
+#: policy PIL ships as MAX_IMAGE_PIXELS (public prior art): an
+#: absolute cap on decoded pixels, because payload-size ratio bounds
+#: alone cannot cover formats where a tiny VALID stream legally
+#: declares huge dims (progressive JPEG's EOBRUN covers thousands of
+#: blocks per coded bit). 2^26 = 67.1 Mpx clears every current phone
+#: sensor (~50 Mpx) while bounding the transient int64 RGB array a
+#: decoder materializes per payload to ~1.6 GB worst-case.
+MAX_DECODE_PIXELS = 1 << 26
+
 
 def _make_meta_fn():
     """Returns the deterministic fake decode (width, height, n_frames)
@@ -1904,6 +1914,8 @@ def _parse_png(data: bytes):
             for ph in (max(0, (h - y0 + dy - 1) // dy),)
             if pw and ph
         )
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError("image exceeds MAX_DECODE_PIXELS")
     if expected > max(1 << 22, len(data) * 1032):
         raise ValueError("PNG dimensions implausibly large for payload")
     try:
@@ -2282,7 +2294,9 @@ def _parse_gif(data: bytes):
     # dictionary string length), so a canvas vastly larger than the
     # payload could ever fill is structurally bogus; the floor keeps
     # tiny legitimate files with large-ish canvases unaffected.
-    if w * h > max(1 << 22, len(data) * 4096):
+    if w * h > max(1 << 22, len(data) * 4096) or (
+        w * h > MAX_DECODE_PIXELS
+    ):
         raise ValueError("GIF canvas implausibly large for payload")
     packed, bg = data[10], data[11]
     pos = 13
@@ -2829,7 +2843,9 @@ def _parse_tiff(data: bytes):
     # ever decompress to (PackBits expands at most 128x, TIFF LZW
     # ~2730x) BEFORE any strip work, the same guard the GIF canvas
     # has, so a 100-byte file declaring 4-gigapixel dims fails clean
-    if w * h * spp > max(1 << 22, len(data) * 4096):
+    if w * h * spp > max(1 << 22, len(data) * 4096) or (
+        w * h > MAX_DECODE_PIXELS
+    ):
         raise ValueError("TIFF dimensions implausibly large for payload")
     predictor = one(317, 1)
     if predictor not in (1, 2):
@@ -3992,6 +4008,19 @@ def _jpeg_decode(data: bytes):
                 int.from_bytes(body[3:5], "big"), body[5]
             if prec != 8 or nf not in (1, 3):
                 raise ValueError("only 8-bit 1- or 3-component frames")
+            if h == 0 or w == 0:
+                raise ValueError("zero JPEG frame dimension")
+            # per-component f8 coefficient arrays are allocated from
+            # these dims before entropy decode, and a payload-size
+            # ratio bound is NOT sound for JPEG (progressive EOBRUN
+            # legally covers thousands of blocks per coded bit), so
+            # the guard is the industry one (PIL MAX_IMAGE_PIXELS):
+            # an absolute pixel cap — a ~200-byte stream declaring
+            # 65535x65535 would otherwise request ~34 GB of arrays
+            if w * h > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    "image exceeds MAX_DECODE_PIXELS"
+                )
             for c in range(nf):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 hs, vs = hv >> 4, hv & 15

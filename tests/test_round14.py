@@ -134,10 +134,50 @@ class TestAdviceFixes:
             + chunk(b"IEND", b"")
         )
         t0 = time.time()
-        with pytest.raises(ValueError, match="implausibly large"):
+        # 3.6 Gpx trips the MAX_DECODE_PIXELS cap; the payload-ratio
+        # bound backs it up for sub-cap dims
+        with pytest.raises(
+            ValueError, match="MAX_DECODE_PIXELS|implausibly large"
+        ):
             M._parse_png(blob)
         assert time.time() - t0 < 0.5  # fails on the header, not
         # after a giant allocation
+
+    def test_png_ratio_bound_below_pixel_cap(self):
+        """A 4000x4000 declaration (under the pixel cap) with a tiny
+        payload still rejects via the deflate-ratio bound."""
+        import zlib
+
+        def chunk(typ, body):
+            return (
+                struct.pack(">I", len(body)) + typ + body
+                + struct.pack(
+                    ">I", zlib.crc32(typ + body) & 0xFFFFFFFF
+                )
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 4000, 4000, 8, 2, 0, 0, 0)
+        blob = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(100)))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="implausibly large"):
+            M._parse_png(blob)
+
+    def test_jpeg_huge_dims_fail_before_block_alloc(self):
+        """A ~300-byte JPEG declaring 65535x65535 would request
+        ~34 GB of per-component coefficient arrays; the
+        MAX_DECODE_PIXELS cap (PIL prior art) rejects at the SOF."""
+        import time
+
+        blob = bytearray(M.synth_jpeg_bytes(3))
+        at = blob.find(b"\xff\xc0")
+        struct.pack_into(">HH", blob, at + 5, 65535, 65535)
+        t0 = time.time()
+        with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+            M._jpeg_decode(bytes(blob))
+        assert time.time() - t0 < 0.5
 
     def test_png_overlong_stream_still_rejects(self):
         """A stream inflating past the IHDR-derived size is capped at
