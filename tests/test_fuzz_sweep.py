@@ -18,7 +18,9 @@ def test_every_pair_fails_clean_at_stride():
     leaks = []
     parses = 0
     for name, (synth, parse) in sorted(fuzz_sweep.PAIRS.items()):
-        for doc in (5, 12):
+        # dispatch_mixed routes by doc_id % 6 — cover all six magics
+        docs = range(6) if name == "dispatch_mixed" else (5, 12)
+        for doc in docs:
             p, ls = fuzz_sweep._sweep(parse, bytes(synth(doc)), 17)
             parses += p
             leaks.extend(f"{name}: {x}" for x in ls)

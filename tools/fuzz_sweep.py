@@ -137,10 +137,17 @@ def main() -> int:
     for name, (synth, parse) in sorted(pairs.items()):
         t1 = time.time()
         parses = 0
-        for doc in range(docs):
+        if name == "dispatch_mixed":
+            # synth_mixed_bytes picks the container by doc_id % 6 —
+            # sweep one doc of EVERY residue so all six magics fuzz
+            # through the routing, regardless of the --docs setting
+            doc_ids = range(max(docs, 6))
+        else:
             # spread docs so formats with doc_id-dependent shape
             # (interlace, compression cycling) hit both arms
-            p, leaks = _sweep(parse, bytes(synth(5 + doc * 7)), stride)
+            doc_ids = [5 + i * 7 for i in range(docs)]
+        for doc in doc_ids:
+            p, leaks = _sweep(parse, bytes(synth(doc)), stride)
             parses += p
             all_leaks.extend(f"{name}: {x}" for x in leaks)
         total += parses
