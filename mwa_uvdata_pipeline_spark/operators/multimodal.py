@@ -1925,6 +1925,13 @@ def _parse_png(data: bytes):
         raise ValueError("corrupt PNG IDAT stream") from exc
     if len(raw) != expected:
         raise ValueError("decompressed IDAT length mismatch")
+    # the bounded inflate stops at expected+1 bytes, so a stream cut
+    # off AFTER yielding all pixel bytes but BEFORE its adler32
+    # trailer would otherwise be silently accepted (zlib only
+    # verifies the checksum at end-of-stream). Require end-of-stream
+    # so truncation stays a clean ValueError and adler32 always ran.
+    if not d.eof:
+        raise ValueError("truncated PNG IDAT stream")
     def to_rgb(coded):
         """Convert the CODED (h, w, bpp) image to RGB samples:
         truecolor passes through, grayscale replicates the sample
