@@ -6,8 +6,10 @@ Arrow-batched ``mapInPandas`` with explicit output schemas, per-batch
 vectorized work, frame-row fan-out. REAL from-spec decode exists for
 WAV, PPM, PNG (sequential and Adam7), baseline JPEG (grayscale,
 4:2:0, and 4:2:2 color), FLAC (1-8 channels incl. stereo
-decorrelation), and the MP4 container's box structure with
-stsz-indexed frame access — see the "native decode" section below.
+decorrelation), lossless WebP (VP8L: prefix codes, LZ77, color
+cache, all four transforms), and the MP4 container's box structure
+with stsz-indexed frame access — see the "native decode" sections
+below.
 ``decode_media(..., deterministic=False)`` routes through those
 decoders by magic-byte sniff and raises ``NotImplementedError`` only
 for containers outside the family (H.264-class payloads — the one
@@ -5065,6 +5067,1010 @@ def decode_scene_cuts(docs: DataFrame, threshold: int = 16,
     return docs.select(id_col).mapInPandas(batches, CUTS_SCHEMA)
 
 
+# ---------------------------------------------- WebP VP8L (lossless)
+#
+# From-spec implementation of the public "WebP Lossless Bitstream
+# Specification" (RFC 9649 §3-4 / VP8L): RIFF/WEBP container walk,
+# LSB-first bitstream, simple and full canonical prefix codes (the
+# code-length code with 16/17/18 run-length symbols and the optional
+# max-symbol arm), LZ77 backward references with the prefix-coded
+# length/distance value scheme, the hashed color cache, and all four
+# transforms (predictor with the 14 spatial modes, cross-color,
+# subtract-green, color-indexing including sub-byte pixel bundling).
+#
+# DOCUMENTED SUBSET, chosen deliberately (offline build, spec text
+# not retrievable for byte-level cross-checks):
+#  * distance codes 1..120 (the spec's 120-entry short-range "plane
+#    code" neighborhood table) are REJECTED with a clean ValueError —
+#    the exact table order is an empirical constant we could not
+#    verify offline, and a silently-wrong table would corrupt real
+#    files while staying internally consistent. Plane codes are an
+#    OPTIONAL encoding choice: every distance is also expressible as
+#    a plain code (distance + 120), which is what the encoder below
+#    emits, so the files this module writes remain fully conformant.
+#    Reopen trigger: spec/libwebp access to transcribe the table.
+#  * meta prefix codes (multiple entropy groups) are rejected with a
+#    clean ValueError; single-group files are the common case.
+# The synthesizer/decoder pair is gated by exact-value oracles and a
+# full round-trip pin per variant, so every implemented path is
+# exercised bidirectionally.
+
+#: code-length-code symbol transmission order (same role as deflate's
+#: RFC 1951 §3.2.7 order; VP8L's starts with the run-length symbols).
+_VP8L_ORDER = (
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15
+)
+
+#: color-cache hash multiplier (VP8L kHashMul); index =
+#: (mul * argb mod 2^32) >> (32 - cache_bits).
+_VP8L_CACHE_MUL = 0x1E35A7BD
+
+
+class _LsbBits:
+    """LSB-first bit reader over a bytes payload (VP8L convention:
+    bits fill each byte from the least-significant end). Raises the
+    codec family's clean ValueError at end-of-stream."""
+
+    __slots__ = ("data", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        d, b = self.data, self.bit
+        if b + n > len(d) * 8:
+            raise ValueError("truncated VP8L bitstream")
+        v = 0
+        for i in range(n):
+            v |= ((d[(b + i) >> 3] >> ((b + i) & 7)) & 1) << i
+        self.bit = b + n
+        return v
+
+
+class _LsbWriter:
+    """LSB-first bit writer (mirror of :class:`_LsbBits`). Prefix-code
+    bits go through :meth:`write_code`, which emits the code's bits
+    most-significant first — the deflate-style convention canonical
+    prefix codes use inside an otherwise LSB-first stream."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, n: int) -> None:
+        assert 0 <= v < (1 << n), (v, n)
+        self.acc |= v << self.n
+        self.n += n
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def done(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _vp8l_canon_codes(lengths) -> dict[int, tuple[int, int]]:
+    """Canonical prefix codes from code lengths, exactly as deflate
+    (RFC 1951 §3.2.2, which the VP8L spec references): shorter codes
+    first, ties in symbol order. Returns sym -> (code, length)."""
+    nz = sorted((l, s) for s, l in enumerate(lengths) if l)
+    bl_count: dict[int, int] = {}
+    for l, _ in nz:
+        bl_count[l] = bl_count.get(l, 0) + 1
+    code = 0
+    next_code: dict[int, int] = {}
+    for l in range(1, max(bl_count) + 1):
+        code = (code + bl_count.get(l - 1, 0)) << 1
+        next_code[l] = code
+    codes = {}
+    for l, s in nz:
+        codes[s] = (next_code[l], l)
+        next_code[l] += 1
+    return codes
+
+
+def _vp8l_decode_table(lengths) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol table for bit-by-bit decode, with a
+    completeness check: VP8L normal codes must satisfy Kraft equality
+    (an over- or under-subscribed set of lengths is file corruption,
+    surfaced as the family's clean ValueError)."""
+    nz = [(l, s) for s, l in enumerate(lengths) if l]
+    if len(nz) < 2:
+        raise ValueError("under-subscribed VP8L prefix code")
+    if max(l for l, _ in nz) > 15:
+        raise ValueError("VP8L code length exceeds 15")
+    if sum(1 << (15 - l) for l, _ in nz) != 1 << 15:
+        raise ValueError("VP8L prefix code is not complete")
+    return {
+        (l, c): s for s, (c, l) in _vp8l_canon_codes(lengths).items()
+    }
+
+
+def _vp8l_read_sym(br: _LsbBits, table) -> int:
+    """One prefix-coded symbol. ``table`` is either an int (the
+    0-bit single-symbol simple code) or a (length, code) map."""
+    if isinstance(table, int):
+        return table
+    code = 0
+    for ln in range(1, 16):
+        code = (code << 1) | br.read(1)
+        s = table.get((ln, code))
+        if s is not None:
+            return s
+    raise ValueError("invalid VP8L prefix-coded symbol")
+
+
+def _vp8l_read_code(br: _LsbBits, alphabet: int):
+    """Read one prefix-code definition: the 1/2-symbol simple form or
+    the normal form (3-bit lengths for the code-length code in
+    ``_VP8L_ORDER``, optional max-symbol arm, then RLE-coded lengths
+    with symbols 16 = repeat-previous, 17/18 = zero runs)."""
+    if br.read(1):  # simple
+        num = br.read(1) + 1
+        s0 = br.read(8) if br.read(1) else br.read(1)
+        syms = [s0] + ([br.read(8)] if num == 2 else [])
+        for s in syms:
+            if s >= alphabet:
+                raise ValueError("VP8L simple-code symbol out of range")
+        if num == 1:
+            return syms[0]
+        if syms[0] == syms[1]:
+            raise ValueError("duplicate VP8L simple-code symbols")
+        return {(1, 0): syms[0], (1, 1): syms[1]}
+    ncl = 4 + br.read(4)
+    cl = [0] * 19
+    for i in range(ncl):
+        cl[_VP8L_ORDER[i]] = br.read(3)
+    cl_table = _vp8l_decode_table(cl)
+    if br.read(1):
+        nbits = 2 + 2 * br.read(3)
+        max_ops = 2 + br.read(nbits)
+    else:
+        max_ops = alphabet
+    lens = [0] * alphabet
+    prev = 8  # spec default when 16 precedes any literal
+    i = ops = 0
+    while i < alphabet and ops < max_ops:
+        ops += 1
+        s = _vp8l_read_sym(br, cl_table)
+        if s < 16:
+            lens[i] = s
+            i += 1
+            if s:
+                prev = s
+        else:
+            if s == 16:
+                rep, fill = 3 + br.read(2), prev
+            elif s == 17:
+                rep, fill = 3 + br.read(3), 0
+            else:
+                rep, fill = 11 + br.read(7), 0
+            if i + rep > alphabet:
+                raise ValueError("VP8L code-length repeat overflows")
+            for _ in range(rep):
+                lens[i] = fill
+                i += 1
+    return _vp8l_decode_table(lens)
+
+
+def _vp8l_lz_read(br: _LsbBits, code: int) -> int:
+    """LZ77 length/distance value from its prefix code + extra bits:
+    codes 0-3 are the values 1-4; code c >= 4 spans
+    ((2+(c&1)) << ((c-2)>>1)) + 1 .. and carries (c-2)>>1 extra
+    bits."""
+    if code < 4:
+        return code + 1
+    eb = (code - 2) >> 1
+    return ((2 + (code & 1)) << eb) + br.read(eb) + 1
+
+
+def _vp8l_lz_code(v: int) -> tuple[int, int, int]:
+    """Inverse of :func:`_vp8l_lz_read`: value -> (prefix code,
+    extra-bits value, extra-bits count)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    k = (v - 1).bit_length() - 1
+    if v - 1 < 3 << (k - 1):
+        return 2 * k, v - 1 - (1 << k), k - 1
+    return 2 * k + 1, v - 1 - (3 << (k - 1)), k - 1
+
+
+def _vp8l_cache_idx(argb: int, bits: int) -> int:
+    return ((_VP8L_CACHE_MUL * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _vp8l_decode_pixels(br: _LsbBits, w: int, h: int,
+                        main: bool = False):
+    """One entropy-coded VP8L image (the main image when ``main``,
+    else a transform sub-image): color-cache info, the five prefix
+    codes (green+length+cache, red, blue, alpha, distance), then the
+    LZ77-coded pixel stream into a flat ARGB uint32 array."""
+    from array import array
+
+    n = w * h
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("invalid VP8L color-cache size")
+    if main and br.read(1):
+        raise ValueError("VP8L meta prefix codes unsupported")
+    green = _vp8l_read_code(
+        br, 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    )
+    red = _vp8l_read_code(br, 256)
+    blue = _vp8l_read_code(br, 256)
+    alpha = _vp8l_read_code(br, 256)
+    dist_code = _vp8l_read_code(br, 40)
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    px = array("I", bytes(4 * n))
+    pos = 0
+    while pos < n:
+        s = _vp8l_read_sym(br, green)
+        if s < 256:
+            g = s
+            r = _vp8l_read_sym(br, red)
+            b = _vp8l_read_sym(br, blue)
+            a = _vp8l_read_sym(br, alpha)
+            v = (a << 24) | (r << 16) | (g << 8) | b
+            px[pos] = v
+            pos += 1
+            if cache is not None:
+                cache[_vp8l_cache_idx(v, cache_bits)] = v
+        elif s < 280:
+            length = _vp8l_lz_read(br, s - 256)
+            dval = _vp8l_lz_read(br, _vp8l_read_sym(br, dist_code))
+            if dval <= 120:
+                raise ValueError(
+                    "VP8L short-range plane distance codes unsupported"
+                )
+            d = dval - 120
+            if d > pos:
+                raise ValueError("VP8L reference before image start")
+            if pos + length > n:
+                raise ValueError("VP8L reference overruns image")
+            for _ in range(length):
+                v = px[pos - d]
+                px[pos] = v
+                pos += 1
+                if cache is not None:
+                    cache[_vp8l_cache_idx(v, cache_bits)] = v
+        else:
+            v = cache[s - 280] if cache is not None else None
+            if v is None:
+                raise ValueError("VP8L color-cache miss")
+            px[pos] = v
+            pos += 1
+    return px
+
+
+def _add_px(p: int, q: int) -> int:
+    """Per-channel (mod 256) pixel addition on packed ARGB."""
+    return (
+        ((((p >> 24) + (q >> 24)) & 0xFF) << 24)
+        | ((((p >> 16) + (q >> 16)) & 0xFF) << 16)
+        | ((((p >> 8) + (q >> 8)) & 0xFF) << 8)
+        | ((p + q) & 0xFF)
+    )
+
+
+def _sub_px(p: int, q: int) -> int:
+    """Per-channel (mod 256) pixel subtraction on packed ARGB."""
+    return (
+        ((((p >> 24) - (q >> 24)) & 0xFF) << 24)
+        | ((((p >> 16) - (q >> 16)) & 0xFF) << 16)
+        | ((((p >> 8) - (q >> 8)) & 0xFF) << 8)
+        | ((p - q) & 0xFF)
+    )
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) + (b >> 24)) >> 1) << 24)
+        | (((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) >> 1) << 16)
+        | (((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) >> 1) << 8)
+        | (((a & 0xFF) + (b & 0xFF)) >> 1)
+    )
+
+
+def _s8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _ctd(t: int, c: int) -> int:
+    """Cross-color transform delta: both the element and the channel
+    byte reinterpreted as signed 8-bit, product arithmetic-shifted by
+    5 (Python's floor ``>>`` on negative ints IS the arithmetic
+    shift)."""
+    return (_s8(t) * _s8(c)) >> 5
+
+
+def _vp8l_predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    """The 14 spatial predictor modes (spec §4.1.1). Select (11) and
+    ClampAddSubtractFull/Half (12/13) follow the spec pseudocode:
+    Manhattan-distance tiebreak toward T, and C-style
+    truncate-toward-zero division in the Half variant."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(L, TR), T)
+    if mode == 6:
+        return _vp8l_avg2(L, TL)
+    if mode == 7:
+        return _vp8l_avg2(L, T)
+    if mode == 8:
+        return _vp8l_avg2(TL, T)
+    if mode == 9:
+        return _vp8l_avg2(T, TR)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(L, TL), _vp8l_avg2(T, TR))
+    if mode == 11:  # Select
+        pL = pT = 0
+        for sh in (24, 16, 8, 0):
+            pc = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) \
+                - ((TL >> sh) & 0xFF)
+            pL += abs(pc - ((L >> sh) & 0xFF))
+            pT += abs(pc - ((T >> sh) & 0xFF))
+        return L if pL < pT else T
+    if mode == 12:  # ClampAddSubtractFull
+        out = 0
+        for sh in (24, 16, 8, 0):
+            v = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) \
+                - ((TL >> sh) & 0xFF)
+            out |= min(255, max(0, v)) << sh
+        return out
+    if mode == 13:  # ClampAddSubtractHalf
+        ave = _vp8l_avg2(L, T)
+        out = 0
+        for sh in (24, 16, 8, 0):
+            a = (ave >> sh) & 0xFF
+            v = a + int((a - ((TL >> sh) & 0xFF)) / 2)
+            out |= min(255, max(0, v)) << sh
+        return out
+    raise ValueError("invalid VP8L predictor mode")
+
+
+def _vp8l_pred_at(px, i: int, x: int, y: int, w: int,
+                  mode: int) -> int:
+    """Predictor with the spec's edge rules: (0,0) predicts opaque
+    black, the rest of row 0 predicts L, the rest of column 0
+    predicts T. TR of the last column wraps to the first pixel of the
+    CURRENT row (the linear-array rule) — that pixel is already
+    reconstructed by the time it is referenced."""
+    if y == 0:
+        return 0xFF000000 if x == 0 else px[i - 1]
+    if x == 0:
+        return px[i - w]
+    return _vp8l_predict(
+        mode, px[i - 1], px[i - w], px[i - w - 1], px[i - w + 1]
+    )
+
+
+def _parse_webp(data: bytes):
+    """REAL lossless WebP (VP8L) decode from spec — RIFF walk, VP8L
+    bitstream, inverse transforms in reverse stream order — returning
+    (width, height, int64 RGB image) like the other still-image
+    parsers. Lossy ``VP8 `` and extended ``VP8X`` payloads are
+    rejected with a clean ValueError (a from-spec VP8 intra decoder
+    is out of scope, same call as H.264-in-mdat)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WEBP RIFF container")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    if riff_size + 8 != len(data):
+        raise ValueError("WEBP RIFF size mismatch")
+    pos, payload = 12, None
+    while pos + 8 <= len(data):
+        fourcc = data[pos:pos + 4]
+        (sz,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("truncated WEBP chunk")
+        if fourcc == b"VP8L":
+            payload = body
+            break
+        if fourcc in (b"VP8 ", b"VP8X"):
+            raise ValueError("lossy/extended WebP unsupported")
+        pos += 8 + sz + (sz & 1)
+    if payload is None:
+        raise ValueError("no VP8L chunk in WEBP container")
+
+    br = _LsbBits(payload)
+    if br.read(8) != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha-is-used hint — informational
+    if br.read(3) != 0:
+        raise ValueError("unsupported VP8L version")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError("image exceeds MAX_DECODE_PIXELS")
+
+    transforms = []
+    seen = set()
+    coded_w = w
+    while br.read(1):
+        t = br.read(2)
+        if t in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(t)
+        if t == 2:  # subtract green
+            transforms.append(("subgreen",))
+        elif t in (0, 1):  # predictor / cross-color: tiled sub-image
+            sb = br.read(3) + 2
+            tw = (coded_w + (1 << sb) - 1) >> sb
+            th = (h + (1 << sb) - 1) >> sb
+            tiles = _vp8l_decode_pixels(br, tw, th)
+            transforms.append(
+                ("predictor" if t == 0 else "color", sb, tw, tiles)
+            )
+        else:  # color indexing
+            npal = br.read(8) + 1
+            praw = _vp8l_decode_pixels(br, npal, 1)
+            pal, prev = [], 0
+            for v in praw:  # palette entries are delta-coded
+                prev = _add_px(v, prev)
+                pal.append(prev)
+            wb = 3 if npal <= 2 else 2 if npal <= 4 else \
+                1 if npal <= 16 else 0
+            coded_w = (w + (1 << wb) - 1) >> wb
+            transforms.append(("palette", pal, wb))
+
+    px = _vp8l_decode_pixels(br, coded_w, h, main=True)
+
+    for tr in reversed(transforms):
+        cur_w = len(px) // h
+        if tr[0] == "subgreen":
+            for i in range(len(px)):
+                p = px[i]
+                g = (p >> 8) & 0xFF
+                px[i] = (
+                    (p & 0xFF00FF00)
+                    | ((((p >> 16) + g) & 0xFF) << 16)
+                    | ((p + g) & 0xFF)
+                )
+        elif tr[0] == "predictor":
+            _, sb, tw, tiles = tr
+            for y in range(h):
+                for x in range(cur_w):
+                    i = y * cur_w + x
+                    mode = (tiles[(y >> sb) * tw + (x >> sb)] >> 8) \
+                        & 0xFF
+                    if mode > 13:
+                        raise ValueError("invalid VP8L predictor mode")
+                    px[i] = _add_px(
+                        px[i], _vp8l_pred_at(px, i, x, y, cur_w, mode)
+                    )
+        elif tr[0] == "color":
+            # element channels: green_to_red in blue, green_to_blue
+            # in green, red_to_blue in red; red is restored BEFORE
+            # the red_to_blue term uses it
+            _, sb, tw, tiles = tr
+            for y in range(h):
+                for x in range(cur_w):
+                    i = y * cur_w + x
+                    e = tiles[(y >> sb) * tw + (x >> sb)]
+                    p = px[i]
+                    g = (p >> 8) & 0xFF
+                    r = (((p >> 16) & 0xFF) + _ctd(e & 0xFF, g)) & 0xFF
+                    b = (
+                        (p & 0xFF)
+                        + _ctd((e >> 8) & 0xFF, g)
+                        + _ctd((e >> 16) & 0xFF, r)
+                    ) & 0xFF
+                    px[i] = (p & 0xFF00FF00) | (r << 16) | b
+        else:  # palette
+            from array import array
+
+            _, pal, wb = tr
+            bpp = 8 >> wb
+            mask = (1 << bpp) - 1
+            out = array("I", bytes(4 * w * h))
+            for y in range(h):
+                for x in range(w):
+                    packed = px[y * cur_w + (x >> wb)]
+                    idx = (
+                        ((packed >> 8) & 0xFF)
+                        >> ((x & ((1 << wb) - 1)) * bpp)
+                    ) & mask
+                    if idx >= len(pal):
+                        raise ValueError(
+                            "VP8L palette index out of range"
+                        )
+                    out[y * w + x] = pal[idx]
+            px = out
+
+    if len(px) != w * h:
+        raise ValueError("VP8L decoded size mismatch")
+    arr = np.frombuffer(px, dtype=np.uint32).reshape(h, w)
+    img = np.stack(
+        [(arr >> 16) & 0xFF, (arr >> 8) & 0xFF, arr & 0xFF], axis=2
+    ).astype("i8")
+    return w, h, img
+
+
+def decode_webp(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "doc_id") -> DataFrame:
+    """REAL lossless-WebP decode (VP8L from spec, stdlib + numpy, no
+    PIL/libwebp) with the family's shared (width, height, channel
+    sums) row shape — same Arrow-batched mapInPandas seam, map-only,
+    zero shuffle."""
+    return _rgb_sum_decoder(_parse_webp)(df, payload_col, id_col)
+
+
+# --- VP8L encoder (test-grade, spec-conformant output) ---------------
+
+
+def _pm_lengths(freqs: dict[int, int], limit: int) -> dict[int, int]:
+    """Length-limited prefix code lengths via package-merge — always
+    Kraft-complete, optimal under the limit. Needs >= 2 symbols."""
+    syms = sorted(freqs)
+    n = len(syms)
+    assert n >= 2 and n <= (1 << limit)
+    orig = sorted((freqs[s], (s,)) for s in syms)
+    merged = list(orig)
+    for _ in range(limit - 1):
+        packages = [
+            (merged[i][0] + merged[i + 1][0],
+             merged[i][1] + merged[i + 1][1])
+            for i in range(0, len(merged) - 1, 2)
+        ]
+        merged = sorted(orig + packages)
+    lengths = dict.fromkeys(syms, 0)
+    for _, group in merged[:2 * n - 2]:
+        for s in group:
+            lengths[s] += 1
+    return lengths
+
+
+def _rle_code_lengths(lens, limit: int):
+    """Code-length sequence -> (symbol, extra, extra_bits) ops with
+    the spec's RLE: 16 repeats the previous non-zero length 3-6
+    times, 17 covers 3-10 zeros, 18 covers 11-138 zeros."""
+    seq = []
+    i = 0
+    while i < limit:
+        l = lens[i]
+        if l == 0:
+            run = 0
+            while i + run < limit and lens[i + run] == 0:
+                run += 1
+            i += run
+            while run >= 11:
+                take = min(run, 138)
+                seq.append((18, take - 11, 7))
+                run -= take
+            if run >= 3:
+                seq.append((17, run - 3, 3))
+                run = 0
+            seq.extend((0, 0, 0) for _ in range(run))
+        else:
+            seq.append((l, 0, 0))
+            i += 1
+            run = 0
+            while i + run < limit and lens[i + run] == l:
+                run += 1
+            i += run
+            while run >= 3:
+                take = min(run, 6)
+                seq.append((16, take - 3, 2))
+                run -= take
+            seq.extend((l, 0, 0) for _ in range(run))
+    return seq
+
+
+def _vp8l_write_code(bw: _LsbWriter, freqs: dict[int, int],
+                     alphabet: int, use_max: bool = False):
+    """Emit one prefix-code definition and return sym -> (code, len).
+    Picks the simple form when <= 2 symbols fit its 8-bit fields,
+    else the normal form with package-merge lengths; ``use_max``
+    truncates trailing zero ops behind the spec's max-symbol count
+    (which bounds the number of RLE ops read, not symbol indices)."""
+    syms = sorted(s for s, f in freqs.items() if f > 0) or [0]
+    if len(syms) == 1 and syms[0] <= 255:
+        s = syms[0]
+        bw.write(1, 1)
+        bw.write(0, 1)
+        if s >= 2:
+            bw.write(1, 1)
+            bw.write(s, 8)
+        else:
+            bw.write(0, 1)
+            bw.write(s, 1)
+        return {s: (0, 0)}
+    if len(syms) == 2 and syms[1] <= 255:
+        s0, s1 = syms
+        bw.write(1, 1)
+        bw.write(1, 1)
+        if s0 >= 2:
+            bw.write(1, 1)
+            bw.write(s0, 8)
+        else:
+            bw.write(0, 1)
+            bw.write(s0, 1)
+        bw.write(s1, 8)
+        return {s0: (0, 1), s1: (1, 1)}
+    if len(syms) == 1:
+        raise ValueError("unencodable single-symbol wide alphabet")
+    lens = [0] * alphabet
+    for s, l in _pm_lengths({s: freqs[s] for s in syms}, 15).items():
+        lens[s] = l
+    seq = _rle_code_lengths(lens, alphabet)
+    if use_max:
+        k = len(seq)
+        while k and seq[k - 1][0] in (0, 17, 18):
+            k -= 1
+        if k >= 2 and k < len(seq):
+            seq = seq[:k]
+        else:
+            use_max = False
+    cl_freqs: dict[int, int] = {}
+    for s, _, _ in seq:
+        cl_freqs[s] = cl_freqs.get(s, 0) + 1
+    if len(cl_freqs) < 2:
+        raise ValueError("unencodable code-length distribution")
+    cl_lens = [0] * 19
+    for s, l in _pm_lengths(cl_freqs, 7).items():
+        cl_lens[s] = l
+    cl_codes = _vp8l_canon_codes(cl_lens)
+    bw.write(0, 1)  # normal (not simple) form
+    num = max(
+        4,
+        1 + max(i for i in range(19) if cl_lens[_VP8L_ORDER[i]] > 0),
+    )
+    bw.write(num - 4, 4)
+    for i in range(num):
+        bw.write(cl_lens[_VP8L_ORDER[i]], 3)
+    if use_max:
+        mx = len(seq)
+        nbits = 2
+        while mx - 2 >= (1 << nbits):
+            nbits += 2
+        bw.write(1, 1)
+        bw.write((nbits - 2) // 2, 3)
+        bw.write(mx - 2, nbits)
+    else:
+        bw.write(0, 1)
+    for s, extra, ebits in seq:
+        bw.write_code(*cl_codes[s])
+        if ebits:
+            bw.write(extra, ebits)
+    return _vp8l_canon_codes(lens)
+
+
+def _vp8l_lz77(pixels, cache_bits: int):
+    """Greedy LZ77 + color-cache tokenizer over packed ARGB pixels:
+    ('lit', argb) / ('ref', length, distance) / ('cache', index).
+    Mirrors decoder state exactly — the cache is updated on every
+    emitted pixel, including those covered by a backward
+    reference."""
+    n = len(pixels)
+    toks = []
+    cache = [-1] * (1 << cache_bits) if cache_bits else None
+    starts: dict[int, list[int]] = {}
+    i = 0
+    while i < n:
+        best_len = best_dist = 0
+        for j in reversed(starts.get(pixels[i], [])[-8:]):
+            l = 0
+            while i + l < n and l < 4096 \
+                    and pixels[j + l] == pixels[i + l]:
+                l += 1
+            if l > best_len:
+                best_len, best_dist = l, i - j
+                if l >= 128:
+                    break
+        if best_len >= 3:
+            toks.append(("ref", best_len, best_dist))
+            for k in range(i, i + best_len):
+                starts.setdefault(pixels[k], []).append(k)
+                if cache is not None:
+                    cache[_vp8l_cache_idx(pixels[k], cache_bits)] = \
+                        pixels[k]
+            i += best_len
+        else:
+            p = pixels[i]
+            if cache is not None:
+                ci = _vp8l_cache_idx(p, cache_bits)
+                toks.append(
+                    ("cache", ci) if cache[ci] == p else ("lit", p)
+                )
+                cache[ci] = p
+            else:
+                toks.append(("lit", p))
+            starts.setdefault(p, []).append(i)
+            i += 1
+    return toks
+
+
+def _vp8l_write_image(bw: _LsbWriter, pixels, w: int, h: int,
+                      cache_bits: int = 0, main: bool = False,
+                      use_max: bool = False) -> None:
+    """Write one entropy-coded image: cache info, (main only) the
+    no-meta-prefix bit, the five prefix codes from actual token
+    frequencies, then the token stream."""
+    assert len(pixels) == w * h
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    if main:
+        bw.write(0, 1)
+    toks = _vp8l_lz77(list(pixels), cache_bits)
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {}
+    bf: dict[int, int] = {}
+    af: dict[int, int] = {}
+    df: dict[int, int] = {}
+
+    def bump(d, k):
+        d[k] = d.get(k, 0) + 1
+
+    for t in toks:
+        if t[0] == "lit":
+            p = t[1]
+            bump(gf, (p >> 8) & 0xFF)
+            bump(rf, (p >> 16) & 0xFF)
+            bump(bf, p & 0xFF)
+            bump(af, (p >> 24) & 0xFF)
+        elif t[0] == "cache":
+            bump(gf, 280 + t[1])
+        else:
+            bump(gf, 256 + _vp8l_lz_code(t[1])[0])
+            bump(df, _vp8l_lz_code(t[2] + 120)[0])
+    g_codes = _vp8l_write_code(
+        bw, gf, 256 + 24 + ((1 << cache_bits) if cache_bits else 0),
+        use_max,
+    )
+    r_codes = _vp8l_write_code(bw, rf, 256, use_max)
+    b_codes = _vp8l_write_code(bw, bf, 256, use_max)
+    a_codes = _vp8l_write_code(bw, af, 256, use_max)
+    d_codes = _vp8l_write_code(bw, df, 40, use_max)
+    for t in toks:
+        if t[0] == "lit":
+            p = t[1]
+            bw.write_code(*g_codes[(p >> 8) & 0xFF])
+            bw.write_code(*r_codes[(p >> 16) & 0xFF])
+            bw.write_code(*b_codes[p & 0xFF])
+            bw.write_code(*a_codes[(p >> 24) & 0xFF])
+        elif t[0] == "cache":
+            bw.write_code(*g_codes[280 + t[1]])
+        else:
+            lc, ex, eb = _vp8l_lz_code(t[1])
+            bw.write_code(*g_codes[256 + lc])
+            if eb:
+                bw.write(ex, eb)
+            dc, ex, eb = _vp8l_lz_code(t[2] + 120)
+            bw.write_code(*d_codes[dc])
+            if eb:
+                bw.write(ex, eb)
+
+
+def _riff_webp(payload: bytes) -> bytes:
+    import struct
+
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _webp_pixels(doc_id: int):
+    """Closed-form ARGB content for synth_webp_bytes — the DuckDB
+    oracle recomputes these exact formulas. doc_id % 4 == 2 repeats
+    each even row (yy = y - y%2), guaranteeing full-row LZ77 matches
+    so backward references are exercised, not just possible;
+    doc_id % 4 == 3 quantizes the image to 5 scattered pseudo-random
+    colors, producing non-adjacent exact repeats whose matches are
+    too short for LZ77 — the shape that actually yields color-cache
+    HITS (smooth gradients never revisit a value, so without this
+    cohort the cache path would be written but never taken)."""
+    w = 6 + doc_id % 10
+    h = 4 + doc_id % 5
+    px = []
+    for y in range(h):
+        yy = y - (y % 2) if doc_id % 4 == 2 else y
+        for x in range(w):
+            if doc_id % 4 == 3:
+                k = ((x * 7 + y * 11 + doc_id) * 1103515245
+                     // 4096) % 5
+                r = (doc_id * 5 + k * 37) % 256
+                g = (doc_id * 7 + k * 53) % 256
+                b = (doc_id * 3 + k * 11) % 256
+            else:
+                r = (doc_id * 5 + x * 11 + yy * 3) % 256
+                g = (doc_id * 7 + x * 3 + yy * 13) % 256
+                b = (doc_id * 3 + x * 2 + yy * 7) % 256
+            px.append(0xFF000000 | (r << 16) | (g << 8) | b)
+    return w, h, px
+
+
+def synth_webp_bytes(doc_id: int) -> bytes:
+    """Deterministic lossless-WebP payload: genuine RIFF/WEBP + VP8L
+    bitstream for the closed-form pixels of :func:`_webp_pixels`.
+    doc_id cycles the encoding so every implemented decoder path is
+    exercised across a corpus: doc%5 selects the transform chain
+    (none / subtract-green / tiled predictor, modes cycling through
+    all 14 / tiled cross-color / subtract-green THEN predictor —
+    inverse order at decode), doc%3==0 adds a color cache of 1-6
+    bits, doc%2==0 uses the max-symbol arm, doc%4==2 forces row
+    repeats so LZ77 references appear. Lossless end to end, so the
+    oracle needs no model of the encoding choices — only of the
+    pixel formulas."""
+    w, h, px = _webp_pixels(doc_id)
+    variant = doc_id % 5
+    bw = _LsbWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    coded = list(px)
+    if variant in (1, 4):  # subtract green (stream-first)
+        bw.write(1, 1)
+        bw.write(2, 2)
+        out = []
+        for p in coded:
+            g = (p >> 8) & 0xFF
+            out.append(
+                (p & 0xFF00FF00)
+                | ((((p >> 16) - g) & 0xFF) << 16)
+                | ((p - g) & 0xFF)
+            )
+        coded = out
+    if variant in (2, 4):  # tiled predictor transform
+        sb = 2  # 4x4 tiles -> multiple tiles per image
+        bw.write(1, 1)
+        bw.write(0, 2)
+        bw.write(sb - 2, 3)
+        tw = (w + 3) >> 2
+        th = (h + 3) >> 2
+        modes = [
+            (doc_id + tx + ty * 3) % 14
+            for ty in range(th) for tx in range(tw)
+        ]
+        _vp8l_write_image(
+            bw, [0xFF000000 | (m << 8) for m in modes], tw, th
+        )
+        res = []
+        for y in range(h):
+            for x in range(w):
+                i = y * w + x
+                pred = _vp8l_pred_at(
+                    coded, i, x, y, w,
+                    modes[(y >> sb) * tw + (x >> sb)],
+                )
+                res.append(_sub_px(coded[i], pred))
+        coded = res
+    if variant == 3:  # tiled cross-color transform
+        sb = 3
+        bw.write(1, 1)
+        bw.write(1, 2)
+        bw.write(sb - 2, 3)
+        tw = (w + 7) >> 3
+        th = (h + 7) >> 3
+        elems = [
+            (
+                (doc_id * 31 + t * 7) % 256,   # green_to_red
+                (doc_id * 17 + t * 13) % 256,  # green_to_blue
+                (doc_id * 23 + t * 29) % 256,  # red_to_blue
+            )
+            for t in range(tw * th)
+        ]
+        _vp8l_write_image(
+            bw,
+            [
+                0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+                for g2r, g2b, r2b in elems
+            ],
+            tw, th,
+        )
+        out = []
+        for y in range(h):
+            for x in range(w):
+                p = coded[y * w + x]
+                g2r, g2b, r2b = elems[(y >> sb) * tw + (x >> sb)]
+                r = (p >> 16) & 0xFF
+                g = (p >> 8) & 0xFF
+                b = p & 0xFF
+                nr = (r - _ctd(g2r, g)) & 0xFF
+                nb = (b - _ctd(g2b, g) - _ctd(r2b, r)) & 0xFF
+                out.append((p & 0xFF00FF00) | (nr << 16) | nb)
+            # red_to_blue uses the ORIGINAL red; the decoder restores
+            # red first, so both sides see the same value
+        coded = out
+    bw.write(0, 1)  # end of transforms
+    cache_bits = 1 + doc_id % 6 if doc_id % 3 == 0 else 0
+    _vp8l_write_image(
+        bw, coded, w, h, cache_bits, main=True,
+        use_max=doc_id % 2 == 0,
+    )
+    return _riff_webp(bw.done())
+
+
+def _webp_palette_pixels(doc_id: int):
+    """Closed-form palette content: npal spans 2..32, covering every
+    pixel-bundling width (8/4/2 pixels per packed byte, plus the
+    unbundled > 16 case)."""
+    w = 7 + doc_id % 9
+    h = 4 + doc_id % 6
+    npal = 2 + doc_id % 31
+    pal = [
+        0xFF000000
+        | (((doc_id * 3 + k * 17) % 256) << 16)
+        | (((doc_id + k * 29) % 256) << 8)
+        | ((k * 41 + doc_id * 7) % 256)
+        for k in range(npal)
+    ]
+    idx = [
+        (x * 7 + y * 5 + doc_id) % npal
+        for y in range(h) for x in range(w)
+    ]
+    return w, h, npal, pal, idx
+
+
+def synth_webp_palette_bytes(doc_id: int) -> bytes:
+    """Deterministic VP8L color-indexing payload: delta-coded palette
+    sub-image, then the index image packed with the spec's sub-byte
+    pixel bundling (width_bits from the palette size). doc%3==0 adds
+    a color cache over the packed image."""
+    w, h, npal, pal, idx = _webp_palette_pixels(doc_id)
+    bw = _LsbWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)
+    bw.write(3, 2)
+    bw.write(npal - 1, 8)
+    deltas, prev = [], 0
+    for p in pal:
+        deltas.append(_sub_px(p, prev))
+        prev = p
+    _vp8l_write_image(bw, deltas, npal, 1)
+    bw.write(0, 1)  # end of transforms
+    wb = 3 if npal <= 2 else 2 if npal <= 4 else 1 if npal <= 16 else 0
+    ppu = 1 << wb
+    bpp = 8 >> wb
+    cw = (w + ppu - 1) // ppu
+    coded = []
+    for y in range(h):
+        for xp in range(cw):
+            byte = 0
+            for k in range(ppu):
+                x = xp * ppu + k
+                if x < w:
+                    byte |= idx[y * w + x] << (k * bpp)
+            coded.append(0xFF000000 | (byte << 8))
+    cache_bits = 1 + doc_id % 5 if doc_id % 3 == 0 else 0
+    _vp8l_write_image(bw, coded, cw, h, cache_bits, main=True)
+    return _riff_webp(bw.done())
+
+
 def synth_mixed_bytes(doc_id: int) -> bytes:
     """One row of a HETEROGENEOUS media corpus: doc_id % 6 selects the
     container actually written (png/jpeg/flac/wav/mp4/ppm — every
@@ -5110,6 +6116,8 @@ def sniff_payload_kind(data: bytes) -> str:
         return "jpeg"
     if data[:4] == b"fLaC":
         return "flac"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     if data[4:8] == b"ftyp":
@@ -5218,6 +6226,10 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
                             ) from exc
                     width = height = None
                     n_units, value_sum = len(s), int(s.sum())
+                elif kind == "webp":
+                    w, h, img = _parse_webp(data)
+                    width, height = w, h
+                    n_units, value_sum = w * h, int(img.sum())
                 elif kind == "ppm":
                     w, h, img = _parse_ppm(data)
                     width, height = w, h
@@ -5250,6 +6262,8 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
     maker = {
         "wav": synth_wav_bytes,
         "wav_adpcm": synth_wav_adpcm_bytes,
+        "webp": synth_webp_bytes,
+        "webp_palette": synth_webp_palette_bytes,
         "ppm": synth_ppm_bytes,
         "png": synth_png_bytes,
         "jpeg": synth_jpeg_bytes,

@@ -8553,3 +8553,122 @@ def stream_minhash_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs
         """
     )
+
+
+@register(
+    "m_webp_vp8l_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 4 + doc_id % 5 AS h
+               FROM documents),
+    g AS (SELECT doc_id, w, h, x, y,
+                 CASE WHEN doc_id % 4 = 2 THEN y - (y % 2) ELSE y END
+                     AS yy,
+                 ((x * 7 + y * 11 + doc_id) * 1103515245 // 4096) % 5
+                     AS k
+          FROM d, UNNEST(range(0, w)) ux(x), UNNEST(range(0, h)) uy(y)),
+    px AS (SELECT doc_id, w, h,
+                  CASE WHEN doc_id % 4 = 3
+                       THEN (doc_id * 5 + k * 37) % 256
+                       ELSE (doc_id * 5 + x * 11 + yy * 3) % 256
+                  END AS r,
+                  CASE WHEN doc_id % 4 = 3
+                       THEN (doc_id * 7 + k * 53) % 256
+                       ELSE (doc_id * 7 + x * 3 + yy * 13) % 256
+                  END AS g,
+                  CASE WHEN doc_id % 4 = 3
+                       THEN (doc_id * 3 + k * 11) % 256
+                       ELSE (doc_id * 3 + x * 2 + yy * 7) % 256
+                  END AS b
+           FROM g)
+    SELECT doc_id, CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL lossless-WebP (VP8L) decode FROM SPEC, zero new "
+        "dependencies (operators.multimodal._parse_webp) — the "
+        "image format modern crawls serve alongside PNG/JPEG: "
+        "per-doc payloads are synthesized executor-side as genuine "
+        "RIFF/WEBP containers whose VP8L bitstreams cycle the "
+        "encoding per doc_id (no transform / subtract-green / tiled "
+        "14-mode predictor / tiled cross-color / composed "
+        "subtract-green+predictor; 1-6 bit color cache on doc%3==0; "
+        "max-symbol arm on doc%2==0; row-repeat content on doc%4==2 "
+        "forcing LZ77 backward references; 5-color quantized content "
+        "on doc%4==3 yielding real color-cache hits), then decoded "
+        "byte-for-byte — LSB-first bit reads, simple and full "
+        "canonical prefix codes via the code-length code with "
+        "16/17/18 run-length symbols, Kraft-completeness "
+        "verification, LZ77 length/distance value decode, hashed "
+        "color cache, inverse transforms in reverse stream order — "
+        "and per-channel sums are gated against the oracle's "
+        "closed-form pixel formulas. VP8L is lossless, so the gate "
+        "needs no model of the encoding choices, only the content "
+        "formulas. Documented subset: the 120-entry short-range "
+        "plane-distance table and meta prefix codes reject with "
+        "clean ValueErrors (module comment has the rationale and "
+        "reopen trigger); the encoder emits plain distance codes, "
+        "which the spec always permits, so written files stay "
+        "conformant. Scale: same Arrow-batched mapInPandas seam as "
+        "the other codecs — map-only, zero shuffle, payloads never "
+        "leave the executor; MAX_DECODE_PIXELS is enforced at the "
+        "14-bit dimension header before any allocation.",
+)
+def m_webp_vp8l_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_webp,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_webp(synth_payloads(docs, "webp"))
+
+
+@register(
+    "m_webp_palette_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 7 + doc_id % 9 AS w, 4 + doc_id % 6 AS h,
+                      2 + doc_id % 31 AS npal
+               FROM documents),
+    ix AS (SELECT doc_id, w, h, (x * 7 + y * 5 + doc_id) % npal AS k
+           FROM d, UNNEST(range(0, w)) ux(x),
+                   UNNEST(range(0, h)) uy(y)),
+    px AS (SELECT doc_id, w, h,
+                  (doc_id * 3 + k * 17) % 256 AS r,
+                  (doc_id + k * 29) % 256 AS g,
+                  (k * 41 + doc_id * 7) % 256 AS b
+           FROM ix)
+    SELECT doc_id, CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="VP8L COLOR-INDEXING (palette) decode from spec — the "
+        "transform screenshots and icon-like web images hit: the "
+        "palette rides in the stream as its own entropy-coded "
+        "sub-image with byte-wise delta coding between entries, and "
+        "palette sizes cycle 2..32 so every pixel-bundling width is "
+        "exercised (8 pixels per packed byte at <=2 colors, 4 at "
+        "<=4, 2 at <=16, unbundled above — the packed image is "
+        "narrower than the canvas, and the decoder must recover the "
+        "true width from the palette size alone). doc%3==0 adds a "
+        "color cache over the packed index image. The oracle "
+        "recomputes the palette-lookup pixels in closed form; a "
+        "bundling-order, delta-coding, or width-derivation bug "
+        "shifts a channel sum and breaks the gate. Same map-only "
+        "Arrow seam and scale posture as m_webp_vp8l_native.",
+)
+def m_webp_palette_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_webp,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_webp(synth_payloads(docs, "webp_palette"))

@@ -44,6 +44,8 @@ def test_dispatch_mirror_covers_all_ten_formats():
         "wav_adpcm": M.synth_wav_adpcm_bytes(3),
         "mp4": M.synth_mp4_bytes(3),
         "ppm": M.synth_ppm_bytes(3),
+        "webp": M.synth_webp_bytes(3),
+        "webp_palette": M.synth_webp_palette_bytes(3),
     }
     for name, blob in payloads.items():
         fuzz_sweep._dispatch_one(bytes(blob))  # must not raise

@@ -62,3 +62,246 @@ class TestPngTruncatedTrailer:
         # new strictness must not reject any of it
         for doc in (0, 1, 7, 23):
             M._parse_png(M.synth_png_bytes(doc))
+
+
+# ---------------------------------------------------------------------
+# Lossless WebP (VP8L) — round-15 codec. Hand-derived bitstream pins
+# below are built with a TEST-LOCAL bit writer (independent of the
+# module's _LsbWriter) so the LSB-first stream convention and the
+# deflate-style canonical code assignment are pinned against a second
+# implementation, not just encode/decode symmetry.
+
+import numpy as np
+import struct as _struct
+
+
+class _W:
+    """Independent LSB-first bit packer for hand-built streams."""
+
+    def __init__(self):
+        self.bits = []
+
+    def write(self, v, n):
+        for i in range(n):
+            self.bits.append((v >> i) & 1)
+
+    def write_code(self, c, n):  # prefix-code bits, MSB first
+        for i in range(n - 1, -1, -1):
+            self.bits.append((c >> i) & 1)
+
+    def payload(self):
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            out[i >> 3] |= b << (i & 7)
+        return bytes(out)
+
+
+def _riff(payload):
+    chunk = b"VP8L" + _struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return (
+        b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    )
+
+
+class TestVp8lHandVectors:
+    def test_simple_code_file_decodes(self):
+        """Full hand-built 2x1 file: simple 2-symbol green code,
+        single-symbol red/blue/alpha/distance codes (the 8-bit and
+        1-bit symbol arms both exercised)."""
+        w = _W()
+        w.write(0x2F, 8)
+        w.write(1, 14)   # width-1
+        w.write(0, 14)   # height-1
+        w.write(0, 1)    # alpha hint
+        w.write(0, 3)    # version
+        w.write(0, 1)    # no transforms
+        w.write(0, 1)    # no color cache
+        w.write(0, 1)    # no meta prefix codes
+        # green: simple, two symbols 5 and 200
+        w.write(1, 1); w.write(1, 1); w.write(1, 1); w.write(5, 8)
+        w.write(200, 8)
+        # red 10, blue 20, alpha 255: simple single-symbol, 8-bit arm
+        for s in (10, 20, 255):
+            w.write(1, 1); w.write(0, 1); w.write(1, 1); w.write(s, 8)
+        # distance: single symbol 0 via the 1-bit arm
+        w.write(1, 1); w.write(0, 1); w.write(0, 1); w.write(0, 1)
+        # pixel data: green code bits only (other codes are 0-bit)
+        w.write_code(0, 1)  # symbol 5
+        w.write_code(1, 1)  # symbol 200
+        ww, hh, img = M._parse_webp(_riff(w.payload()))
+        assert (ww, hh) == (2, 1)
+        assert img[0, 0].tolist() == [10, 5, 20]
+        assert img[0, 1].tolist() == [10, 200, 20]
+
+    def test_normal_code_canonical_order(self):
+        """Hand-built NORMAL prefix code (alphabet 256, lengths
+        sym5->1, sym9->2, sym200->2) transmitted through the
+        code-length code with 17/18 zero runs; pins _VP8L_ORDER, the
+        3-bit length fields, RLE extra-bit widths, and canonical
+        (shorter-first, symbol-order tiebreak) code assignment."""
+        w = _W()
+        w.write(0, 1)  # normal form
+        # cl lengths: sym17->3, sym18->1, sym1->3, sym2->2, rest 0.
+        # ORDER positions: [17,18,0,1,2] -> num_code_lengths = 5
+        w.write(1, 4)  # 5 - 4
+        for l in (3, 1, 0, 3, 2):
+            w.write(l, 3)
+        w.write(0, 1)  # no max-symbol arm
+        # canonical cl codes: 18:'0', 2:'10', 1:'110', 17:'111'
+        w.write_code(0b111, 3); w.write(2, 3)    # 17: 5 zeros
+        w.write_code(0b110, 3)                   # literal 1 (sym 5)
+        w.write_code(0b111, 3); w.write(0, 3)    # 17: 3 zeros
+        w.write_code(0b10, 2)                    # literal 2 (sym 9)
+        w.write_code(0, 1); w.write(127, 7)      # 18: 138 zeros
+        w.write_code(0, 1); w.write(41, 7)       # 18: 52 zeros
+        w.write_code(0b10, 2)                    # literal 2 (sym 200)
+        w.write_code(0, 1); w.write(44, 7)       # 18: 55 zeros
+        # then three coded symbols: '0'->5, '10'->9, '11'->200
+        w.write_code(0b0, 1)
+        w.write_code(0b10, 2)
+        w.write_code(0b11, 2)
+        br = M._LsbBits(w.payload())
+        table = M._vp8l_read_code(br, 256)
+        assert [M._vp8l_read_sym(br, table) for _ in range(3)] == \
+            [5, 9, 200]
+
+    def test_lz_value_mapping(self):
+        """Length/distance value scheme pinned at the range edges on
+        both directions."""
+        for v in (1, 2, 3, 4, 5, 6, 7, 8, 9, 12, 13, 4096, 120, 121):
+            code, extra, ebits = M._vp8l_lz_code(v)
+            w = _W()
+            w.write(extra, ebits)
+            assert M._vp8l_lz_read(M._LsbBits(w.payload()), code) == v
+        assert M._vp8l_lz_code(4096) == (23, 1023, 10)
+
+
+class TestVp8lRejections:
+    def test_pixel_cap_fails_fast(self):
+        import time
+
+        w = _W()
+        w.write(0x2F, 8)
+        w.write(16383, 14)
+        w.write(16383, 14)
+        w.write(0, 4)
+        t0 = time.time()
+        with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+            M._parse_webp(_riff(w.payload()))
+        assert time.time() - t0 < 0.5
+
+    def test_plane_distance_codes_rejected(self):
+        """The documented subset boundary: a backward reference whose
+        distance value is <= 120 (the spec's short-range neighborhood
+        table, unverifiable offline) must reject cleanly, never
+        decode wrong."""
+        bw = M._LsbWriter()
+        bw.write(0x2F, 8)
+        bw.write(3, 14); bw.write(0, 14); bw.write(0, 1); bw.write(0, 3)
+        bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+        g = M._vp8l_write_code(bw, {0: 3, 256: 1}, 280)
+        r = M._vp8l_write_code(bw, {0: 1}, 256)
+        b = M._vp8l_write_code(bw, {0: 1}, 256)
+        a = M._vp8l_write_code(bw, {255: 1}, 256)
+        M._vp8l_write_code(bw, {0: 1}, 40)
+        bw.write_code(*g[0])
+        bw.write_code(*r[0])
+        bw.write_code(*b[0])
+        bw.write_code(*a[255])
+        bw.write_code(*g[256])  # length code 0 -> length 1, no extras
+        # distance code: single-symbol 0 -> value 1 <= 120
+        with pytest.raises(ValueError, match="plane distance"):
+            M._parse_webp(M._riff_webp(bw.done()))
+
+    def test_meta_prefix_rejected(self):
+        w = _W()
+        w.write(0x2F, 8)
+        w.write(1, 14); w.write(0, 14); w.write(0, 1); w.write(0, 3)
+        w.write(0, 1)  # no transforms
+        w.write(0, 1)  # no cache
+        w.write(1, 1)  # meta prefix codes present
+        with pytest.raises(ValueError, match="meta prefix"):
+            M._parse_webp(_riff(w.payload()))
+
+    def test_duplicate_transform_rejected(self):
+        w = _W()
+        w.write(0x2F, 8)
+        w.write(1, 14); w.write(0, 14); w.write(0, 1); w.write(0, 3)
+        w.write(1, 1); w.write(2, 2)  # subtract-green
+        w.write(1, 1); w.write(2, 2)  # ... again
+        with pytest.raises(ValueError, match="duplicate VP8L"):
+            M._parse_webp(_riff(w.payload()))
+
+    def test_lossy_and_extended_rejected(self):
+        for fourcc in (b"VP8 ", b"VP8X"):
+            chunk = fourcc + _struct.pack("<I", 10) + bytes(10)
+            blob = (
+                b"RIFF" + _struct.pack("<I", 4 + len(chunk))
+                + b"WEBP" + chunk
+            )
+            with pytest.raises(ValueError, match="unsupported"):
+                M._parse_webp(blob)
+
+    def test_incomplete_prefix_code_rejected(self):
+        # lengths {5:1, 9:2} leave a quarter of the code space
+        # unassigned — Kraft completeness must be enforced
+        with pytest.raises(ValueError, match="not complete"):
+            M._vp8l_decode_table([0] * 5 + [1] + [0] * 3 + [2])
+
+
+class TestVp8lRoundTrip:
+    def test_all_variants_bit_exact(self):
+        """60 docs cover every (transform x cache x max-symbol x
+        content) combination; VP8L is lossless so decode must equal
+        the closed-form pixels exactly."""
+        for doc in range(60):
+            w, h, img = M._parse_webp(M.synth_webp_bytes(doc))
+            ew, eh, px = M._webp_pixels(doc)
+            exp = np.array(
+                [[(p >> 16) & 255, (p >> 8) & 255, p & 255]
+                 for p in px]
+            ).reshape(eh, ew, 3)
+            assert (w, h) == (ew, eh)
+            assert (img == exp).all(), doc
+
+    def test_palette_all_bundling_widths(self):
+        # doc 0 -> npal 2 (8 px/byte), doc 2 -> npal 4 (4 px/byte),
+        # doc 14 -> npal 16 (2 px/byte), doc 15 -> npal 17 (unbundled)
+        for doc in range(40):
+            w, h, img = M._parse_webp(M.synth_webp_palette_bytes(doc))
+            ew, eh, npal, pal, idx = M._webp_palette_pixels(doc)
+            exp = np.array(
+                [[(pal[k] >> 16) & 255, (pal[k] >> 8) & 255,
+                  pal[k] & 255] for k in idx]
+            ).reshape(eh, ew, 3)
+            assert (w, h) == (ew, eh)
+            assert (img == exp).all(), doc
+
+    def test_decoder_paths_actually_taken(self):
+        """Coverage is load-bearing: the row-repeat cohort must emit
+        LZ77 references and the quantized+cache cohort must emit
+        cache HITS (a written-but-never-taken path would pin
+        nothing)."""
+        saw_ref = saw_cache = False
+        for doc in range(60):
+            _, _, px = M._webp_pixels(doc)
+            cb = 1 + doc % 6 if doc % 3 == 0 else 0
+            toks = M._vp8l_lz77(list(px), cb)
+            kinds = {t[0] for t in toks}
+            if doc % 4 == 2:
+                assert "ref" in kinds, doc
+                saw_ref = True
+            if doc % 4 == 3 and cb:
+                assert "cache" in kinds, doc
+                saw_cache = True
+        assert saw_ref and saw_cache
+
+    def test_sniff_and_dispatch_route_webp(self):
+        assert M.sniff_payload_kind(M.synth_webp_bytes(1)) == "webp"
+        assert M.sniff_payload_kind(
+            M.synth_webp_palette_bytes(1)
+        ) == "webp"
+        # the WAVE arm is untouched by the new RIFF branch
+        assert M.sniff_payload_kind(M.synth_wav_bytes(1)) == "wav"

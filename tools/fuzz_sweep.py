@@ -62,6 +62,7 @@ def _dispatch_one(data: bytes):
         "flac": M._parse_flac,
         "ppm": M._parse_ppm,
         "mp4": M._parse_mp4,
+        "webp": M._parse_webp,
     }[kind](data)
 
 
@@ -89,6 +90,8 @@ PAIRS = {
     "jpeg_progressive": (M.synth_jpeg_progressive_bytes, M._parse_jpeg),
     "mp4": (M.synth_mp4_bytes, M._parse_mp4),
     "mjpeg_mp4": (M.synth_mjpeg_mp4_bytes, M._parse_mp4),
+    "webp": (M.synth_webp_bytes, M._parse_webp),
+    "webp_palette": (M.synth_webp_palette_bytes, M._parse_webp),
     "dispatch_mixed": (M.synth_mixed_bytes, _dispatch_one),
 }
 
