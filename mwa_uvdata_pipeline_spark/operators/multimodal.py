@@ -86,7 +86,7 @@ def _decode_media_native(data: bytes) -> tuple:
     except ValueError as exc:
         raise NotImplementedError(
             "unrecognized container: native decode covers "
-            "png/gif/tiff/bmp/jpeg/flac/wav/mp4/ppm; install "
+            "png/gif/tiff/bmp/jpeg/flac/wav/webp/mp4/ppm; install "
             "PIL/ffmpeg for the rest "
             "or use deterministic=True"
         ) from exc
@@ -107,6 +107,9 @@ def _decode_media_native(data: bytes) -> tuple:
         return w, h, 1
     if kind == "ppm":
         w, h, _ = _parse_ppm(data)
+        return w, h, 1
+    if kind == "webp":
+        w, h, _ = _parse_webp(data)
         return w, h, 1
     if kind == "mp4":
         # _parse_mp4 raises a clean ValueError ("missing boxes") for
@@ -6073,11 +6076,12 @@ def synth_webp_palette_bytes(doc_id: int) -> bytes:
 
 def synth_mixed_bytes(doc_id: int) -> bytes:
     """One row of a HETEROGENEOUS media corpus: doc_id % 6 selects the
-    container actually written (png/jpeg/flac/wav/mp4/ppm — every
-    format the native decoders cover), so a scan over the column sees
-    all six magics interleaved — the shape a real multimodal lake
-    has, where format is a per-object property the reader must sniff,
-    not a partition you can trust."""
+    container actually written (png/jpeg/flac/wav/mp4/ppm — the six
+    formats the m_ingest_dispatch gate corpus has carried since its
+    oracle was written; the dispatcher itself routes eleven), so a
+    scan over the column sees six magics interleaved — the shape a
+    real multimodal lake has, where format is a per-object property
+    the reader must sniff, not a partition you can trust."""
     return (
         synth_png_bytes,
         synth_jpeg_bytes,
@@ -6140,7 +6144,8 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
     decoder (PNG unfilter+inflate, GIF LZW+palette, TIFF strip
     assembly, BMP rows, baseline or progressive JPEG, FLAC, WAV PCM,
     IMA ADPCM WAV — RIFF magic is shared, so the fmt tag routes
-    within the wav kind — MP4 container scan, PPM: ten formats),
+    within the wav kind — lossless WebP (RIFF again, split on the
+    WEBP form type), MP4 container scan, PPM: eleven formats),
     and emit one UNIFIED row per object — kind,
     pixel dims where the format has them (NULL for audio), a size in
     the format's natural unit (pixels / samples / container samples),

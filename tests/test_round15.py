@@ -298,6 +298,17 @@ class TestVp8lRoundTrip:
                 saw_cache = True
         assert saw_ref and saw_cache
 
+    def test_decode_media_native_returns_webp_dims(self):
+        """Self-review catch: after the sniffer learned RIFF+WEBP,
+        _decode_media_native would have fallen through to the audio
+        arm and reported (None, None, 1) for an image format — it
+        must return real pixel dims."""
+        for doc in (1, 4, 9):
+            ew, eh, _ = M._webp_pixels(doc)
+            assert M._decode_media_native(
+                M.synth_webp_bytes(doc)
+            ) == (ew, eh, 1)
+
     def test_sniff_and_dispatch_route_webp(self):
         assert M.sniff_payload_kind(M.synth_webp_bytes(1)) == "webp"
         assert M.sniff_payload_kind(
