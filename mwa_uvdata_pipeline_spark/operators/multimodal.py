@@ -5881,6 +5881,93 @@ def _riff_webp(payload: bytes) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
 
+def encode_webp_rgb(pixels, w: int, h: int) -> bytes:
+    """General-purpose VP8L encoder entry point: packed-ARGB pixels
+    -> a conformant lossless RIFF/WEBP payload. Fixed, nontrivial
+    encoding (subtract-green transform, 4-bit color cache,
+    max-symbol transmission) — the profile a transcoding sink wants:
+    deterministic output, every byte produced from spec machinery
+    that the decoder round-trips bit-exactly."""
+    assert len(pixels) == w * h and 1 <= w <= 16384 and 1 <= h <= 16384
+    bw = _LsbWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)
+    bw.write(2, 2)  # subtract green
+    coded = [
+        (p & 0xFF00FF00)
+        | (((((p >> 16) & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF) << 16)
+        | (((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF)
+        for p in pixels
+    ]
+    bw.write(0, 1)  # end of transforms
+    _vp8l_write_image(bw, coded, w, h, cache_bits=4, main=True,
+                      use_max=True)
+    return _riff_webp(bw.done())
+
+
+def transcode_webp(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "doc_id") -> DataFrame:
+    """END-TO-END image TRANSCODE stage — the normalize-resolution
+    step every large-scale multimodal training pipeline runs between
+    ingest and storage: decode the WebP payload from spec, downscale
+    2x2 by integer box filter (floor mean per channel; odd edge rows
+    and columns drop, both sides of the gate agree), RE-ENCODE the
+    result as a fresh VP8L payload with :func:`encode_webp_rgb`, then
+    decode THAT payload and emit its dims and channel sums. The
+    oracle recomputes the downscaled sums in closed form, so the gate
+    only passes if decode -> resample -> encode -> decode is
+    value-exact end to end — a chain that skips the re-encode (or an
+    encoder that is not truly lossless on arbitrary content) cannot
+    fake it. Scale: one mapInPandas stage, map-only, zero shuffle;
+    both payload generations live and die inside the executor."""
+    import numpy as np
+
+    _COLS = ("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in _COLS}
+
+            def emit(**kv):
+                for k, v in kv.items():
+                    rows[k].append(v)
+
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, img = _parse_webp(bytes(b))
+                w2, h2 = w // 2, h // 2
+                if not w2 or not h2:
+                    raise ValueError("image too small to downscale")
+                blk = img[: 2 * h2, : 2 * w2].reshape(
+                    h2, 2, w2, 2, 3
+                )
+                small = blk.sum(axis=(1, 3)) // 4
+                packed = (
+                    0xFF000000
+                    | (small[:, :, 0].astype("i8") << 16)
+                    | (small[:, :, 1].astype("i8") << 8)
+                    | small[:, :, 2].astype("i8")
+                )
+                out = encode_webp_rgb(
+                    [int(v) for v in packed.ravel()], w2, h2
+                )
+                rw, rh, rimg = _parse_webp(out)
+                emit(
+                    doc_id=doc_id, width=rw, height=rh,
+                    sum_r=int(rimg[:, :, 0].sum()),
+                    sum_g=int(rimg[:, :, 1].sum()),
+                    sum_b=int(rimg[:, :, 2].sum()),
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, PNG_SCHEMA
+    )
+
+
 def _webp_pixels(doc_id: int):
     """Closed-form ARGB content for synth_webp_bytes — the DuckDB
     oracle recomputes these exact formulas. doc_id % 4 == 2 repeats

@@ -8672,3 +8672,73 @@ def m_webp_palette_native(
 
     docs = table(spark, sf_dir, "documents")
     return decode_webp(synth_payloads(docs, "webp_palette"))
+
+
+@register(
+    "m_webp_transcode_native",
+    sql="""
+    WITH d AS (SELECT doc_id, 6 + doc_id % 10 AS w, 4 + doc_id % 5 AS h
+               FROM documents),
+    g AS (SELECT doc_id, w, h, x, y,
+                 CASE WHEN doc_id % 4 = 2 THEN y - (y % 2) ELSE y END
+                     AS yy,
+                 ((x * 7 + y * 11 + doc_id) * 1103515245 // 4096) % 5
+                     AS k
+          FROM d, UNNEST(range(0, w)) ux(x), UNNEST(range(0, h)) uy(y)),
+    px AS (SELECT doc_id, w, h, x, y,
+                  CASE WHEN doc_id % 4 = 3
+                       THEN (doc_id * 5 + k * 37) % 256
+                       ELSE (doc_id * 5 + x * 11 + yy * 3) % 256
+                  END AS r,
+                  CASE WHEN doc_id % 4 = 3
+                       THEN (doc_id * 7 + k * 53) % 256
+                       ELSE (doc_id * 7 + x * 3 + yy * 13) % 256
+                  END AS g,
+                  CASE WHEN doc_id % 4 = 3
+                       THEN (doc_id * 3 + k * 11) % 256
+                       ELSE (doc_id * 3 + x * 2 + yy * 7) % 256
+                  END AS b
+           FROM g),
+    blk AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+                   x // 2 AS x2, y // 2 AS y2,
+                   SUM(r) // 4 AS r2,
+                   SUM(g) // 4 AS g2,
+                   SUM(b) // 4 AS b2
+            FROM px
+            WHERE x < 2 * (w // 2) AND y < 2 * (h // 2)
+            GROUP BY doc_id, x // 2, y // 2)
+    SELECT doc_id, CAST(MAX(w) // 2 AS INTEGER) AS width,
+           CAST(MAX(h) // 2 AS INTEGER) AS height,
+           CAST(SUM(r2) AS BIGINT) AS sum_r,
+           CAST(SUM(g2) AS BIGINT) AS sum_g,
+           CAST(SUM(b2) AS BIGINT) AS sum_b
+    FROM blk GROUP BY doc_id
+    """,
+    doc="END-TO-END IMAGE TRANSCODE (operators.multimodal"
+        ".transcode_webp) — the normalize-resolution stage a real "
+        "multimodal training pipeline runs between ingest and "
+        "storage, composed entirely from this round's from-spec "
+        "codec: decode the VP8L payload, 2x2 integer box downscale "
+        "(floor mean per channel, odd edges dropped), RE-ENCODE as a "
+        "fresh VP8L payload (encode_webp_rgb: subtract-green, 4-bit "
+        "color cache, max-symbol transmission), decode the "
+        "second-generation payload, gate ITS channel sums against "
+        "the oracle's closed-form downscaled formulas. The chain "
+        "passes only if the encoder is truly lossless on arbitrary "
+        "downscaled content — a stage that skipped the re-encode "
+        "would also pass the sums, so the operator decodes the "
+        "SECOND payload, making the encoder load-bearing in the "
+        "gate. Scale: one map-only mapInPandas stage, zero shuffle; "
+        "both payload generations are born and consumed inside the "
+        "executor, nothing but the six-column gate row leaves it.",
+)
+def m_webp_transcode_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        synth_payloads,
+        transcode_webp,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return transcode_webp(synth_payloads(docs, "webp"))

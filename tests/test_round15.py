@@ -316,3 +316,49 @@ class TestVp8lRoundTrip:
         ) == "webp"
         # the WAVE arm is untouched by the new RIFF branch
         assert M.sniff_payload_kind(M.synth_wav_bytes(1)) == "wav"
+
+
+class TestWebpTranscode:
+    def test_chain_matches_closed_form(self):
+        """decode -> 2x2 box downscale -> encode_webp_rgb -> decode
+        equals the floor-mean of the synthesis formulas exactly, for
+        every encoder variant in the corpus."""
+        for doc in range(40):
+            w, h, img = M._parse_webp(M.synth_webp_bytes(doc))
+            w2, h2 = w // 2, h // 2
+            blk = img[:2 * h2, :2 * w2].reshape(h2, 2, w2, 2, 3)
+            small = blk.sum(axis=(1, 3)) // 4
+            packed = [
+                int(0xFF000000 | (r << 16) | (g << 8) | b)
+                for r, g, b in small.reshape(-1, 3)
+            ]
+            rw, rh, rimg = M._parse_webp(
+                M.encode_webp_rgb(packed, w2, h2)
+            )
+            assert (rw, rh) == (w2, h2)
+            assert (rimg == small).all(), doc
+
+    def test_encode_webp_rgb_arbitrary_content(self):
+        """The public encoder entry point is lossless on content with
+        no structure at all (every pixel distinct)."""
+        px = [
+            int(0xFF000000 | ((i * 2654435761) & 0xFFFFFF))
+            for i in range(7 * 5)
+        ]
+        w, h, img = M._parse_webp(M.encode_webp_rgb(px, 7, 5))
+        assert (w, h) == (7, 5)
+        for i, p in enumerate(px):
+            assert img[i // 7, i % 7].tolist() == [
+                (p >> 16) & 255, (p >> 8) & 255, p & 255
+            ]
+
+    def test_too_small_to_downscale_rejects(self, spark=None):
+        # a 1-pixel-tall image cannot survive the 2x2 box filter;
+        # the operator surfaces it as the family's clean ValueError
+        px = [0xFF000000] * 3
+        blob = M.encode_webp_rgb(px, 3, 1)
+        w, h, img = M._parse_webp(blob)
+        assert (w, h) == (3, 1)
+        # the guard itself lives in the mapInPandas body; replicate
+        # the arithmetic it guards
+        assert h // 2 == 0
