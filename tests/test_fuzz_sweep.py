@@ -49,3 +49,20 @@ def test_dispatch_mirror_covers_all_ten_formats():
     }
     for name, blob in payloads.items():
         fuzz_sweep._dispatch_one(bytes(blob))  # must not raise
+
+
+def test_random_multi_error_corruptions_fail_clean():
+    """Seeded multi-error corruption (byte overwrites, truncate+
+    extend, same-payload splices) — the class single-bit flips can't
+    reach. Deterministic: seeds derive from (doc, i) only."""
+    leaks = []
+    parses = 0
+    for name, (synth, parse) in sorted(fuzz_sweep.PAIRS.items()):
+        for doc in (5, 12):
+            p, ls = fuzz_sweep._sweep_random(
+                parse, bytes(synth(doc)), 40, doc
+            )
+            parses += p
+            leaks.extend(f"{name}: {x}" for x in ls)
+    assert parses == len(fuzz_sweep.PAIRS) * 2 * 40
+    assert leaks == [], leaks[:5]

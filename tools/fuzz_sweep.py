@@ -11,10 +11,17 @@ Per-round SCALE.md entries have recorded these sweeps as development
 evidence since round 11; this tool makes the claim reproducible in
 one command instead of ad-hoc snippets.
 
+Beyond prefixes and single-bit flips, ``--random=N`` adds N seeded
+multi-error corruptions per doc (random.Random(doc*1000003+i): 2-16
+byte overwrites at random offsets, plus truncate-and-extend shapes) —
+the corruption class single-bit flips cannot reach (e.g. a length
+field AND its payload corrupted together).
+
 Usage:
     python tools/fuzz_sweep.py                # every pair, 2 docs, all bits
     python tools/fuzz_sweep.py --stride=7     # every 7th bit (quick)
     python tools/fuzz_sweep.py --docs=5 gif adpcm
+    python tools/fuzz_sweep.py --random=500   # + seeded multi-error cases
 Prints one JSON line: {"pairs": N, "parses": M, "leaks": [...]}.
 """
 
@@ -96,6 +103,42 @@ PAIRS = {
 }
 
 
+def _sweep_random(parse, data: bytes, n: int,
+                  doc: int) -> tuple[int, list[str]]:
+    """Seeded multi-error corruption: deterministic (no wall-clock
+    randomness), reproducible from (doc, i) alone."""
+    import random
+
+    parses = 0
+    leaks: list[str] = []
+    for i in range(n):
+        rng = random.Random(doc * 1000003 + i)
+        blob = bytearray(data)
+        shape = rng.randrange(3)
+        if shape == 0 and len(blob) > 1:  # k random byte overwrites
+            for _ in range(rng.randint(2, 16)):
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+        elif shape == 1 and len(blob) > 4:  # truncate + garbage tail
+            blob = blob[: rng.randrange(4, len(blob))]
+            blob += bytes(
+                rng.randrange(256) for _ in range(rng.randint(0, 24))
+            )
+        else:  # splice a window from elsewhere in the same payload
+            if len(blob) > 8:
+                k = rng.randint(2, min(12, len(blob) - 1))
+                src = rng.randrange(len(blob) - k)
+                dst = rng.randrange(len(blob) - k)
+                blob[dst:dst + k] = blob[src:src + k]
+        parses += 1
+        try:
+            parse(bytes(blob))
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            leaks.append(f"rand {i}: {type(exc).__name__}: {exc}")
+    return parses, leaks
+
+
 def _sweep(parse, data: bytes, stride: int) -> tuple[int, list[str]]:
     parses = 0
     leaks: list[str] = []
@@ -121,13 +164,15 @@ def _sweep(parse, data: bytes, stride: int) -> tuple[int, list[str]]:
 
 
 def main() -> int:
-    stride, docs = 1, 2
+    stride, docs, n_random = 1, 2, 0
     names = []
     for a in sys.argv[1:]:
         if a.startswith("--stride"):
             stride = int(a.split("=", 1)[1])
         elif a.startswith("--docs"):
             docs = int(a.split("=", 1)[1])
+        elif a.startswith("--random"):
+            n_random = int(a.split("=", 1)[1])
         else:
             names.append(a)
     pairs = {
@@ -150,9 +195,14 @@ def main() -> int:
             # (interlace, compression cycling) hit both arms
             doc_ids = [5 + i * 7 for i in range(docs)]
         for doc in doc_ids:
-            p, leaks = _sweep(parse, bytes(synth(doc)), stride)
+            blob = bytes(synth(doc))
+            p, leaks = _sweep(parse, blob, stride)
             parses += p
             all_leaks.extend(f"{name}: {x}" for x in leaks)
+            if n_random:
+                p, leaks = _sweep_random(parse, blob, n_random, doc)
+                parses += p
+                all_leaks.extend(f"{name}: {x}" for x in leaks)
         total += parses
         print(
             f"{name}: {parses} parses in {time.time() - t1:.1f}s"
