@@ -634,6 +634,151 @@ def decode_wav_adpcm(df: DataFrame, payload_col: str = "payload",
     )
 
 
+# ------------------------------------------- G.711 WAV (mu-law/A-law)
+#
+# The telephony companding codecs (ITU-T G.711; WAVE format tags
+# 0x0007 mu-law / 0x0006 A-law) — the other non-PCM tags real scraped
+# audio corpora carry, and ones stdlib ``wave`` rejects outright.
+# Unlike the VP8L plane-code table there is NOTHING empirical to
+# transcribe: both expansion curves are closed-form segment/mantissa
+# arithmetic (the classic CCITT g711.c formulation), so the decode
+# tables below are DERIVED at import from the formulas, and the
+# DuckDB oracle restates the same formulas directly in SQL.
+
+
+def _ulaw_decode_byte(b: int) -> int:
+    """mu-law codeword -> linear PCM (G.711): complement the byte,
+    split sign/segment/mantissa, expand ((man<<3)+0x84)<<seg minus
+    the 0x84 bias; sign bit SET (after complement) means negative.
+    Extremes: 0x00 -> -32124, 0x80 -> +32124, 0xFF/0x7F -> 0."""
+    u = ~b & 0xFF
+    mag = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return 0x84 - mag if u & 0x80 else mag - 0x84
+
+
+def _alaw_decode_byte(b: int) -> int:
+    """A-law codeword -> linear PCM (G.711): XOR 0x55, then segment
+    expansion ((man<<4)+8 in segment 0, else ((man<<4)+0x108) <<
+    (seg-1)); A-law's sign convention is the OPPOSITE of mu-law's —
+    bit 7 SET means positive. Extremes: 0xAA -> +32256,
+    0x2A -> -32256, 0xD5 -> +8, 0x55 -> -8."""
+    a = b ^ 0x55
+    seg = (a >> 4) & 0x07
+    man = a & 0x0F
+    mag = (man << 4) + 8 if seg == 0 else ((man << 4) + 0x108) << (seg - 1)
+    return mag if a & 0x80 else -mag
+
+
+_ULAW_TABLE = [_ulaw_decode_byte(b) for b in range(256)]
+_ALAW_TABLE = [_alaw_decode_byte(b) for b in range(256)]
+
+
+def synth_wav_g711_bytes(doc_id: int) -> bytes:
+    """Deterministic G.711 WAV: doc_id % 2 selects the law (0 ->
+    mu-law tag 0x0007, 1 -> A-law tag 0x0006), doc_id % 3 == 0 is
+    stereo, n = 50 + doc_id % 40 frames, and the codeword for frame
+    i / channel c is (doc_id*3 + i*7 + c*11) % 256 — the closed form
+    the oracle expands through the same G.711 formulas in SQL. The
+    fmt chunk is the 18-byte non-PCM shape (cbSize 0) and the
+    spec-required fact chunk carries the frame total."""
+    import struct
+
+    tag = 0x0007 if doc_id % 2 == 0 else 0x0006
+    nch = 2 if doc_id % 3 == 0 else 1
+    n = 50 + doc_id % 40
+    data = bytes(
+        (doc_id * 3 + i * 7 + c * 11) % 256
+        for i in range(n) for c in range(nch)
+    )
+    fmt = struct.pack(
+        "<HHIIHHH", tag, nch, 8000, 8000 * nch, nch, 8, 0
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _parse_wav_g711(data: bytes):
+    """From-spec G.711 WAV decode (format tags 0x0006/0x0007, no
+    stdlib ``wave`` — it rejects every non-PCM tag) ->
+    (sample_rate, n_channels, int64 interleaved samples): RIFF chunk
+    walk, fmt validation (8-bit codewords, blockAlign == channels),
+    REQUIRED fact chunk (spec-mandated for compressed formats, and
+    it truncates a partial tail like the ADPCM path), then a single
+    vectorized table lookup — the tables are derived from the G.711
+    formulas at import, not transcribed. Every structural defect
+    raises ValueError."""
+    import struct
+
+    import numpy as np
+
+    chunks = _riff_chunks(data)
+    fmt = chunks.get(b"fmt ")
+    if fmt is None or len(fmt) < 16:
+        raise ValueError("missing or truncated fmt chunk")
+    tag, nch, rate, _brate, balign, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if tag not in (0x0006, 0x0007):
+        raise ValueError(f"not G.711 (format tag {tag:#06x})")
+    if nch not in (1, 2):
+        raise ValueError(f"unsupported channel count {nch}")
+    if bits != 8:
+        raise ValueError(f"G.711 requires 8-bit codewords, got {bits}")
+    if balign != nch:
+        raise ValueError("blockAlign must equal the channel count")
+    fact = chunks.get(b"fact")
+    if fact is None or len(fact) < 4:
+        raise ValueError("compressed WAV requires a fact chunk")
+    (total,) = struct.unpack("<I", fact[:4])
+    body = chunks.get(b"data")
+    if body is None:
+        raise ValueError("missing data chunk")
+    if len(body) % nch:
+        raise ValueError("data chunk not a whole number of frames")
+    if total > len(body) // nch:
+        raise ValueError("fact total exceeds the data chunk")
+    table = _ULAW_TABLE if tag == 0x0007 else _ALAW_TABLE
+    codes = np.frombuffer(
+        body[: total * nch], dtype=np.uint8
+    ).astype("i8")
+    return rate, nch, np.array(table, dtype="i8")[codes]
+
+
+def decode_wav_g711(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "doc_id") -> DataFrame:
+    """REAL telephony-audio decode of G.711 mu-law/A-law WAVs via
+    :func:`_parse_wav_g711` in Arrow-batched mapInPandas, emitting
+    the family's integer-exact stat row (same shape as decode_wav /
+    decode_wav_adpcm)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: [] for k in ("doc_id", "sample_rate", "n_channels",
+                                "n_samples", "sum_sq", "max_abs")
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                rate, nch, s = _parse_wav_g711(bytes(b))
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(nch)
+                rows["n_samples"].append(len(s) // nch)
+                rows["sum_sq"].append(int((s * s).sum()))
+                rows["max_abs"].append(int(np.abs(s).max()) if len(s)
+                                       else 0)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, WAV_SCHEMA
+    )
+
+
 # ---------------------------------------------------- FLAC from spec
 
 #: FLAC emits the same stat row as WAV — same gate shape.
@@ -6230,9 +6375,10 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
     sniff each payload's magic, route it to the matching from-spec
     decoder (PNG unfilter+inflate, GIF LZW+palette, TIFF strip
     assembly, BMP rows, baseline or progressive JPEG, FLAC, WAV PCM,
-    IMA ADPCM WAV — RIFF magic is shared, so the fmt tag routes
-    within the wav kind — lossless WebP (RIFF again, split on the
-    WEBP form type), MP4 container scan, PPM: eleven formats),
+    IMA ADPCM WAV and G.711 mu-law/A-law WAV — RIFF magic is shared,
+    so the fmt tag routes within the wav kind — lossless WebP (RIFF
+    again, split on the WEBP form type), MP4 container scan, PPM:
+    twelve formats),
     and emit one UNIFIED row per object — kind,
     pixel dims where the format has them (NULL for audio), a size in
     the format's natural unit (pixels / samples / container samples),
@@ -6290,9 +6436,13 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
                     # ADPCM decoder (stdlib wave rejects every
                     # non-PCM tag); everything else keeps the exact
                     # pre-round acceptance surface of stdlib wave
-                    if _riff_fmt_tag(data) == 0x11:
+                    tag = _riff_fmt_tag(data)
+                    if tag == 0x11:
                         _rate, _nch, s = _parse_wav_adpcm(data)
                         kind = "wav-adpcm"
+                    elif tag in (0x06, 0x07):
+                        _rate, _nch, s = _parse_wav_g711(data)
+                        kind = "wav-g711"
                     else:
                         # stdlib wave leaks bare RuntimeError
                         # (py3.11 chunk parsing) and EOFError on
@@ -6354,6 +6504,7 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
     maker = {
         "wav": synth_wav_bytes,
         "wav_adpcm": synth_wav_adpcm_bytes,
+        "wav_g711": synth_wav_g711_bytes,
         "webp": synth_webp_bytes,
         "webp_palette": synth_webp_palette_bytes,
         "ppm": synth_ppm_bytes,

@@ -8742,3 +8742,74 @@ def m_webp_transcode_native(
 
     docs = table(spark, sf_dir, "documents")
     return transcode_webp(synth_payloads(docs, "webp"))
+
+
+@register(
+    "m_wav_g711_native",
+    sql="""
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END
+                          AS nch,
+                      50 + doc_id % 40 AS n
+               FROM documents),
+    cw AS (SELECT doc_id, nch, n,
+                  (doc_id * 3 + i * 7 + c * 11) % 256 AS b
+           FROM d, UNNEST(range(0, n)) ui(i),
+                   UNNEST(range(0, nch)) uc(c)),
+    v AS (SELECT doc_id, nch, n,
+                 CASE WHEN doc_id % 2 = 0 THEN
+                   -- mu-law: complement, segment-expand, 0x84 bias;
+                   -- sign bit set (after complement) means negative
+                   CASE WHEN (255 - b) >= 128
+                        THEN 132 - ((((255 - b) % 16) * 8 + 132)
+                                    * (1 << (((255 - b) // 16) % 8)))
+                        ELSE ((((255 - b) % 16) * 8 + 132)
+                              * (1 << (((255 - b) // 16) % 8))) - 132
+                   END
+                 ELSE
+                   -- A-law: XOR 0x55, segment-expand; sign bit set
+                   -- means POSITIVE (opposite convention)
+                   CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+                   CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                        THEN (xor(b, 85) % 16) * 16 + 8
+                        ELSE ((xor(b, 85) % 16) * 16 + 264)
+                             * (1 << (((xor(b, 85) // 16) % 8) - 1))
+                   END
+                 END AS s
+          FROM cw)
+    SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(MAX(nch) AS INTEGER) AS n_channels,
+           CAST(MAX(n) AS INTEGER) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(s)) AS INTEGER) AS max_abs
+    FROM v GROUP BY doc_id
+    """,
+    doc="G.711 mu-law/A-law WAV decode FROM SPEC (format tags "
+        "0x0007/0x0006 — telephony audio, the other non-PCM tags "
+        "stdlib wave rejects outright; doc%2 selects the law, "
+        "doc%3==0 is stereo): RIFF chunk walk, non-PCM fmt "
+        "validation (8-bit codewords, blockAlign == channels), "
+        "spec-required fact chunk, then a vectorized expansion "
+        "through decode tables DERIVED at import from the ITU "
+        "closed-form segment/mantissa arithmetic — nothing "
+        "empirical to transcribe, unlike the VP8L plane table, so "
+        "the oracle restates the exact same formulas directly in "
+        "SQL (complement / XOR-0x55, segment shift, bias; the two "
+        "laws' OPPOSITE sign conventions are both load-bearing in "
+        "the gate, as are the published extremes +/-32124 and "
+        "+/-32256 pinned in tests). Completes the WAV triage story: "
+        "the ingest dispatcher now routes PCM -> stdlib-wave parity "
+        "path, 0x0011 -> IMA ADPCM, 0x0006/0x0007 -> G.711, "
+        "covering practically every WAV a scraped corpus carries. "
+        "Scale: same Arrow-batched map-only seam as decode_wav; the "
+        "per-doc work is one 256-entry table lookup over the "
+        "codeword array.",
+)
+def m_wav_g711_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mwa_uvdata_pipeline_spark.operators.multimodal import (
+        decode_wav_g711,
+        synth_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_wav_g711(synth_payloads(docs, "wav_g711"))

@@ -362,3 +362,85 @@ class TestWebpTranscode:
         # the guard itself lives in the mapInPandas body; replicate
         # the arithmetic it guards
         assert h // 2 == 0
+
+
+class TestG711:
+    def test_published_extremes_pinned(self):
+        """The ITU curves' well-known anchor values — these pin the
+        formulas against independent public knowledge, not just
+        encoder/decoder symmetry."""
+        assert M._ulaw_decode_byte(0x00) == -32124
+        assert M._ulaw_decode_byte(0x80) == 32124
+        assert M._ulaw_decode_byte(0xFF) == 0   # mu-law silence
+        assert M._ulaw_decode_byte(0x7F) == 0   # "negative zero"
+        assert M._alaw_decode_byte(0xAA) == 32256
+        assert M._alaw_decode_byte(0x2A) == -32256
+        assert M._alaw_decode_byte(0xD5) == 8
+        assert M._alaw_decode_byte(0x55) == -8
+
+    def test_sign_conventions_opposite(self):
+        # mu-law: sign bit (after complement) set -> negative;
+        # A-law: sign bit (after XOR 0x55) set -> POSITIVE
+        for b in range(256):
+            u = ~b & 0xFF
+            assert (M._ulaw_decode_byte(b) <= 0) == bool(u & 0x80) \
+                or M._ulaw_decode_byte(b) == 0
+            a = b ^ 0x55
+            assert (M._alaw_decode_byte(b) >= 0) == bool(a & 0x80)
+
+    def test_tables_match_formula(self):
+        assert M._ULAW_TABLE == [
+            M._ulaw_decode_byte(b) for b in range(256)
+        ]
+        assert M._ALAW_TABLE == [
+            M._alaw_decode_byte(b) for b in range(256)
+        ]
+
+    def test_roundtrip_both_laws_and_channel_counts(self):
+        for doc in range(30):
+            rate, nch, s = M._parse_wav_g711(
+                M.synth_wav_g711_bytes(doc)
+            )
+            n = 50 + doc % 40
+            dec = (M._ulaw_decode_byte if doc % 2 == 0
+                   else M._alaw_decode_byte)
+            exp = [
+                dec((doc * 3 + i * 7 + c * 11) % 256)
+                for i in range(n) for c in range(nch)
+            ]
+            assert rate == 8000
+            assert nch == (2 if doc % 3 == 0 else 1)
+            assert list(s) == exp, doc
+
+    def test_dispatch_routes_g711_by_fmt_tag(self):
+        blob = M.synth_wav_g711_bytes(2)  # mu-law
+        assert M.sniff_payload_kind(blob) == "wav"
+        assert M._riff_fmt_tag(blob) == 0x0007
+        blob = M.synth_wav_g711_bytes(3)  # A-law
+        assert M._riff_fmt_tag(blob) == 0x0006
+        # PCM and ADPCM routing untouched
+        assert M._riff_fmt_tag(M.synth_wav_bytes(1)) == 0x0001
+        assert M._riff_fmt_tag(M.synth_wav_adpcm_bytes(1)) == 0x0011
+
+    def test_pcm_tag_rejected_by_g711_parser(self):
+        with pytest.raises(ValueError, match="not G.711"):
+            M._parse_wav_g711(M.synth_wav_bytes(1))
+
+    def test_fact_truncation_applies(self):
+        import struct
+
+        blob = bytearray(M.synth_wav_g711_bytes(4))  # mono mu-law
+        at = blob.find(b"fact") + 8
+        (n,) = struct.unpack_from("<I", blob, at)
+        struct.pack_into("<I", blob, at, n - 5)
+        _, _, s = M._parse_wav_g711(bytes(blob))
+        assert len(s) == n - 5
+
+    def test_fact_beyond_data_rejects(self):
+        import struct
+
+        blob = bytearray(M.synth_wav_g711_bytes(4))
+        at = blob.find(b"fact") + 8
+        struct.pack_into("<I", blob, at, 10_000)
+        with pytest.raises(ValueError, match="fact total exceeds"):
+            M._parse_wav_g711(bytes(blob))

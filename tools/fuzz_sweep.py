@@ -57,8 +57,11 @@ def _dispatch_one(data: bytes):
     the REAL end-to-end path without a Spark session per flip."""
     kind = M.sniff_payload_kind(data)
     if kind == "wav":
-        if M._riff_fmt_tag(data) == 0x11:
+        tag = M._riff_fmt_tag(data)
+        if tag == 0x11:
             return M._parse_wav_adpcm(data)
+        if tag in (0x06, 0x07):
+            return M._parse_wav_g711(data)
         return _wav_stdlib(data)
     return {
         "png": M._parse_png,
@@ -78,6 +81,7 @@ def _dispatch_one(data: bytes):
 PAIRS = {
     "wav": (M.synth_wav_bytes, _wav_stdlib),
     "wav_adpcm": (M.synth_wav_adpcm_bytes, M._parse_wav_adpcm),
+    "wav_g711": (M.synth_wav_g711_bytes, M._parse_wav_g711),
     "flac": (M.synth_flac_bytes, M._parse_flac),
     "flac_stereo": (M.synth_flac_stereo_bytes, M._parse_flac),
     "flac_multi": (M.synth_flac_multichannel_bytes, M._parse_flac_multi),
