@@ -6500,7 +6500,20 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
 def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
     """Attach deterministic WAV/PPM payload bytes per doc_id — built
     executor-side in mapInPandas so payload bytes never touch the
-    driver (the generator stands in for a real media scan)."""
+    driver (the generator stands in for a real media scan).
+
+    The doc_id seed table is hash-repartitioned to the cluster's
+    default parallelism BEFORE the synth/decode mapInPandas chain:
+    the driver fixtures are one single-row-group parquet file, so the
+    scan is one task and without this every payload would be built
+    and decoded by ONE Python worker. The exchange moves only the
+    8-byte doc_id column — payload bytes are still generated and
+    consumed executor-side, after the shuffle (optimization guide §8:
+    shuffle the lightweight proxy, never the heavy payload; §2.5:
+    partition count derives from the environment, not a constant).
+    On a real media scan (many files / row groups) the scan itself
+    provides the parallelism and this exchange coalesces to a cheap
+    key-only reshuffle."""
     maker = {
         "wav": synth_wav_bytes,
         "wav_adpcm": synth_wav_adpcm_bytes,
@@ -6538,7 +6551,9 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    seeds = docs.select("doc_id")
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return seeds.repartition(n, "doc_id").mapInPandas(
         batches, "doc_id long, payload binary"
     )
 
