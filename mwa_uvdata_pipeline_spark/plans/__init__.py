@@ -41,6 +41,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition a tiny single-file scan to the cluster's
+    default parallelism BEFORE per-row-heavy work (explode, token
+    shingling, vector math, Python decode).
+
+    The driver fixtures are one single-row-group parquet file per
+    table, so without this the first stage of every lineage — often
+    the expansion-heavy one — is ONE task on one core (optimization
+    guide §2.5/§8: derive partition counts from the environment, and
+    shuffle the narrow pre-expansion rows, not the expanded ones).
+    Downstream groupBys whose keys contain ``cols`` reuse the hash
+    partitioning (HashPartitioning on a subset of the grouping keys
+    satisfies ClusteredDistribution), so this usually moves the
+    lineage's FIRST exchange from after the expansion to before it
+    rather than adding one. On a real many-file scan the exchange
+    degenerates to a cheap narrow reshuffle."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def _events_ts_is_nanos(path: str) -> bool:
     """Read ONE parquet footer to learn the physical ``ts`` type.
 

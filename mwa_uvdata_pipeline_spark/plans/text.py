@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mwa_uvdata_pipeline_spark.plans import register, table
+from mwa_uvdata_pipeline_spark.plans import fan_out, register, table
 
 STOPWORDS = ("the", "a")
 
@@ -1152,7 +1152,10 @@ def _pq_codes_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape the ADC scorer consumes directly (``e_pq_codes`` pivots
     it wide for the registered storage-layout entry; the search path
     skips the pivot+stack round trip, one shuffle fewer)."""
-    emb = table(spark, sf_dir, "embeddings")
+    # fan_out: the encode leg (N x M subvector slices x K centroid
+    # distances under a broadcast join) is the per-row-heavy stage and
+    # otherwise runs in the fixture scan's single task (guide §2.5).
+    emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
     ms = F.array([F.lit(i) for i in range(_PQ_M)])
     sub = emb.select(
         "vec_id", F.explode(ms).alias("m"), F.col("embedding").alias("e")
@@ -2367,7 +2370,11 @@ def dedup_best_in_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hot-key data, vs dedup_ngram_jaccard's 90.4x before its cap).",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # fan_out before the shingle explode (same reason as
+    # dedup_ngram_jaccard's redistribute): the fixture scan is one
+    # task, and sh0 feeds a persisted table whose partition count
+    # everything downstream inherits (guide §2.5).
+    docs = fan_out(table(spark, sf_dir, "documents"), "doc_id")
     sh0 = docs.select(
         "doc_id",
         F.explode(
@@ -3041,8 +3048,11 @@ def _km_fit(spark: SparkSession, sf_dir: str):
     Returns (pts, assign, cents): quantized exploded points, final
     vec_id->cid assignment, final centroid table."""
     k = _km_k(_emb_stats(spark, sf_dir)[0])
+    # fan_out(vec_id): pts is persisted and feeds every Lloyd-round
+    # join/agg; grouping keys downstream contain vec_id, so the cached
+    # partitioning is reused without new exchanges (guide §2.5).
     pts = (
-        table(spark, sf_dir, "embeddings")
+        fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
         .select("vec_id", F.posexplode("embedding").alias("dim", "x"))
         .select(
             "vec_id",
@@ -4740,6 +4750,14 @@ def _nb_confusion(fit_docs: DataFrame, score_docs: DataFrame) -> DataFrame:
     the (actual, predicted, n) confusion grid. When the two frames
     are the SAME object the persisted train token table is reused for
     scoring (the in-sample ml_naive_bayes fast path)."""
+    # fan_out BEFORE the token explode: `tok` is persisted, so without
+    # this the cached token table inherits the fixture scan's single
+    # partition and every downstream join/agg stage starts single-task
+    # (guide §2.5). Identity of fit/score frames is checked first so
+    # the in-sample fast path still reuses one explode.
+    same = score_docs is fit_docs
+    fit_docs = fan_out(fit_docs, "doc_id")
+    score_docs = fit_docs if same else fan_out(score_docs, "doc_id")
     tok = fit_docs.select(
         "doc_id", "lang", F.explode(_tokens()).alias("w")
     ).persist()
@@ -6112,40 +6130,70 @@ def m_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ln c is quantized to integer micro-nats BEFORE the sum "
         "(ml_naive_bayes discipline), so the only float steps are "
         "one division and one subtraction per document — "
-        "deterministic in both engines. Shape: one trigram explode "
-        "into a (doc, trigram) hash agg with map-side partials, then "
-        "a per-doc agg and a per-lang agg; no windows, no joins.",
+        "deterministic in both engines. Shape (restructured r15, "
+        "oracle-proven identical): per-doc sorted-trigram run-length "
+        "fold in one codegen'd higher-order expression — no explode, "
+        "no corpus-wide trigram hash agg, no wide shuffle — then a "
+        "per-lang agg; no windows, no joins.",
 )
 def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").where(F.length("text") >= 3)
-    tri = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - 2),
-                lambda i: F.substring(F.col("text"), i, 3),
-            )
-        ).alias("t"),
+    # Restructured this optimization round (results oracle-proven
+    # identical): trigram counts are per-DOCUMENT quantities, so
+    # instead of exploding ~300 trigram rows per doc into a
+    # corpus-wide (doc, lang, trigram) hash aggregate (1.5M string
+    # keys at sf0.1 — GC-heavy, and a full-corpus shuffle at 100 TB),
+    # each doc sorts its own trigram array and folds run-lengths in
+    # one codegen'd higher-order expression. Per run of length c the
+    # SAME c*round(ln(c)*1e6) term is accumulated, so h_micro is
+    # bit-identical. Plan: narrow fan_out exchange + per-row
+    # expression + 5-group final agg — the 1.5M-row explode, both
+    # wide hash aggs, and their exchange are gone (guide §2.3/§2.4:
+    # don't shuffle what a row can aggregate itself).
+    docs = fan_out(table(spark, sf_dir, "documents"), "doc_id").where(
+        F.length("text") >= 3
     )
-    cnt = tri.groupBy("doc_id", "lang", "t").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    per = cnt.groupBy("doc_id", "lang").agg(
-        F.sum("c").cast("long").alias("n"),
-        F.sum(
-            F.col("c")
-            * F.round(F.log(F.col("c").cast("double")) * 1000000).cast("long")
+    tri_sorted = F.sort_array(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 2),
+            lambda i: F.substring(F.col("text"), i, 3),
         )
-        .cast("long")
-        .alias("clnc_micro"),
     )
+
+    def term(run: Column) -> Column:
+        return run * F.round(
+            F.log(run.cast("double")) * 1000000
+        ).cast("long")
+
+    clnc_micro = F.aggregate(
+        tri_sorted,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("acc"),
+        ),
+        lambda a, t: F.when(
+            t == a.prev,
+            F.struct(
+                t.alias("prev"), (a.run + 1).alias("run"), a.acc.alias("acc")
+            ),
+        ).otherwise(
+            F.struct(
+                t.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                (
+                    a.acc
+                    + F.when(a.run > 0, term(a.run)).otherwise(F.lit(0))
+                ).alias("acc"),
+            )
+        ),
+        lambda a: a.acc + F.when(a.run > 0, term(a.run)).otherwise(F.lit(0)),
+    )
+    n = (F.length("text") - 2).cast("long")
     h_micro = F.round(
-        F.log(F.col("n").cast("double")) * 1000000
-        - F.col("clnc_micro") / F.col("n")
+        F.log(n.cast("double")) * 1000000 - clnc_micro / n
     ).cast("long")
     return (
-        per.select("lang", h_micro.alias("h_micro"))
+        docs.select("lang", h_micro.alias("h_micro"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -7383,7 +7431,10 @@ def e_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigram table.",
 )
 def t_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # fan_out: both token explodes (unigram and bigram legs) read the
+    # same repartitioned scan — one ReusedExchange — instead of two
+    # single-task explodes over the one-row-group fixture (guide §2.5).
+    docs = fan_out(table(spark, sf_dir, "documents"), "doc_id")
     toks = _tokens()
     n = F.size(toks)
     uni = docs.select(F.explode(toks).alias("w"))
