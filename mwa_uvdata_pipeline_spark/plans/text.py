@@ -758,7 +758,9 @@ def _sql_emb_lsh_keyed() -> str:
         "tiny-N audits.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    # fan_out: norms + T LSH keys per row are vector math over the
+    # single-task fixture scan without it (guide §2.5)
+    emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
     bits = _emb_lsh_bits(_emb_stats(spark, sf_dir)[0])
     n_tables = _lsh_tables(bits)
     n = emb.select(
@@ -943,7 +945,8 @@ def _sql_knn_lsh_keyed() -> str:
         "width yields at oracle scale (sf<=0.01).",
 )
 def e_knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    # fan_out: same single-task-scan reasoning as dedup_embedding_cosine
+    emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
     n_rows, n_labels = _emb_stats(spark, sf_dir)
     bits = _knn_lsh_bits(n_rows, n_labels)
     n_tables = _lsh_tables(bits, _KNN_LSH_TABLES)
@@ -3189,7 +3192,9 @@ def _sql_sem_keyed() -> str:
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts, assign, cents = _km_fit(spark, sf_dir)
     assign = assign.persist()  # consumed by cent-cos AND pair legs
-    emb = table(spark, sf_dir, "embeddings")
+    # fan_out: the norms + T LSH keys leg over raw embeddings is
+    # otherwise the single fixture-scan task (guide §2.5)
+    emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
     n_rows = _emb_stats(spark, sf_dir)[0]
     bits = _sem_lsh_bits(n_rows)
     n_tables = _lsh_tables(bits)
@@ -8128,7 +8133,9 @@ def sim_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pinned floor (tests/test_round8.py).",
 )
 def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    # fan_out: the exact leg is a panel-broadcast cross join over the
+    # corpus scan — single-task without it (guide §2.5)
+    emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
     bits = _emb_lsh_bits(_emb_stats(spark, sf_dir)[0])
     n_tables = _lsh_tables(bits)
     nv = emb.select(
