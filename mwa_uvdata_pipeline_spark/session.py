@@ -34,7 +34,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # 16g, not the box's full headroom: in local mode the driver
+        # JVM hosts every executor thread, and an oversized G1 heap
+        # trades frequent short collections for rare multi-second ones
+        # (measured on the 46-query bench: 48g heap -> 2.65s Full-GC
+        # pauses and 1-2 queries per run with all-warm-runs stalls;
+        # 16g -> total 43.2s with zero warm>cold anomalies, vs
+        # 45.9-54.7s at 48g). On a cluster the driver does no task
+        # work and this knob is sized to plan/broadcast needs instead;
+        # override via SPARK_DRIVER_MEM either way (guide §5).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
