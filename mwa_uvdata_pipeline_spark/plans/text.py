@@ -708,6 +708,30 @@ def _emb_lsh_key(e: Column, t: int, bits: int = _EMB_LSH_BITS) -> Column:
     return key
 
 
+def _emb_lsh_keyed_expr(col: str, n_tables: int, bits: int) -> Column:
+    """The per-table (t, k) struct-array explode of ``_emb_lsh_key``,
+    assembled as ONE ``F.expr`` string instead of ~n_tables*bits*4
+    Column operations. Semantically identical (SQL ``arr[i]`` is
+    0-based like ``Column.getItem``; verified value-equal, and every
+    consumer is oracle-gated) — the point is plan CONSTRUCTION cost:
+    each Column op is a py4j round trip, and construction runs inside
+    the bench's timed region on every invocation (~0.3-0.5 s per run
+    for the listcomp form at 4-6 tables; guide §1.2 'per-task work'
+    applied to the driver)."""
+
+    def key(t: int) -> str:
+        return " + ".join(
+            f"(CAST(({col}[{(t * bits + j) % 64}] > 0) AS INT)"
+            f" * {1 << j})"
+            for j in range(bits)
+        )
+
+    arr = ", ".join(
+        f"struct({t} AS t, {key(t)} AS k)" for t in range(n_tables)
+    )
+    return F.explode(F.expr(f"array({arr})"))
+
+
 def _sql_emb_lsh_keyed() -> str:
     """UNION ALL of one keyed projection per hash table (DuckDB arrays
     are 1-indexed)."""
@@ -772,17 +796,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         "nrm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        _emb_lsh_key(F.col("embedding"), t, bits).alias("k"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tk"),
+        _emb_lsh_keyed_expr("embedding", n_tables, bits).alias("tk"),
     ).select(
         "vec_id", "embedding", "nrm",
         F.col("tk.t").alias("t"), F.col("tk.k").alias("k"),
@@ -959,17 +973,7 @@ def e_knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = n.select(
         "vec_id",
         "label",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        _emb_lsh_key(F.col("embedding"), t, bits).alias("k"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tk"),
+        _emb_lsh_keyed_expr("embedding", n_tables, bits).alias("tk"),
     ).select("vec_id", "label", F.col("tk.t").alias("t"), F.col("tk.k").alias("k"))
     # candidate generation carries ids only (same discipline as
     # dedup_embedding_cosine): the (label, t, k) self-join shuffles 4
@@ -3238,18 +3242,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             "nrm",
             "cid",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("t"),
-                            _emb_lsh_key(F.col("embedding"), t, bits)
-                                .alias("k"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("tk"),
+            _emb_lsh_keyed_expr("embedding", n_tables, bits).alias("tk"),
         )
         .select(
             "vec_id", "embedding", "nrm", "cid",
@@ -8182,17 +8175,7 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH leg: the production retrieval path for the same panel
     keyed = nv.select(
         "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        _emb_lsh_key(F.col("embedding"), t, bits).alias("k"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tk"),
+        _emb_lsh_keyed_expr("embedding", n_tables, bits).alias("tk"),
     ).select("vec_id", F.col("tk.t").alias("t"), F.col("tk.k").alias("k"))
     qk = keyed.join(
         F.broadcast(qs.select("q_id")),
