@@ -48,6 +48,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # the generated-class cache defaults to 100 entries; a session
+        # that runs the whole 46-query roster (bench, oracle sweep)
+        # compiles far more codegen units than that, and an evicted
+        # unit is re-janino-compiled ON THE DRIVER at next use —
+        # showing up as random queries whose every repeat stalls.
+        # Sizing the cache to the workload is scale-neutral (same
+        # per-executor benefit on a cluster).
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
