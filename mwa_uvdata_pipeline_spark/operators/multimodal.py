@@ -33,6 +33,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
 
 DECODED_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, n_frames int"
@@ -6497,6 +6498,55 @@ def ingest_dispatch(df: DataFrame, payload_col: str = "payload",
     )
 
 
+class _LazySynthFrame(ClassicDataFrame):
+    """``synth_payloads`` result that FUSES synthesis into the
+    consumer's decode ``mapInPandas``.
+
+    Every codec gate is ``decode_x(synth_payloads(docs, kind))`` where
+    ``decode_x`` ends in ``df.select(id, payload).mapInPandas(fn,
+    schema)``. Run as two separate mapInPandas operators that seam
+    costs a FIXED second Python pass per query (~0.3 s at 32 tasks:
+    spin up/feed a second worker chain) plus a round trip of every
+    payload byte through the JVM between synth and decode — pure
+    boundary overhead, no computation (optimization guide §4: one
+    boundary crossing, Arrow both ways). This subclass intercepts
+    exactly that seam: ``select("doc_id", "payload")`` returns self and
+    ``mapInPandas(fn, schema)`` composes synth+decode into ONE
+    mapInPandas over the key-only exchange, so payload bytes are born
+    and consumed inside the same Python worker. Any OTHER use (joins,
+    filters, collect, different column lists) falls back to the
+    materialized synth chain this class IS (its own jdf), with
+    unchanged semantics — fusion is a pure plan rewrite, the bytes and
+    the decode math are identical either way.
+    """
+
+    def __init__(self, seeds: DataFrame, synth_batches) -> None:
+        real = seeds.mapInPandas(
+            synth_batches, "doc_id long, payload binary"
+        )
+        super().__init__(real._jdf, real.sparkSession)
+        self._synth_seeds = seeds
+        self._synth_batches = synth_batches
+
+    def select(self, *cols):  # type: ignore[override]
+        # string-only compare: a Column operand would turn == into a
+        # Column expression (CANNOT_CONVERT_COLUMN_INTO_BOOL)
+        if all(isinstance(c, str) for c in cols) and list(cols) == [
+            "doc_id",
+            "payload",
+        ]:
+            return self
+        return super().select(*cols)
+
+    def mapInPandas(self, func, schema, barrier=False, profile=None):  # type: ignore[override]
+        synth = self._synth_batches
+
+        def fused(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            yield from func(synth(it))
+
+        return self._synth_seeds.mapInPandas(fused, schema, barrier, profile)
+
+
 def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
     """Attach deterministic WAV/PPM payload bytes per doc_id — built
     executor-side in mapInPandas so payload bytes never touch the
@@ -6513,7 +6563,12 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
     partition count derives from the environment, not a constant).
     On a real media scan (many files / row groups) the scan itself
     provides the parallelism and this exchange coalesces to a cheap
-    key-only reshuffle."""
+    key-only reshuffle.
+
+    The returned frame additionally fuses itself into the consuming
+    decoder's mapInPandas (see :class:`_LazySynthFrame`), so the
+    standard ``decode_x(synth_payloads(...))`` chain runs as a SINGLE
+    Python pass above the key-only exchange."""
     maker = {
         "wav": synth_wav_bytes,
         "wav_adpcm": synth_wav_adpcm_bytes,
@@ -6553,9 +6608,7 @@ def synth_payloads(docs: DataFrame, kind: str) -> DataFrame:
 
     seeds = docs.select("doc_id")
     n = docs.sparkSession.sparkContext.defaultParallelism
-    return seeds.repartition(n, "doc_id").mapInPandas(
-        batches, "doc_id long, payload binary"
-    )
+    return _LazySynthFrame(seeds.repartition(n, "doc_id"), batches)
 
 
 VAD_SCHEMA = (

@@ -1,10 +1,13 @@
 """Capture ``explain("formatted")`` for bench-roster queries.
 
-Writes ``plans/r15/<query>_<tag>.txt`` for every bench-flagged plan
+Writes ``plans/<round>/<query>_<tag>.txt`` for every bench-flagged plan
 (or the names given on the command line), so optimization claims can
 be reviewed as a plan diff without a local Spark session.
 
-Usage: python tools/capture_plans.py <tag> [name ...]   (tag: before|after)
+Usage: python tools/capture_plans.py <tag> [name ...]
+  tag: before|after (or any label)
+  PLAN_DIR env var overrides the output directory
+  (default: <repo>/plans/r16).
 """
 
 from __future__ import annotations
@@ -12,10 +15,14 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        raise SystemExit(2)
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,7 +34,7 @@ def main() -> None:
     plans = load_all()
     roster = names or [n for n, p in plans.items() if p.bench]
 
-    out_dir = "/root/repo/plans/r15"
+    out_dir = os.environ.get("PLAN_DIR", os.path.join(REPO, "plans", "r16"))
     os.makedirs(out_dir, exist_ok=True)
     for name in roster:
         p = plans[name]
