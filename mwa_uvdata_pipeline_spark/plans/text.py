@@ -708,6 +708,27 @@ def _emb_lsh_key(e: Column, t: int, bits: int = _EMB_LSH_BITS) -> Column:
     return key
 
 
+def _emb_lsh_array_sql(col: str, n_tables: int, bits: int) -> str:
+    """SQL text of the per-table (t, k) sign-LSH struct array over
+    ``col`` — shared by the Column form below and the spark.sql plans
+    so both build the character-identical expression. ``col`` must be
+    a simple identifier (backtick-quoted here so a reserved word or
+    odd name cannot re-parse the expression — ADVICE r15)."""
+    q = f"`{col}`"
+
+    def key(t: int) -> str:
+        return " + ".join(
+            f"(CAST(({q}[{(t * bits + j) % 64}] > 0) AS INT)"
+            f" * {1 << j})"
+            for j in range(bits)
+        )
+
+    arr = ", ".join(
+        f"struct({t} AS t, {key(t)} AS k)" for t in range(n_tables)
+    )
+    return f"array({arr})"
+
+
 def _emb_lsh_keyed_expr(col: str, n_tables: int, bits: int) -> Column:
     """The per-table (t, k) struct-array explode of ``_emb_lsh_key``,
     assembled as ONE ``F.expr`` string instead of ~n_tables*bits*4
@@ -718,18 +739,7 @@ def _emb_lsh_keyed_expr(col: str, n_tables: int, bits: int) -> Column:
     the bench's timed region on every invocation (~0.3-0.5 s per run
     for the listcomp form at 4-6 tables; guide §1.2 'per-task work'
     applied to the driver)."""
-
-    def key(t: int) -> str:
-        return " + ".join(
-            f"(CAST(({col}[{(t * bits + j) % 64}] > 0) AS INT)"
-            f" * {1 << j})"
-            for j in range(bits)
-        )
-
-    arr = ", ".join(
-        f"struct({t} AS t, {key(t)} AS k)" for t in range(n_tables)
-    )
-    return F.explode(F.expr(f"array({arr})"))
+    return F.explode(F.expr(_emb_lsh_array_sql(col, n_tables, bits)))
 
 
 def _sql_emb_lsh_keyed() -> str:
@@ -3084,11 +3094,15 @@ def _km_fit(spark: SparkSession, sf_dir: str):
                 .alias("dist")
             )
         )
-        rn = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        # argmin as min(struct(dist, cid)): lexicographic struct order
+        # IS the old row_number orderBy(dist, cid) tie-break, but a
+        # hash aggregate (map-side partials, no per-partition sort)
+        # replaces the Window sort (guide §2.4); both groupBys share
+        # pts' vec_id partitioning, so no exchange appears either way.
         assign = (
-            d.withColumn("rn", F.row_number().over(rn))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cid")
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
         )
         cents = (
             assign.join(pts, "vec_id")
@@ -3203,12 +3217,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = _sem_lsh_bits(n_rows)
     n_tables = _lsh_tables(bits)
 
-    vn = pts.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")).alias("vn")
-    )
     cn = cents.groupBy("cid").agg(
         F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")).alias("cn")
     )
+    # vn MERGED into the dc aggregation: assign holds exactly one cid
+    # per vec_id, so grouping by (vec_id, cid) sums the same 64 q*q
+    # terms the separate vn leg summed by vec_id alone — one pts
+    # aggregation and one shuffle join fewer, bit-identical operands
+    # into the same round(dotc/(vn*cn), 6) (guide §2.4).
     dc = (
         pts.join(assign, "vec_id")
         .join(
@@ -3216,11 +3232,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["cid", "dim"],
         )
         .groupBy("vec_id", "cid")
-        .agg(F.sum(F.col("q") * F.col("cq")).cast("double").alias("dotc"))
+        .agg(
+            F.sum(F.col("q") * F.col("cq")).cast("double").alias("dotc"),
+            F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double"))
+                .alias("vn"),
+        )
     )
     cc = (
-        dc.join(vn, "vec_id")
-        .join(F.broadcast(cn), "cid")
+        dc.join(F.broadcast(cn), "cid")
         .select(
             "vec_id",
             "cid",
@@ -3230,22 +3249,23 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
+    # consumed 3x (LSH keying + both exact-cosine probe sides):
+    # persist so the scan + per-row norm fold runs once, not three
+    # times (guide §5 — reused AND recompute-heavy)
     norms = emb.select(
         "vec_id",
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
+    ).persist()
     keyed = (
         norms.join(assign, "vec_id")
         .select(
             "vec_id",
-            "embedding",
-            "nrm",
             "cid",
             _emb_lsh_keyed_expr("embedding", n_tables, bits).alias("tk"),
         )
         .select(
-            "vec_id", "embedding", "nrm", "cid",
+            "vec_id", "cid",
             F.col("tk.t").alias("t"), F.col("tk.k").alias("k"),
         )
     )

@@ -54,6 +54,126 @@ def test_fused_decode_values_match_materialized_path(spark):
     assert a == b
 
 
+def test_km_argmin_struct_matches_window_form(spark):
+    """_km_fit's assignment argmin was restructured from a
+    row_number()-over-(dist, cid) window to min(struct(dist, cid)):
+    lexicographic struct order IS that tie-break, pinned row-for-row
+    Spark-vs-Spark (the oracle proves it vs DuckDB end to end)."""
+    from pyspark.sql import Window
+
+    from mwa_uvdata_pipeline_spark.plans.text import (
+        _KM_SCALE,
+        _emb_stats,
+        _km_fit,
+        _km_k,
+    )
+    from mwa_uvdata_pipeline_spark.plans import fan_out, table
+
+    _, assign, _ = _km_fit(spark, SF_SMALL)
+    got = sorted(map(tuple, assign.collect()))
+
+    # the old window formulation, rebuilt verbatim
+    k = _km_k(_emb_stats(spark, SF_SMALL)[0])
+    pts = (
+        fan_out(table(spark, SF_SMALL, "embeddings"), "vec_id")
+        .select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "vec_id",
+            "dim",
+            F.round(F.col("x").cast("double") * _KM_SCALE)
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    cents = pts.where(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), "dim", "q"
+    )
+    assign_w = None
+    for _ in range(2):
+        d = (
+            pts.join(F.broadcast(cents.withColumnRenamed("q", "cq")), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+        rn = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        assign_w = (
+            d.withColumn("rn", F.row_number().over(rn))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        cents = (
+            assign_w.join(pts, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(F.expr("sum(q) div count(1)").alias("q"))
+        )
+    want = sorted(map(tuple, assign_w.collect()))
+    assert got == want
+
+
+def test_km_fit_plan_has_no_window_sort(spark):
+    """The Lloyd argmin must stay a hash aggregate: a Window would
+    re-introduce a per-partition sort of the full distance table."""
+    from mwa_uvdata_pipeline_spark.plans import load_all
+
+    df = load_all()["ml_kmeans"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "Window" not in plan
+
+
+def test_dedup_semantic_vn_merge_matches_separate_leg(spark):
+    """cent_cos after merging the vn aggregation into the dc groupBy
+    must equal the separate-leg formulation bit for bit (one cid per
+    vec_id makes the two groupings sum identical terms)."""
+    from mwa_uvdata_pipeline_spark.plans import load_all
+    from mwa_uvdata_pipeline_spark.plans.text import _km_fit
+
+    got = sorted(
+        map(
+            tuple,
+            load_all()["dedup_semantic"]
+            .spark(spark, SF_SMALL)
+            .select("vec_id", "cent_cos")
+            .collect(),
+        )
+    )
+
+    pts, assign, cents = _km_fit(spark, SF_SMALL)
+    vn = pts.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")).alias("vn")
+    )
+    cn = cents.groupBy("cid").agg(
+        F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")).alias("cn")
+    )
+    dc = (
+        pts.join(assign, "vec_id")
+        .join(
+            F.broadcast(cents.select("cid", "dim", F.col("q").alias("cq"))),
+            ["cid", "dim"],
+        )
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(F.col("q") * F.col("cq")).cast("double").alias("dotc"))
+    )
+    want = sorted(
+        map(
+            tuple,
+            dc.join(vn, "vec_id")
+            .join(F.broadcast(cn), "cid")
+            .select(
+                "vec_id",
+                F.round(
+                    F.col("dotc") / (F.col("vn") * F.col("cn")), 6
+                ).alias("cent_cos"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_lazy_synth_frame_falls_back_for_generic_use(spark):
     """Non-seam DataFrame use of synth_payloads output (counts, column
     pruning, filters) must behave exactly like the materialized chain."""
