@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_rounds: int = 50
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 50,
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable
     from ``node`` over the undirected ``pairs`` edges.
@@ -41,19 +45,33 @@ def connected_components(
     Only nodes that appear in at least one pair are returned; callers
     that need singleton rows left-join this result and coalesce to the
     node's own id.
+
+    ``pairs_unique=True`` skips the edge dedup exchange — only for
+    callers whose pairs are PROVABLY unique with src < dst (then the
+    two union directions cannot collide), e.g. the exact-Jaccard pair
+    output. Iteration state uses LAZY localCheckpoint: the plan is
+    truncated exactly as with the old eager form (each round's plan
+    reads a LogicalRDD, so analysis stays O(1) per round and a 50-round
+    chain cannot blow up Catalyst), but materialization rides the
+    convergence probe's own job instead of a dedicated checkpoint job
+    per round — in the converged round (the common case: near-clique
+    dedup graphs fixpoint in 1-2 rounds) the probe's full scan IS the
+    materialization, one job instead of two (guide §1.2/§5: the
+    fixpoint is driver job-latency-bound, not data-bound; Spark
+    backfills any partitions a short-circuited probe skipped).
     """
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .localCheckpoint()
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    if not pairs_unique:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint(eager=False)
     # initial label: min(self, direct neighbors) — saves one round
     labels = (
         edges.groupBy("u")
         .agg(F.least(F.min("v"), F.col("u")).alias("label"))
         .select(F.col("u").alias("node"), "label")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     for _ in range(max_rounds):
@@ -69,8 +87,10 @@ def connected_components(
                 F.least("label", "nbr_label").alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # materializes the lazy checkpoint in the same job it probes
+        # (and the upstream edges/labels checkpoints on round one)
         changed = new_labels.where("changed").limit(1).count()
         labels = new_labels.select("node", "label")
         if changed == 0:

@@ -1757,7 +1757,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwa_uvdata_pipeline_spark.operators.graph import connected_components
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    comp = connected_components(pairs)
+    # exact-Jaccard pairs are unique with doc_a < doc_b by
+    # construction (grouped output), so the edge dedup exchange is
+    # provably redundant
+    comp = connected_components(pairs, pairs_unique=True)
     docs = table(spark, sf_dir, "documents").select("doc_id")
     # no broadcast hint: the (node, component) map is corpus-linear in
     # the worst case (every doc in some near-dup pair); this is a plain
@@ -1811,7 +1814,10 @@ def t_dedup_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mwa_uvdata_pipeline_spark.operators.graph import connected_components
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    comp = connected_components(pairs)
+    # exact-Jaccard pairs are unique with doc_a < doc_b by
+    # construction (grouped output), so the edge dedup exchange is
+    # provably redundant
+    comp = connected_components(pairs, pairs_unique=True)
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     canonical = F.coalesce("component", "doc_id")
     return (

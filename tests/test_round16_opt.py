@@ -174,6 +174,28 @@ def test_dedup_semantic_vn_merge_matches_separate_leg(spark):
     assert got == want
 
 
+def test_cc_pairs_unique_matches_default_path(spark):
+    """pairs_unique=True only skips the edge-dedup exchange; on pairs
+    that ARE unique with src < dst the components must be identical."""
+    from mwa_uvdata_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    rows = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)]
+    pairs = spark.createDataFrame(rows, ["doc_a", "doc_b"])
+    base = sorted(
+        map(tuple, connected_components(pairs).collect())
+    )
+    fast = sorted(
+        map(
+            tuple,
+            connected_components(pairs, pairs_unique=True).collect(),
+        )
+    )
+    assert base == fast
+    assert base == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)]
+
+
 def test_lazy_synth_frame_falls_back_for_generic_use(spark):
     """Non-seam DataFrame use of synth_payloads output (counts, column
     pruning, filters) must behave exactly like the materialized chain."""
