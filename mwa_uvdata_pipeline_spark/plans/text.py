@@ -8157,11 +8157,18 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
     bits = _emb_lsh_bits(_emb_stats(spark, sf_dir)[0])
     n_tables = _lsh_tables(bits)
+    # nv feeds four consumers (panel draw, exact leg, LSH keying, the
+    # candidate re-rank); persist so the scan + per-row norm fold runs
+    # once, not once per branch (guide §5 reuse; corpus-linear cache,
+    # MEMORY_AND_DISK spills at scale — same posture as
+    # dedup_semantic's norms leg)
     nv = emb.select(
         "vec_id",
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
+    ).persist()
+    # the 16-row panel is consumed by both legs and the final select;
+    # persisted, its corpus TakeOrdered runs once instead of 7x
     qs = (
         nv.select(
             F.col("vec_id").alias("q_id"),
@@ -8170,6 +8177,7 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.md5(F.col("q_id").cast("string")), "q_id")
         .limit(16)
+        .persist()
     )
     cos = F.round(
         _dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 6
@@ -8226,20 +8234,28 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .select("q_id", "nn_id")
     )
-    ovl = ex10.join(l10, ["q_id", "nn_id"]).groupBy("q_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_overlap")
-    )
-    ne = ex10.groupBy("q_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact")
-    )
-    nl = l10.groupBy("q_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_lsh")
+    # ex10/l10 are unique on (q_id, nn_id) by construction
+    # (row_number <= 10), so ONE full-outer join scores all three
+    # counts — n_exact (rows with _e), n_lsh (rows with _l), n_overlap
+    # (rows with both) — where three separate join+agg branches each
+    # re-ran an entire leg (guide §5: reuse beats recompute)
+    stats = (
+        ex10.withColumn("_e", F.lit(1))
+        .join(
+            l10.withColumn("_l", F.lit(1)),
+            ["q_id", "nn_id"],
+            "full_outer",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.sum("_e").cast("long").alias("n_exact"),
+            F.sum("_l").cast("long").alias("n_lsh"),
+            F.sum(F.col("_e") * F.col("_l")).cast("long").alias("n_overlap"),
+        )
     )
     return (
         qs.select("q_id")
-        .join(ne, "q_id", "left")
-        .join(nl, "q_id", "left")
-        .join(ovl, "q_id", "left")
+        .join(stats, "q_id", "left")
         .select(
             "q_id",
             F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
