@@ -1832,28 +1832,50 @@ _AR_LIFT = (
 )
 def x_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    pairs = (
-        op.groupBy("l_orderkey")
+    # ONE fact scan feeds everything: baskets (order -> part set) is
+    # persisted, and pairs, per-item supports AND the basket total all
+    # derive from it — the previous shape scanned lineitem five times
+    # (two Union pair branches, two supp broadcast builds, the
+    # n_orders leg). explode(ps) over a basket is exactly the distinct
+    # (order, part) row set, and count(baskets) is exactly
+    # countDistinct(l_orderkey), so the derived legs are value-equal.
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("ps"))
-        .select(F.explode(F.expr(_PAIR_EXPAND_SQL)).alias("e"))
+        .persist()
+    )
+    pairs = (
+        baskets.select(F.explode(F.expr(_PAIR_EXPAND_SQL)).alias("e"))
         .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("supp_ab"))
         .where(F.col("supp_ab") >= 2)
     )
+    # both rule directions from ONE pair subtree (the Union form
+    # planned the whole mining pipeline twice)
     directed = pairs.select(
-        F.col("u").alias("ante"), F.col("v").alias("cons"), "supp_ab"
-    ).union(
-        pairs.select(
-            F.col("v").alias("ante"), F.col("u").alias("cons"), "supp_ab"
-        )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("ante"),
+                    F.col("v").alias("cons"),
+                    F.col("supp_ab").alias("supp_ab"),
+                ),
+                F.struct(
+                    F.col("v").alias("ante"),
+                    F.col("u").alias("cons"),
+                    F.col("supp_ab").alias("supp_ab"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.ante", "d.cons", "d.supp_ab")
+    supp = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("supp_1"))
     )
-    supp = op.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("supp_1")
-    )
-    n = li.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
-    )
+    n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     return (
         directed.join(
             supp.select(F.col("l_partkey").alias("ante"),

@@ -228,3 +228,26 @@ def test_e2e_match_filter_chain_single_post_ins_exchange(spark):
     )
     assert n_exchange == 3, plan
     assert plan.count("REPARTITION_BY_COL") == 1
+
+
+def test_assoc_rules_single_fact_scan(spark):
+    """x_assoc_rules must mine pairs, item supports and the basket
+    total from ONE persisted basket table — exactly one lineitem scan
+    in the whole plan (the Union shape planned five)."""
+    from mwa_uvdata_pipeline_spark.plans import load_all
+
+    df = load_all()["x_assoc_rules"].spark(spark, SF_SMALL)
+    # formatted explain numbers each physical node once (cached inner
+    # plans are not re-printed per consumer like in toString)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    n_scans = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.startswith("(") and ") Scan parquet" in ln
+    )
+    assert n_scans == 1, plan
+    assert "Union" not in plan
+    assert "InMemoryTableScan" in plan
