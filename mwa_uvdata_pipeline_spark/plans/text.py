@@ -4927,6 +4927,10 @@ def t_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
+    # span key = xxhash64(8-gram): the cache and both shuffles carry
+    # an 8-byte long instead of a ~50-byte concat string (collision-
+    # exact at any realistic corpus, 2^-64 per pair — the same
+    # argument dedup_ngram_jaccard's posting key already ships)
     pos = (
         docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .select(
@@ -4936,7 +4940,9 @@ def t_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     idx,
                     lambda i: F.struct(
                         i.alias("pos"),
-                        F.concat_ws(" ", F.slice(toks, i, k)).alias("s"),
+                        F.xxhash64(
+                            F.concat_ws(" ", F.slice(toks, i, k))
+                        ).alias("s"),
                     ),
                 )
             ).alias("ps"),
@@ -4952,7 +4958,14 @@ def t_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "grp")
         .agg(F.count(F.lit(1)).alias("len"))
     )
-    tot = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_pos"))
+    # per-doc position count has the closed form n - (k-1) for docs
+    # with n >= k (exactly the docs pos holds rows for) — a projection
+    # over the narrow docs scan instead of a full count pass + shuffle
+    # over the exploded cache
+    tot = (
+        docs.where(n >= k)
+        .select("doc_id", (n - (k - 1)).cast("long").alias("n_pos"))
+    )
     return (
         tot.join(spans, "doc_id", "left")
         .groupBy("doc_id", "n_pos")
