@@ -4782,14 +4782,26 @@ def _nb_confusion(fit_docs: DataFrame, score_docs: DataFrame) -> DataFrame:
     same = score_docs is fit_docs
     fit_docs = fan_out(fit_docs, "doc_id")
     score_docs = fit_docs if same else fan_out(score_docs, "doc_id")
+    # token key = xxhash64(token): the persisted token table, the
+    # count/vocab shuffles and the broadcast-probe keys carry 8-byte
+    # longs instead of token strings (collision-exact, 2^-64 per pair
+    # — the posting-key argument dedup_ngram_jaccard ships); counts,
+    # countDistinct and the (lang, token) model join are all
+    # hash-equality computations, so every value is unchanged
     tok = fit_docs.select(
-        "doc_id", "lang", F.explode(_tokens()).alias("w")
+        "doc_id",
+        "lang",
+        F.explode(F.transform(_tokens(), lambda s: F.xxhash64(s))).alias("w"),
     ).persist()
     stok = (
         tok
         if score_docs is fit_docs
         else score_docs.select(
-            "doc_id", "lang", F.explode(_tokens()).alias("w")
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(_tokens(), lambda s: F.xxhash64(s))
+            ).alias("w"),
         )
     )
     cnt = tok.groupBy(
