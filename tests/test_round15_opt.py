@@ -42,8 +42,6 @@ def test_synth_payloads_is_parallel_and_key_only_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan
     # the exchange input is the bare key column, never the payload
-    import re
-
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert ex and all("payload" not in ln for ln in ex)
 
