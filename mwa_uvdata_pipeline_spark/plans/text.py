@@ -3276,8 +3276,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # candidates carry IDs only (the dedup_embedding_cosine lesson);
-    # each surviving pair pays for one exact-cosine evaluation
-    ids = keyed.select("cid", "t", "k", "vec_id")
+    # each surviving pair pays for one exact-cosine evaluation.
+    # ids is persisted: the self-join otherwise recomputes the whole
+    # LSH-keying lineage (norms join + T keyed explodes) once PER SIDE
+    # — event-log attribution showed two ~370 ms 32-task stages doing
+    # identical work (guide §5 reuse).
+    ids = keyed.select("cid", "t", "k", "vec_id").persist()
     cand = (
         ids.alias("ca")
         .join(
@@ -3305,8 +3309,20 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(
         _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
     )
+    # pin the pair⋈embedding join parallelism: AQE sizes the coalesce
+    # off the candidate shuffle's map-side bytes (two longs per row),
+    # but the join OUTPUT carries two 64-dim vectors per pair — ~50x
+    # wider — so the whole exact-cosine evaluation was landing on a
+    # 2-task stage (event-log: 1.06 s of the 3.3 s warm run). A keyed
+    # repartition(N, col) satisfies the join's clustering AND is
+    # AQE-uncoalescible, spreading the cosine work across the real
+    # parallelism (guide §2: partition for the expensive stage, not
+    # the cheap bytes); N tracks defaultParallelism, not a constant.
+    par = emb.sparkSession.sparkContext.defaultParallelism
     pairs = (
-        cand.join(ea, "va")
+        cand.repartition(par, "va")
+        .join(ea, "va")
+        .repartition(par, "vb")
         .join(eb, "vb")
         .where(cos >= _EMB_COS_T)
         .select("va", "vb")

@@ -251,3 +251,16 @@ def test_assoc_rules_single_fact_scan(spark):
     assert n_scans == 1, plan
     assert "Union" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_dedup_semantic_pins_pair_join_parallelism(spark):
+    """The exact-cosine pair joins must ride AQE-uncoalescible keyed
+    repartitions (hash(va)/hash(vb) at defaultParallelism): AQE sizes
+    coalesce off the candidate shuffle's 16-byte rows, but the join
+    output carries two 64-dim vectors per pair."""
+    from mwa_uvdata_pipeline_spark.plans import load_all
+
+    df = load_all()["dedup_semantic"].spark(spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "hashpartitioning(va#" in plan and "hashpartitioning(vb#" in plan
+    assert plan.count("REPARTITION_BY_NUM") >= 2
