@@ -1870,10 +1870,14 @@ def x_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("d")
     ).select("d.ante", "d.cons", "d.supp_ab")
+    # persisted: the ante and cons broadcast builds are separate
+    # subtrees, so without this the explode+agg over the basket cache
+    # runs once per build (event-log: two ~0.9s 32-task stages)
     supp = (
         baskets.select(F.explode("ps").alias("l_partkey"))
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("supp_1"))
+        .persist()
     )
     n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     return (
